@@ -1,0 +1,61 @@
+"""Table catalog: load the driver's parquet tables and register views.
+
+The driver materializes a TPC-H-ish star schema plus ``events``,
+``documents``, ``embeddings`` under ``/root/testdata/sf*``
+(TESTDATA.md / FIXTURES.md). At 100 TB these would be partitioned
+parquet/Delta directories; ``load_tables`` keeps the access path
+identical (``spark.read.parquet`` handles one file or a partitioned
+directory transparently, with pushdown + pruning either way).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at every realistic scale factor
+# (region/nation are fixed-size; supplier/part/customer stay << the
+# autoBroadcastJoinThreshold at the scale factors we run — on a real
+# 100 TB deployment Catalyst/AQE re-checks actual sizes, so hints below
+# are advisory, not hard-coded plan choices).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

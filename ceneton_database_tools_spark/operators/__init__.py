@@ -1,0 +1,18 @@
+"""Operator catalog packages.
+
+Importing this package pulls in every operator module so that all
+queries self-register into :mod:`ceneton_database_tools_spark.operators.registry`.
+"""
+
+from ceneton_database_tools_spark.operators import (  # noqa: F401
+    dedup,
+    relational,
+    similarity,
+    text,
+)
+from ceneton_database_tools_spark.operators.registry import (  # noqa: F401
+    QUERIES,
+    QuerySpec,
+    all_queries,
+    oracle_catalog,
+)

@@ -1,0 +1,3 @@
+"""Similarity-search operators (driver-mandated extension, SURVEY.md §2 Part C)."""
+
+from __future__ import annotations

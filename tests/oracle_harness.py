@@ -1,0 +1,89 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered Spark query and its oracle SQL side by side on the
+same parquet tables and compares: row count, sorted column names, and
+an order-insensitive multiset of canonicalized row values. Stricter or
+equal to the driver's value-hash — if this passes, the driver's gate
+should too.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from collections import Counter
+
+import duckdb
+
+from ceneton_database_tools_spark.catalog import TABLES, table_path
+
+__test__ = False  # not a pytest test module
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def canon(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        if v == 0.0:
+            return "f:0"  # -0.0 == 0.0
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, _dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(x)}" for k, x in sorted(v.items())) + "}"
+    return f"s:{v}"
+
+
+def _rows_to_multiset(columns: list[str], rows: list[tuple]) -> Counter:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return Counter(tuple(canon(row[i]) for i in order) for row in rows)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    rel = con.sql(oracle_sql)
+    d_cols = list(rel.columns)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}")
+    s_ms = _rows_to_multiset(s_cols, s_rows)
+    d_ms = _rows_to_multiset(d_cols, d_rows)
+    if s_ms != d_ms:
+        only_s = list((s_ms - d_ms).items())[:5]
+        only_d = list((d_ms - s_ms).items())[:5]
+        problems.append(
+            f"value mismatch ({sum((s_ms - d_ms).values())} spark-only, "
+            f"{sum((d_ms - s_ms).values())} duck-only rows)\n"
+            f"  cols (sorted): {sorted(s_cols)}\n"
+            f"  spark-only sample: {only_s}\n"
+            f"  duck-only sample: {only_d}"
+        )
+    return problems
