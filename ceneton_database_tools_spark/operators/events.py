@@ -1,0 +1,137 @@
+"""Batch analytics over the event stream table.
+
+Batch formulations of the streaming operators (streaming/ has the
+Structured Streaming versions): tumbling-window aggregation,
+sessionization via gap detection, and funnel-style per-user stats.
+Batch and streaming share the same logical semantics, so these also
+serve as the oracle-checkable twins of the streaming queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts)      AS window_start,
+      event_type,
+      count(*)                    AS n_events,
+      round(sum(value), 2)        AS sum_value,
+      count(DISTINCT user_id)     AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("events", "window-agg"),
+    bench=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (batch form).
+
+    The streaming twin uses ``F.window(ts, '1 hour')`` + watermark;
+    `date_trunc` is the identical bucketing for batch and for the
+    DuckDB oracle.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT
+        user_id,
+        ts,
+        value,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT
+        user_id,
+        ts,
+        value,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM gaps
+    )
+    SELECT
+      user_id,
+      session_id,
+      count(*)                                   AS n_events,
+      round(sum(value), 2)                       AS session_value,
+      CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap → session id → per-
+    session stats. Classic lag + cumulative-sum-of-boundaries plan;
+    one shuffle on user_id serves both windows and the final group-by.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60)
+    ).cast("int")
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+        )
+    )
+
+
+@register(
+    "events_user_activity_join",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      event_type,
+      count(*)             AS n_events,
+      round(avg(value), 6) AS avg_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    tags=("events", "join"),
+)
+def events_user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table enrichment join (events ⋈ customer dimension)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )

@@ -82,3 +82,770 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "agg_distinct_stats",
+    oracle="""
+    SELECT
+      l_returnflag,
+      count(DISTINCT l_orderkey)  AS distinct_orders,
+      count(DISTINCT l_partkey)   AS distinct_parts,
+      count(DISTINCT l_suppkey)   AS distinct_supps,
+      count(*)                    AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT DISTINCT (expand-based distinct aggregation).
+
+    Scale posture: Spark rewrites multiple distincts via `expand` +
+    two-phase aggregation — shuffle volume is rows × #distinct-cols;
+    at 100 TB swap exact distinct for `approx_count_distinct` where
+    tolerable (declared separately, not oracle-checked).
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("distinct_orders"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT
+      coalesce(o_orderstatus, '<ALL>')   AS orderstatus,
+      coalesce(o_orderpriority, '<ALL>') AS orderpriority,
+      count(*)                           AS n_orders,
+      round(sum(o_totalprice), 2)        AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT
+      coalesce(l_returnflag, '<ALL>') AS returnflag,
+      coalesce(l_linestatus, '<ALL>') AS linestatus,
+      count(*)                        AS n_rows,
+      round(sum(l_quantity), 2)       AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two grouping columns (all 2^2 grouping sets)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<ALL>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<ALL>")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+      coalesce(c_mktsegment, '<ALL>') AS mktsegment,
+      coalesce(n_name, '<ALL>')       AS nation,
+      count(*)                        AS n_customers,
+      round(sum(c_acctbal), 2)        AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+    """,
+    tags=("agg", "grouping-sets", "join"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by-segment and by-nation in one pass)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    joined.createOrReplaceTempView("_gs_cust_nat")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(c_mktsegment, '<ALL>') AS mktsegment,
+          coalesce(n_name, '<ALL>')       AS nation,
+          count(*)                        AS n_customers,
+          round(sum(c_acctbal), 2)        AS sum_acctbal
+        FROM _gs_cust_nat
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 40
+    """,
+    tags=("agg", "having"),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("n_lines") >= 40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_complex_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_size BETWEEN 10 AND 40
+      AND p_name LIKE '%a%'
+      AND NOT (p_retailprice < 500.0)
+      AND p_type IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def filter_complex_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / NOT / IS NOT NULL predicate combination.
+
+    All predicates are Catalyst-pushable into the parquet scan
+    (verified via PushedFilters in `.explain`).
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_size").between(10, 40)
+        & F.col("p_name").like("%a%")
+        & ~(F.col("p_retailprice") < 500.0)
+        & F.col("p_type").isNotNull()
+    )
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tags=("distinct",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT over a two-column projection."""
+    return _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + aggregate + top-k.
+
+    Scale posture: customer is the small side after its segment filter
+    → broadcast; lineitem⋈orders is the big shuffle (AQE may switch to
+    skew-aware SMJ). Top-k uses a rounded sort key + unique tiebreaker
+    so LIMIT is deterministic across engines.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+      n_name AS nation,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join with region filter.
+
+    Scale posture: region/nation/supplier broadcast (fixed-size or
+    tiny); the only large shuffle is lineitem⋈orders⋈customer on the
+    order/customer keys. Catalyst pushes the region filter through the
+    broadcast chain so non-ASIA suppliers never reach the probe side.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .withColumnRenamed("n_name", "nation")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count = 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cust_n AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), supp_n AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT
+      coalesce(cust_n.nationkey, supp_n.nationkey) AS nationkey,
+      coalesce(n_cust, 0) AS n_cust,
+      coalesce(n_supp, 0) AS n_supp
+    FROM cust_n FULL OUTER JOIN supp_n ON cust_n.nationkey = supp_n.nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations with only customers
+    or only suppliers survive with zero-filled counts)."""
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust_n.join(supp_n, cust_n.c_nk == supp_n.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+    )
+    """,
+    tags=("join", "semi", "subquery"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ correlated EXISTS (big-ticket customers)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 250000.0
+    )
+    """,
+    tags=("join", "anti", "subquery"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS (customers who never placed a
+    large order — predicate chosen so the result is non-empty at
+    every scale factor, keeping the test meaningful)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus, count(*) AS n
+    FROM region CROSS JOIN orders
+    GROUP BY r_name, o_orderstatus
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (small fixed dimension × fact, broadcast NLJ)."""
+    reg = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.crossJoin(F.broadcast(reg))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+    tags=("subquery", "filter"),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (above-average account balance).
+
+    Expressed via a broadcast cross-join of the 1-row aggregate —
+    the same physical plan Catalyst produces for an uncorrelated
+    scalar subquery; no driver-side collect.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        c_mktsegment,
+        c_custkey,
+        round(c_acctbal, 2) AS acctbal,
+        row_number() OVER (
+          PARTITION BY c_mktsegment
+          ORDER BY c_acctbal DESC, c_custkey
+        ) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number (deterministic tiebreak on key).
+
+    Scale posture: Spark plans this as WindowGroupLimit (top-k pushed
+    before the full sort) — no global sort, per-partition heaps.
+    """
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_frame",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(sum(o_totalprice) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 2) AS running_spend,
+      round(avg(o_totalprice) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+      ), 6) AS moving_avg_3
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 3-row moving average (explicit ROWS frames)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 6).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      datediff('day',
+        lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        o_orderdate) AS days_since_prev,
+      lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        AS next_orderkey
+    FROM orders
+    """,
+    tags=("window", "lag-lead"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD navigation (inter-order gap per customer)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT
+      p_brand,
+      p_partkey,
+      rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+      dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)                    AS drnk,
+      ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)       AS quartile
+    FROM part
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile ranking family."""
+    by_price_desc = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    by_size_desc = W.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    by_price_asc = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(by_price_desc).alias("rnk"),
+        F.dense_rank().over(by_size_desc).alias("drnk"),
+        F.ntile(4).over(by_price_asc).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort", "topk"),
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000.0
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+    """,
+    tags=("setop",),
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two key sets."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — customers minus open-order customers."""
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.subtract(b)
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+    SELECT 'customer' AS src, c_custkey AS key FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, s_suppkey AS key FROM supplier
+    """,
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle)."""
+    a = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"), F.col("c_custkey").alias("key")
+    )
+    b = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"), F.col("s_suppkey").alias("key")
+    )
+    return a.unionAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_segment_status",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("pivot", "join", "agg"),
+)
+def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT order status across market segments.
+
+    Uses df.groupBy().pivot() with explicit pivot values (never let
+    Spark scan for the value set at scale) and renames the generated
+    columns to engine-neutral names.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    pivoted = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
+    FROM part
+    """,
+    tags=("unpivot",),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) via the native unpivot operator."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "_v")
+        .select("p_partkey", "metric", F.round("_v", 2).alias("value"))
+    )

@@ -1,0 +1,193 @@
+"""Scalar function families (SURVEY.md §2 Part B: string/date/math/json).
+
+The reference's only scalar computation is whole-row ``json.dumps``
+(`_cli.py:82`), metadata-name sanitization (`fmp_reader.py:56-61`) and
+a whole-file sha256 (`_cli.py:148`); the general scalar surface comes
+from ``pyspark.sql.functions``. Each query below exercises one family
+with a DuckDB-portable formulation (identical semantics both sides —
+e.g. explicit character classes instead of engine-specific ``\\w``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_name)                              AS name_upper,
+      lower(p_brand)                             AS brand_lower,
+      substr(p_type, 1, 5)                       AS type_prefix,
+      length(p_name)                             AS name_len,
+      concat(p_brand, ':', p_type)               AS brand_type,
+      trim(p_name)                               AS name_trim,
+      lpad(CAST(p_size AS VARCHAR), 4, '0')      AS size_padded,
+      replace(p_name, ' ', '_')                  AS name_snake,
+      regexp_extract(p_name, '([a-z]+)', 1)      AS first_word,
+      contains(p_name, 'a')                      AS has_a,
+      split_part(p_type, ' ', 1)                 AS type_word1
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, substring, pad, regexp, split."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.col("p_name").contains("a").alias("has_a"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_word1"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+      o_orderkey,
+      year(o_orderdate)                             AS order_year,
+      month(o_orderdate)                            AS order_month,
+      day(o_orderdate)                              AS order_day,
+      quarter(o_orderdate)                          AS order_quarter,
+      dayofweek(o_orderdate)                        AS order_dow,
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      CAST(o_orderdate + INTERVAL 90 DAY AS DATE)   AS due_date,
+      datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+      strftime(o_orderdate, '%Y-%m')                AS year_month
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family: extract, trunc, arithmetic, format.
+
+    Note: DuckDB ``dayofweek`` is 0=Sunday..6; Spark ``dayofweek`` is
+    1=Sunday..7 — normalized by subtracting 1 on the Spark side.
+    """
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+    )
+
+
+@register(
+    "scalar_math_case",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      round(abs(l_discount - 0.05), 6)             AS disc_dev,
+      CAST(ceil(l_quantity / 10.0) AS BIGINT)      AS qty_bucket,
+      CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
+      l_linenumber % 3                             AS line_mod,
+      round(sqrt(l_extendedprice), 6)              AS price_sqrt,
+      round(ln(l_extendedprice), 6)                AS price_ln,
+      round(power(1 + l_tax, 2), 6)                AS tax_sq,
+      CASE
+        WHEN l_quantity >= 40 THEN 'bulk'
+        WHEN l_quantity >= 10 THEN 'mid'
+        ELSE 'small'
+      END                                          AS qty_class,
+      greatest(l_tax, l_discount)                  AS max_rate,
+      least(l_tax, l_discount)                     AS min_rate,
+      CAST(sign(l_discount - l_tax) AS INTEGER)    AS disc_vs_tax
+    FROM lineitem
+    """,
+    tags=("scalar", "math", "case"),
+)
+def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional family: abs/ceil/floor/mod/sqrt/ln/power,
+    CASE WHEN, greatest/least/sign."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_kbucket"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("int").alias("disc_vs_tax"),
+    )
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT
+      event_id,
+      event_type,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props string column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        "event_type",
+        k.alias("prop_k"),
+        (k % 10).alias("k_mod10"),
+    )
+
+
+@register(
+    "scalar_hash_funcs",
+    oracle="""
+    SELECT
+      c_custkey,
+      md5(c_name)                          AS name_md5,
+      sha256(c_mktsegment)                 AS segment_sha256
+    FROM customer
+    """,
+    tags=("scalar", "hash"),
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family (row-level analogue of the
+    reference's whole-file sha256, `_cli.py:146-150`)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_mktsegment"), 256).alias("segment_sha256"),
+    )
