@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline (bench=True) queries and emit ONE
+JSON line the driver parses into BENCH_r{N}.json.
+
+Usage:  python bench.py
+Env:    SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+        SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Per query: one warm-up-free timed run of plan + execution, forcing a
+full materialization via a count over the result (no driver-side
+collect of wide rows — the metric is engine throughput, not IPC). The
+headline metric is total wall seconds over the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Keep Spark's own logging off stdout so the JSON line stays parseable.
+    from ceneton_database_tools_spark import operators as ops
+    from ceneton_database_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    bench_specs = {name: spec for name, spec in ops.QUERIES.items() if spec.bench}
+
+    # One untimed warm-up on the smallest table to absorb one-time JVM /
+    # codegen / parquet-footer costs that a 1000-executor run amortizes.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(bench_specs.items()):
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

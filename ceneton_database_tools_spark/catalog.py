@@ -49,16 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default (PARQUET_TYPE_ILLEGAL). Read nanos as long via the legacy
-    flag and truncate to microseconds — exactly what DuckDB does when
-    it reads the same file, so oracle comparisons stay value-identical.
+    default (PARQUET_TYPE_ILLEGAL). Read nanos as long (the session
+    factory sets the legacy flag) and truncate to microseconds — exactly
+    what DuckDB does when it reads the same file, so oracle comparisons
+    stay value-identical.
+
+    Nano→micro must be integer division: epoch nanos (~1.7e18) exceed a
+    double's 53-bit mantissa, so float `/ 1000` can be off by ±1 µs.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

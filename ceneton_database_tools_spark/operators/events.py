@@ -60,10 +60,12 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
       SELECT
         user_id,
+        event_id,
         ts,
         value,
-        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL 30 MINUTE
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -73,7 +75,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts,
         value,
         sum(new_session) OVER (
-          PARTITION BY user_id ORDER BY ts
+          PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
       FROM gaps
@@ -83,7 +85,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       session_id,
       count(*)                                   AS n_events,
       round(sum(value), 2)                       AS session_value,
-      CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+      CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -93,13 +95,26 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap → session id → per-
     session stats. Classic lag + cumulative-sum-of-boundaries plan;
     one shuffle on user_id serves both windows and the final group-by.
+
+    Determinism notes (hard-won): the gap is compared at exact
+    microsecond precision on BOTH engines (``unix_micros`` here,
+    ``epoch_us`` in the oracle) — second-truncated vs exact comparison
+    diverges on gaps like 1800.4 s. Both running-sum windows order by
+    ``(ts, event_id)`` — ts alone is non-unique per user, and ROWS
+    frames over non-unique orderings tie-break arbitrarily (and
+    parallelism-dependently), silently reassigning tied rows between
+    sessions.
     """
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
-    prev_ts = F.lag("ts").over(w)
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
     new_session = (
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60)
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 30 * 60 * 1_000_000)
     ).cast("int")
     return (
         ev.withColumn("new_session", new_session)
@@ -108,7 +123,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("session_value"),
-            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_sec"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000))
+            .cast("long")
+            .alias("duration_sec"),
         )
     )
 
@@ -127,11 +144,16 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "join"),
 )
 def events_user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-table enrichment join (events ⋈ customer dimension)."""
+    """Stream-table enrichment join (events ⋈ customer dimension).
+
+    customer scales with SF → no hard broadcast hint; under the 64 MB
+    threshold AQE broadcasts it anyway, above it the join degrades
+    gracefully to shuffle instead of OOMing the executors.
+    """
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
     )

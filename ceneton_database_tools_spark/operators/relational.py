@@ -302,10 +302,13 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join + aggregate + top-k.
 
-    Scale posture: customer is the small side after its segment filter
-    → broadcast; lineitem⋈orders is the big shuffle (AQE may switch to
-    skew-aware SMJ). Top-k uses a rounded sort key + unique tiebreaker
-    so LIMIT is deterministic across engines.
+    Scale posture: customer scales with SF, so no hard broadcast hint —
+    the segment-filtered side is still ~1/5 of all customers, and
+    ``F.broadcast`` overrides the size threshold unconditionally (OOM at
+    100 TB). AQE picks broadcast when the filtered side is actually
+    small, SMJ otherwise. lineitem⋈orders is the big shuffle. Top-k
+    uses a rounded sort key + unique tiebreaker so LIMIT is
+    deterministic across engines.
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -316,7 +319,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -501,14 +504,17 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "cross"),
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS join (small fixed dimension × fact, broadcast NLJ)."""
+    """CROSS join (small fixed dimension × fact, broadcast NLJ).
+
+    The fact side is pre-aggregated to its |statuses| distinct groups
+    BEFORE the cross join, so the explosion is 3×5 rows instead of
+    5×|orders| — the pattern that matters when `orders` is 100 TB.
+    """
     reg = _t(spark, sf_dir, "region")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.crossJoin(F.broadcast(reg))
-        .groupBy("r_name", "o_orderstatus")
-        .agg(F.count("*").alias("n"))
+    orders_by_status = (
+        _t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(F.count("*").alias("n"))
     )
+    return orders_by_status.crossJoin(F.broadcast(reg)).select("r_name", "o_orderstatus", "n")
 
 
 @register(
@@ -516,7 +522,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    WHERE round(c_acctbal, 2) > (SELECT round(avg(c_acctbal), 2) FROM customer)
     """,
     tags=("subquery", "filter"),
 )
@@ -525,13 +531,16 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Expressed via a broadcast cross-join of the 1-row aggregate —
     the same physical plan Catalyst produces for an uncorrelated
-    scalar subquery; no driver-side collect.
+    scalar subquery; no driver-side collect. Both the average and the
+    compared balance are rounded identically on both engines: an
+    unrounded float avg can differ in the last ulp between Spark and
+    DuckDB (summation order), flipping boundary rows.
     """
     cust = _t(spark, sf_dir, "customer")
-    avg_bal = cust.agg(F.avg("c_acctbal").alias("_avg_bal"))
+    avg_bal = cust.agg(F.round(F.avg("c_acctbal"), 2).alias("_avg_bal"))
     return (
         cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .filter(F.round("c_acctbal", 2) > F.col("_avg_bal"))
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
     )
 
@@ -812,8 +821,9 @@ def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # customer scales with SF → no hard broadcast hint; AQE decides.
     pivoted = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()

@@ -10,7 +10,10 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests", cpus=8)
+    # Mirror the driver's local[32]: round-1's sessionization tie-break
+    # bug passed at local[8] and failed at local[32] — parallelism must
+    # match the gate or parallelism-dependent nondeterminism hides.
+    spark = get_spark(app_name="tests", cpus=32)
     yield spark
     spark.stop()
 
