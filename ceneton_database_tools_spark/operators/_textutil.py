@@ -1,0 +1,69 @@
+"""Shared text-normalization / hashing SQL fragments for the LLM-data
+pipeline operators (dedup / similarity / text analysis).
+
+Every fragment exists in TWO dialects — Spark SQL (used via ``F.expr``)
+and DuckDB SQL (used in the oracle strings) — engineered so both
+engines produce bit-identical values:
+
+* tokens: split on ``\\s+`` after lower+trim — same regex semantics;
+* hashes: ``md5`` hex strings, compared/min'd lexicographically
+  (lowercase-hex ASCII orders identically under both engines'
+  binary string collation) — this makes MinHash/SimHash portable
+  without sharing a numeric hash implementation;
+* dot products: explicit left-associated ``a[i]*b[i] + …`` chains over
+  ``DOUBLE``-cast arrays, so floating-point summation order is fixed
+  by construction on both engines (no reliance on either engine's
+  reduction order).
+"""
+
+from __future__ import annotations
+
+# -- tokenization -----------------------------------------------------------
+# Spark SQL string literals process backslash escapes → '\\s+' in SQL text.
+SPARK_TOKENS = "split(lower(trim(text)), '\\\\s+')"
+DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# -- word-bigram shingles over a token array column `w` ---------------------
+# Distinct bigram shingles; single-token docs fall back to the whole text
+# as one shingle so the shingle set is never empty.
+SPARK_SHINGLES = (
+    "CASE WHEN size(w) >= 2 THEN "
+    "array_distinct(transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))) "
+    "ELSE array(array_join(w, ' ')) END"
+)
+DUCK_SHINGLES = (
+    "CASE WHEN len(w) >= 2 THEN "
+    "list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+# -- text with the first token dropped (near-duplicate twin) ----------------
+SPARK_DROP_FIRST_TOKEN = (
+    "array_join(slice(split(lower(trim(text)), '\\\\s+'), 2, "
+    "greatest(size(split(lower(trim(text)), '\\\\s+')) - 1, 0)), ' ')"
+)
+DUCK_DROP_FIRST_TOKEN = (
+    "array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, "
+    "len(string_split_regex(lower(trim(text)), '\\s+'))), ' ')"
+)
+
+
+def spark_minhash(j: int, shingles: str = "sh") -> str:
+    """Spark SQL: MinHash value #j = lexicographic min of seeded md5 hex."""
+    return f"array_min(transform({shingles}, s -> md5(concat('{j}|', s))))"
+
+
+def duck_minhash(j: int, shingles: str = "sh") -> str:
+    return f"list_aggregate(list_transform({shingles}, s -> md5('{j}|' || s)), 'min')"
+
+
+def dot_chain(a: str, b: str, dim: int, one_based: bool) -> str:
+    """Left-associated explicit dot-product chain (identical FP order on
+    both engines). ``a``/``b`` name DOUBLE-array columns; Spark indexes
+    arrays 0-based via ``col[i]``, DuckDB 1-based."""
+    off = 1 if one_based else 0
+    return " + ".join(f"{a}[{i + off}]*{b}[{i + off}]" for i in range(dim))
+
+
+def norm_chain(v: str, dim: int, one_based: bool) -> str:
+    return f"sqrt({dot_chain(v, v, dim, one_based)})"

@@ -1,3 +1,449 @@
-"""Deduplication operators (driver-mandated extension, SURVEY.md §2 Part C)."""
+"""Deduplication operators over the ``documents`` table.
+
+Four dedup families, each the scale-correct Spark formulation:
+
+* **exact** — hash-groupBy on normalized text (one shuffle on the hash,
+  map-side partial agg; at 100 TB this is the only all-data shuffle and
+  it carries just ``(hash, doc_id)``).
+* **MinHash + LSH** — shingle → seeded-md5 minhash signature → banded
+  bucket join. Candidate pairs come ONLY from shared band buckets
+  (never an all-pairs join); exact Jaccard verifies candidates.
+* **SimHash** — per-doc bit signature from shingle-hash nibble parity;
+  block-based candidate generation (pigeonhole: hamming ≤ 3 over 16
+  bits ⇒ at least one of 4 exact 4-bit blocks matches), then exact
+  hamming verification.
+* **embedding cosine** — sign-LSH bucketing over leading dimensions,
+  exact cosine only within buckets (see similarity.py for top-k).
+
+The driver's documents fixture has no organic duplicates (500 distinct
+texts; max organic bigram Jaccard ≈ 0.105), so the fuzzy queries build
+their corpus as ``documents ∪ deterministically-mutated twins`` —
+uppercased copies for exact dedup, drop-first-token copies for
+near-dup — giving every operator real duplicates to find, verified
+identically by the DuckDB oracle.
+
+Cross-engine determinism: hashes are md5 hex strings (lexicographic
+min == portable MinHash); cosines use explicit left-associated
+double-precision chains (see _textutil).
+
+Reference note: the reference (kws/ceneton-database-tools) has no dedup
+surface at all — this family is mandated by the driver's brief
+(training-data-pipeline operators), SURVEY.md §2 Part C.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators import _textutil as T
+from ceneton_database_tools_spark.operators.registry import register
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+SIMHASH_BLOCKS = 4
+HAMMING_THRESHOLD = 3
+TWIN_OFFSET = 1_000_000
+
+_ODD_NIBBLES = "('1','3','5','7','9','b','d','f')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ uppercased twins (exact dups after normalization)."""
+    docs = _docs(spark, sf_dir)
+    twins = docs.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"), F.upper("text").alias("text")
+    )
+    return docs.unionByName(twins)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ drop-first-token twins (high-Jaccard near-dups)."""
+    docs = _docs(spark, sf_dir)
+    twins = docs.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.expr(T.SPARK_DROP_FIRST_TOKEN).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+_DUCK_EXACT_CORPUS = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {TWIN_OFFSET}, upper(text) FROM documents
+"""
+
+_DUCK_NEAR_CORPUS = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {TWIN_OFFSET}, {T.DUCK_DROP_FIRST_TOKEN} FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_DUCK_EXACT_CORPUS})
+    SELECT
+      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+      min(doc_id)                                              AS keep_doc_id,
+      count(*)                                                 AS n_copies
+    FROM corpus
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm-pipeline"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 over whitespace/case-normalized text, keep the
+    minimum doc_id per group. One hash-shuffle carrying only
+    ``(text_hash, doc_id)`` — the formulation that survives 100 TB
+    (never shuffles the text itself; partial min/count map-side).
+
+    Corpus = documents + uppercased twins, so every group has exactly
+    2 members and the collapse is actually exercised.
+    """
+    corpus = _exact_corpus(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        corpus.select(F.md5(norm).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH fuzzy dedup
+# ---------------------------------------------------------------------------
+
+
+def _band_exprs_spark() -> list[str]:
+    return [
+        "md5(concat(" + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + "))"
+        for b in range(BANDS)
+    ]
+
+
+def _minhash_oracle() -> str:
+    sigs = ",\n        ".join(f"{T.duck_minhash(j)} AS h{j}" for j in range(NUM_HASHES))
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_val FROM sigs".format(
+            b=b,
+            cat=" || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH corpus AS ({_DUCK_NEAR_CORPUS}),
+    toks AS (
+      SELECT doc_id, {T.DUCK_TOKENS} AS w FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, {sigs} FROM shingled
+    ),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT
+      c.doc_a,
+      c.doc_b,
+      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "lsh", "llm-pipeline"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: shingle → 12 seeded-md5
+    minhashes → 4 bands × 3 rows → band-bucket join → exact-Jaccard
+    verify at ≥ 0.5.
+
+    Scale shape: signatures are computed with array functions (zero
+    explode, zero shuffle); the only shuffles are the band-bucket
+    self-join (shuffle on ``(band_idx, band_val)`` — candidates come
+    only from shared buckets, never all-pairs) and the two
+    shingle-array re-joins for verification. Hot buckets are the
+    classic LSH skew risk; AQE skew-join splitting handles moderate
+    skew, salting the band value is the escape hatch beyond that.
+    """
+    corpus = _near_corpus(spark, sf_dir)
+    shingled = corpus.select(
+        "doc_id", F.expr(T.SPARK_TOKENS).alias("w")
+    ).select("doc_id", F.expr(T.SPARK_SHINGLES).alias("sh"))
+    sigs = shingled.select(
+        "doc_id", *[F.expr(T.spark_minhash(j)).alias(f"h{j}") for j in range(NUM_HASHES)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in _band_exprs_spark()])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup
+# ---------------------------------------------------------------------------
+
+
+def _simhash_bit_spark(j: int) -> str:
+    return (
+        f"CASE WHEN aggregate(transform(sh, s -> CASE WHEN substring(md5(s), {j + 1}, 1) "
+        f"IN {_ODD_NIBBLES} THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) > 0 "
+        "THEN '1' ELSE '0' END"
+    )
+
+
+def _simhash_bit_duck(j: int) -> str:
+    return (
+        f"CASE WHEN list_sum(list_transform(sh, s -> CASE WHEN substr(md5(s), {j + 1}, 1) "
+        f"IN {_ODD_NIBBLES} THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+def _simhash_oracle() -> str:
+    bits = " || ".join(_simhash_bit_duck(j) for j in range(SIMHASH_BITS))
+    block_len = SIMHASH_BITS // SIMHASH_BLOCKS
+    block_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS block_idx, "
+        f"substr(simhash, {b * block_len + 1}, {block_len}) AS block_val FROM hashes"
+        for b in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+    WITH corpus AS ({_DUCK_NEAR_CORPUS}),
+    toks AS (SELECT doc_id, {T.DUCK_TOKENS} AS w FROM corpus),
+    shingled AS (SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks),
+    hashes AS (SELECT doc_id, {bits} AS simhash FROM shingled),
+    blocks AS (
+{block_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b
+        ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(hamming(ha.simhash, hb.simhash) AS BIGINT) AS hamming_dist
+    FROM cand c
+    JOIN hashes ha ON ha.doc_id = c.doc_a
+    JOIN hashes hb ON hb.doc_id = c.doc_b
+    WHERE hamming(ha.simhash, hb.simhash) <= {HAMMING_THRESHOLD}
+    """
+
+
+_SPARK_HAMMING = (
+    f"aggregate(sequence(1, {SIMHASH_BITS}), 0, (acc, i) -> "
+    "acc + IF(substring(simhash_a, i, 1) = substring(simhash_b, i, 1), 0, 1))"
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "simhash", "llm-pipeline"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit signature (majority vote over
+    shingle-md5 nibble parity), block-based candidate generation, exact
+    hamming ≤ 3 verify.
+
+    Pigeonhole guarantee: any pair within hamming 3 over 16 bits agrees
+    exactly on ≥ 1 of the 4 4-bit blocks, so block-bucket joins find ALL
+    qualifying pairs — no all-pairs scan, same candidate set on both
+    engines by construction.
+    """
+    corpus = _near_corpus(spark, sf_dir)
+    shingled = corpus.select(
+        "doc_id", F.expr(T.SPARK_TOKENS).alias("w")
+    ).select("doc_id", F.expr(T.SPARK_SHINGLES).alias("sh"))
+    bits = F.concat(*[F.expr(_simhash_bit_spark(j)) for j in range(SIMHASH_BITS)])
+    hashes = shingled.select("doc_id", bits.alias("simhash"))
+    block_len = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = hashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", b * block_len + 1, block_len)
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("simhash_a"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("simhash_b"))
+    ham = F.expr(_SPARK_HAMMING)
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(ham <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+SIGN_BITS = 8
+# Bucket on dims 1..8 (0-based), skipping dim 0: the twin perturbation
+# lands on dim 0, and an LSH family must not key on the noisiest axis.
+SIGN_DIM_LO = 1
+COSINE_THRESHOLD = 0.85
+
+
+def _emb_cosine_oracle() -> str:
+    bucket = " || ".join(
+        f"CASE WHEN v[{i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(SIGN_DIM_LO + 1, SIGN_DIM_LO + SIGN_BITS + 1)
+    )
+    dot = T.dot_chain("a.v", "b.v", EMB_DIM, one_based=True)
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {TWIN_OFFSET},
+             list_concat([embedding[1]::DOUBLE + 0.5], (embedding::DOUBLE[])[2:])
+      FROM embeddings
+    ),
+    base AS (
+      SELECT vec_id, v, {T.norm_chain("v", EMB_DIM, one_based=True)} AS nrm,
+             {bucket} AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
+    FROM base a JOIN base b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ({dot}) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_emb_cosine_oracle(),
+    tags=("dedup", "embedding", "llm-pipeline"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH bucket (8 sign bits over dims
+    1..8 → 256 buckets), exact cosine ≥ 0.85 within buckets only.
+
+    Corpus = embeddings + twins perturbed by +0.5 in dim 0 (unit-norm
+    vectors → twin cosine ≈ 0.87–0.93, organic max ≈ 0.51), so recall
+    of the bucket path is actually exercised. At 100 TB the
+    bucket join is the only shuffle (on the 8-bit key) and the
+    quadratic exact check stays inside buckets; more/salted sign bits
+    shrink buckets at higher density.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    base = emb.select("vec_id", as_double.alias("v"))
+    twins = emb.select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(embedding[0] AS DOUBLE) + 0.5d), "
+            "slice(transform(embedding, x -> CAST(x AS DOUBLE)), 2, "
+            f"{EMB_DIM - 1}))"
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twins)
+    bucket = F.concat(
+        *[
+            F.when(F.expr(f"v[{i}]") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIGN_DIM_LO, SIGN_DIM_LO + SIGN_BITS)
+        ]
+    )
+    prepped = corpus.select(
+        "vec_id",
+        "v",
+        F.expr(T.norm_chain("v", EMB_DIM, one_based=False)).alias("nrm"),
+        bucket.alias("bucket"),
+    )
+    a = prepped.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = prepped.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    cos = F.expr(T.dot_chain("va", "vb", EMB_DIM, one_based=False)) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
