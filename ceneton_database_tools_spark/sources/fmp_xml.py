@@ -1,0 +1,283 @@
+"""FMP-XML source: Spark 4 Python DataSource for FileMaker Pro exports.
+
+Re-expresses the reference's streaming parser
+(``/root/reference/src/ceneton_database_utils/fmp_reader.py:79-186``)
+Spark-first:
+
+* the XML header (``<DATABASE>`` / ``<METADATA><FIELD>``) is parsed
+  **driver-side** — it is the first few KB of the file — producing the
+  all-string StructType (schema.py);
+* rows stream **executor-side** through the DataSource reader, one
+  incremental ``iterparse`` pass per input file, constant memory
+  (parsed elements are cleared as each ``<ROW>`` completes);
+* one FMP export is one XML document, so one file = one input
+  partition (XML is not byte-splittable); parallelism at scale comes
+  from many export files and from ``repartition()`` after the scan.
+
+Deliberate behavior differences from the reference (documented, not
+accidental — SURVEY.md §1.4 quirks):
+
+* namespaces are resolved by splitting the Clark-notation tag
+  (``{ns}TAG``) instead of positional string slicing, so exports with
+  a different default namespace parse correctly instead of silently
+  producing garbage tag names (``fmp_reader.py:75-76,103``);
+* the ``<COL>`` element level is honored: a ``<COL/>`` with no
+  ``<DATA>`` yields NULL, and repeating fields (``MAXREPEAT`` > 1,
+  multiple ``<DATA>`` per ``<COL>``) either join on the ASCII group
+  separator or raise, per the ``repeats`` option — the reference
+  ignores ``<COL>`` entirely and crashes on both cases
+  (``fmp_reader.py:109-117``);
+* the header/resultset record-count mismatch still warns exactly like
+  ``fmp_reader.py:155-161``.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Iterator
+from typing import IO, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as SqlT
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ceneton_database_tools_spark.schema import (
+    FMPField,
+    FMPSchema,
+    default_header_strategy,
+)
+from ceneton_database_tools_spark.sources.paths import open_xml_stream
+
+logger = logging.getLogger(__name__)
+
+REPEAT_SEPARATOR = "\x1d"  # ASCII group separator for joined repeating fields
+
+HeaderStrategy = Callable[[list[FMPField]], list[str]]
+
+
+def _local_tag(tag: object) -> str:
+    """Clark-notation ``{ns}TAG`` → ``TAG`` (namespace-agnostic)."""
+    if isinstance(tag, str) and tag.startswith("{"):
+        return tag.rsplit("}", 1)[1]
+    return str(tag)
+
+
+def parse_fmp_header(
+    stream: IO[bytes], header_strategy: HeaderStrategy = default_header_strategy
+) -> FMPSchema:
+    """Parse only the export header and return the FMPSchema.
+
+    Stops at the ``<RESULTSET>`` start tag — rows are never touched, so
+    schema inference costs a few KB of parsing regardless of file size
+    (the property the reference's dump_headers relies on,
+    ``_cli.py:44-48``).
+    """
+    from xml.etree.ElementTree import iterparse
+
+    header_attrs: dict[str, str] = {}
+    fields: list[FMPField] = []
+    database_count: int | None = None
+
+    for event, elem in iterparse(stream, events=("start", "end")):
+        tag = _local_tag(elem.tag)
+        if event == "end" and tag == "DATABASE":
+            header_attrs.update(elem.attrib)
+            database_count = int(elem.attrib["RECORDS"])
+        elif event == "end" and tag == "FIELD":
+            fields.append(
+                FMPField(
+                    name=elem.attrib["NAME"],
+                    empty_ok=elem.attrib.get("EMPTYOK") == "YES",
+                    max_repeat=int(elem.attrib.get("MAXREPEAT", "1")),
+                    fmp_type=elem.attrib.get("TYPE", "TEXT"),
+                )
+            )
+        elif event == "start" and tag == "RESULTSET":
+            found = int(elem.attrib["FOUND"])
+            if database_count is not None and found != database_count:
+                logger.warning(
+                    "Number of records in header (%s) does not match number of "
+                    "records in result set (%s). We are looking at a subset of "
+                    "the database.",
+                    database_count,
+                    found,
+                )
+            clean_names = header_strategy(fields)
+            if len(set(clean_names)) != len(fields):
+                raise ValueError(
+                    f"There are duplicate 'cleaned' names in the field list: {clean_names}"
+                )
+            return FMPSchema(
+                name=header_attrs.get("NAME", ""),
+                fields=fields,
+                clean_names=clean_names,
+                record_count=found,
+                database_record_count=database_count,
+                header_attrs=header_attrs,
+            )
+    raise ValueError("not an FMP XML export: no RESULTSET section found")
+
+
+def iter_fmp_rows(
+    stream: IO[bytes], n_fields: int, repeats: str = "error"
+) -> Iterator[tuple]:
+    """Stream the ``<RESULTSET>`` rows as tuples of ``str | None``.
+
+    Walks ROW → COL → DATA honoring the COL level; constant memory
+    (each completed ROW subtree is discarded). ``repeats`` controls
+    multi-DATA columns: ``"error"`` raises, ``"join"`` joins on the
+    ASCII group separator.
+    """
+    from xml.etree.ElementTree import iterparse
+
+    in_results = False
+    row_values: list[str | None] = []
+    col_data: list[str | None] = []
+    in_col = False
+    root = None
+
+    for event, elem in iterparse(stream, events=("start", "end")):
+        if root is None:
+            root = elem
+        tag = _local_tag(elem.tag)
+        if not in_results:
+            if event == "start" and tag == "RESULTSET":
+                in_results = True
+            continue
+        if event == "start":
+            if tag == "ROW":
+                row_values = []
+            elif tag == "COL":
+                in_col = True
+                col_data = []
+            continue
+        # end events inside RESULTSET
+        if tag == "DATA":
+            if in_col:
+                col_data.append(elem.text)
+            else:  # COL-less export (the shape the reference assumes)
+                row_values.append(elem.text)
+        elif tag == "COL":
+            in_col = False
+            if len(col_data) == 0:
+                row_values.append(None)
+            elif len(col_data) == 1:
+                row_values.append(col_data[0])
+            elif repeats == "join":
+                row_values.append(
+                    REPEAT_SEPARATOR.join("" if v is None else v for v in col_data)
+                )
+            else:
+                raise ValueError(
+                    f"repeating field with {len(col_data)} DATA values in one COL; "
+                    "pass repeats='join' to join on the ASCII group separator"
+                )
+        elif tag == "ROW":
+            if len(row_values) != n_fields:
+                raise ValueError(
+                    f"row has {len(row_values)} values but the header declares "
+                    f"{n_fields} fields"
+                )
+            yield tuple(row_values)
+            row_values = []
+            root.clear()  # drop completed subtrees — constant memory
+
+
+def read_fmp_xml(
+    source: IO[bytes] | str,
+    header_strategy: HeaderStrategy = default_header_strategy,
+    repeats: str = "error",
+) -> Iterator[FMPSchema | tuple]:
+    """Driver-side generator: yields the FMPSchema first, then row
+    tuples — the reference's schema-then-rows streaming contract
+    (``fmp_reader.py:79-113``), used by the CLI's metadata-only paths.
+
+    Needs two passes over the header because stdlib iterparse cannot
+    hand one parser between functions cheaply; the header is KBs.
+    """
+    owns = isinstance(source, str)
+    stream = open_xml_stream(source) if owns else source
+    try:
+        schema = parse_fmp_header(stream, header_strategy)
+        yield schema
+        if owns:
+            stream.close()
+            stream = open_xml_stream(source)
+        else:
+            stream.seek(0)
+        yield from iter_fmp_rows(stream, len(schema.fields), repeats=repeats)
+    finally:
+        if owns:
+            stream.close()
+
+
+class FMPXMLReader(DataSourceReader):
+    """One input partition per FMP export file (an FMP export is one
+    XML document — not byte-splittable; files are the parallel unit)."""
+
+    def __init__(self, paths: list[str], n_fields: int, repeats: str):
+        self._paths = paths
+        self._n_fields = n_fields
+        self._repeats = repeats
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(len(self._paths))]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        stream = open_xml_stream(self._paths[partition.value])
+        try:
+            yield from iter_fmp_rows(stream, self._n_fields, repeats=self._repeats)
+        finally:
+            stream.close()
+
+
+class FMPXMLDataSource(DataSource):
+    """``spark.read.format("fmpxml").load(path)``.
+
+    Options:
+
+    * ``path`` — file, ``.bz2``, or directory (resolved to the latest
+      ``*.bz2`` snapshot, ``paths.resolve_input_path``);
+    * ``repeats`` — ``error`` (default) or ``join`` for MAXREPEAT>1.
+
+    The schema comes from a driver-side header parse; rows stream on
+    executors.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "fmpxml"
+
+    def _fmp_schema(self) -> FMPSchema:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("fmpxml source requires a path")
+        stream = open_xml_stream(path)
+        try:
+            return parse_fmp_header(stream)
+        finally:
+            stream.close()
+
+    def schema(self) -> SqlT.StructType:
+        return self._fmp_schema().to_struct_type()
+
+    def reader(self, schema: SqlT.StructType) -> FMPXMLReader:
+        return FMPXMLReader(
+            paths=[self.options["path"]],
+            n_fields=len(schema.fields),
+            repeats=self.options.get("repeats", "error"),
+        )
+
+
+def register_fmp_source(spark: SparkSession) -> None:
+    """Idempotently register the fmpxml format on this session."""
+    try:
+        spark.dataSource.register(FMPXMLDataSource)
+    except Exception:  # already registered
+        pass
+
+
+def read_fmp_xml_df(spark: SparkSession, path: str, repeats: str = "error") -> DataFrame:
+    """Convenience: register + read one FMP export as a DataFrame."""
+    register_fmp_source(spark)
+    return spark.read.format("fmpxml").option("repeats", repeats).load(path)

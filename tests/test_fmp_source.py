@@ -1,0 +1,199 @@
+"""FMP-XML source parity tests (FIXTURES.md §B).
+
+Golden expectations derive from the reference's documented semantics
+(fmp_reader.py / _cli.py, studied in SURVEY.md §1-3): sanitize_name
+unicode behavior, empty-DATA → null, schema-then-rows contract,
+record-count warning, duplicate-name error, bz2 + directory-latest
+resolution. The deliberate improvements over the reference (COL-level
+handling, real namespace resolution) are asserted as their own
+documented behaviors.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import pytest
+
+from ceneton_database_tools_spark.schema import (
+    FMPField,
+    default_header_strategy,
+    sanitize_name,
+)
+from ceneton_database_tools_spark.sources import (
+    open_xml_stream,
+    parse_fmp_header,
+    read_fmp_xml_df,
+    resolve_input_path,
+)
+from ceneton_database_tools_spark.sources.fmp_xml import (
+    REPEAT_SEPARATOR,
+    read_fmp_xml,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+BASIC = os.path.join(DATA, "fmp_basic.xml")
+EDGES = os.path.join(DATA, "fmp_edges.xml")
+DUPES = os.path.join(DATA, "fmp_dupes.xml")
+REPEAT = os.path.join(DATA, "fmp_repeat.xml")
+
+BASIC_CLEAN = ["nummer", "auteur", "titel", "jaar", "genre", "aantal_bedr_", "enschedé", "ubl"]
+
+
+# -- sanitize_name: unicode-exact reference semantics (fmp_reader.py:56-61,
+#    outputs verified against field_mappings.csv:2,18,35) -------------------
+
+
+@pytest.mark.parametrize(
+    ("raw", "clean"),
+    [
+        ("Nummer", "nummer"),
+        ("Aantal bedr.", "aantal_bedr_"),
+        ("Enschedé", "enschedé"),  # unicode \W keeps é
+        ("BNF Yth.", "bnf_yth_"),
+        ("15e bibliotheek", "_15e_bibliotheek"),  # leading digit
+        ("  Trailing  ", "trailing"),
+        ("A.B", "a_b"),
+    ],
+)
+def test_sanitize_name(raw, clean):
+    assert sanitize_name(raw) == clean
+
+
+def test_duplicate_clean_names_raise():
+    fields = [FMPField(name="A.B"), FMPField(name="A B")]
+    with pytest.raises(ValueError, match="Duplicate field name: a_b"):
+        default_header_strategy(fields)
+
+
+def test_duplicate_names_raise_from_header_parse():
+    with open(DUPES, "rb") as f, pytest.raises(ValueError, match="Duplicate field name"):
+        parse_fmp_header(f)
+
+
+# -- header parse -----------------------------------------------------------
+
+
+def test_header_schema_and_metadata():
+    with open(BASIC, "rb") as f:
+        schema = parse_fmp_header(f)
+    assert schema.name == "Ceneton.fmp12"
+    assert schema.record_count == 4
+    assert schema.database_record_count == 4
+    assert schema.clean_names == BASIC_CLEAN
+    st = schema.to_struct_type()
+    assert [f.name for f in st.fields] == BASIC_CLEAN
+    assert all(f.dataType.typeName() == "string" for f in st.fields)
+    nummer = st["nummer"].metadata
+    assert nummer == {
+        "original_name": "Nummer",
+        "fmp_type": "TEXT",
+        "empty_ok": False,
+        "max_repeat": 1,
+    }
+    assert st["enschedé"].metadata["original_name"] == "Enschedé"
+
+
+def test_record_count_mismatch_warns(caplog):
+    with caplog.at_level(logging.WARNING), open(EDGES, "rb") as f:
+        schema = parse_fmp_header(f)
+    assert schema.record_count == 2
+    assert schema.database_record_count == 100
+    assert any("subset of the database" in r.message for r in caplog.records)
+
+
+# -- streaming row contract (schema first, then tuples) ---------------------
+
+
+def test_read_fmp_xml_schema_then_rows():
+    stream = read_fmp_xml(BASIC)
+    schema = next(stream)
+    assert schema.clean_names == BASIC_CLEAN
+    rows = list(stream)
+    assert len(rows) == 4
+    # row 1: empty <DATA/> → None (enschedé)
+    assert rows[0] == (
+        "000001",
+        "Vondel, Joost van den",
+        "Gysbreght van Aemstel",
+        "1637",
+        "treurspel",
+        "5",
+        None,
+        "1091 B 12",
+    )
+    # row 2: multiline text survives; <COL/> with no DATA → None (ubl)
+    assert rows[1][2] == "De Spaanschen Brabander Jerolimo.\nTreur-spel."
+    assert rows[1][7] is None
+    # row 3: <COL/> auteur → None
+    assert rows[2][1] is None
+    # row 4: unicode values intact
+    assert rows[3][2] == "Trijntje Cornelis, 'n klucht mét ongewone tékens"
+
+
+def test_repeating_field_error_and_join():
+    stream = read_fmp_xml(REPEAT)
+    next(stream)
+    with pytest.raises(ValueError, match="repeating field"):
+        list(stream)
+    stream = read_fmp_xml(REPEAT, repeats="join")
+    next(stream)
+    rows = list(stream)
+    assert rows == [("Een spel", REPEAT_SEPARATOR.join(["UBL", "KB", "BL"]))]
+
+
+# -- path resolution: bz2 + directory-latest (_cli.py:23-35 semantics) ------
+
+
+def test_bz2_transparent():
+    stream = read_fmp_xml(os.path.join(DATA, "fmp_basic.xml.bz2"))
+    schema = next(stream)
+    assert schema.clean_names == BASIC_CLEAN
+    assert len(list(stream)) == 4
+
+
+def test_directory_resolves_to_latest_snapshot():
+    snapdir = os.path.join(DATA, "snapshots")
+    resolved = resolve_input_path(snapdir)
+    assert resolved.name == "export_2025.xml.bz2"  # lexicographically last
+    with open_xml_stream(snapdir) as f:
+        schema = parse_fmp_header(f)
+    assert schema.name == "Ceneton.fmp12"  # 2025 content, not 2024's "Edge Cases"
+
+
+def test_directory_without_snapshots_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        resolve_input_path(str(tmp_path))
+
+
+# -- Spark DataSource -------------------------------------------------------
+
+
+def test_datasource_basic(spark):
+    df = read_fmp_xml_df(spark, BASIC)
+    assert df.columns == BASIC_CLEAN
+    rows = df.collect()
+    assert len(rows) == 4
+    byid = {r.nummer: r for r in rows}
+    assert byid["000001"].enschedé is None
+    assert byid["000002"].ubl is None
+    assert byid["000002"].titel == "De Spaanschen Brabander Jerolimo.\nTreur-spel."
+    assert byid["000004"].auteur == "Huygens, Constantijn"
+    # all-string schema parity with the reference sink (sql.py:35)
+    assert {f.dataType.typeName() for f in df.schema.fields} == {"string"}
+
+
+def test_datasource_bz2_and_dir(spark):
+    assert read_fmp_xml_df(spark, os.path.join(DATA, "fmp_basic.xml.bz2")).count() == 4
+    df = read_fmp_xml_df(spark, os.path.join(DATA, "snapshots"))
+    assert df.count() == 4  # latest snapshot (2025 = basic content)
+
+
+def test_datasource_number_stays_string(spark):
+    df = read_fmp_xml_df(spark, EDGES)
+    assert df.columns == ["_15e_bibliotheek", "aantal_pag_"]
+    rows = {r._15e_bibliotheek: r for r in df.collect()}
+    # NUMBER-typed field keeps its string verbatim (sql.py:35 parity)
+    assert rows["KB Den Haag"].aantal_pag_ == "0042"
+    assert rows["UB Leiden"].aantal_pag_ is None
