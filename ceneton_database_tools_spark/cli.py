@@ -1,0 +1,185 @@
+"""``ct-db``-compatible CLI over the Spark engine.
+
+Four subcommands with the reference's exact surface
+(``/root/reference/src/ceneton_database_utils/_cli.py``):
+
+* ``dump_headers FILE`` — CSV ``(original_name, clean_name)`` on
+  stdout. Schema-only: the header parse never touches a row
+  (``_cli.py:38-53``), so no Spark session is started at all.
+* ``print FILE`` — announce the export, count records, print Done
+  (``_cli.py:56-68``); the count runs distributed through the
+  DataSource.
+* ``to_json FILE [--output DIR]`` — JSONL; stdout is byte-parity with
+  the reference's ``json.dumps`` loop (``_cli.py:71-83``), ``--output``
+  is the distributed writer.
+* ``create_db FILE DB_URL [--mapping-column] [--table-name]
+  [--db-metadata k=v ...]`` — all-string table + ``_metadata`` KV twin,
+  sha256 of the decompressed bytes, batched load (``_cli.py:108-180``).
+
+Run as ``python -m ceneton_database_tools_spark.cli <cmd> ...``
+(alias it to ``ct-db`` for drop-in parity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import hashlib
+import sys
+from pathlib import Path
+
+from ceneton_database_tools_spark.schema import sanitize_name
+from ceneton_database_tools_spark.sources.paths import open_xml_stream, resolve_input_path
+
+
+def _parse_header(file_path: str):
+    from ceneton_database_tools_spark.sources.fmp_xml import parse_fmp_header
+
+    with open_xml_stream(file_path) as stream:
+        return parse_fmp_header(stream)
+
+
+def cmd_dump_headers(args: argparse.Namespace) -> int:
+    """CSV (original_name, clean_name) from the header only."""
+    schema = _parse_header(args.file_path)
+    writer = csv.writer(sys.stdout)
+    writer.writerow(["original_name", "clean_name"])
+    for clean, fmp_field in schema.name_mapping.items():
+        writer.writerow([fmp_field.name, clean])
+    return 0
+
+
+def cmd_print(args: argparse.Namespace) -> int:
+    """Parse the whole export and report the record count."""
+    from ceneton_database_tools_spark.session import get_spark
+    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+    schema = _parse_header(args.file_path)
+    print(f"Parsing {schema.record_count} records from {schema.name}")
+    spark = get_spark(app_name="ct-db-print")
+    n = read_fmp_xml_df(spark, args.file_path).count()
+    if n != schema.record_count:
+        print(f"warning: parsed {n} records, header declared {schema.record_count}")
+    print("Done")
+    return 0
+
+
+def cmd_to_json(args: argparse.Namespace) -> int:
+    """JSONL to stdout (reference byte parity) or --output dir (distributed)."""
+    from ceneton_database_tools_spark.session import get_spark
+    from ceneton_database_tools_spark.sinks.jsonl import iter_jsonl, write_jsonl
+    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+    spark = get_spark(app_name="ct-db-to-json")
+    df = read_fmp_xml_df(spark, args.file_path)
+    if args.output:
+        write_jsonl(df, args.output)
+    else:
+        for line in iter_jsonl(df):
+            print(line)
+    return 0
+
+
+def _read_mapping(mapping_column: str | None) -> dict[str, str] | None:
+    """``file.csv[:column]`` → {clean_name: mapped value}. The key is
+    always CSV column 1 (the clean name); the value column is named or
+    defaults to column 1 itself (identity) — reference semantics
+    (``_cli.py:86-105``)."""
+    if mapping_column is None:
+        return None
+    if ":" in mapping_column:
+        mapping_file, column = mapping_column.split(":")
+    else:
+        mapping_file, column = mapping_column, 1
+    mapping: dict[str, str] = {}
+    with open(mapping_file, newline="") as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        idx = header.index(column) if isinstance(column, str) else column
+        for row in reader:
+            mapping[row[1]] = row[idx]
+    return mapping
+
+
+def cmd_create_db(args: argparse.Namespace) -> int:
+    """FMP export → SQL database (+ metadata KV table)."""
+    from ceneton_database_tools_spark.session import get_spark
+    from ceneton_database_tools_spark.sinks.sqldb import create_db_from_df
+    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+    mapping = _read_mapping(args.mapping_column)
+
+    metadata: dict[str, str] = {}
+    for item in args.db_metadata or []:
+        if "=" not in item:
+            raise SystemExit(f"Metadata must be in key=value format, got: {item}")
+        key, value = item.split("=", 1)
+        metadata[key.strip()] = value.strip()
+
+    # sha256 over the DECOMPRESSED bytes + absolute source path
+    # (reference: _cli.py:146-150) — streamed, never fully buffered.
+    resolved = resolve_input_path(args.file_path)
+    digest = hashlib.sha256()
+    with open_xml_stream(resolved) as stream:
+        for chunk in iter(lambda: stream.read(1 << 20), b""):
+            digest.update(chunk)
+    metadata["source_url"] = Path(resolved).absolute().resolve().as_posix()
+    metadata["source_sha256"] = digest.hexdigest()
+
+    schema = _parse_header(args.file_path)
+    table_name = args.table_name or sanitize_name(schema.name)
+
+    spark = get_spark(app_name="ct-db-create-db")
+    df = read_fmp_xml_df(spark, args.file_path)
+    create_db_from_df(
+        df,
+        db_url=args.db_url,
+        table_name=table_name,
+        schema_name=schema.name,
+        record_count=schema.record_count,
+        mapping=mapping,
+        db_metadata=metadata,
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ct-db", description="FMP XML export tools (PySpark engine)"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("dump_headers", help="Dump the headers of the FMP XML file.")
+    p.add_argument("file_path")
+    p.set_defaults(fn=cmd_dump_headers)
+
+    p = sub.add_parser("print", help="Print the stream of records from the FMP XML file.")
+    p.add_argument("file_path")
+    p.set_defaults(fn=cmd_print)
+
+    p = sub.add_parser("to_json", help="Convert the FMP XML file to JSONL format.")
+    p.add_argument("file_path")
+    p.add_argument("--output", help="write a JSONL directory instead of stdout")
+    p.set_defaults(fn=cmd_to_json)
+
+    p = sub.add_parser("create_db", help="Create a database from FMP XML file.")
+    p.add_argument("file_path")
+    p.add_argument("db_url", help="sqlite:///file.db (parity) or jdbc:... (distributed)")
+    p.add_argument("--mapping-column", help="mapping CSV as file[:column]")
+    p.add_argument("--table-name", help="target table name")
+    p.add_argument(
+        "--db-metadata",
+        action="append",
+        help="key=value metadata rows (repeatable)",
+    )
+    p.set_defaults(fn=cmd_create_db)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,191 @@
+"""Sink + CLI parity tests: JSONL field order/null handling, sqlite
+DDL + metadata KV + exists-guard + batching, mapping-file semantics,
+and the four ct-db commands end-to-end."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import sqlite3
+import glob
+import hashlib
+import os
+
+import pytest
+
+from ceneton_database_tools_spark.cli import _read_mapping, main
+from ceneton_database_tools_spark.sinks.jsonl import iter_jsonl, write_jsonl
+from ceneton_database_tools_spark.sinks.sqldb import (
+    build_metadata_rows,
+    create_db_from_df,
+    generate_ddl,
+)
+from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+BASIC = os.path.join(DATA, "fmp_basic.xml")
+BASIC_CLEAN = ["nummer", "auteur", "titel", "jaar", "genre", "aantal_bedr_", "enschedé", "ubl"]
+
+
+# -- JSONL -------------------------------------------------------------------
+
+
+def test_iter_jsonl_reference_parity(spark):
+    """Byte parity with the reference loop: json.dumps of an ordered
+    dict — schema field order, explicit nulls, ensure_ascii escapes."""
+    df = read_fmp_xml_df(spark, BASIC)
+    lines = sorted(iter_jsonl(df))
+    assert len(lines) == 4
+    first = json.loads(lines[0])
+    assert list(first) == BASIC_CLEAN  # field order = schema order
+    assert first["enschedé"] is None  # null explicit
+    assert '"ensched\\u00e9"' in lines[0]  # ensure_ascii like json.dumps
+    multiline = json.loads(lines[1])
+    assert multiline["titel"] == "De Spaanschen Brabander Jerolimo.\nTreur-spel."
+
+
+def test_write_jsonl_distributed(spark, tmp_path):
+    df = read_fmp_xml_df(spark, BASIC)
+    out = str(tmp_path / "out.jsonl")
+    write_jsonl(df, out)
+    rows = []
+    for part in glob.glob(f"{out}/part-*"):
+        rows += [json.loads(line) for line in open(part)]
+    assert len(rows) == 4
+    assert all(list(r) == BASIC_CLEAN for r in rows)  # order + nulls kept
+    assert any(r["ubl"] is None for r in rows)
+
+
+# -- sqlite sink --------------------------------------------------------------
+
+
+def test_generate_ddl_all_text_with_comments():
+    ddl = generate_ddl("plays", ["nummer", "auteur"], {"nummer": "Nummer", "auteur": "Auteur"})
+    assert '"nummer" TEXT,  -- Nummer' in ddl
+    assert '"auteur" TEXT  -- Auteur' in ddl
+    sqlite3.connect(":memory:").execute(ddl)  # valid DDL
+
+
+def test_metadata_rows_reference_set():
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = build_metadata_rows("Ceneton.fmp12", 4, {"source_url": "/x", "k": "v"}, ts)
+    assert [r[0] for r in rows] == [
+        "created_at",
+        "source_schema_name",
+        "record_count",
+        "source_url",
+        "k",
+    ]
+    assert rows[0][1] == ts.isoformat()
+    assert rows[2][1] == "4"
+
+
+def test_create_db_sqlite_end_to_end(spark, tmp_path):
+    df = read_fmp_xml_df(spark, BASIC)
+    db = tmp_path / "ceneton.db"
+    create_db_from_df(
+        df,
+        db_url=f"sqlite:///{db}",
+        table_name="ceneton_fmp12",
+        schema_name="Ceneton.fmp12",
+        record_count=4,
+        db_metadata={"source_sha256": "abc"},
+        batch_size=2,  # force multiple batches
+    )
+    conn = sqlite3.connect(db)
+    cols = [r[1] for r in conn.execute("PRAGMA table_info(ceneton_fmp12)")]
+    assert cols == BASIC_CLEAN
+    types = {r[2] for r in conn.execute("PRAGMA table_info(ceneton_fmp12)")}
+    assert types == {"TEXT"}  # all-string parity (sql.py:35)
+    rows = list(conn.execute('SELECT nummer, enschedé FROM ceneton_fmp12 ORDER BY nummer'))
+    assert len(rows) == 4
+    assert rows[0] == ("000001", None)
+    meta = dict(
+        (k, v) for k, v, _ in conn.execute("SELECT * FROM ceneton_fmp12_metadata")
+    )
+    assert meta["source_schema_name"] == "Ceneton.fmp12"
+    assert meta["record_count"] == "4"
+    assert meta["source_sha256"] == "abc"
+    # exists-guard: second run must refuse (sql.py:66-75)
+    with pytest.raises(ValueError, match="already exists"):
+        create_db_from_df(
+            df,
+            db_url=f"sqlite:///{db}",
+            table_name="ceneton_fmp12",
+            schema_name="Ceneton.fmp12",
+            record_count=4,
+        )
+    conn.close()
+
+
+def test_create_db_rename_mode(spark, tmp_path):
+    df = read_fmp_xml_df(spark, BASIC)
+    db = tmp_path / "renamed.db"
+    create_db_from_df(
+        df,
+        db_url=f"sqlite:///{db}",
+        table_name="plays",
+        schema_name="Ceneton.fmp12",
+        record_count=4,
+        mapping={"nummer": "ceneton_id", "titel": "title"},
+        apply_as="rename",
+    )
+    cols = [r[1] for r in sqlite3.connect(db).execute("PRAGMA table_info(plays)")]
+    assert cols[0] == "ceneton_id" and cols[2] == "title"
+
+
+# -- mapping file (A8) --------------------------------------------------------
+
+
+def test_read_mapping_named_and_default(tmp_path):
+    csv_path = tmp_path / "map.csv"
+    csv_path.write_text(
+        "original_name,clean_name,english_name\n"
+        "Nummer,nummer,ceneton_id\n"
+        "Aantal bedr.,aantal_bedr_,act_count\n"
+    )
+    named = _read_mapping(f"{csv_path}:english_name")
+    assert named == {"nummer": "ceneton_id", "aantal_bedr_": "act_count"}
+    default = _read_mapping(str(csv_path))
+    assert default == {"nummer": "nummer", "aantal_bedr_": "aantal_bedr_"}  # identity
+    assert _read_mapping(None) is None
+
+
+# -- CLI ----------------------------------------------------------------------
+
+
+def test_cli_dump_headers(capsys):
+    assert main(["dump_headers", BASIC]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "original_name,clean_name"
+    assert "Aantal bedr.,aantal_bedr_" in out
+    assert "Enschedé,enschedé" in out
+    assert len(out) == 9
+
+
+def test_cli_to_json_stdout(spark, capsys):
+    assert main(["to_json", BASIC]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 4
+    assert all(list(r) == BASIC_CLEAN for r in lines)
+
+
+def test_cli_print(spark, capsys):
+    assert main(["print", BASIC]) == 0
+    out = capsys.readouterr().out
+    assert "Parsing 4 records from Ceneton.fmp12" in out
+    assert "Done" in out
+
+
+def test_cli_create_db(spark, tmp_path):
+    db = tmp_path / "cli.db"
+    assert main(["create_db", BASIC, f"sqlite:///{db}", "--db-metadata", "origin=test"]) == 0
+    conn = sqlite3.connect(db)
+    # default table name = sanitize_name("Ceneton.fmp12")
+    assert conn.execute("SELECT count(*) FROM ceneton_fmp12").fetchone()[0] == 4
+    meta = dict((k, v) for k, v, _ in conn.execute("SELECT * FROM ceneton_fmp12_metadata"))
+    assert meta["origin"] == "test"
+    assert meta["source_url"].endswith("fmp_basic.xml")
+    expected_sha = hashlib.sha256(open(BASIC, "rb").read()).hexdigest()
+    assert meta["source_sha256"] == expected_sha
+    conn.close()
