@@ -13,6 +13,7 @@ from ceneton_database_tools_spark.operators import (  # noqa: F401
     similarity,
     text,
 )
+from ceneton_database_tools_spark.streaming import events as streaming_events  # noqa: F401
 from ceneton_database_tools_spark.operators.registry import (  # noqa: F401
     QUERIES,
     QuerySpec,

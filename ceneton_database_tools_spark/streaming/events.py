@@ -1,0 +1,195 @@
+"""Structured Streaming over the events table.
+
+The reference has no event-time processing at all (its "streaming" is a
+lazy generator, SURVEY.md §2 Part B); this module supplies the standard
+streaming surface over the driver's ``events`` fixture, replayed as a
+file stream:
+
+* tumbling / sliding event-time windows (``F.window``),
+* session windows (``F.session_window``, 30-minute gap),
+* watermarks for late-data handling (demonstrated in the pytest suite
+  with an out-of-order replay; the registry queries run complete-mode
+  aggregations where Spark keeps all windows).
+
+Each streaming query is registered in the driver gate as a callable
+that RUNS the stream to completion (``availableNow`` trigger → memory
+sink) and returns the final result as a batch DataFrame, so streaming
+results face the same DuckDB oracle as everything else. The memory
+sink holds results driver-side — correct for the gate's result sizes;
+a production deployment writes to Kafka/Delta instead and the query
+shape is unchanged.
+
+Batch/streaming equivalence is the design invariant: the window
+expressions are identical in both modes, and the pytest suite asserts
+run-to-completion streaming output == the same aggregation run as a
+plain batch query.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import table_path
+from ceneton_database_tools_spark.operators.registry import register
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _as_stream_dir(path: str) -> str:
+    """Spark's streaming file source lists a DIRECTORY; the driver's
+    fixtures are single parquet files. Symlink the file into a stable
+    per-path temp dir (idempotent, no data copied)."""
+    import hashlib
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"ceneton_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet replayed as a file stream with the same
+    nano→micro timestamp normalization as the batch loader
+    (catalog._load_events)."""
+    path = _as_stream_dir(table_path(sf_dir, "events"))
+    schema = spark.read.parquet(path).schema  # one driver-side footer read
+    sdf = spark.readStream.schema(schema).parquet(path)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion over all available
+    input (availableNow trigger) into a memory sink; return the final
+    result as a batch DataFrame."""
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registered streaming queries (run-to-completion, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      count(*)               AS n_events,
+      round(sum(value), 2)   AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-agg"),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window over the replayed stream —
+    the streaming twin of events_tumbling_window (identical bucketing,
+    so the same oracle SQL verifies both)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_stream_to_batch(agg).select(
+        F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT
+        unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+          AS window_start,
+        value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window-agg"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2-hour length, 1-hour slide): every event lands
+    in exactly two windows; the oracle assigns both starts explicitly."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_stream_to_batch(agg).select(
+        F.col("window.start").alias("window_start"), "n_events", "sum_value"
+    )
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+             OR lag(ts) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (30-minute gap) over the replayed
+    stream. Spark's session window spans ``[first_ts, last_ts + gap)``
+    and an event at exactly ``last_ts + gap`` starts a NEW session, so
+    the oracle's split condition is ``diff >= gap`` — strictly
+    different from the batch events_sessionization demo, whose gap rule
+    is ``diff > gap`` (both documented, both verified)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )
+    return run_stream_to_batch(agg).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "session_value",
+    )

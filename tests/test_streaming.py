@@ -1,0 +1,120 @@
+"""Structured Streaming tests: batch/streaming equivalence for every
+windowed aggregation, plus a watermark late-data drop demonstration
+over a two-chunk out-of-order replay."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.streaming.events import (
+    events_stream,
+    run_stream_to_batch,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke):
+    stream_agg = (
+        events_stream(spark, sf_smoke)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    got = run_stream_to_batch(stream_agg).select(
+        F.col("window.start").alias("w"), "event_type", "n", "s"
+    )
+    want = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("window.start").alias("w"), "event_type", "n", "s")
+    )
+    assert _rows(got, "w", "event_type", "n", "s") == _rows(want, "w", "event_type", "n", "s")
+
+
+def test_session_window_stream_equals_batch(spark, sf_smoke):
+    def agg(df):
+        return df.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+
+    got = run_stream_to_batch(
+        agg(events_stream(spark, sf_smoke).withWatermark("ts", "1 hour"))
+    ).select(
+        "user_id", F.col("session_window.start").alias("st"), "n", "s"
+    )
+    want = agg(load_table(spark, sf_smoke, "events")).select(
+        "user_id", F.col("session_window.start").alias("st"), "n", "s"
+    )
+    assert _rows(got, "user_id", "st", "n", "s") == _rows(want, "user_id", "st", "n", "s")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two checkpointed availableNow runs in append mode: run 1
+    finalizes the hour-0 window and persists a watermark past it; run 2
+    restores that watermark and must drop the late hour-0 event on
+    input while accepting the fresh one."""
+    import datetime as dt
+
+    indir, ckpt, outdir = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    os.makedirs(indir)
+    base = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned epoch
+
+    def ts(sec):
+        return dt.datetime.fromtimestamp(base + sec, dt.timezone.utc).replace(tzinfo=None)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(indir)
+
+    def run():
+        sdf = (
+            spark.readStream.schema(schema)
+            .parquet(indir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.sum("value").alias("s"))
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: hour-0 and hour-6 events → watermark persists at hour 5,
+    # hour-0 window finalizes with only the on-time 1.0
+    write_chunk([(1, ts(0), 1, 1.0), (2, ts(6 * 3600), 1, 2.0)])
+    run()
+    # run 2: a LATE hour-0 event (100.0, below the restored watermark)
+    # plus a fresh hour-7 event
+    write_chunk([(3, ts(60), 1, 100.0), (4, ts(7 * 3600), 1, 4.0)])
+    run()
+
+    emitted = [(r["window"].start, r["s"]) for r in spark.read.parquet(outdir).collect()]
+    # hour-0 emitted exactly once, without the late 100.0
+    assert emitted.count((ts(0), 1.0)) == 1
+    assert all(s != 100.0 and s != 101.0 for _, s in emitted)
+
+
+def test_registered_streaming_queries_run(spark, sf_smoke):
+    from ceneton_database_tools_spark import operators as ops
+
+    for name in (
+        "streaming_tumbling_window",
+        "streaming_sliding_window",
+        "streaming_session_window",
+    ):
+        df = ops.QUERIES[name].fn(spark, sf_smoke)
+        assert df.count() > 0
