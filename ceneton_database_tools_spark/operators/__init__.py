@@ -5,6 +5,7 @@ queries self-register into :mod:`ceneton_database_tools_spark.operators.registry
 """
 
 from ceneton_database_tools_spark.operators import (  # noqa: F401
+    advanced,
     dedup,
     events,
     multimodal,

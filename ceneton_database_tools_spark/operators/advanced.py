@@ -1,0 +1,342 @@
+"""Advanced Part B surface: array/map/struct scalars, as-of + range
+joins, and the Python UDF/UDTF registration surface.
+
+Closes the remaining SURVEY.md §2 Part B cells:
+
+* **array functions** — transform/filter/aggregate/sort/slice over
+  token arrays (list functions on the DuckDB side);
+* **map & struct functions** — construction, field access, entry
+  manipulation; the map is rendered to a sorted ``k=v`` array for
+  engine-portable comparison;
+* **as-of join** — implemented the way it scales: the union-merge
+  trick (tag both streams, one shuffle+sort per user, carry the
+  latest order forward with ``last(..., ignorenulls)``) instead of a
+  join-then-window, which explodes by the number of prior matches.
+  The oracle uses DuckDB's native ``ASOF JOIN``;
+* **range (band) join** — non-equi interval predicate riding on an
+  equi key, the shape AQE/SMJ handles;
+* **pandas UDF** — Arrow-vectorized scalar UDF (the sanctioned slow
+  path: one Python call per batch, never per row);
+* **Python UDTF** — Spark 4 table function via lateral join, oracled
+  by ``unnest + generate_subscripts``.
+
+The reference has none of these (its only extensibility hook is the
+``HeaderStrategy`` callback, ``fmp_reader.py:53``); they are the
+general-engine surface the driver gates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as SqlT
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators import _textutil as T
+from ceneton_database_tools_spark.operators.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Array function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_array_funcs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {T.DUCK_TOKENS} AS w FROM documents)
+    SELECT
+      doc_id,
+      CAST(len(w) AS BIGINT)                       AS n_tokens,
+      w[1]                                         AS first_token,
+      w[len(w)]                                    AS last_token,
+      CAST(len(list_distinct(w)) AS BIGINT)        AS n_distinct,
+      array_to_string(list_sort(list_distinct(w))[1:3], ',') AS first3_sorted,
+      list_contains(w, 'data')                     AS has_data,
+      CAST(len(list_filter(w, x -> len(x) > 4)) AS BIGINT) AS n_long_tokens,
+      CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS total_chars
+    FROM t
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, element access, distinct, sort+slice,
+    contains, lambda filter/transform/aggregate — all JVM-side array
+    expressions (no explode, no shuffle)."""
+    t = _t(spark, sf_dir, "documents").select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
+    return t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.element_at("w", 1).alias("first_token"),
+        F.element_at("w", -1).alias("last_token"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct("w")), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.array_contains("w", "data").alias("has_data"),
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).cast("long").alias("n_long_tokens"),
+        F.aggregate(
+            F.transform("w", F.length), F.lit(0), lambda acc, x: acc + x
+        )
+        .cast("long")
+        .alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map & struct function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_map_struct_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT
+        p_partkey,
+        struct_pack(brand := p_brand, type := p_type, size := p_size) AS info,
+        [p_brand, p_type, CAST(p_size AS VARCHAR)] AS vals
+      FROM part
+    )
+    SELECT
+      p_partkey,
+      info.brand                       AS brand,
+      info.size                        AS size,
+      concat(info.brand, '/', info.type) AS brand_type,
+      list_sort(['brand=' || vals[1], 'type=' || vals[2], 'size=' || vals[3]])
+        AS kv_pairs
+    FROM t
+    """,
+    tags=("scalar", "map", "struct"),
+)
+def scalar_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access, and a string-keyed map built
+    with ``create_map`` rendered to a sorted ``k=v`` array (the
+    engine-portable canonical form — map iteration order is undefined
+    in both engines, entry SETS are what must match)."""
+    part = _t(spark, sf_dir, "part")
+    info = F.struct(
+        F.col("p_brand").alias("brand"), F.col("p_type").alias("type"), F.col("p_size").alias("size")
+    )
+    m = F.create_map(
+        F.lit("brand"),
+        F.col("p_brand"),
+        F.lit("type"),
+        F.col("p_type"),
+        F.lit("size"),
+        F.col("p_size").cast("string"),
+    )
+    t = part.select("p_partkey", info.alias("info"), m.alias("m"))
+    return t.select(
+        "p_partkey",
+        F.col("info.brand").alias("brand"),
+        F.col("info.size").alias("size"),
+        F.concat_ws("/", "info.brand", "info.type").alias("brand_type"),
+        F.array_sort(
+            F.transform(F.map_entries("m"), lambda e: F.concat_ws("=", e.key, e.value))
+        ).alias("kv_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (union-merge formulation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH orders_daily AS (
+      SELECT o_custkey, o_orderdate,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS day_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderdate AS last_order_date,
+           o.day_total   AS last_day_total
+    FROM events e
+    ASOF LEFT JOIN orders_daily o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+    tags=("join", "asof"),
+    bench=True,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's most recent order
+    day at-or-before its timestamp.
+
+    Scale formulation — union-merge, not join-then-filter: tag order
+    days (0) and events (1), union, and run ONE window per user ordered
+    by (time, tag) carrying the latest order columns forward with
+    ``last(..., ignorenulls=True)``. Cost is a single shuffle+sort of
+    |events|+|order days| rows — no row ever multiplies by the number
+    of prior orders, which is what kills the naive range-join plan at
+    100 TB. Right side is pre-aggregated per (customer, day) so the
+    as-of pick is deterministic under ties on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("o_date"),
+        F.lit(None).cast("double").alias("o_total"),
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("o_orderdate").alias("o_date"),
+            F.col("day_total").alias("o_total"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = ev.unionByName(od).select(
+        "user_id",
+        "tag",
+        "event_id",
+        F.last("o_date", ignorenulls=True).over(w).alias("last_order_date"),
+        F.last("o_total", ignorenulls=True).over(w).alias("last_day_total"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "last_order_date", "last_day_total"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT e.event_id,
+           count(o.o_orderkey)                        AS n_orders_30d,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_30d
+    FROM events e
+    LEFT JOIN orders o
+      ON e.user_id = o.o_custkey
+     AND o.o_orderdate >  e.ts - INTERVAL 30 DAY
+     AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: orders per customer inside the 30-day window
+    ending at each event. The equi key (user/custkey) carries the
+    shuffle; the band predicate filters inside each matched pair — the
+    plan shape Spark executes as SMJ + post-filter. At extreme scale
+    the band would additionally be bucketed by coarse time grain to
+    bound the per-key fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (
+        (ev.user_id == orders.o_custkey)
+        & (orders.o_orderdate > ev.ts - F.expr("INTERVAL 30 DAYS"))
+        & (orders.o_orderdate <= ev.ts)
+    )
+    return (
+        ev.join(orders, cond, "left")
+        .groupBy("event_id")
+        .agg(
+            F.count("o_orderkey").alias("n_orders_30d"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_30d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF (Arrow-vectorized) surface
+# ---------------------------------------------------------------------------
+
+
+# return type passed as a DataType object: a DDL string would need an
+# active SparkContext to parse at import time
+@F.pandas_udf(SqlT.DoubleType())
+def _net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized net price: one Arrow batch per call, pure pandas
+    arithmetic inside — the 10-100× faster shape vs a row UDF."""
+    return extended * (1.0 - discount) * (1.0 + tax)
+
+
+@register(
+    "udf_pandas_net_price",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue,
+      count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "pandas-udf"),
+)
+def udf_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF registration surface: compute net price through an
+    Arrow-vectorized UDF, aggregate after. (Built-ins express this
+    directly — q1 does — so this entry exists to declare and gate the
+    UDF path itself; the oracle proves the UDF computes exactly what
+    the SQL expression does.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("net", _net_price("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("net"), 2).alias("net_revenue"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function) surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_tokenize",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {T.DUCK_TOKENS} AS w FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(w, 1) - 1 AS INTEGER) AS pos,
+           unnest(w) AS token
+    FROM t
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF via LATERAL join: one (pos, token) row per
+    token. The UDTF registration path (``spark.udtf.register``) is the
+    declared surface; the oracle is unnest-with-ordinality."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").strip().lower().split()):
+                yield i, tok
+
+    spark.udtf.register("ct_tokenize", Tokenize)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL ct_tokenize(d.text) t"
+    )
