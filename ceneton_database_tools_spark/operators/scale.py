@@ -1,0 +1,177 @@
+"""Scale-pattern operators: the formulations that change at 100 TB.
+
+Each query here is the declared scale variant of a pattern that is
+correct-but-expensive in its naive form:
+
+* **approximate distinct counting** — ``approx_count_distinct`` (HLL++)
+  instead of the exact expand-based ``countDistinct``: constant memory
+  per group at any cardinality. HLL sketches are engine-specific, so
+  the gate is a pytest error-bound check, not a DuckDB hash match.
+* **salted two-stage aggregation** — pre-aggregate on
+  ``(key, salt)`` then re-aggregate on ``key``: bounds the per-task
+  load of a skewed hot key. Result is identical to the direct
+  aggregation, which is exactly what the oracle verifies.
+* **exact percentiles** — ``percentile`` (exact, interpolated) matches
+  DuckDB's ``quantile_cont`` definition; the sketch-based
+  ``approx_percentile`` is the >memory-scale swap (same shape,
+  engine-specific sketch — documented, not gated).
+* **TF-IDF** — pure-SQL term weighting over the token stream: two
+  hash aggregations (term-per-doc, doc-frequency) + a broadcast-sized
+  IDF table joined back onto terms. The ML-pipeline equivalent is
+  ``HashingTF + IDF``; the SQL form is exact and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators import _textutil as T
+from ceneton_database_tools_spark.operators.registry import register
+
+TFIDF_TOP_K = 5
+TFIDF_DOCS = 50
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; pytest checks the error bound
+    tags=("agg", "approx", "scale"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HLL++
+    (``approx_count_distinct``, rsd 2%) — the declared 100 TB variant
+    of ``events_tumbling_window``'s exact ``countDistinct``, which
+    plans an expand + full shuffle of the distinct pairs. The sketch
+    aggregates in constant memory and merges map-side."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_salted_two_stage",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew", "scale"),
+)
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation: stage 1 aggregates on
+    ``(event_type, salt)`` (splits any hot key across 16 reducers),
+    stage 2 merges the partials per key. Identical result to the
+    direct group-by — the oracle proves it — at the cost of one extra
+    tiny shuffle; the pattern that keeps a skewed 100 TB key from
+    serializing into one task. (AQE skew handling covers joins; salting
+    is the aggregation-side counterpart.) Salt uses a hash of a unique
+    column, not rand(), so the plan stays deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      round(quantile_cont(c_acctbal, 0.5), 4)  AS p50,
+      round(quantile_cont(c_acctbal, 0.9), 4)  AS p90,
+      round(quantile_cont(c_acctbal, 0.99), 4) AS p99
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "percentile", "scale"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: linear interpolation over the sorted group).
+    Exact percentile sorts each group; past executor memory the
+    declared swap is ``approx_percentile`` (KLL/GK sketch — constant
+    memory, engine-specific values, same query shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(c_acctbal, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({T.DUCK_TOKENS}) AS token
+      FROM documents WHERE doc_id < {TFIDF_DOCS}
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY token
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n_docs / df.dfreq), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+            <= {TFIDF_TOP_K}
+    """,
+    tags=("text", "tfidf", "llm-pipeline", "scale"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF, pure SQL: term frequency per doc, document
+    frequency per term, idf = ln(N/df), top-5 terms per document.
+
+    Scale shape: two partial-aggregated shuffles over the token
+    stream; the (token → idf) table is vocabulary-sized and broadcasts
+    back onto term counts. The ``HashingTF + IDF`` ML pipeline is the
+    fixed-width-vector alternative when downstream wants features, not
+    rankings."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < TFIDF_DOCS)
+        .select("doc_id", F.explode(F.expr(T.SPARK_TOKENS)).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tfidf", "rank")
+    )

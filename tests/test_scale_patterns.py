@@ -1,0 +1,55 @@
+"""Scale-pattern checks the DuckDB gate cannot express: HLL error
+bounds, and bucketed co-located joins eliminating their shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators.scale import agg_approx_distinct
+
+
+def test_approx_distinct_within_rsd(spark, sf_correct):
+    approx = {r.event_type: r.approx_users for r in agg_approx_distinct(spark, sf_correct).collect()}
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, sf_correct, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        # rsd=0.02 → allow a generous 5x margin so the test is stable
+        assert abs(approx[et] - ex) <= max(0.10 * ex, 2), (et, approx[et], ex)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path):
+    """Bucketing both join sides on the key lets Spark run a sort-merge
+    join with ZERO Exchange operators — the co-located join that turns
+    a repeated 100 TB shuffle into a one-time layout cost."""
+    orders = load_table(spark, sf_smoke, "orders")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "b_orders"
+    )
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "b_lineitem"
+    )
+    # disable auto-broadcast so the join would otherwise shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        # and it still computes the right thing
+        assert joined.count() == lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
