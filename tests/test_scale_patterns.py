@@ -53,3 +53,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
+    """Filters on the partition column must prune directories at plan
+    time (PartitionFilters), reading only the matching subtree."""
+    from pyspark.sql import functions as F
+
+    from ceneton_database_tools_spark.sinks import read_partitioned, write_partitioned
+
+    out = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_smoke, "orders")
+    write_partitioned(orders, out, ["o_orderstatus"])
+
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    assert dirs == {"o_orderstatus=O", "o_orderstatus=F", "o_orderstatus=P"}
+
+    back = read_partitioned(spark, out).filter(F.col("o_orderstatus") == "O")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    want = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert back.count() == want > 0
