@@ -474,3 +474,103 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster assignment (connected components)
+# ---------------------------------------------------------------------------
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
+    shingled AS (SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks),
+    based AS (SELECT doc_id, list_distinct({T.DUCK_HASH_BASE}) AS ba FROM shingled),
+    sigs AS (
+      SELECT doc_id,
+        {", ".join(f"{T.duck_minhash_cw(j)} AS h{j}" for j in range(NUM_HASHES))}
+      FROM based
+    ),
+    bands AS (
+{chr(10).join(f"      SELECT doc_id, {b} AS band_idx, concat_ws('|', {', '.join(f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))}) AS band_val FROM sigs" + ("" if b == BANDS - 1 else chr(10) + "      UNION ALL") for b in range(BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN based sa ON sa.doc_id = c.doc_a
+      JOIN based sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.ba, sb.ba))::DOUBLE /
+            (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    bidir AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT a AS v FROM bidir),
+    reach(v, r) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN bidir e ON e.a = r.v
+    )
+    SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    tags=("dedup", "graph", "iterative", "llm-pipeline"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    each document gets the minimum doc_id reachable through near-dup
+    edges as its cluster id — the step that turns pairwise dedup
+    verdicts into keep-one-per-cluster decisions.
+
+    Iterative label propagation (Pregel-style, small-label-wins): each
+    round joins labels to the bidirectional edge list, takes the min of
+    own and neighbor labels, and stops when no label changed. Lineage
+    is cut per round with localCheckpoint so the plan stays flat at any
+    iteration count; convergence needs O(log(diameter)) rounds. The
+    oracle computes the same components with a recursive CTE.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
