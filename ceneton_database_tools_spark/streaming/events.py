@@ -193,3 +193,98 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+USER_STATS_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE, max_gap_sec DOUBLE"
+USER_STATE_SCHEMA = "n LONG, total DOUBLE, last_us LONG, max_gap_us LONG"
+
+
+def _user_stats_fn(key, pdfs, state):
+    """Per-user running stats with explicit state: event count, value
+    sum, and the largest inter-event gap — the custom-stateful shape
+    (fraud windows, session features) that built-in aggregations can't
+    express. State holds four scalars per user regardless of history
+    length; batches arrive as Arrow frames and are reduced vectorized."""
+    import pandas as pd
+
+    (n, total, last_us, max_gap_us) = state.get if state.exists else (0, 0.0, None, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        for u in us:
+            if last_us is not None:
+                max_gap_us = max(max_gap_us, u - last_us)
+            last_us = u
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total, last_us, max_gap_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_gap_sec": [round(max_gap_us / 1_000_000, 1)],
+        }
+    )
+
+
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming aggregation via
+    ``applyInPandasWithState``: exact per-user event count / value sum /
+    maximum inter-event gap, with O(1) state per user."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = stream.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return agg
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, value,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*)                                        AS n_events,
+           round(sum(value), 2)                            AS total_value,
+           round(coalesce(max(gap_us), 0) / 1000000.0, 1)  AS max_gap_sec
+    FROM gaps
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the custom stateful operator to completion and emit the
+    final per-user state. In update mode the memory sink keeps every
+    emitted version; the finite replay arrives in one micro-batch per
+    file, so the last row per user is the converged state (the dedup
+    below makes that explicit). The oracle recomputes the same stats
+    relationally.
+
+    Determinism caveat handled: within one micro-batch the operator
+    sorts each user's Arrow frame by ts; max-gap over equal timestamps
+    is order-insensitive because the gap to an equal timestamp is 0.
+    """
+    from pyspark.sql import Window as W
+
+    out = run_stream_to_batch(streaming_user_stats(spark, sf_dir), output_mode="update")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_gap_sec")
+    )
