@@ -340,3 +340,61 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token "
         "FROM _udtf_docs d, LATERAL ct_tokenize(d.text) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO emulation (upsert without Delta)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, concat('NEW#', c_name), 0.0
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, TRUE AS from_update
+    FROM updates
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, round(t.c_acctbal, 2), FALSE
+    FROM customer t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM updates)
+    """,
+    tags=("merge", "upsert", "join"),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) emulated without a lakehouse format:
+    matched rows take the update, unmatched target rows survive via a
+    LEFT ANTI join, inserts append — ``anti-join ∪ updates``, the plan
+    a Delta MERGE compiles to minus the transactional commit. The
+    update batch is derived deterministically from the target itself so
+    the oracle can rebuild it.
+
+    Scale note: the anti-join shuffles on the merge key once; with a
+    bucketed target table (see tests/test_scale_patterns.py) even that
+    shuffle disappears. Delta/Iceberg MERGE is the transactional drop-in
+    when those jars are on the classpath.
+    """
+    target = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        target.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"))
+        .unionByName(
+            target.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.concat(F.lit("NEW#"), F.col("c_name")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    kept = target.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+    merged = updates.withColumn("from_update", F.lit(True)).unionByName(
+        kept.withColumn("from_update", F.lit(False))
+    )
+    return merged.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "from_update"
+    )
