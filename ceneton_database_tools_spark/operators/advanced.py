@@ -398,3 +398,69 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "from_update"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+
+_SQL_SURFACE = """
+WITH seg_orders AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       CAST(rn AS BIGINT)     AS rank
+FROM seg_orders
+WHERE rn <= 3
+"""
+
+
+@register(
+    "sql_surface_cte",
+    oracle=_SQL_SURFACE.format(orders="orders", customer="customer"),
+    tags=("sql", "window", "join"),
+)
+def sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared SQL-text surface: the ENTIRE query is one
+    ``spark.sql`` string (CTE + join + window + QUALIFY-style filter)
+    over views registered by the catalog — same text modulo view names
+    runs on DuckDB as the oracle. Catalyst parses, optimizes, and
+    plans it identically to the DataFrame formulations elsewhere."""
+    from ceneton_database_tools_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_SQL_SURFACE.format(orders="orders", customer="customer"))
+
+
+# ---------------------------------------------------------------------------
+# Observed metrics (A6: count/progress scan, engine-native form)
+# ---------------------------------------------------------------------------
+
+
+def count_with_observe(df: DataFrame, declared_count: int | None = None):
+    """The reference's `print` command (count + progress + header-count
+    check, ``_cli.py:56-68``) in Spark's native form: an ``observe()``
+    metric rides the scan — one pass collects the row count and any
+    per-column stats WITHOUT a second job, and the driver compares the
+    observed count against the header's declared count (A14).
+
+    Returns ``(count, observed_metrics_row)``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_stats")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    n = observed.count()
+    metrics = obs.get
+    if declared_count is not None and metrics["n_rows"] != declared_count:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "parsed %s records, header declared %s", metrics["n_rows"], declared_count
+        )
+    return n, metrics

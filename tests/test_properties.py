@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): sanitizer invariants and an
+FMP-XML build→parse round-trip over generated schemas and values.
+
+The reference ships no tests at all; these pin the behaviors whose
+breakage would be silent — name cleaning, null/value fidelity through
+the XML parser, and JSONL field order.
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape, quoteattr
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ceneton_database_tools_spark.schema import sanitize_name
+from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml
+
+# -- sanitize_name invariants -------------------------------------------------
+
+names = st.text(min_size=1, max_size=40).filter(lambda s: s.strip())
+
+
+@given(names)
+def test_sanitize_idempotent(name):
+    once = sanitize_name(name)
+    assert sanitize_name(once) == once
+
+
+@given(names)
+def test_sanitize_output_shape(name):
+    import re
+
+    out = sanitize_name(name)
+    # lowercase, no uppercase survives
+    assert out == out.lower()
+    # every non-word run collapsed: output contains only \w characters
+    assert re.fullmatch(r"[\w_]*", out), out
+    # never starts with a digit
+    assert not re.match(r"^\d", out)
+
+
+# -- FMP XML round-trip -------------------------------------------------------
+
+# XML 1.0-legal text: no control chars except \t \n \r; avoid the
+# parser-irrelevant surrogate range.
+xml_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), whitelist_characters="\t\n"
+    ),
+    min_size=0,
+    max_size=60,
+)
+# values: None models an empty <DATA/>; parsers cannot distinguish "" from
+# a self-closed tag, so generated values are None or non-empty
+values = st.one_of(st.none(), xml_text.filter(lambda s: s != ""))
+
+
+def build_fmp_xml(field_names: list[str], rows: list[list[str | None]]) -> bytes:
+    fields = "\n".join(
+        f'    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME={quoteattr(n)} TYPE="TEXT"/>'
+        for n in field_names
+    )
+    row_xml = []
+    for row in rows:
+        cols = "".join(
+            "<COL/>" if v is None else f"<COL><DATA>{escape(v)}</DATA></COL>" for v in row
+        )
+        row_xml.append(f'    <ROW MODID="1" RECORDID="1">{cols}</ROW>')
+    body = "\n".join(row_xml)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+        "  <ERRORCODE>0</ERRORCODE>\n"
+        f'  <DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="prop.fmp12" '
+        f'RECORDS="{len(rows)}" TIMEFORMAT="k:mm:ss"/>\n'
+        f"  <METADATA>\n{fields}\n  </METADATA>\n"
+        f'  <RESULTSET FOUND="{len(rows)}">\n{body}\n  </RESULTSET>\n'
+        "</FMPXMLRESULT>\n"
+    ).encode("utf-8")
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.integers(2, 6).flatmap(
+        lambda width: st.tuples(
+            st.just([f"Field {i}" for i in range(width)]),
+            st.lists(
+                st.lists(values, min_size=width, max_size=width), min_size=0, max_size=8
+            ),
+        )
+    )
+)
+def test_fmp_roundtrip(tmp_path_factory, data):
+    field_names, rows = data
+    path = tmp_path_factory.mktemp("fmp") / "prop.xml"
+    path.write_bytes(build_fmp_xml(field_names, rows))
+    stream = read_fmp_xml(str(path))
+    schema = next(stream)
+    parsed = list(stream)
+    assert schema.record_count == len(rows)
+    assert schema.clean_names == [sanitize_name(n) for n in field_names]
+    # XML text nodes normalize \r\n and \r to \n (XML 1.0 §2.11) — the
+    # parser is REQUIRED to do this; normalize expectations the same way
+    def norm(v):
+        return v.replace("\r\n", "\n").replace("\r", "\n") if v is not None else None
+
+    assert parsed == [tuple(norm(v) for v in row) for row in rows]
+
+
+def test_roundtrip_through_jsonl(spark, tmp_path):
+    """DataFrame → JSONL lines → parse back: values and field order."""
+    from ceneton_database_tools_spark.sinks.jsonl import iter_jsonl
+    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+    names = ["Nummer", "Omschrijving"]
+    rows = [["0001", "mét ünïcode"], ["0002", None]]
+    path = tmp_path / "rt.xml"
+    path.write_bytes(build_fmp_xml(names, rows))
+    df = read_fmp_xml_df(spark, str(path))
+    lines = [json.loads(line) for line in iter_jsonl(df)]
+    assert sorted(lines, key=lambda d: d["nummer"]) == [
+        {"nummer": "0001", "omschrijving": "mét ünïcode"},
+        {"nummer": "0002", "omschrijving": None},
+    ]
+    assert all(list(d) == ["nummer", "omschrijving"] for d in lines)

@@ -76,3 +76,16 @@ def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
     want = orders.filter(F.col("o_orderstatus") == "O").count()
     assert back.count() == want > 0
+
+
+def test_count_with_observe_matches_and_warns(spark, sf_smoke, caplog):
+    import logging
+
+    from ceneton_database_tools_spark.operators.advanced import count_with_observe
+
+    orders = load_table(spark, sf_smoke, "orders")
+    n, metrics = count_with_observe(orders)
+    assert n == metrics["n_rows"] == orders.count()
+    with caplog.at_level(logging.WARNING):
+        count_with_observe(orders, declared_count=n + 5)
+    assert any("header declared" in r.message for r in caplog.records)
