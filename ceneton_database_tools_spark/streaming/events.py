@@ -63,6 +63,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano→micro timestamp normalization as the batch loader
     (catalog._load_events)."""
     path = _as_stream_dir(table_path(sf_dir, "events"))
+    # self-heal like catalog._load_events: the driver's session may not
+    # have been built by our factory, and events.ts is TIMESTAMP(NANOS)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema  # one driver-side footer read
     sdf = spark.readStream.schema(schema).parquet(path)
     if dict(sdf.dtypes).get("ts") == "bigint":
