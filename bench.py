@@ -52,6 +52,12 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # FMP-XML parse throughput on a reference-shaped export (12,500
+    # records × 126 TEXT columns — the dataset scale in BASELINE.md;
+    # the reference's only published figure is ≈5,234 rec/s there).
+    fmp_rate, fmp_sec = _bench_fmp_parse(spark)
+    timings["fmp_parse"] = fmp_sec
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -62,11 +68,62 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "fmp_parse_rec_per_s": fmp_rate,
             }
         )
     )
     spark.stop()
     return 0
+
+
+def _bench_fmp_parse(spark) -> tuple[float, float]:
+    """Generate a deterministic 12,500×126 FMP export and measure the
+    fmpxml DataSource end-to-end (parse + Arrow transfer + count)."""
+    import tempfile
+
+    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+    path = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp.xml")
+    if not os.path.exists(path):
+        _write_bench_fmp(path, nrows=12500, ncols=126)
+    df = read_fmp_xml_df(spark, path)
+    best, n = float("inf"), 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = df.count()
+        best = min(best, time.perf_counter() - t0)
+    rate = round(n / best, 1)
+    print(f"# fmp_parse: {best:.3f}s ({n} rows, {rate} rec/s)", file=sys.stderr)
+    return rate, round(best, 3)
+
+
+def _write_bench_fmp(path: str, nrows: int, ncols: int) -> None:
+    import random
+    from xml.sax.saxutils import escape
+
+    rng = random.Random(42)
+    words = ["toneel", "klucht", "blijspel", "treurspel", "amsterdam",
+             "leiden", "1650", "vondel", "bredero", "anoniem"]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+            "  <ERRORCODE>0</ERRORCODE>\n"
+            f'  <DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="Bench.fmp12" '
+            f'RECORDS="{nrows}" TIMEFORMAT="k:mm:ss"/>\n  <METADATA>\n'
+        )
+        for i in range(ncols):
+            f.write(f'    <FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Veld {i}" TYPE="TEXT"/>\n')
+        f.write(f'  </METADATA>\n  <RESULTSET FOUND="{nrows}">\n')
+        for r in range(nrows):
+            cols = []
+            for c in range(ncols):
+                if (r + c) % 7 == 0:
+                    cols.append("<COL><DATA/></COL>")
+                else:
+                    cols.append(f"<COL><DATA>{escape(rng.choice(words))} {r}-{c}</DATA></COL>")
+            f.write('    <ROW MODID="1" RECORDID="1">' + "".join(cols) + "</ROW>\n")
+        f.write("  </RESULTSET>\n</FMPXMLRESULT>\n")
 
 
 if __name__ == "__main__":

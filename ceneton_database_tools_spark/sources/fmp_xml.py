@@ -34,6 +34,7 @@ accidental — SURVEY.md §1.4 quirks):
 from __future__ import annotations
 
 import logging
+import re
 from collections.abc import Iterator
 from typing import IO, Callable
 
@@ -118,10 +119,12 @@ def parse_fmp_header(
     raise ValueError("not an FMP XML export: no RESULTSET section found")
 
 
-def iter_fmp_rows(
+def iter_fmp_rows_et(
     stream: IO[bytes], n_fields: int, repeats: str = "error"
 ) -> Iterator[tuple]:
-    """Stream the ``<RESULTSET>`` rows as tuples of ``str | None``.
+    """Stream the ``<RESULTSET>`` rows as tuples of ``str | None`` via
+    ElementTree iterparse — the reference parser used as the fallback
+    for inputs the fast scanner declines.
 
     Walks ROW → COL → DATA honoring the COL level; constant memory
     (each completed ROW subtree is discarded). ``repeats`` controls
@@ -183,6 +186,192 @@ def iter_fmp_rows(
             root.clear()  # drop completed subtrees — constant memory
 
 
+# ---------------------------------------------------------------------------
+# Fast-path row scanner
+# ---------------------------------------------------------------------------
+#
+# FMP exports are machine-generated with a rigid row grammar —
+# `<ROW …><COL><DATA>text</DATA></COL><COL/>…</ROW>` with the five XML
+# entities (+ numeric refs) as the only escaping and no CDATA/comments.
+# A find/regex scanner over that grammar parses ~8-10× faster than
+# generic XML event parsing (measured: ~1.5k rec/s ET vs >10k rec/s
+# scanner on a 126-column export), which is what lets the engine beat
+# the reference's lxml figure without native code. Any structural
+# surprise raises FMPFastPathError and the caller transparently
+# re-parses with the strict ElementTree path above.
+
+_COL_RE = re.compile(r"<COL\s*/>|<COL>(.*?)</COL>", re.DOTALL)
+_DATA_RE = re.compile(r"<DATA\s*/>|<DATA>(.*?)</DATA>", re.DOTALL)
+# single-pass matcher for the three shapes covering ~100% of real rows;
+# the bare `<COL` tail alternative flags anything else (repeating
+# fields, whitespace variants) for the per-COL slow parse. The DATA
+# content class is [^<]* — raw '<' is always escaped in XML text, so
+# this can never swallow markup (e.g. a second <DATA> of a repeating
+# field), and it avoids non-greedy backtracking entirely.
+_FAST_COL_RE = re.compile(
+    r"<COL/>|<COL><DATA/></COL>|<COL><DATA>([^<]*)</DATA></COL>|<COL[\s>]"
+)
+_ENTITY_RE = re.compile(r"&(amp|lt|gt|quot|apos|#[0-9]+|#x[0-9a-fA-F]+);")
+_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
+
+
+class FMPFastPathError(Exception):
+    """Input deviates from the rigid FMP grammar; use the ET parser."""
+
+
+def _unescape(s: str) -> str:
+    if "&" not in s:
+        return s
+
+    def sub(m: re.Match) -> str:
+        t = m.group(1)
+        if t in _ENTITIES:
+            return _ENTITIES[t]
+        if t.startswith("#x"):
+            return chr(int(t[2:], 16))
+        return chr(int(t[1:]))
+
+    return _ENTITY_RE.sub(sub, s)
+
+
+def _norm_text(s: str) -> str | None:
+    # XML 1.0 §2.11 end-of-line normalization + empty-element → None
+    # (ElementTree reports both <DATA/> and <DATA></DATA> as text=None)
+    if not s:
+        return None
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+    return _unescape(s)
+
+
+def _parse_row_chunk(chunk: str, n_fields: int, repeats: str) -> tuple:
+    values: list[str | None] = []
+    for m in _FAST_COL_RE.finditer(chunk):
+        g1 = m.group(1)
+        if g1 is not None:  # <COL><DATA>…</DATA></COL>
+            values.append(_norm_text(g1))
+        else:
+            g0 = m.group(0)
+            if g0 == "<COL/>" or g0 == "<COL><DATA/></COL>":
+                values.append(None)
+            else:  # bare `<COL…` — rare shape, re-parse the row carefully
+                return _parse_row_chunk_slow(chunk, n_fields, repeats)
+    if len(values) != n_fields:
+        raise FMPFastPathError(
+            f"row has {len(values)} COL groups, header declares {n_fields}"
+        )
+    return tuple(values)
+
+
+def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats: str) -> tuple:
+    values: list[str | None] = []
+    for m in _COL_RE.finditer(chunk):
+        body = m.group(1)
+        if body is None:  # <COL/>
+            values.append(None)
+            continue
+        datas = _DATA_RE.findall(body)
+        if len(datas) == 1:
+            values.append(_norm_text(datas[0]))
+        elif len(datas) == 0:
+            values.append(None)
+        elif repeats == "join":
+            values.append(
+                REPEAT_SEPARATOR.join(_norm_text(d) or "" for d in datas)
+            )
+        else:
+            raise ValueError(
+                f"repeating field with {len(datas)} DATA values in one COL; "
+                "pass repeats='join' to join on the ASCII group separator"
+            )
+    if len(values) != n_fields:
+        raise FMPFastPathError(
+            f"row has {len(values)} COL groups, header declares {n_fields}"
+        )
+    return tuple(values)
+
+
+def iter_fmp_rows_fast(
+    stream: IO[bytes], n_fields: int, repeats: str = "error"
+) -> Iterator[tuple]:
+    """Scanner fast path: chunked read, ``</ROW>``-delimited slices,
+    regex COL/DATA extraction. Constant memory (buffer holds at most
+    one chunk + one partial row). Raises FMPFastPathError on any
+    structural deviation so the caller can fall back to ET."""
+    import io
+
+    text = io.TextIOWrapper(stream, encoding="utf-8", newline="")
+    try:
+        buf = ""
+        pos = 0
+        chunk_size = 1 << 20
+
+        def fill() -> bool:
+            nonlocal buf, pos
+            piece = text.read(chunk_size)
+            if pos:
+                buf = buf[pos:]
+                pos = 0
+            buf += piece
+            return bool(piece)
+
+        while True:
+            idx = buf.find("<RESULTSET", pos)
+            if idx >= 0:
+                pos = idx
+                break
+            pos = max(0, len(buf) - 16)  # a split tag can straddle chunks
+            if not fill():
+                raise FMPFastPathError("no RESULTSET section found")
+
+        while True:
+            end = buf.find("</ROW>", pos)
+            while end == -1:
+                if not fill():
+                    if "<ROW" in buf[pos:]:
+                        raise FMPFastPathError("unterminated ROW at end of input")
+                    return
+                end = buf.find("</ROW>", pos)
+            start = buf.find("<ROW", pos)
+            if start == -1 or start > end:
+                raise FMPFastPathError("ROW structure out of order")
+            body_start = buf.find(">", start, end)
+            if body_start == -1:
+                raise FMPFastPathError("malformed ROW start tag")
+            yield _parse_row_chunk(buf[body_start + 1 : end], n_fields, repeats)
+            pos = end + len("</ROW>")
+    finally:
+        # detach, never close: the caller may rewind the underlying
+        # binary stream for the ET fallback
+        text.detach()
+
+
+def iter_fmp_rows(
+    stream: IO[bytes], n_fields: int, repeats: str = "error"
+) -> Iterator[tuple]:
+    """Row stream with automatic strategy choice: try the fast scanner;
+    on a structural surprise, rewind and re-parse with ElementTree,
+    skipping any rows the fast path already produced. The fallback
+    needs a seekable stream (plain files and bz2 both are)."""
+    try:
+        start_pos = stream.tell() if stream.seekable() else None
+    except Exception:
+        start_pos = None
+    if start_pos is None:
+        yield from iter_fmp_rows_et(stream, n_fields, repeats=repeats)
+        return
+    yielded = 0
+    try:
+        for row in iter_fmp_rows_fast(stream, n_fields, repeats=repeats):
+            yield row
+            yielded += 1
+    except FMPFastPathError:
+        stream.seek(start_pos)
+        for i, row in enumerate(iter_fmp_rows_et(stream, n_fields, repeats=repeats)):
+            if i >= yielded:
+                yield row
+
+
 def read_fmp_xml(
     source: IO[bytes] | str,
     header_strategy: HeaderStrategy = default_header_strategy,
@@ -211,22 +400,46 @@ def read_fmp_xml(
             stream.close()
 
 
+ARROW_BATCH_ROWS = 1024
+
+
 class FMPXMLReader(DataSourceReader):
     """One input partition per FMP export file (an FMP export is one
-    XML document — not byte-splittable; files are the parallel unit)."""
+    XML document — not byte-splittable; files are the parallel unit).
 
-    def __init__(self, paths: list[str], n_fields: int, repeats: str):
+    Rows leave Python as Arrow RecordBatches (1024 rows × all-string
+    columns): one columnar transfer per batch instead of one pickled
+    tuple per row — the difference between the DataSource adding ~2×
+    overhead and adding ~none over the raw parse."""
+
+    def __init__(self, paths: list[str], field_names: list[str], repeats: str):
         self._paths = paths
-        self._n_fields = n_fields
+        self._field_names = field_names
         self._repeats = repeats
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(i) for i in range(len(self._paths))]
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        names = self._field_names
         stream = open_xml_stream(self._paths[partition.value])
         try:
-            yield from iter_fmp_rows(stream, self._n_fields, repeats=self._repeats)
+            buf: list[tuple] = []
+            for row in iter_fmp_rows(stream, len(names), repeats=self._repeats):
+                buf.append(row)
+                if len(buf) >= ARROW_BATCH_ROWS:
+                    cols = list(zip(*buf))
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(c, type=pa.string()) for c in cols], names=names
+                    )
+                    buf.clear()
+            if buf:
+                cols = list(zip(*buf))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=pa.string()) for c in cols], names=names
+                )
         finally:
             stream.close()
 
@@ -264,7 +477,7 @@ class FMPXMLDataSource(DataSource):
     def reader(self, schema: SqlT.StructType) -> FMPXMLReader:
         return FMPXMLReader(
             paths=[self.options["path"]],
-            n_fields=len(schema.fields),
+            field_names=[f.name for f in schema.fields],
             repeats=self.options.get("repeats", "error"),
         )
 

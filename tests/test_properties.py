@@ -126,3 +126,32 @@ def test_roundtrip_through_jsonl(spark, tmp_path):
         {"nummer": "0002", "omschrijving": None},
     ]
     assert all(list(d) == ["nummer", "omschrijving"] for d in lines)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.integers(2, 5).flatmap(
+        lambda width: st.tuples(
+            st.just([f"Kolom {i}" for i in range(width)]),
+            st.lists(
+                st.lists(values, min_size=width, max_size=width), min_size=1, max_size=6
+            ),
+        )
+    )
+)
+def test_fast_scanner_equals_et_parser(tmp_path_factory, data):
+    """The regex fast path and the ElementTree parser must agree on
+    every generated document (values incl. entities, newlines, nulls)."""
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        iter_fmp_rows_et,
+        iter_fmp_rows_fast,
+    )
+
+    field_names, rows = data
+    path = tmp_path_factory.mktemp("fmp") / "cmp.xml"
+    path.write_bytes(build_fmp_xml(field_names, rows))
+    with open(path, "rb") as f:
+        fast = list(iter_fmp_rows_fast(f, len(field_names)))
+    with open(path, "rb") as f:
+        et = list(iter_fmp_rows_et(f, len(field_names)))
+    assert fast == et
