@@ -47,7 +47,10 @@ from ceneton_database_tools_spark.schema import (
     FMPSchema,
     default_header_strategy,
 )
-from ceneton_database_tools_spark.sources.paths import open_xml_stream
+from ceneton_database_tools_spark.sources.paths import (
+    open_xml_stream,
+    resolve_input_path,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -444,28 +447,65 @@ class FMPXMLReader(DataSourceReader):
             stream.close()
 
 
+def resolve_source_paths(path: str, multi: bool = False) -> list[str]:
+    """Input resolution:
+
+    * glob pattern (``*``/``?``/``[``) → every matching file, sorted;
+    * directory with ``multi`` → every ``*.xml`` / ``*.xml.bz2`` inside,
+      sorted (a sharded export: one file per partition);
+    * directory without ``multi`` → the latest ``*.bz2`` snapshot
+      (reference convention, ``_cli.py:26-28``);
+    * plain file → itself.
+    """
+    import glob as _glob
+    import os
+
+    if any(ch in path for ch in "*?["):
+        matches = sorted(_glob.glob(path))
+        if not matches:
+            raise FileNotFoundError(f"no files match {path}")
+        return matches
+    if os.path.isdir(path) and multi:
+        matches = sorted(
+            p
+            for p in _glob.glob(os.path.join(path, "*"))
+            if p.endswith((".xml", ".xml.bz2"))
+        )
+        if not matches:
+            raise FileNotFoundError(f"no *.xml / *.xml.bz2 files in {path}")
+        return matches
+    return [str(resolve_input_path(path))]
+
+
 class FMPXMLDataSource(DataSource):
     """``spark.read.format("fmpxml").load(path)``.
 
     Options:
 
-    * ``path`` — file, ``.bz2``, or directory (resolved to the latest
-      ``*.bz2`` snapshot, ``paths.resolve_input_path``);
+    * ``path`` — a file, a ``.bz2``, a glob (every match becomes one
+      input partition — the multi-file parallel scan), or a directory
+      (with ``multi=true``: every export inside in parallel; without:
+      the latest ``*.bz2`` snapshot, the reference's convention);
     * ``repeats`` — ``error`` (default) or ``join`` for MAXREPEAT>1.
 
-    The schema comes from a driver-side header parse; rows stream on
-    executors.
+    The schema comes from a driver-side header parse of the FIRST file
+    (sharded exports share one header); rows stream on executors, one
+    partition per file.
     """
 
     @classmethod
     def name(cls) -> str:
         return "fmpxml"
 
-    def _fmp_schema(self) -> FMPSchema:
+    def _paths(self) -> list[str]:
         path = self.options.get("path")
         if not path:
             raise ValueError("fmpxml source requires a path")
-        stream = open_xml_stream(path)
+        multi = str(self.options.get("multi", "false")).lower() == "true"
+        return resolve_source_paths(path, multi=multi)
+
+    def _fmp_schema(self) -> FMPSchema:
+        stream = open_xml_stream(self._paths()[0])
         try:
             return parse_fmp_header(stream)
         finally:
@@ -476,7 +516,7 @@ class FMPXMLDataSource(DataSource):
 
     def reader(self, schema: SqlT.StructType) -> FMPXMLReader:
         return FMPXMLReader(
-            paths=[self.options["path"]],
+            paths=self._paths(),
             field_names=[f.name for f in schema.fields],
             repeats=self.options.get("repeats", "error"),
         )
@@ -490,7 +530,14 @@ def register_fmp_source(spark: SparkSession) -> None:
         pass
 
 
-def read_fmp_xml_df(spark: SparkSession, path: str, repeats: str = "error") -> DataFrame:
-    """Convenience: register + read one FMP export as a DataFrame."""
+def read_fmp_xml_df(
+    spark: SparkSession, path: str, repeats: str = "error", multi: bool = False
+) -> DataFrame:
+    """Convenience: register + read FMP export(s) as a DataFrame."""
     register_fmp_source(spark)
-    return spark.read.format("fmpxml").option("repeats", repeats).load(path)
+    return (
+        spark.read.format("fmpxml")
+        .option("repeats", repeats)
+        .option("multi", str(multi).lower())
+        .load(path)
+    )

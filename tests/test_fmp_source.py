@@ -197,3 +197,34 @@ def test_datasource_number_stays_string(spark):
     # NUMBER-typed field keeps its string verbatim (sql.py:35 parity)
     assert rows["KB Den Haag"].aantal_pag_ == "0042"
     assert rows["UB Leiden"].aantal_pag_ is None
+
+
+def test_datasource_multi_file_parallel_scan(spark, tmp_path):
+    """A glob of sharded exports reads as one DataFrame with one input
+    partition per file (files are the parallel unit for XML)."""
+    shard_rows = {"a": ["100", "101"], "b": ["200"], "c": ["300", "301", "302"]}
+    for name, nums in shard_rows.items():
+        rows = "".join(
+            f'<ROW MODID="1" RECORDID="1"><COL><DATA>{n}</DATA></COL>'
+            f"<COL><DATA>t{n}</DATA></COL></ROW>"
+            for n in nums
+        )
+        (tmp_path / f"shard_{name}.xml").write_text(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+            "<ERRORCODE>0</ERRORCODE>\n"
+            f'<DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="Shards" RECORDS="{len(nums)}" '
+            'TIMEFORMAT="k:mm:ss"/>\n'
+            "<METADATA>"
+            '<FIELD EMPTYOK="NO" MAXREPEAT="1" NAME="Nummer" TYPE="TEXT"/>'
+            '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Titel" TYPE="TEXT"/>'
+            "</METADATA>\n"
+            f'<RESULTSET FOUND="{len(nums)}">{rows}</RESULTSET>\n'
+            "</FMPXMLRESULT>\n"
+        )
+    df = read_fmp_xml_df(spark, str(tmp_path / "shard_*.xml"))
+    assert df.rdd.getNumPartitions() == 3
+    assert sorted(r.nummer for r in df.collect()) == ["100", "101", "200", "300", "301", "302"]
+    # directory + multi=true resolves the same set
+    df2 = read_fmp_xml_df(spark, str(tmp_path), multi=True)
+    assert df2.count() == 6
