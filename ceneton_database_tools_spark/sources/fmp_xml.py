@@ -415,36 +415,55 @@ class FMPXMLReader(DataSourceReader):
     tuple per row — the difference between the DataSource adding ~2×
     overhead and adding ~none over the raw parse."""
 
-    def __init__(self, paths: list[str], field_names: list[str], repeats: str):
+    def __init__(
+        self,
+        paths: list[str],
+        field_names: list[str],
+        repeats: str,
+        double_cols: tuple[int, ...] = (),
+    ):
         self._paths = paths
         self._field_names = field_names
         self._repeats = repeats
+        self._double_cols = frozenset(double_cols)
 
     def partitions(self) -> list[InputPartition]:
         return [InputPartition(i) for i in range(len(self._paths))]
 
-    def read(self, partition: InputPartition):
+    def _to_batch(self, buf: list[tuple]):
         import pyarrow as pa
 
-        names = self._field_names
+        arrays = []
+        for i, col in enumerate(zip(*buf)):
+            if i in self._double_cols:
+                # typed mode: SQL-CAST semantics — unparseable → null
+                arrays.append(pa.array([_to_double(v) for v in col], type=pa.float64()))
+            else:
+                arrays.append(pa.array(col, type=pa.string()))
+        return pa.RecordBatch.from_arrays(arrays, names=self._field_names)
+
+    def read(self, partition: InputPartition):
         stream = open_xml_stream(self._paths[partition.value])
         try:
             buf: list[tuple] = []
-            for row in iter_fmp_rows(stream, len(names), repeats=self._repeats):
+            for row in iter_fmp_rows(stream, len(self._field_names), repeats=self._repeats):
                 buf.append(row)
                 if len(buf) >= ARROW_BATCH_ROWS:
-                    cols = list(zip(*buf))
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array(c, type=pa.string()) for c in cols], names=names
-                    )
+                    yield self._to_batch(buf)
                     buf.clear()
             if buf:
-                cols = list(zip(*buf))
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(c, type=pa.string()) for c in cols], names=names
-                )
+                yield self._to_batch(buf)
         finally:
             stream.close()
+
+
+def _to_double(v: str | None) -> float | None:
+    if v is None:
+        return None
+    try:
+        return float(v)
+    except ValueError:
+        return None
 
 
 def resolve_source_paths(path: str, multi: bool = False) -> list[str]:
@@ -486,7 +505,11 @@ class FMPXMLDataSource(DataSource):
       input partition — the multi-file parallel scan), or a directory
       (with ``multi=true``: every export inside in parallel; without:
       the latest ``*.bz2`` snapshot, the reference's convention);
-    * ``repeats`` — ``error`` (default) or ``join`` for MAXREPEAT>1.
+    * ``repeats`` — ``error`` (default) or ``join`` for MAXREPEAT>1;
+    * ``typed`` — ``false`` (default, all-string parity with the
+      reference sink, ``sql.py:35``) or ``true``: NUMBER-typed fields
+      are declared DOUBLE and cast on read (SURVEY.md §1.3's declared
+      engine feature — an explicit mode, never an implicit guess).
 
     The schema comes from a driver-side header parse of the FIRST file
     (sharded exports share one header); rows stream on executors, one
@@ -511,14 +534,35 @@ class FMPXMLDataSource(DataSource):
         finally:
             stream.close()
 
+    def _typed(self) -> bool:
+        return str(self.options.get("typed", "false")).lower() == "true"
+
     def schema(self) -> SqlT.StructType:
-        return self._fmp_schema().to_struct_type()
+        struct = self._fmp_schema().to_struct_type()
+        if not self._typed():
+            return struct
+        return SqlT.StructType(
+            [
+                SqlT.StructField(
+                    f.name,
+                    SqlT.DoubleType() if f.metadata.get("fmp_type") == "NUMBER" else f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in struct.fields
+            ]
+        )
 
     def reader(self, schema: SqlT.StructType) -> FMPXMLReader:
         return FMPXMLReader(
             paths=self._paths(),
             field_names=[f.name for f in schema.fields],
             repeats=self.options.get("repeats", "error"),
+            double_cols=tuple(
+                i
+                for i, f in enumerate(schema.fields)
+                if f.dataType.typeName() == "double"
+            ),
         )
 
 
@@ -531,7 +575,11 @@ def register_fmp_source(spark: SparkSession) -> None:
 
 
 def read_fmp_xml_df(
-    spark: SparkSession, path: str, repeats: str = "error", multi: bool = False
+    spark: SparkSession,
+    path: str,
+    repeats: str = "error",
+    multi: bool = False,
+    typed: bool = False,
 ) -> DataFrame:
     """Convenience: register + read FMP export(s) as a DataFrame."""
     register_fmp_source(spark)
@@ -539,5 +587,6 @@ def read_fmp_xml_df(
         spark.read.format("fmpxml")
         .option("repeats", repeats)
         .option("multi", str(multi).lower())
+        .option("typed", str(typed).lower())
         .load(path)
     )

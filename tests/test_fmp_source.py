@@ -228,3 +228,15 @@ def test_datasource_multi_file_parallel_scan(spark, tmp_path):
     # directory + multi=true resolves the same set
     df2 = read_fmp_xml_df(spark, str(tmp_path), multi=True)
     assert df2.count() == 6
+
+
+def test_datasource_typed_mode(spark):
+    """typed=true: NUMBER fields become DOUBLE with SQL-CAST null
+    semantics; default stays all-string parity."""
+    df = read_fmp_xml_df(spark, EDGES, typed=True)
+    types = dict(df.dtypes)
+    assert types["aantal_pag_"] == "double"
+    assert types["_15e_bibliotheek"] == "string"
+    rows = {r._15e_bibliotheek: r for r in df.collect()}
+    assert rows["KB Den Haag"].aantal_pag_ == 42.0
+    assert rows["UB Leiden"].aantal_pag_ is None
