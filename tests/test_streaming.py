@@ -118,3 +118,38 @@ def test_registered_streaming_queries_run(spark, sf_smoke):
     ):
         df = ops.QUERIES[name].fn(spark, sf_smoke)
         assert df.count() > 0
+
+
+def test_foreachbatch_exactly_once_sink(spark, sf_smoke, tmp_path):
+    """foreachBatch + epoch-id-keyed idempotent writes: the pattern for
+    exactly-once delivery to sinks without native streaming support.
+    Each epoch writes to its own directory; a retried epoch overwrites
+    rather than duplicates."""
+    out = str(tmp_path / "epochs")
+
+    def write_epoch(batch_df, epoch_id):
+        # idempotent: keyed by epoch id, overwrite on retry
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    sdf = (
+        events_stream(spark, sf_smoke)
+        .withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_type: r.n for r in spark.read.parquet(out).collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
