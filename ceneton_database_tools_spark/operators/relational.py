@@ -893,3 +893,147 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("agg", "join", "conditional"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
+    share). One join + one aggregate producing a single ratio row; the
+    CASE rides inside the sum so both terms come from the same pass."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("subquery", "correlated", "join", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group scalar subquery
+    (below-half-average quantity per part). Decorrelated the way
+    Catalyst does it: pre-aggregate the per-part average once, join it
+    back, filter — one extra tiny aggregate instead of |parts|
+    subquery executions. The threshold multiply stays unrounded on
+    both engines; comparisons against it use identical double math."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity >= 5  AND l_quantity <= 25)
+       OR (p_brand = 'Brand#3' AND p_size <= 50 AND l_quantity >= 1  AND l_quantity <= 15)
+    """,
+    tags=("filter", "disjunction", "join"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common `p_brand IN (...)`-style implications for scan
+    pruning and evaluates the residual disjunction post-join — the
+    pattern that breaks naive pushdown logic."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    c = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+         & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 25)
+           & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 50)
+           & F.col("l_quantity").between(1, 15))
+    )
+    return j.filter(c).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                 AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE round(c_acctbal, 2) > (SELECT round(avg(c_acctbal), 2) FROM customer
+                                 WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    tags=("subquery", "anti", "agg"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + NOT EXISTS composition —
+    above-average-balance customers who never placed a high-value
+    (>300k) order. NOT EXISTS compiles to a LEFT ANTI join against the
+    filtered orders; the scalar average broadcasts. Both sides round
+    the threshold identically (ulp rule)."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("_avg")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.round("c_acctbal", 2) > F.col("_avg"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
