@@ -172,3 +172,120 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= ANN_TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 8  # coarse centroids
+IVF_NPROBE = 2  # probed lists per query
+IVF_TOP_K = 3
+IVF_N_QUERIES = 10
+
+
+def _ivf_oracle() -> str:
+    dot_cv = T.dot_chain("c.v", "e.v", EMB_DIM, one_based=True)
+    dot_qc = T.dot_chain("q.v", "c.v", EMB_DIM, one_based=True)
+    dot_qe = T.dot_chain("q.v", "e.v", EMB_DIM, one_based=True)
+    return f"""
+    WITH base AS ({_DUCK_BASE}),
+    centroids AS (
+      SELECT vec_id AS cid, v, nrm FROM base WHERE vec_id < {IVF_NLIST}
+    ),
+    assigned AS (
+      SELECT e.vec_id, e.v, e.nrm, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ({dot_cv}) / (c.nrm * e.nrm) DESC, c.cid) AS rn
+      FROM base e CROSS JOIN centroids c
+    ),
+    lists AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, v, nrm FROM base WHERE vec_id < {IVF_N_QUERIES}),
+    probed AS (
+      SELECT q.query_id, q.v, q.nrm, c.cid,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ({dot_qc}) / (q.nrm * c.nrm) DESC, c.cid) AS prn
+      FROM queries q CROSS JOIN centroids c
+    ),
+    cand AS (
+      SELECT p.query_id, p.v AS qv, p.nrm AS qnrm, e.vec_id AS neighbor_id,
+             e.v, e.nrm
+      FROM probed p JOIN lists e ON e.cid = p.cid
+      WHERE p.prn <= {IVF_NPROBE} AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY ({T.dot_chain("qv", "v", EMB_DIM, one_based=True)}) / (qnrm * nrm) DESC,
+                      neighbor_id) AS BIGINT) AS rank,
+           round(({T.dot_chain("qv", "v", EMB_DIM, one_based=True)}) / (qnrm * nrm), 6)
+             AS cosine
+    FROM cand
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY ({T.dot_chain("qv", "v", EMB_DIM, one_based=True)}) / (qnrm * nrm) DESC,
+               neighbor_id) <= {IVF_TOP_K}
+    """
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=_ivf_oracle(),
+    tags=("similarity", "ann", "ivf", "llm-pipeline"),
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor: assign every
+    vector to its nearest of 8 coarse centroids (the inverted lists),
+    then each query probes only its 2 closest lists and ranks exact
+    cosine inside them.
+
+    Centroid "training" is deterministic — the first ``nlist`` vectors
+    by id — so the oracle reproduces the index bit-for-bit; swapping in
+    k-means centroids changes recall, not the plan. Scale shape: the
+    centroid table broadcasts everywhere (assignment is map-side), the
+    only shuffle is the list-id equi-join, and each query scans
+    ~nprobe/nlist of the corpus instead of all of it. At 100 TB the
+    lists are the partitioning key of the stored index."""
+    base = _base(spark, sf_dir)
+    centroids = base.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    cos_ce = F.expr(T.dot_chain("cv", "v", EMB_DIM, one_based=False)) / (
+        F.col("cnrm") * F.col("nrm")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    lists = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn("ccos", cos_ce)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    queries = base.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cos_qc = F.expr(T.dot_chain("qv", "cv", EMB_DIM, one_based=False)) / (
+        F.col("qnrm") * F.col("cnrm")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cid"))
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("qcos", cos_qc)
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "qv", "qnrm", "cid")
+    )
+    cos_qe = F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        lists.join(F.broadcast(probed), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_qe.alias("cos"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
