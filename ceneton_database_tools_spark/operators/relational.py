@@ -1037,3 +1037,83 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@register(
+    "agg_listagg_sorted",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("agg", "listagg"),
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP == DuckDB
+    string_agg ORDER BY). The explicit ORDER BY inside the aggregate is
+    what makes concatenation deterministic across engines and across
+    partitionings — unordered listagg output is partition-order noise."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).createOrReplaceTempView(
+        "_nations_regions"
+    )
+    return spark.sql(
+        "SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations "
+        "FROM _nations_regions GROUP BY r_name"
+    )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_min(c_name, c_acctbal + c_custkey * 0.000000001) AS poorest,
+           arg_max(c_name, c_acctbal + c_custkey * 0.000000001) AS richest,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "argminmax"),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax aggregates): the customer holding
+    the extreme balance per segment, without a join-back or window.
+    The ordering key is perturbed by custkey*1e-9 — identical double
+    arithmetic on both engines — because balances DO tie and a tied
+    arg_min picks an arbitrary row on either engine."""
+    key = F.col("c_acctbal") + F.col("c_custkey") * F.lit(0.000000001)
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min_by("c_name", key).alias("poorest"),
+            F.max_by("c_name", key).alias("richest"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "rank"),
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank, cume_dist) over a
+    UNIQUE ordering tuple — (rank-1)/(n-1) on identical integer inputs
+    is the same double on both engines."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
