@@ -108,17 +108,20 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       info.brand                       AS brand,
       info.size                        AS size,
       concat(info.brand, '/', info.type) AS brand_type,
-      list_sort(['brand=' || vals[1], 'type=' || vals[2], 'size=' || vals[3]])
-        AS kv_pairs
+      array_to_string(
+        list_sort(['brand=' || vals[1], 'type=' || vals[2], 'size=' || vals[3]]), ','
+      ) AS kv_pairs
     FROM t
     """,
     tags=("scalar", "map", "struct"),
 )
 def scalar_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct construction + field access, and a string-keyed map built
-    with ``create_map`` rendered to a sorted ``k=v`` array (the
-    engine-portable canonical form — map iteration order is undefined
-    in both engines, entry SETS are what must match)."""
+    with ``create_map`` rendered to a comma-joined sorted ``k=v``
+    string (the engine-portable canonical form — map iteration order
+    is undefined in both engines, entry SETS are what must match, and
+    the final column must be a plain string: array-typed output crashes
+    pandas-based result canonicalizers)."""
     part = _t(spark, sf_dir, "part")
     info = F.struct(
         F.col("p_brand").alias("brand"), F.col("p_type").alias("type"), F.col("p_size").alias("size")
@@ -137,8 +140,11 @@ def scalar_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.brand").alias("brand"),
         F.col("info.size").alias("size"),
         F.concat_ws("/", "info.brand", "info.type").alias("brand_type"),
-        F.array_sort(
-            F.transform(F.map_entries("m"), lambda e: F.concat_ws("=", e.key, e.value))
+        F.array_join(
+            F.array_sort(
+                F.transform(F.map_entries("m"), lambda e: F.concat_ws("=", e.key, e.value))
+            ),
+            ",",
         ).alias("kv_pairs"),
     )
 

@@ -74,10 +74,10 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id,
         ts,
         value,
-        sum(new_session) OVER (
+        CAST(sum(new_session) OVER (
           PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_id
+        ) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from ceneton_database_tools_spark import operators as ops
-from tests.oracle_harness import compare, duck_con
+from tests.oracle_harness import compare, compare_driver_canon, duck_con
 
 _NAMES = sorted(ops.QUERIES)
 
@@ -31,4 +31,5 @@ def test_query_matches_oracle(spark, sf_correct, con, name):
         assert rows >= 0
         return
     problems = compare(df, con, spec.oracle)
+    problems += compare_driver_canon(df, con, spec.oracle)
     assert not problems, f"{name}:\n" + "\n".join(problems)

@@ -10,6 +10,9 @@ import sqlite3
 import glob
 import hashlib
 import os
+import subprocess
+import sys
+from pathlib import Path
 
 import pytest
 
@@ -161,6 +164,24 @@ def test_cli_dump_headers(capsys):
     assert "Aantal bedr.,aantal_bedr_" in out
     assert "Enschedé,enschedé" in out
     assert len(out) == 9
+
+
+def test_cli_packaging_entry_point():
+    """pyproject declares ct-db → cli:main (reference pyproject.toml:21-22),
+    and `python -m ceneton_database_tools_spark` dispatches to the same main."""
+    import tomllib
+
+    root = Path(__file__).resolve().parent.parent
+    with open(root / "pyproject.toml", "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["scripts"]["ct-db"] == "ceneton_database_tools_spark.cli:main"
+    out = subprocess.run(
+        [sys.executable, "-m", "ceneton_database_tools_spark", "dump_headers", BASIC],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    assert out.stdout.startswith("original_name,clean_name")
 
 
 def test_cli_to_json_stdout(spark, capsys):
