@@ -55,6 +55,13 @@ def main() -> int:
     # FMP-XML parse throughput on a reference-shaped export (12,500
     # records × 126 TEXT columns — the dataset scale in BASELINE.md;
     # the reference's only published figure is ≈5,234 rec/s there).
+    # Release the dedup family's shared persisted signature tables —
+    # the bench session is long-lived enough for leaked cache blocks
+    # to distort later queries' memory headroom.
+    from ceneton_database_tools_spark.operators.dedup import release_persisted
+
+    release_persisted()
+
     fmp_rate, fmp_sec = _bench_fmp_parse(spark)
     timings["fmp_parse"] = fmp_sec
 

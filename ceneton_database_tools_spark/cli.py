@@ -54,10 +54,16 @@ def cmd_print(args: argparse.Namespace) -> int:
     from ceneton_database_tools_spark.session import get_spark
     from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
 
+    from ceneton_database_tools_spark.progress import stage_progress
+
     schema = _parse_header(args.file_path)
     print(f"Parsing {schema.record_count} records from {schema.name}")
     spark = get_spark(app_name="ct-db-print")
-    n = read_fmp_xml_df(spark, args.file_path).count()
+    # tqdm-parity progress (reference _cli.py:77-80): the count runs
+    # distributed, so the bar tracks task completion via the status
+    # tracker, scaled to the header's declared record count.
+    with stage_progress(spark, schema.record_count):
+        n = read_fmp_xml_df(spark, args.file_path).count()
     if n != schema.record_count:
         print(f"warning: parsed {n} records, header declared {schema.record_count}")
     print("Done")
@@ -66,16 +72,22 @@ def cmd_print(args: argparse.Namespace) -> int:
 
 def cmd_to_json(args: argparse.Namespace) -> int:
     """JSONL to stdout (reference byte parity) or --output dir (distributed)."""
+    from ceneton_database_tools_spark.progress import progress, stage_progress
     from ceneton_database_tools_spark.session import get_spark
     from ceneton_database_tools_spark.sinks.jsonl import iter_jsonl, write_jsonl
     from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
 
+    schema = _parse_header(args.file_path)
     spark = get_spark(app_name="ct-db-to-json")
     df = read_fmp_xml_df(spark, args.file_path)
     if args.output:
-        write_jsonl(df, args.output)
+        with stage_progress(spark, schema.record_count):
+            write_jsonl(df, args.output)
     else:
-        for line in iter_jsonl(df):
+        # Exact reference shape (_cli.py:77-83): the driver-streamed
+        # record iterator wrapped in a record-count-total progress bar
+        # (stderr), JSONL on stdout.
+        for line in progress(iter_jsonl(df), total=schema.record_count):
             print(line)
     return 0
 

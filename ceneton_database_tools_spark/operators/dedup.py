@@ -56,6 +56,38 @@ TWIN_OFFSET = 1_000_000
 
 _ODD_NIBBLES = "('1','3','5','7','9','b','d','f')"
 
+# ---------------------------------------------------------------------------
+# Shared persisted intermediates
+# ---------------------------------------------------------------------------
+
+_PERSISTED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared_persist(spark: SparkSession, name: str, sf_dir: str, build) -> DataFrame:
+    """One persisted copy of an intermediate per (application, name, sf).
+
+    Multi-query driver runs invoke the dedup family repeatedly (gate
+    sampling, bench best-of-two, ``dedup_clusters`` re-deriving the
+    MinHash pair graph): a bare ``.persist()`` per invocation stacks a
+    new cached copy each time and none is ever released. Memoizing per
+    key bounds the cache to one copy per signature table, and
+    :func:`release_persisted` drops them all (bench and the test
+    session call it when a phase ends)."""
+    key = (spark.sparkContext.applicationId, name, sf_dir)
+    if key not in _PERSISTED:
+        _PERSISTED[key] = build().persist()
+    return _PERSISTED[key]
+
+
+def release_persisted() -> None:
+    """Unpersist every shared dedup intermediate (idempotent)."""
+    for df in _PERSISTED.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _PERSISTED.clear()
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -219,9 +251,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hashed shingle sets (60-bit ints mod P) are the stored form —
     # signatures AND Jaccard verification both read them, so the
     # verify join ships small int arrays instead of string shingles.
-    based = shingled.select(
-        "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
-    ).persist()
+    based = _shared_persist(
+        spark,
+        "minhash_base",
+        sf_dir,
+        lambda: shingled.select(
+            "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
+        ),
+    )
     sigs = based.select(
         "doc_id", *[F.expr(T.spark_minhash_cw(j)).alias(f"h{j}") for j in range(NUM_HASHES)]
     )
@@ -339,7 +376,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexed = shingled.select("doc_id", F.expr(_SPARK_HEX).alias("hx"))
     bits = F.concat(*[F.expr(_simhash_bit_spark(j)) for j in range(SIMHASH_BITS)])
     # signature table reused by blocks + both verify joins → compute once
-    hashes = hexed.select("doc_id", bits.alias("simhash")).persist()
+    hashes = _shared_persist(
+        spark,
+        "simhash_sigs",
+        sf_dir,
+        lambda: hexed.select("doc_id", bits.alias("simhash")),
+    )
     block_len = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = hashes.select(
         "doc_id",
@@ -543,11 +585,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same components with a recursive CTE.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = _shared_persist(
+        spark,
+        "cluster_edges",
+        sf_dir,
+        lambda: pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .distinct()
-        .persist()
+        .distinct(),
     )
     labels = edges.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v"))
     while True:

@@ -12,14 +12,16 @@ that plumbing end-to-end:
   md5 over utf-8 bytes is identical in both engines.
 * ``multimodal_binaryfile_scan`` — the real ``binaryFile`` source over
   the parquet files themselves (path, length, sha256 of content).
-  DuckDB cannot hash raw blobs, so the gate is rows-only; the pytest
-  suite verifies the sha256 values against hashlib ground truth.
+  DuckDB v1.0.0 cannot hash raw blobs (md5/sha256 are VARCHAR-only),
+  so the gate is rows-only; the pytest suite verifies the sha256
+  values against hashlib ground truth.
 * ``multimodal_feature_extract`` — Arrow-batched ``mapInPandas``
   "decoder". The image/audio libraries are not in this container, so
   the decode is a deterministic fake (header-byte arithmetic); the
   Spark-side contract — schema, batch iteration, partitioning — is
-  real and tested. ``decode_image_real`` marks where a real decoder
-  plugs in.
+  real and tested, and the byte arithmetic is oracle-checked via
+  DuckDB ``hex(encode(text))``. ``decode_image_real`` marks where a
+  real decoder plugs in.
 
 The reference (kws/ceneton-database-tools) has no binary handling; its
 closest analogue is the file-level sha256 in ``_cli.py:146-150``,
@@ -79,7 +81,14 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_binaryfile_scan",
-    oracle=None,  # DuckDB cannot hash raw blobs; pytest checks sha256 vs hashlib
+    # PERMANENTLY no_oracle: this container's DuckDB (v1.0.0) types both
+    # md5() and sha256() as VARCHAR-only — raw blobs from read_blob()
+    # cannot be hashed at all (verified: `sha256(content)` and
+    # `md5(content)` both raise Binder Error), and parquet bytes are not
+    # valid UTF-8 so no VARCHAR detour exists. The pytest suite instead
+    # checks every sha256 value against hashlib ground truth
+    # (tests/test_multimodal.py).
+    oracle=None,
     tags=("multimodal", "binary", "source", "llm-pipeline"),
 )
 def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,7 +164,30 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # mapInPandas decode path; pytest asserts exact values
+    # The fake decode is header-byte arithmetic over the utf-8 payload,
+    # which IS SQL-expressible: hex(encode(text)) exposes the bytes and
+    # '0x..'::INT parses each pair, replicating _decode_fake exactly.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             hex(encode(text))          AS h,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      CAST(nb AS BIGINT) AS n_bytes,
+      CAST(CASE WHEN nb = 0 THEN 0 ELSE
+        ('0x' || substr(h, 1, 2))::INT * 256 +
+        CASE WHEN nb > 1 THEN ('0x' || substr(h, 3, 2))::INT ELSE 0 END
+      END AS BIGINT) AS fake_width,
+      CAST(CASE WHEN nb = 0 THEN 0 ELSE
+        CASE WHEN nb > 2 THEN ('0x' || substr(h, 5, 2))::INT ELSE 0 END * 256 +
+        CASE WHEN nb > 3 THEN ('0x' || substr(h, 7, 2))::INT ELSE 0 END
+      END AS BIGINT) AS fake_height,
+      CAST(CASE WHEN nb = 0 THEN 0 ELSE nb % 16 + 1 END AS BIGINT) AS n_frames
+    FROM t
+    """,
     tags=("multimodal", "pandas-udf", "llm-pipeline"),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

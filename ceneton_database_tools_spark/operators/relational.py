@@ -355,10 +355,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with region filter.
 
-    Scale posture: region/nation/supplier broadcast (fixed-size or
-    tiny); the only large shuffle is lineitem⋈orders⋈customer on the
-    order/customer keys. Catalyst pushes the region filter through the
-    broadcast chain so non-ASIA suppliers never reach the probe side.
+    Scale posture: region/nation broadcast (fixed-size: 5 and 25 rows
+    at every SF). supplier SCALES with SF, so it carries no hint — AQE
+    broadcasts it while it fits under the threshold and degrades to a
+    shuffle join instead of OOMing at 100×. The only large shuffle is
+    lineitem⋈orders⋈customer on the order/customer keys. Catalyst
+    pushes the region filter through the broadcast chain so non-ASIA
+    suppliers never reach the probe side.
     """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -373,7 +376,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)

@@ -148,10 +148,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency per term, idf = ln(N/df), top-5 terms per document.
 
     Scale shape: two partial-aggregated shuffles over the token
-    stream; the (token → idf) table is vocabulary-sized and broadcasts
-    back onto term counts. The ``HashingTF + IDF`` ML pipeline is the
-    fixed-width-vector alternative when downstream wants features, not
-    rankings."""
+    stream. The (token → idf) table grows with the corpus vocabulary,
+    so it carries NO broadcast hint — AQE broadcasts it while small and
+    falls back to a shuffle join at web-corpus vocabulary sizes. The
+    single-row n_docs aggregate is always broadcast-safe. The
+    ``HashingTF + IDF`` ML pipeline is the fixed-width-vector
+    alternative when downstream wants features, not rankings."""
     toks = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < TFIDF_DOCS)
@@ -161,7 +163,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
     n_docs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -229,15 +229,19 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 token frequencies. Explode → partial-agg map-side
-    → single small final aggregation; the rank window runs over ≤
-    |vocabulary| rows. (Whitespace tokenizer; a BPE-style regex
-    tokenizer drops in by swapping the split pattern.)"""
+    → ``orderBy().limit(k)``, which plans as TakeOrderedAndProject:
+    each partition keeps only its local top-k and the driver merges k
+    rows per partition — no global-window single-partition funnel even
+    at web-corpus vocabulary sizes. The rank is then computed over the
+    ≤ k survivors (that window IS bounded, so its single partition is
+    fine). (Whitespace tokenizer; a BPE-style regex tokenizer drops in
+    by swapping the split pattern.)"""
     toks = _with_tokens(_docs(spark, sf_dir)).select(F.explode("w").alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("token")).limit(TOP_TOKENS)
     w = W.orderBy(F.col("n").desc(), F.col("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_TOKENS)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("token", "n", "rank")
     )
 

@@ -77,16 +77,23 @@ def build_metadata_rows(
 ) -> list[tuple[str, str, str]]:
     """The KV rows the reference writes (``sql.py:96-120``):
     created_at / source_schema_name / record_count, then user pairs
-    (the CLI adds source_url / source_sha256 into ``db_metadata``)."""
+    (the CLI adds source_url / source_sha256 into ``db_metadata``).
+
+    Byte parity for the ``created_at`` COLUMN: the reference binds a
+    datetime through SQLAlchemy's sqlite DATETIME, which renders
+    ``YYYY-MM-DD HH:MM:SS.ffffff`` (no timezone); only the
+    ``created_at`` KV *value* is the ISO-8601 string
+    (``value=creation_time.isoformat()``, ``sql.py:98-102``)."""
     now = created_at or datetime.datetime.now(datetime.timezone.utc)
-    ts = now.isoformat()
+    ts_value = now.isoformat()
+    ts_col = now.strftime("%Y-%m-%d %H:%M:%S.%f")
     rows = [
-        ("created_at", ts, ts),
-        ("source_schema_name", schema_name, ts),
-        ("record_count", str(record_count), ts),
+        ("created_at", ts_value, ts_col),
+        ("source_schema_name", schema_name, ts_col),
+        ("record_count", str(record_count), ts_col),
     ]
     for key, value in (db_metadata or {}).items():
-        rows.append((key, str(value), ts))
+        rows.append((key, str(value), ts_col))
     return rows
 
 

@@ -66,8 +66,16 @@ def _local_tag(tag: object) -> str:
     return str(tag)
 
 
+#: TYPE values the reference's ``FMPFieldType`` enum accepts
+#: (``fmp_reader.py:32-34``); anything else raises there
+#: (``FMPFieldType[elem.attrib["TYPE"]]``, ``fmp_reader.py:133``).
+KNOWN_FMP_TYPES = frozenset({"TEXT", "NUMBER"})
+
+
 def parse_fmp_header(
-    stream: IO[bytes], header_strategy: HeaderStrategy = default_header_strategy
+    stream: IO[bytes],
+    header_strategy: HeaderStrategy = default_header_strategy,
+    strict_types: bool = False,
 ) -> FMPSchema:
     """Parse only the export header and return the FMPSchema.
 
@@ -75,6 +83,13 @@ def parse_fmp_header(
     schema inference costs a few KB of parsing regardless of file size
     (the property the reference's dump_headers relies on,
     ``_cli.py:44-48``).
+
+    ``strict_types=True`` reproduces the reference's behavior of
+    raising on a TYPE outside {TEXT, NUMBER} (``fmp_reader.py:133``).
+    The default is a DOCUMENTED deviation: unknown TYPEs degrade to
+    TEXT (every cell is a string at parse time anyway), so an export
+    from a newer FMP version still loads instead of failing on a
+    metadata attribute.
     """
     from xml.etree.ElementTree import iterparse
 
@@ -88,12 +103,20 @@ def parse_fmp_header(
             header_attrs.update(elem.attrib)
             database_count = int(elem.attrib["RECORDS"])
         elif event == "end" and tag == "FIELD":
+            fmp_type = elem.attrib.get("TYPE", "TEXT")
+            if strict_types and fmp_type not in KNOWN_FMP_TYPES:
+                raise ValueError(
+                    f"unknown FMP field TYPE {fmp_type!r} for field "
+                    f"{elem.attrib.get('NAME', '?')!r}; known: "
+                    f"{sorted(KNOWN_FMP_TYPES)} (strict_types=True reproduces "
+                    "the reference's FMPFieldType[...] KeyError)"
+                )
             fields.append(
                 FMPField(
                     name=elem.attrib["NAME"],
                     empty_ok=elem.attrib.get("EMPTYOK") == "YES",
                     max_repeat=int(elem.attrib.get("MAXREPEAT", "1")),
-                    fmp_type=elem.attrib.get("TYPE", "TEXT"),
+                    fmp_type=fmp_type,
                 )
             )
         elif event == "start" and tag == "RESULTSET":
@@ -273,6 +296,15 @@ def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats: str) -> tuple:
         if body is None:  # <COL/>
             values.append(None)
             continue
+        # Contract: any structural surprise raises FMPFastPathError so
+        # the strict ET parser decides. A COL body must be DATA elements
+        # plus whitespace — CDATA sections, comments, or stray markup
+        # would otherwise be captured as raw cell text.
+        leftover = _DATA_RE.sub("", body)
+        if leftover.strip():
+            raise FMPFastPathError(
+                f"COL body contains non-DATA markup: {leftover.strip()[:60]!r}"
+            )
         datas = _DATA_RE.findall(body)
         if len(datas) == 1:
             values.append(_norm_text(datas[0]))

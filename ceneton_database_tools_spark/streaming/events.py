@@ -53,7 +53,14 @@ def _as_stream_dir(path: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"ceneton_stream_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows the link, so a DANGLING
+    # symlink from a prior run (fixture recreated elsewhere) reads as
+    # absent and the re-symlink raises FileExistsError.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(path):
+            os.unlink(link)
+            os.symlink(path, link)
+    else:
         os.symlink(path, link)
     return d
 
@@ -77,7 +84,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming aggregation to completion over all available
     input (availableNow trigger) into a memory sink; return the final
-    result as a batch DataFrame."""
+    result as a batch DataFrame.
+
+    The memory-sink table is driver-resident by definition, so the
+    result is snapshotted into a fresh local DataFrame and the
+    uuid-named sink view is dropped immediately — otherwise repeated
+    gate/bench runs in one session accumulate complete-mode result
+    tables in driver memory for the session's lifetime. (Streaming
+    aggregation outputs are bounded — windows × keys — so the snapshot
+    is not a large-data collect.)"""
+    spark = sdf.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     query = (
         sdf.writeStream.format("memory")
@@ -87,7 +103,11 @@ def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFr
         .start()
     )
     query.awaitTermination()
-    return sdf.sparkSession.table(name)
+    result = spark.table(name)
+    out = spark.createDataFrame(result.collect(), schema=result.schema)
+    spark.catalog.dropTempView(name)
+    query.stop()
+    return out
 
 
 # ---------------------------------------------------------------------------

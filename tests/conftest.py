@@ -15,6 +15,9 @@ def spark():
     # match the gate or parallelism-dependent nondeterminism hides.
     spark = get_spark(app_name="tests", cpus=32)
     yield spark
+    from ceneton_database_tools_spark.operators.dedup import release_persisted
+
+    release_persisted()
     spark.stop()
 
 

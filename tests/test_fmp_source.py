@@ -95,6 +95,23 @@ def test_header_schema_and_metadata():
     assert st["enschedé"].metadata["original_name"] == "Enschedé"
 
 
+def test_unknown_field_type_lenient_default_and_strict_raise():
+    """Reference parity gate on TYPE: strict mode reproduces
+    FMPFieldType[...] raising on unknown TYPEs (fmp_reader.py:133);
+    the lenient default degrades to TEXT (documented deviation)."""
+    import io
+
+    xml = (
+        open(BASIC, "rb").read().replace(b'TYPE="TEXT"', b'TYPE="BLOB"', 1)
+    )
+    schema = parse_fmp_header(io.BytesIO(xml))
+    assert schema.fields[0].fmp_type == "BLOB"  # kept as metadata, parsed as text
+    with pytest.raises(ValueError, match="unknown FMP field TYPE 'BLOB'"):
+        parse_fmp_header(io.BytesIO(xml), strict_types=True)
+    with open(BASIC, "rb") as f:  # known TYPEs pass strict mode
+        assert parse_fmp_header(f, strict_types=True).record_count == 4
+
+
 def test_record_count_mismatch_warns(caplog):
     with caplog.at_level(logging.WARNING), open(EDGES, "rb") as f:
         schema = parse_fmp_header(f)
@@ -130,6 +147,26 @@ def test_read_fmp_xml_schema_then_rows():
     assert rows[2][1] is None
     # row 4: unicode values intact
     assert rows[3][2] == "Trijntje Cornelis, 'n klucht mét ongewone tékens"
+
+
+def test_slow_path_rejects_non_data_markup_in_col():
+    """Contract: any structural surprise in a COL body raises
+    FMPFastPathError so the strict ET parser decides — a comment or
+    CDATA wrapper must not be silently captured as cell text."""
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        FMPFastPathError,
+        _parse_row_chunk_slow,
+    )
+
+    ok = "<COL><DATA>a</DATA></COL><COL><DATA>b</DATA><DATA>c</DATA></COL>"
+    assert _parse_row_chunk_slow(ok, 2, "join") == ("a", "b\x1dc")
+    for bad in (
+        "<COL><!-- x --><DATA>a</DATA></COL><COL><DATA>b</DATA></COL>",
+        "<COL><![CDATA[raw]]></COL><COL><DATA>b</DATA></COL>",
+        "<COL><SPAN>a</SPAN></COL><COL><DATA>b</DATA></COL>",
+    ):
+        with pytest.raises(FMPFastPathError, match="non-DATA markup"):
+            _parse_row_chunk_slow(bad, 2, "join")
 
 
 def test_repeating_field_error_and_join():

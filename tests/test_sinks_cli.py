@@ -186,16 +186,21 @@ def test_cli_packaging_entry_point():
 
 def test_cli_to_json_stdout(spark, capsys):
     assert main(["to_json", BASIC]) == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    captured = capsys.readouterr()
+    lines = [json.loads(l) for l in captured.out.strip().splitlines()]
     assert len(lines) == 4
     assert all(list(r) == BASIC_CLEAN for r in lines)
+    # tqdm-parity progress on stderr (reference _cli.py:77-83), with the
+    # header count as the bar total; JSONL on stdout stays clean.
+    assert "records: 4/4 100%" in captured.err
 
 
 def test_cli_print(spark, capsys):
     assert main(["print", BASIC]) == 0
-    out = capsys.readouterr().out
-    assert "Parsing 4 records from Ceneton.fmp12" in out
-    assert "Done" in out
+    captured = capsys.readouterr()
+    assert "Parsing 4 records from Ceneton.fmp12" in captured.out
+    assert "Done" in captured.out
+    assert "records: 4/4 100%" in captured.err
 
 
 def test_cli_create_db(spark, tmp_path):
