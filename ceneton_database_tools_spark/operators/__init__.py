@@ -14,6 +14,7 @@ from ceneton_database_tools_spark.operators import (  # noqa: F401
     scale,
     similarity,
     text,
+    tpch_extra,
 )
 from ceneton_database_tools_spark.streaming import events as streaming_events  # noqa: F401
 from ceneton_database_tools_spark.operators.registry import (  # noqa: F401

@@ -417,6 +417,122 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard dedup (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+    WITH toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
+    shingled AS (SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks),
+    based AS (SELECT doc_id, list_distinct({T.DUCK_HASH_BASE}) AS ba FROM shingled),
+    grams AS (SELECT doc_id, unnest(ba) AS g FROM based),
+    dfreq AS (SELECT g, count(*) AS dfreq FROM grams GROUP BY g),
+    gsorted AS (
+      SELECT doc_id, list(g ORDER BY dfreq, g) AS gs
+      FROM grams JOIN dfreq USING (g) GROUP BY doc_id
+    ),
+    pref AS (
+      SELECT doc_id,
+             unnest(list_slice(gs, 1,
+               greatest(len(gs) - CAST(ceil({JACCARD_THRESHOLD} * len(gs)) AS INT) + 1, 1)
+             )) AS g
+      FROM gsorted
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT
+      c.doc_a,
+      c.doc_b,
+      round(len(list_intersect(sa.ba, sb.ba))::DOUBLE /
+            (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba))), 6) AS jaccard
+    FROM cand c
+    JOIN based sa ON sa.doc_id = c.doc_a
+    JOIN based sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.ba, sb.ba))::DOUBLE /
+          (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba))) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_ngram_jaccard_oracle(),
+    tags=("dedup", "jaccard", "llm-pipeline"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram (word-bigram) Jaccard near-dup pairs via prefix
+    filtering — the no-false-negative counterpart to MinHash-LSH
+    (which is probabilistic and can miss pairs).
+
+    Prefix-filter invariant (PPJoin family): sort each document's
+    distinct gram set in a GLOBAL canonical order (ascending document
+    frequency, ties by gram value — rarest first), keep the first
+    ``n - ceil(t·n) + 1`` grams; any pair with Jaccard ≥ t must share
+    at least one prefix gram, so the candidate equi-join on prefix
+    grams finds every qualifying pair without an all-pairs scan. The
+    rarest-first order keeps prefix-gram postings short, so the
+    candidate join stays near-linear at corpus scale (at the typical
+    production thresholds of 0.8-0.9 the prefix shrinks to a few grams
+    per document). Exact Jaccard over the hashed shingle sets verifies
+    candidates — same verify join as MinHash, shipping int arrays.
+
+    The gram sort key (dfreq, gram) is computed identically on both
+    engines — exact counts and 60-bit ints — so the candidate SET, not
+    just the final pairs, is deterministic cross-engine.
+    """
+    shingled = _near_corpus_tokens(spark, sf_dir).select(
+        "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
+    )
+    based = _shared_persist(
+        spark,
+        "minhash_base",  # same table the MinHash pipeline materializes
+        sf_dir,
+        lambda: shingled.select(
+            "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
+        ),
+    )
+    grams = based.select("doc_id", F.explode("ba").alias("g"))
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("dfreq"))
+    gsorted = (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfreq", "g"))).alias("gst"))
+        .select("doc_id", F.expr("transform(gst, x -> x.g)").alias("gs"))
+    )
+    pref = gsorted.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"slice(gs, 1, greatest(size(gs) - "
+                f"CAST(ceil({JACCARD_THRESHOLD} * size(gs)) AS INT) + 1, 1))"
+            )
+        ).alias("g"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = based.select(F.col("doc_id").alias("doc_a"), F.col("ba").alias("ba_a"))
+    sb = based.select(F.col("doc_id").alias("doc_b"), F.col("ba").alias("ba_b"))
+    inter = F.size(F.array_intersect("ba_a", "ba_b")).cast("double")
+    union = F.size("ba_a") + F.size("ba_b") - F.size(F.array_intersect("ba_a", "ba_b"))
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
