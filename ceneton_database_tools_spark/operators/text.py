@@ -80,6 +80,70 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex
+# ---------------------------------------------------------------------------
+
+# BPE-style pre-tokenization classes (GPT-2-ish, simplified to the
+# RE2/Java-common subset): letter runs, digit runs, punctuation runs.
+# Splitting digits and punctuation away from words is what makes BPE
+# counts diverge from whitespace counts — the divergence ratio is the
+# interesting per-doc statistic for budgeting token costs.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {T.DUCK_TOKENS} AS w,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS bpe
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT)   AS n_ws_tokens,
+           CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(bpe, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT)
+             AS n_word,
+           CAST(len(list_filter(bpe, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT)
+             AS n_number,
+           CAST(len(bpe)
+                - len(list_filter(bpe, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                - len(list_filter(bpe, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT)
+             AS n_punct,
+           round(len(bpe)::DOUBLE / len(w), 4) AS bpe_per_ws
+    FROM t
+    """,
+    tags=("text", "tokens", "llm-pipeline"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace split AND a BPE-style
+    pre-tokenizer regex (letter runs / digit runs / punctuation runs —
+    the class structure BPE vocabularies are trained over). Pure
+    map-side JVM regex work per document, no shuffle at all; the
+    per-class counts are array filters over the one extraction pass.
+    ``bpe_per_ws`` is the per-doc expansion factor a token-budget
+    planner needs when converting corpus word counts to model tokens.
+    """
+    docs = _with_tokens(_docs(spark, sf_dir))
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    n_word = F.size(F.filter("bpe", lambda x: x.rlike("^[A-Za-z]+$")))
+    n_number = F.size(F.filter("bpe", lambda x: x.rlike("^[0-9]+$")))
+    return (
+        docs.withColumn("bpe", bpe)
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_ws_tokens"),
+            F.size("bpe").cast("long").alias("n_bpe_tokens"),
+            n_word.cast("long").alias("n_word"),
+            n_number.cast("long").alias("n_number"),
+            (F.size("bpe") - n_word - n_number).cast("long").alias("n_punct"),
+            F.round(F.size("bpe").cast("double") / F.size("w"), 4).alias("bpe_per_ws"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------
 
