@@ -220,6 +220,82 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT a.event_id AS view_event,
+           b.event_id AS purchase_event,
+           a.user_id,
+           CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT)
+             AS secs_to_purchase,
+           round(b.value, 2) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to the purchases the same
+    user makes within the next 2 hours — the attribution-join shape.
+
+    Both sides carry watermarks and the join condition includes the
+    event-time range, which is what lets Spark BOUND the join state: a
+    buffered view can be dropped once the purchase-side watermark
+    passes ``view.ts + 2h`` (without the range the state grows forever).
+    The run-to-completion harness replays everything in one batch, so
+    the emitted set equals the batch join the oracle runs — the
+    determinism argument the whole streaming family relies on.
+
+    Scale shape: the stream-stream join shuffles both sides on user_id
+    into co-located state stores; state per key is bounded by the 2-hour
+    window × per-user event rate.
+    """
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    return run_stream_to_batch(joined, output_mode="append").select(
+        "view_event",
+        "purchase_event",
+        F.col("v_user").alias("user_id"),
+        F.expr("(unix_micros(pts) - unix_micros(vts)) div 1000000")
+        .cast("long")
+        .alias("secs_to_purchase"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 
