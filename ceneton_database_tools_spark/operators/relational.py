@@ -651,6 +651,94 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      first_value(o_orderkey) OVER w AS first_orderkey,
+      last_value(o_orderkey) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS last_orderkey,
+      nth_value(o_orderkey, 2) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS second_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "navigation"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value navigation. The gotcha this
+    query pins down: the DEFAULT window frame is ``RANGE BETWEEN
+    UNBOUNDED PRECEDING AND CURRENT ROW``, under which last_value and
+    nth_value see only the prefix — both engines need the explicit
+    full-partition ROWS frame for the intuitive "last/2nd of the whole
+    partition" semantics (first_value is prefix-stable, so its default
+    frame is fine). Ordering is the unique (date, orderkey) tuple so
+    ties can't reassign values between engines."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w_full).alias("last_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_orderkey"),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      o.o_orderkey IS NOT DISTINCT FROM NULL      AS no_order,
+      coalesce(o.o_totalprice, 0.0)               AS price_or_zero,
+      nullif(c.c_mktsegment, 'BUILDING')          AS seg_nullified,
+      CASE WHEN o.o_orderkey IS NULL THEN 'none'
+           WHEN o.o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, min(o_orderkey) AS o_orderkey,
+             round(min(o_totalprice), 2) AS o_totalprice
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("scalar", "null"),
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics pinned cross-engine: null-safe equality
+    (Spark ``<=>`` == SQL ``IS NOT DISTINCT FROM``), ``coalesce``,
+    ``nullif``, and CASE's null-branch ordering — exercised through a
+    LEFT JOIN that actually produces NULL rows (order-less customers).
+    The joined side is pre-aggregated to one row per customer so the
+    outer join can't fan out."""
+    cust = _t(spark, sf_dir, "customer")
+    first_order = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.round(F.min("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+    joined = cust.join(first_order, cust.c_custkey == first_order.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.col("o_orderkey").eqNullSafe(F.lit(None)).alias("no_order"),
+        F.coalesce("o_totalprice", F.lit(0.0)).alias("price_or_zero"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
+        F.when(F.col("o_orderkey").isNull(), "none")
+        .when(F.col("o_totalprice") > 100000, "big")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+@register(
     "window_rank_dense_ntile",
     oracle="""
     SELECT

@@ -116,6 +116,52 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scale_hash_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 90
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    )
+    SELECT split,
+           count(*)                AS n_docs,
+           round(avg(n_chars), 2)  AS avg_chars,
+           min(doc_id)             AS min_doc_id
+    FROM tagged
+    GROUP BY split
+    """,
+    tags=("sample", "split", "scale", "llm-pipeline"),
+)
+def scale_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split via content hashing — the
+    reproducible-sampling pattern a training pipeline needs instead of
+    ``rand()``/``sample()`` (whose assignment changes with partitioning,
+    retries, and engine): a document's split is a pure function of its
+    id (first 32 md5 bits mod 100), so reruns, backfills, and a DuckDB
+    oracle all agree row-for-row. Map-side only; the aggregate here just
+    summarizes the two buckets. The same predicate works as a
+    WHERE-clause sampler at any rate (``< 10`` → 10% sample).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < 90, F.lit("train")).otherwise(F.lit("holdout"))
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
     "text_tfidf_topk",
     oracle=f"""
     WITH toks AS (

@@ -32,7 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ceneton_database_tools_spark.catalog import table_path
+from ceneton_database_tools_spark.catalog import load_table, table_path
 from ceneton_database_tools_spark.operators.registry import register
 
 SESSION_GAP = "30 minutes"
@@ -293,6 +293,82 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("secs_to_purchase"),
         F.round("p_value", 2).alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join + streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream joined to the
+    BATCH customer dimension, then aggregated by segment — the
+    dimension-lookup shape every production stream pipeline has. The
+    static side is re-read per micro-batch (so slowly-changing
+    dimensions pick up updates); no watermark is needed on the static
+    side and the stream side only needs one for the aggregation state.
+    The batch twin is events_user_activity_join; this verifies the
+    STREAMING execution path against the same relational semantics.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_stream_to_batch(agg)
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the stream unioned with ITSELF (every event
+    arrives twice — the at-least-once delivery failure mode), then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses replays
+    before a downstream aggregation. The oracle aggregates the ORIGINAL
+    events — equality holds only if the dedup actually removed every
+    duplicate.
+
+    Scale shape: dedup state is keyed by event_id and EVICTED once the
+    watermark passes the event's time — without the watermark bound the
+    key set grows with the stream's lifetime, which is the classic
+    streaming-dedup OOM. (availableNow replays everything in one batch,
+    so eviction isn't exercised here — the bound is the documented
+    contract, the collapse is what the oracle verifies.)
+    """
+    ev = events_stream(spark, sf_dir)
+    doubled = ev.unionByName(events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_stream_to_batch(deduped)
 
 
 # ---------------------------------------------------------------------------
