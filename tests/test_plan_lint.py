@@ -1,0 +1,69 @@
+"""Registry-wide physical-plan lint: the 100 TB scale rules, enforced.
+
+Every registered batch query's executed plan is checked for the two
+plan shapes that are silent correctness-at-scale killers:
+
+* ``CartesianProduct`` — an unconditioned all-pairs join; O(n·m) rows
+  at any scale factor. (The intentional tiny cross joins — region ×
+  nation demos, single-row aggregate broadcasts — plan as
+  ``BroadcastNestedLoopJoin`` with a bounded build side, which is
+  allowed.)
+* ``Exchange SinglePartition`` — the whole dataset funneling through
+  one task (the unpartitioned-window / global-sort shape). One shape is
+  exempt by inspection: the FINAL stage of a global aggregation, whose
+  child is a ``partial_``-function aggregate — it moves one partial row
+  per upstream partition, bounded by cluster width, not data size
+  (q6/q14-style single-row results require it). Bounded post-limit
+  windows plan as TakeOrderedAndProject and do NOT hit this; as of
+  round 3 the registry contains ZERO unexempted single-partition
+  exchanges, and this test keeps it that way. Add a query name to the
+  allowlist ONLY with a comment proving the single partition is
+  bounded.
+
+Streaming queries are skipped: their plans materialize inside the
+run-to-completion sink harness, and their scale posture (watermarks,
+state bounds) is documented and tested in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ceneton_database_tools_spark import operators as ops
+
+SF_PLAN = "/root/testdata/sf0.001"  # plans only, never executed
+
+SINGLE_PARTITION_ALLOWLIST: set[str] = set()
+
+_BATCH_NAMES = sorted(
+    name
+    for name, spec in ops.QUERIES.items()
+    if "streaming" not in spec.tags and not name.startswith("streaming")
+)
+
+
+def _unexempt_single_partition_exchanges(plan: str) -> list[str]:
+    """Single-partition exchanges whose child is NOT a partial aggregate
+    (those move whole data, not per-partition partial rows)."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "partial_" not in child:
+            bad.append(line.strip())
+    return bad
+
+
+@pytest.mark.parametrize("name", _BATCH_NAMES)
+def test_plan_has_no_scale_killers(spark, name):
+    df = ops.QUERIES[name].fn(spark, SF_PLAN)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: unconditioned cartesian join"
+    if name not in SINGLE_PARTITION_ALLOWLIST:
+        bad = _unexempt_single_partition_exchanges(plan)
+        assert not bad, (
+            f"{name}: whole-dataset single-partition funnel "
+            f"(unpartitioned window or global sort without limit): {bad}"
+        )
