@@ -228,15 +228,18 @@ def iter_fmp_rows_et(
 
 _COL_RE = re.compile(r"<COL\s*/>|<COL>(.*?)</COL>", re.DOTALL)
 _DATA_RE = re.compile(r"<DATA\s*/>|<DATA>(.*?)</DATA>", re.DOTALL)
-# single-pass matcher for the three shapes covering ~100% of real rows;
-# the bare `<COL` tail alternative flags anything else (repeating
-# fields, whitespace variants) for the per-COL slow parse. The DATA
+# single-pass findall for the three shapes covering ~100% of real rows:
+# one capture group, so findall returns plain strings ('' for both the
+# empty-COL shapes — ElementTree reports those as None too). The DATA
 # content class is [^<]* — raw '<' is always escaped in XML text, so
 # this can never swallow markup (e.g. a second <DATA> of a repeating
-# field), and it avoids non-greedy backtracking entirely.
-_FAST_COL_RE = re.compile(
-    r"<COL/>|<COL><DATA/></COL>|<COL><DATA>([^<]*)</DATA></COL>|<COL[\s>]"
-)
+# field), and it avoids non-greedy backtracking entirely. Any COL shape
+# outside these three (repeating fields, `<COL />` whitespace variants)
+# simply produces no match, the value count comes up short, and the row
+# re-parses on the strict per-COL slow path. findall over finditer is
+# a measured ~1.7x on the scanner: no Match objects, no per-COL Python
+# loop.
+_FAST_COL_RE = re.compile(r"<COL><DATA>([^<]*)</DATA></COL>|<COL(?:><DATA/></COL|/)>")
 _ENTITY_RE = re.compile(r"&(amp|lt|gt|quot|apos|#[0-9]+|#x[0-9a-fA-F]+);")
 _ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}
 
@@ -271,22 +274,20 @@ def _norm_text(s: str) -> str | None:
 
 
 def _parse_row_chunk(chunk: str, n_fields: int, repeats: str) -> tuple:
-    values: list[str | None] = []
-    for m in _FAST_COL_RE.finditer(chunk):
-        g1 = m.group(1)
-        if g1 is not None:  # <COL><DATA>…</DATA></COL>
-            values.append(_norm_text(g1))
-        else:
-            g0 = m.group(0)
-            if g0 == "<COL/>" or g0 == "<COL><DATA/></COL>":
-                values.append(None)
-            else:  # bare `<COL…` — rare shape, re-parse the row carefully
-                return _parse_row_chunk_slow(chunk, n_fields, repeats)
+    values = _FAST_COL_RE.findall(chunk)
     if len(values) != n_fields:
-        raise FMPFastPathError(
-            f"row has {len(values)} COL groups, header declares {n_fields}"
-        )
-    return tuple(values)
+        # a COL outside the three fast shapes (repeating field,
+        # whitespace variant) yields no match — re-parse this row on
+        # the strict per-COL path, which itself raises FMPFastPathError
+        # on anything structurally surprising.
+        return _parse_row_chunk_slow(chunk, n_fields, repeats)
+    # hot path: most cells have no CR and no entity — skip both calls
+    return tuple(
+        None
+        if not v
+        else (_norm_text(v) if "&" in v or "\r" in v else v)
+        for v in values
+    )
 
 
 def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats: str) -> tuple:
@@ -435,14 +436,17 @@ def read_fmp_xml(
             stream.close()
 
 
-ARROW_BATCH_ROWS = 1024
+# 4096 measured ~1.7x faster than 1024 on the Arrow-conversion leg of a
+# 126-column export (per-batch pa.array call overhead amortizes); memory
+# per in-flight batch stays ~15 MB at reference column widths.
+ARROW_BATCH_ROWS = 4096
 
 
 class FMPXMLReader(DataSourceReader):
     """One input partition per FMP export file (an FMP export is one
     XML document — not byte-splittable; files are the parallel unit).
 
-    Rows leave Python as Arrow RecordBatches (1024 rows × all-string
+    Rows leave Python as Arrow RecordBatches (4096 rows × all-string
     columns): one columnar transfer per batch instead of one pickled
     tuple per row — the difference between the DataSource adding ~2×
     overhead and adding ~none over the raw parse."""
