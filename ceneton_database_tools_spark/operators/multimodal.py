@@ -199,3 +199,115 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return docs.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling + resize (fan-out / reduce shapes of the decode pipeline)
+# ---------------------------------------------------------------------------
+
+FRAME_OFFSETS = (0, 100, 200, 300)  # 0-based character offsets
+FRAME_WIDTH = 64
+
+FRAME_SCHEMA = SqlT.StructType(
+    [
+        SqlT.StructField("doc_id", SqlT.LongType()),
+        SqlT.StructField("frame_idx", SqlT.LongType()),
+        SqlT.StructField("frame_md5", SqlT.StringType()),
+        SqlT.StructField("frame_chars", SqlT.LongType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas worker: each document fans out to ≤4 sampled frames —
+    the one-row-in / k-rows-out shape of video frame extraction. A real
+    decoder would emit JPEG bytes per frame; the deterministic stand-in
+    emits fixed character windows (md5 of a text window is computable on
+    both engines, unlike raw binary)."""
+    import hashlib
+
+    import pandas as pd
+
+    for batch in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_chars": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            for idx, off in enumerate(FRAME_OFFSETS):
+                if off >= len(text):
+                    break
+                frame = text[off : off + FRAME_WIDTH]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_md5"].append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+                out["frame_chars"].append(len(frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                "frame_chars": pd.Series(out["frame_chars"], dtype="int64"),
+            }
+        )
+
+
+def _frame_oracle() -> str:
+    rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {i} AS frame_idx, "
+        f"substr(text, {off + 1}, {FRAME_WIDTH}) AS frame FROM documents "
+        f"WHERE length(text) > {off}"
+        for i, off in enumerate(FRAME_OFFSETS)
+    )
+    return f"""
+    WITH frames AS (
+{rows}
+    )
+    SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+           CAST(length(frame) AS BIGINT) AS frame_chars
+    FROM frames
+    """
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_frame_oracle(),
+    tags=("multimodal", "pandas-udf", "fanout", "llm-pipeline"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each payload fans out to ≤4 fixed-offset frames
+    through Arrow-batched ``mapInPandas`` (1 row in → k rows out — the
+    video-decode shape; a UDTF is the row-at-a-time alternative, this is
+    the batched one). Frames are fixed character windows so the md5 per
+    frame is oracle-checkable; a real ffmpeg frame grab plugs into the
+    same worker with only the window slicing swapped out. Fan-out is
+    bounded (≤4 frames/doc), so downstream partition sizes stay
+    predictable at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)  AS orig_chars,
+           CAST(length(substr(text, 1, 128)) AS BIGINT) AS resized_chars,
+           md5(substr(text, 1, 128))     AS resized_md5
+    FROM documents
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize: payload reduced to a bounded-size derivative (here a
+    128-char prefix standing in for a thumbnail) plus new metadata —
+    the reduce counterpart to frame sampling's fan-out. The transform
+    is JVM-side column work because the FAKE resize is; a real
+    image resize is exactly ``multimodal_feature_extract``'s
+    ``mapInPandas`` worker with PIL's ``thumbnail()`` at the
+    ``decode_image_real`` plug-in point."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = F.substring("text", 1, 128)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("orig_chars"),
+        F.length(resized).cast("long").alias("resized_chars"),
+        F.md5(F.encode(resized, "utf-8")).alias("resized_md5"),
+    )
