@@ -191,3 +191,62 @@ def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
         F.sha2(F.col("c_mktsegment"), 256).alias("segment_sha256"),
     )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      p_partkey & 255                       AS low_byte,
+      p_partkey | 4096                      AS with_flag,
+      xor(p_partkey, p_size)                AS key_xor_size,
+      p_partkey << 2                        AS shifted,
+      CAST(bit_count(p_partkey) AS BIGINT)  AS popcount
+    FROM part
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (AND/OR/XOR/shift/popcount) — exact integer
+    semantics, identical on both engines; the building blocks the
+    SimHash/sign-LSH operators use in anger."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr("p_partkey & 255").alias("low_byte"),
+        F.expr("p_partkey | 4096").alias("with_flag"),
+        F.expr("p_partkey ^ p_size").alias("key_xor_size"),
+        F.expr("shiftleft(p_partkey, 2)").alias("shifted"),
+        F.expr("bit_count(p_partkey)").cast("long").alias("popcount"),
+    )
+
+
+@register(
+    "scalar_string_distance",
+    oracle="""
+    SELECT
+      p_partkey,
+      CAST(levenshtein(p_brand, p_type) AS BIGINT)        AS brand_type_dist,
+      CAST(levenshtein(p_name, p_brand) AS BIGINT)        AS name_brand_dist,
+      CAST(position('AND' in upper(p_type)) AS BIGINT)    AS and_pos,
+      p_brand = p_type                                    AS exact_equal
+    FROM part
+    """,
+    tags=("scalar", "string", "similarity"),
+)
+def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance family: Levenshtein edit distance (exact DP —
+    deterministic, unlike float similarity scores) plus substring
+    position — the row-level fuzzy-matching primitives under entity
+    resolution. Per-row JVM work, no shuffle; at 100 TB the pair
+    SELECTION must come from a blocked candidate join (see
+    dedup_ngram_jaccard), never an all-pairs distance matrix."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.levenshtein("p_name", "p_brand").cast("long").alias("name_brand_dist"),
+        F.expr("position('AND' in upper(p_type))").cast("long").alias("and_pos"),
+        (F.col("p_brand") == F.col("p_type")).alias("exact_equal"),
+    )
