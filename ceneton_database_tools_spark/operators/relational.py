@@ -1208,3 +1208,33 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(stddev_samp(l_extendedprice), 4)              AS price_stddev,
+      round(var_samp(l_quantity), 4)                      AS qty_var,
+      round(corr(l_extendedprice, l_quantity), 4)         AS price_qty_corr,
+      round(covar_samp(l_extendedprice, l_discount), 4)   AS price_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates: sample stddev/variance,
+    correlation, covariance — identical Welford-style definitions on
+    both engines; results are ratios of large sums, so partition-order
+    float noise sits far below the round(4) pin. All four merge
+    map-side (each is a few running moments per group), so the shuffle
+    carries 4 small states per (flag, partition) regardless of scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+    )
