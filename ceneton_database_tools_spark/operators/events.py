@@ -157,3 +157,70 @@ def events_user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
+
+
+GAPFILL_USERS = 20
+
+
+@register(
+    "events_gapfill_ffill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 2) AS v
+      FROM events WHERE user_id < {GAPFILL_USERS}
+      GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    cal AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT c.user_id, c.h, hr.v
+      FROM cal c LEFT JOIN hourly hr ON c.user_id = hr.user_id AND c.h = hr.h
+    )
+    SELECT user_id,
+           h AS hour_start,
+           v IS NULL AS was_gap,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_ffill
+    FROM joined
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill: densify each user's
+    hourly value series over their own [first, last] hour (calendar via
+    ``sequence``/``generate_series`` — identical bucketing on both
+    engines), then carry the last observation forward across the gaps
+    with an IGNORE NULLS running ``last``.
+
+    Scale shape: the calendar explodes to (span-hours) rows PER KEY —
+    bounded by each key's own observed span, never a global cross join
+    against a calendar table; one shuffle on user_id serves the
+    group-by, the calendar join, and the fill window. The first row of
+    every series is an observed hour by construction, so v_ffill is
+    never null.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < GAPFILL_USERS)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    cal = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    joined = cal.join(hourly, ["user_id", "h"], "left")
+    w_fill = (
+        W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_start"),
+        F.col("v").isNull().alias("was_gap"),
+        F.round(F.last("v", ignorenulls=True).over(w_fill), 2).alias("v_ffill"),
+    )

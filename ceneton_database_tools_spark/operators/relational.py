@@ -1238,3 +1238,56 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
     )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    EXCEPT ALL
+    SELECT o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("setop", "bag"),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference (each duplicate counted, not
+    collapsed): the (priority, status) multiset before 1998 minus the
+    one after. Spark plans ``exceptAll`` as a count-aggregate +
+    generate, so the shuffle carries one row per distinct pair with
+    counts, never the full multiset."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    after = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return before.exceptAll(after)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    INTERSECT ALL
+    SELECT o_orderpriority, o_orderstatus
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("setop", "bag"),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection (min of the two multiplicities
+    per distinct row); same count-aggregate plan shape as EXCEPT ALL."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    before = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    after = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return before.intersectAll(after)
