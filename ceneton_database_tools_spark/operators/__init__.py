@@ -9,6 +9,7 @@ from ceneton_database_tools_spark.operators import (  # noqa: F401
     dedup,
     events,
     multimodal,
+    pipeline,
     relational,
     scalar,
     scale,

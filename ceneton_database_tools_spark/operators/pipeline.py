@@ -1,0 +1,312 @@
+"""Training-data curation pipeline operators over ``documents``.
+
+The corpus-preparation surface a large-scale LLM data pipeline needs
+beyond dedup/similarity/text-stats (SURVEY.md §2 Part C): benchmark
+decontamination, deterministic stratified (domain-mix) sampling,
+intra-document repetition filtering, and denylist term redaction.
+
+All four are pure built-in-function DataFrame plans (no Python on the
+hot path). Cross-engine determinism follows the repo-wide rules
+(:mod:`_textutil`): the shared ``\\s+`` tokenizer, md5-hex n-gram keys,
+exact-integer ratios, and total orderings with unique tie-breaks.
+
+The reference (kws/ceneton-database-tools) has no corpus operators at
+all; this family is mandated by the driver's brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators import _textutil as T
+from ceneton_database_tools_spark.operators.registry import register
+
+# 5-token n-grams are the common decontamination shingle size (small
+# enough to catch paraphrase-free overlap, large enough to avoid
+# vocabulary-level collisions).
+NGRAM = 5
+REPETITION_TOPK = 15
+
+# Deterministic per-language sampling rates (percent) for the
+# domain-mixing demo: upsample English, downsample the tail.
+_RATE_CASE_SQL = "CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END"
+
+# 60-bit md5 prefix of the stringified key, reduced mod 100 — the same
+# cross-engine integer-hash recipe as the MinHash base in _textutil.
+_SPARK_BUCKET = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
+)
+_DUCK_BUCKET = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out set
+# ---------------------------------------------------------------------------
+
+# Distinct word-5-gram md5 keys per document (docs shorter than NGRAM
+# tokens have no shingles and sit out — matching both engines).
+_SPARK_NGRAMS = (
+    f"array_distinct(transform(sequence(0, size(w) - {NGRAM}), "
+    f"i -> md5(concat_ws(' ', slice(w, i + 1, {NGRAM})))))"
+)
+_DUCK_NGRAMS = (
+    f"list_distinct([md5(array_to_string(w[i:i+{NGRAM - 1}], ' ')) "
+    f"for i in range(1, len(w) - {NGRAM - 2})])"
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {T.DUCK_TOKENS} AS w FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, source, unnest({_DUCK_NGRAMS}) AS g
+      FROM tok WHERE len(w) >= {NGRAM}
+    ),
+    bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 100 = 0),
+    train AS (SELECT * FROM ng WHERE doc_id % 100 <> 0),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             count(*)   AS n_g,
+             count(b.g) AS n_hit
+      FROM train t LEFT JOIN bench b USING (g)
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hit * 2 >= n_g THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(avg(n_hit::DOUBLE / n_g), 4) AS avg_overlap
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("text", "dedup", "llm-pipeline"),
+    bench=True,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 100th document is the held-out
+    "benchmark" set; flag training documents whose distinct word-5-gram
+    overlap with any benchmark document reaches 50%, reporting per-source
+    contamination counts and the mean overlap ratio.
+
+    Scale shape: n-grams are md5 keys (fixed 32-byte join column, never
+    raw text); the benchmark index is a tiny DISTINCT relation that AQE
+    broadcasts when it fits — no hard hint, so a huge benchmark set
+    degrades to a shuffle join instead of an OOM. The train side
+    aggregates per (doc_id, source) with map-side partial counts; only
+    the per-source rollup leaves the cluster.
+    """
+    tok = _docs(spark, sf_dir).withColumn("w", F.expr(T.SPARK_TOKENS))
+    ng = (
+        tok.where(F.size("w") >= NGRAM)
+        .select("doc_id", "source", F.explode(F.expr(_SPARK_NGRAMS)).alias("g"))
+    )
+    bench = ng.where(F.col("doc_id") % 100 == 0).select("g").distinct()
+    train = ng.where(F.col("doc_id") % 100 != 0)
+    per_doc = (
+        train.join(bench.withColumnRenamed("g", "bg"), train["g"] == F.col("bg"), "left")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_g"), F.count("bg").alias("n_hit"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_hit") * 2 >= F.col("n_g"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(F.avg(F.col("n_hit").cast("double") / F.col("n_g")), 4).alias("avg_overlap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (domain mixing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             {_RATE_CASE_SQL} AS target_pct,
+             CASE WHEN {_DUCK_BUCKET} < {_RATE_CASE_SQL} THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT lang,
+           CAST(max(target_pct) AS BIGINT)  AS target_pct,
+           CAST(count(*) AS BIGINT)         AS n_docs,
+           CAST(sum(keep) AS BIGINT)        AS n_sampled,
+           round(sum(keep) * 100.0 / count(*), 2) AS achieved_pct
+    FROM s
+    GROUP BY lang
+    """,
+    tags=("text", "sampling", "llm-pipeline"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for domain mixing: keep each
+    document iff ``md5(doc_id) mod 100`` falls under its language's
+    target rate (en 60%, de 30%, tail 10%), reporting target vs
+    achieved rate per language.
+
+    Scale shape: the keep-decision is a pure map-side hash — stable
+    under re-runs, re-partitioning, and incremental appends (the
+    property ``TABLESAMPLE``/``rand()`` lack), so a 100 TB re-mix
+    reproduces byte-identical splits. Only the per-language counters
+    shuffle.
+    """
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        "lang",
+        F.expr(_RATE_CASE_SQL).alias("target_pct"),
+        F.when(F.expr(_SPARK_BUCKET) < F.expr(_RATE_CASE_SQL), 1).otherwise(0).alias("keep"),
+    )
+    return s.groupBy("lang").agg(
+        F.max("target_pct").cast("long").alias("target_pct"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_sampled"),
+        F.round(F.sum("keep") * 100.0 / F.count("*"), 2).alias("achieved_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {T.DUCK_TOKENS} AS w FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, lang,
+             CAST(len(w) - 2 AS BIGINT) AS n_tri,
+             CAST(len(list_distinct(
+               [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+             )) AS BIGINT) AS n_distinct
+      FROM tok WHERE len(w) >= 3
+    )
+    SELECT doc_id, lang, n_tri, n_distinct,
+           round(1.0 - n_distinct::DOUBLE / n_tri, 4) AS rep_ratio
+    FROM tri
+    ORDER BY n_distinct::DOUBLE / n_tri ASC, doc_id ASC
+    LIMIT {REPETITION_TOPK}
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of a document's word trigrams
+    that are duplicates (the Gopher-style repetition quality signal);
+    returns the most repetitive documents.
+
+    Scale shape: trigram totals and distinct counts are computed
+    map-side inside one codegen stage (no explode, no shuffle); the
+    only distributed step is the global top-k, expressed as
+    ``orderBy().limit()`` so it plans as TakeOrderedAndProject (per-
+    partition heaps + driver merge of 15 rows) rather than a single-
+    partition window sort. Ordering is total: the exact ratio (identical
+    integer division on both engines) tie-broken by unique doc_id.
+    """
+    tok = _docs(spark, sf_dir).withColumn("w", F.expr(T.SPARK_TOKENS))
+    tri = (
+        tok.where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            (F.size("w") - 2).cast("long").alias("n_tri"),
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 3), "
+                        "i -> concat_ws(' ', slice(w, i + 1, 3)))"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("n_distinct"),
+        )
+    )
+    return (
+        tri.select(
+            "doc_id",
+            "lang",
+            "n_tri",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_tri"), 4).alias(
+                "rep_ratio"
+            ),
+        )
+        .orderBy(
+            (F.col("n_distinct").cast("double") / F.col("n_tri")).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(REPETITION_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Denylist term redaction (PII-scrub plumbing)
+# ---------------------------------------------------------------------------
+
+# Denylist terms chosen to actually occur in the synthetic corpus; the
+# second pattern is the canonical email shape — structurally exercised
+# even where the corpus contains no emails.
+_TERM_PAT = r"\b(key|hash|value|table)\b"
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "text_denylist_redact",
+    oracle=f"""
+    WITH r AS (
+      SELECT source,
+             text,
+             regexp_replace(text, '{_TERM_PAT}', '<TERM>', 'g') AS redacted,
+             len(regexp_extract_all(text, '{_TERM_PAT}'))  AS n_term,
+             len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_email
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_term > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+           CAST(sum(n_term) AS BIGINT)  AS total_terms,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(len(text) - len(redacted)) AS BIGINT) AS delta_chars
+    FROM r
+    GROUP BY source
+    """,
+    tags=("text", "redaction", "llm-pipeline"),
+)
+def text_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist redaction: globally replace denylisted terms with
+    ``<TERM>`` and count email-shaped spans (the PII-scrub pattern),
+    reporting per-source hit counts and the byte delta of redaction.
+
+    Scale shape: regex scan + replace is embarrassingly parallel
+    map-side work inside codegen; only the per-source counters shuffle.
+    At 100 TB the same plan holds — the cost is one streaming pass over
+    the text column with the parquet scan pruned to (source, text).
+    """
+    docs = _docs(spark, sf_dir)
+    r = docs.select(
+        "source",
+        "text",
+        F.regexp_replace("text", _TERM_PAT, "<TERM>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_TERM_PAT), 0)).alias("n_term"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), 0)).alias("n_email"),
+    )
+    return r.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_term") > 0, 1).otherwise(0)).cast("long").alias("n_docs_hit"),
+        F.sum("n_term").cast("long").alias("total_terms"),
+        F.sum("n_email").cast("long").alias("total_emails"),
+        F.sum(F.length("text") - F.length("redacted")).cast("long").alias("delta_chars"),
+    )
