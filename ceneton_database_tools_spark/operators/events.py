@@ -224,3 +224,163 @@ def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         F.round(F.last("v", ignorenulls=True).over(w_fill), 2).alias("v_ffill"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           round((SELECT count(*) FROM c) * 100.0
+                 / (SELECT count(*) FROM v), 2) AS view_to_click_pct,
+           round((SELECT count(*) FROM p) * 100.0
+                 / (SELECT count(*) FROM c), 2) AS click_to_purchase_pct
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view → click → purchase, each step's
+    event strictly after the user's previous step (first-touch
+    timestamps), with step counts and conversion rates.
+
+    Scale shape: three aggregations and two joins, all keyed on
+    user_id — one shuffle partitioning reused across every stage (no
+    re-keying), then a single-row rollup. The strictly-after join
+    condition is an equi-join on user_id with a residual ts predicate,
+    not a range join, so it stays a hash join at any scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count("*").cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.round(F.col("n_click") * 100.0 / F.col("n_view"), 2).alias("view_to_click_pct"),
+        F.round(F.col("n_purchase") * 100.0 / F.col("n_click"), 2).alias(
+            "click_to_purchase_pct"
+        ),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_day f USING (user_id)
+    WHERE date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("events", "retention"),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date,
+    distinct active users counted at day offsets 0–7.
+
+    Scale shape: the cohort table is one groupBy on user_id; the join
+    back to events is on the same key (partitioning reused, and the
+    per-user cohort relation is orders of magnitude smaller than the
+    event log, so AQE broadcasts it when it fits). The distinct-user
+    count shuffles on (cohort_day, offset, user_id) with partial
+    distinct map-side — the standard two-phase distinct aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    joined = ev.join(first_day, "user_id").withColumn(
+        "day_offset", F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).cast("long")
+    )
+    return (
+        joined.where((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@register(
+    "events_ohlc_downsample",
+    oracle="""
+    SELECT user_id,
+           CAST(ts AS DATE)                 AS day,
+           round(arg_min(value, ts), 2)     AS open,
+           round(max(value), 2)             AS high,
+           round(min(value), 2)             AS low,
+           round(arg_max(value, ts), 2)     AS close,
+           CAST(count(*) AS BIGINT)         AS n_events,
+           round(avg(value), 4)             AS avg_value
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    tags=("events", "time-series"),
+)
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling: per user per day, the value at
+    the first and last event (open/close) plus high/low/avg — the
+    classic tick-to-bar rollup.
+
+    Open/close are well-defined because (user_id, ts) is unique in the
+    event log; ``min_by``/``max_by`` (Spark) and ``arg_min``/``arg_max``
+    (DuckDB) select them without a window sort.
+
+    Scale shape: one hash aggregation keyed on (user_id, day) with full
+    map-side partial aggregation — min_by/max_by carry a single
+    (value, ts) pair per group through the shuffle, so the downsample
+    reduces the data volume before it moves. No window, no sort.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+            # 4 decimals, not 2: an average of 2-decimal values lands
+            # exactly on a half-cent boundary for every odd-cent pair,
+            # where the engines' boundary rounding of the same double
+            # can differ; at 4 decimals the quotient is never boundary.
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

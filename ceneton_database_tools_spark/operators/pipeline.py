@@ -310,3 +310,44 @@ def text_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_email").cast("long").alias("total_emails"),
         F.sum(F.length("text") - F.length("redacted")).cast("long").alias("delta_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_length_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(least(n_chars // 50, 9) AS BIGINT) AS bucket FROM documents
+    )
+    SELECT bucket,
+           CAST(bucket * 50 AS BIGINT) AS chars_lo,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           round(count(*) * 100.0 / (SELECT count(*) FROM documents), 2) AS pct
+    FROM b
+    GROUP BY bucket
+    """,
+    tags=("text", "histogram", "llm-pipeline"),
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: 50-char buckets with an open top
+    bucket, each with its share of the corpus.
+
+    Scale shape: bucketing is map-side integer arithmetic; the
+    denominator comes from a second aggregate over the same cached scan
+    (Spark reuses the exchange). Ten output rows regardless of corpus
+    size — the classic pre-training length-distribution report.
+    """
+    docs = _docs(spark, sf_dir)
+    total = docs.count()
+    b = docs.select(
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(9)).cast("long").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        (F.col("bucket") * 50).cast("long").alias("chars_lo"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.count("*") * 100.0 / F.lit(total), 2).alias("pct"),
+    )

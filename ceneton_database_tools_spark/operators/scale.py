@@ -223,3 +223,50 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_K)
         .select("doc_id", "token", "tfidf", "rank")
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew", "scale"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: the fact side adds a deterministic salt in
+    0..7 (hash of its unique line number, not rand()), the dimension
+    side is replicated across all 8 salt values via a posexplode'd
+    literal array, and the join runs on (key, salt) — splitting any
+    hot orderkey across 8 reducers. Identical result to the plain
+    join — the oracle proves it.
+
+    This is the manual escape hatch when AQE's skew-join splitting
+    can't apply (e.g. the skewed side feeds a co-partitioned
+    aggregation that would lose its partitioning to the split). The
+    8x dimension replication costs one map-side explode — no extra
+    shuffle — and the residual aggregation reuses the (key, salt)
+    partitioning for its partial phase.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    n_salt = 8
+    fact = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt)))
+    dim = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("salt"),
+    )
+    joined = fact.join(
+        dim,
+        (fact["l_orderkey"] == dim["o_orderkey"]) & (fact["salt"] == dim["salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
