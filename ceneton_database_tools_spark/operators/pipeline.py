@@ -351,3 +351,144 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.count("*") * 100.0 / F.lit(total), 2).alias("pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pass: quality gate -> exact dedup -> stratified sample
+# ---------------------------------------------------------------------------
+
+# Quality gate: token count in [10, 400] and, for docs long enough to
+# have trigrams, at least 30% distinct trigrams. Pure integer
+# comparisons (n_distinct * 10 >= n_tri * 3) — no float boundary.
+_SPARK_QUALITY = (
+    "size(w) BETWEEN 10 AND 400 AND (size(w) < 3 OR "
+    "size(array_distinct(transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', slice(w, i + 1, 3))))) * 10 >= (size(w) - 2) * 3)"
+)
+_DUCK_QUALITY = (
+    "len(w) BETWEEN 10 AND 400 AND (len(w) < 3 OR "
+    "len(list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, len(w) - 1)])) * 10 >= (len(w) - 2) * 3)"
+)
+
+
+@register(
+    "docs_curation_pipeline",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_DUCK_QUALITY} THEN 1 ELSE 0 END AS q,
+             md5(lower(trim(text))) AS h,
+             {_DUCK_BUCKET} AS bucket,
+             {_RATE_CASE_SQL} AS rate
+      FROM (SELECT *, {{duck_tokens}} AS w FROM documents)
+    ),
+    w AS (
+      SELECT *,
+             CASE WHEN q = 1 AND doc_id = min(CASE WHEN q = 1 THEN doc_id END)
+                    OVER (PARTITION BY h)
+                  THEN 1 ELSE 0 END AS u
+      FROM b
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)  AS n_input,
+           CAST(sum(q) AS BIGINT)    AS n_quality,
+           CAST(sum(u) AS BIGINT)    AS n_unique,
+           CAST(sum(CASE WHEN u = 1 AND bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM w
+    GROUP BY lang
+    """.replace("{duck_tokens}", T.DUCK_TOKENS),
+    tags=("text", "dedup", "sampling", "llm-pipeline"),
+    bench=True,
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass in one plan: quality gate (token count
+    bounds + minimum distinct-trigram ratio) → exact dedup among the
+    survivors (keep the lowest doc_id per normalized-text md5) →
+    deterministic stratified sample — reporting the per-language funnel
+    (input / quality / unique / sampled).
+
+    Scale shape: quality flags and content hashes are map-side; the
+    dedup step is a window min over md5 partitions — effectively
+    unbounded cardinality, so every partition is a handful of rows and
+    the shuffle is the one hash re-partition a distributed dedup needs
+    anyway. The sample decision reuses the md5-bucket recipe (stable
+    under re-runs and appends). One window + one rollup: two shuffles
+    total for a three-stage pipeline.
+    """
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).withColumn("w", F.expr(T.SPARK_TOKENS))
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.expr(_SPARK_QUALITY), 1).otherwise(0).alias("q"),
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        F.expr(_SPARK_BUCKET).alias("bucket"),
+        F.expr(_RATE_CASE_SQL).alias("rate"),
+    )
+    wq = b.withColumn(
+        "u",
+        F.when(
+            (F.col("q") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q") == 1, F.col("doc_id"))).over(
+                    W.partitionBy("h")
+                )
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return wq.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.sum("q").cast("long").alias("n_quality"),
+        F.sum("u").cast("long").alias("n_unique"),
+        F.sum(
+            F.when((F.col("u") == 1) & (F.col("bucket") < F.col("rate")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (vector aggregation)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+@register(
+    "embeddings_label_centroids",
+    oracle=f"""
+    SELECT label,
+           i AS dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(embedding[i]::DOUBLE), 4) AS centroid
+    FROM embeddings, generate_series(1, {EMB_DIM}) AS t(i)
+    GROUP BY label, i
+    """,
+    tags=("similarity", "vector", "llm-pipeline"),
+)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: the mean vector of each label's
+    embeddings, one output row per (label, dimension) — the class-
+    prototype aggregation behind IVF coarse quantizers and k-means
+    steps.
+
+    Scale shape: posexplode fans each vector into (label, dim, value)
+    rows that partial-aggregate map-side, so the shuffle carries only
+    labels x dims running (sum, count) pairs — not vectors. That is the
+    formulation that survives a billion-vector table; the alternative
+    (collect vectors per label and average driver-side) does not.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
+    return exploded.groupBy("label", "dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("x"), 4).alias("centroid"),
+    )
