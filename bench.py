@@ -95,7 +95,9 @@ def _bench_fmp_parse(spark) -> tuple[float, float]:
         _write_bench_fmp(path, nrows=12500, ncols=126)
     df = read_fmp_xml_df(spark, path)
     best, n = float("inf"), 0
-    for _ in range(2):
+    # best-of-3: the Python-worker + JVM path keeps JIT-warming through
+    # the first two runs (measured 2.1s -> 1.8s -> 1.5s on this host)
+    for _ in range(3):
         t0 = time.perf_counter()
         n = df.count()
         best = min(best, time.perf_counter() - t0)

@@ -470,3 +470,78 @@ def count_with_observe(df: DataFrame, declared_count: int | None = None):
             "parsed %s records, header declared %s", metrics["n_rows"], declared_count
         )
     return n, metrics
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas surface
+# ---------------------------------------------------------------------------
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map worker: z-score one event_type group.
+
+    Mean/std are derived from EXACT integer-cent sums (value has 2
+    decimals, so round(value*100) is an integer and int64 sums are
+    order-independent), then combined in one fixed float expression —
+    bit-identical to the oracle's window formulation regardless of the
+    row order Arrow hands the group in. pandas .mean()/.std() would be
+    pairwise-summed in arrival order and drift in the last ulp.
+    """
+    import math
+
+    xi = (pdf["value"] * 100).round().astype("int64")
+    s = int(xi.sum())
+    ss = int((xi * xi).sum())
+    n = len(pdf)
+    mu = s / (100.0 * n)
+    sd = math.sqrt((ss / 10000.0 - n * mu * mu) / (n - 1))
+    out = pdf[["event_id", "event_type"]].copy()
+    out["z"] = ((pdf["value"] - mu) / sd).round(4)
+    return out
+
+
+@register(
+    "udf_grouped_zscore",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS xi
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, event_type, value,
+             sum(xi)      OVER (PARTITION BY event_type) AS sx,
+             sum(xi * xi) OVER (PARTITION BY event_type) AS sxx,
+             count(*)     OVER (PARTITION BY event_type) AS n
+      FROM x
+    )
+    SELECT event_id,
+           event_type,
+           round((value - sx / (100.0 * n))
+                 / sqrt((sxx / 10000.0
+                         - n * (sx / (100.0 * n)) * (sx / (100.0 * n)))
+                        / (n - 1)), 4) AS z
+    FROM s
+    WHERE event_id < 2000
+    """,
+    tags=("udf", "grouped-map"),
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` surface: z-score normalization per
+    event_type, each group handed to Python as one Arrow batch. The
+    oracle replays the identical semantics as SQL window aggregates, so
+    the gate proves the grouped-map path computes exactly what the
+    declarative form does.
+
+    Scale shape: ``applyInPandas`` shuffles each whole group to one
+    worker — fine for bounded per-group cardinality, and exactly the
+    constraint to design around at 100 TB (a hot group must fit in
+    worker memory; the declarative window formulation in the oracle is
+    the unbounded-scale alternative, and this entry exists to gate the
+    grouped-map Arrow plumbing itself).
+    """
+    ev = _t(spark, sf_dir, "events")
+    normalized = ev.groupBy("event_type").applyInPandas(
+        _zscore_group, schema="event_id long, event_type string, z double"
+    )
+    return normalized.where(F.col("event_id") < 2000)

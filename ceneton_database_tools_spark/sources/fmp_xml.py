@@ -441,6 +441,102 @@ def read_fmp_xml(
 # per in-flight batch stays ~15 MB at reference column widths.
 ARROW_BATCH_ROWS = 4096
 
+# Region size for the batch-columnar scanner: one regex pass per region
+# instead of one per row. 4 MiB ≈ a few thousand reference-width rows.
+_REGION_CHUNK = 4 << 20
+
+
+def iter_fmp_value_regions(
+    stream: IO[bytes], n_fields: int, repeats: str = "error"
+) -> Iterator[tuple[int, list]]:
+    """Batch-columnar scanner: yield ``(n_rows, flat_values)`` regions
+    where ``flat_values`` is the row-major ``str | None`` cell list for
+    ``n_rows`` complete rows.
+
+    One ``findall`` per multi-MiB region replaces one per row — the COL
+    regex only ever matches real COL units, so scanning straight across
+    ``</ROW><ROW …>`` boundaries is safe. Structure is validated by
+    region counts (``<ROW`` opens == ``</ROW>`` closes == n_rows, COL
+    opens == matches == n_rows*n_fields); ANY single structural
+    deviation (repeating field, whitespace variant, stray markup) trips
+    a count and the region re-parses row-by-row with the strict per-row
+    checks (which in turn raise :class:`FMPFastPathError` for the ET
+    fallback to decide). Entity/CR normalization runs per-value only
+    when the region contains ``&`` or ``\\r`` at all — the common
+    machine-generated region skips it wholesale.
+    """
+    import io
+
+    text = io.TextIOWrapper(stream, encoding="utf-8", newline="")
+    try:
+        buf = ""
+        pos = 0
+
+        def fill() -> bool:
+            nonlocal buf, pos
+            piece = text.read(_REGION_CHUNK)
+            if pos:
+                buf = buf[pos:]
+                pos = 0
+            buf += piece
+            return bool(piece)
+
+        while True:
+            idx = buf.find("<RESULTSET", pos)
+            if idx >= 0:
+                pos = idx
+                break
+            pos = max(0, len(buf) - 16)  # a split tag can straddle chunks
+            if not fill():
+                raise FMPFastPathError("no RESULTSET section found")
+
+        while True:
+            last = buf.rfind("</ROW>")
+            if last < pos:
+                if not fill():
+                    if "<ROW" in buf[pos:]:
+                        raise FMPFastPathError("unterminated ROW at end of input")
+                    return
+                continue
+            region = buf[pos : last + 6]
+            pos = last + 6
+            n_rows = region.count("</ROW>")
+            values = _FAST_COL_RE.findall(region)
+            if (
+                region.count("<ROW") == n_rows
+                and len(values) == n_rows * n_fields
+                and region.count("<COL") == n_rows * n_fields
+            ):
+                if "&" in region or "\r" in region:
+                    values = [_norm_text(v) if v else None for v in values]
+                else:
+                    values = [v or None for v in values]
+                yield n_rows, values
+            else:
+                # row-by-row reparse of just this region: exact per-row
+                # validation, same contract as the row scanner
+                flat: list = []
+                cnt = 0
+                p = 0
+                while True:
+                    e = region.find("</ROW>", p)
+                    if e == -1:
+                        break
+                    s = region.find("<ROW", p)
+                    if s == -1 or s > e:
+                        raise FMPFastPathError("ROW structure out of order")
+                    bs = region.find(">", s, e)
+                    if bs == -1:
+                        raise FMPFastPathError("malformed ROW start tag")
+                    flat.extend(_parse_row_chunk(region[bs + 1 : e], n_fields, repeats))
+                    cnt += 1
+                    p = e + 6
+                yield cnt, flat
+    finally:
+        # detach, never close: the caller may rewind the underlying
+        # binary stream for the ET fallback
+        text.detach()
+
 
 class FMPXMLReader(DataSourceReader):
     """One input partition per FMP export file (an FMP export is one
@@ -478,19 +574,83 @@ class FMPXMLReader(DataSourceReader):
                 arrays.append(pa.array(col, type=pa.string()))
         return pa.RecordBatch.from_arrays(arrays, names=self._field_names)
 
+    def _emit_columnar(self, vals: list, k: int):
+        """Arrow batch from the first k rows of the flat row-major cell
+        list (consumed in place): ONE ``pa.array`` over the flat cells,
+        then a C-level strided ``take`` per column — measured ~3.4x
+        faster than per-column Python step-slices at 126 columns."""
+        import numpy as np
+        import pyarrow as pa
+
+        n = len(self._field_names)
+        take = vals[: k * n]
+        del vals[: k * n]
+        flat = pa.array(take, type=pa.string())
+        arrays = []
+        for j in range(n):
+            col = flat.take(pa.array(np.arange(j, k * n, n, dtype=np.int64)))
+            if j in self._double_cols:
+                # typed mode: SQL-CAST semantics — unparseable → null
+                arrays.append(
+                    pa.array([_to_double(v) for v in col.to_pylist()], type=pa.float64())
+                )
+            else:
+                arrays.append(col)
+        return pa.RecordBatch.from_arrays(arrays, names=self._field_names)
+
     def read(self, partition: InputPartition):
         stream = open_xml_stream(self._paths[partition.value])
+        n_fields = len(self._field_names)
         try:
-            buf: list[tuple] = []
-            for row in iter_fmp_rows(stream, len(self._field_names), repeats=self._repeats):
-                buf.append(row)
-                if len(buf) >= ARROW_BATCH_ROWS:
-                    yield self._to_batch(buf)
-                    buf.clear()
-            if buf:
-                yield self._to_batch(buf)
+            try:
+                start_pos = stream.tell() if stream.seekable() else None
+            except Exception:
+                start_pos = None
+            if start_pos is None:
+                yield from self._read_rowwise(
+                    iter_fmp_rows_et(stream, n_fields, repeats=self._repeats)
+                )
+                return
+            vals: list = []
+            rows = 0
+            emitted = 0
+            try:
+                for n_rows, flat in iter_fmp_value_regions(
+                    stream, n_fields, repeats=self._repeats
+                ):
+                    vals.extend(flat)
+                    rows += n_rows
+                    while rows >= ARROW_BATCH_ROWS:
+                        yield self._emit_columnar(vals, ARROW_BATCH_ROWS)
+                        rows -= ARROW_BATCH_ROWS
+                        emitted += ARROW_BATCH_ROWS
+                if rows:
+                    yield self._emit_columnar(vals, rows)
+            except FMPFastPathError:
+                # structural surprise the region scanner couldn't localize:
+                # rewind, strict ET parse, skip rows already emitted as
+                # batches (un-emitted accumulated rows are re-parsed)
+                stream.seek(start_pos)
+                rows_iter = (
+                    row
+                    for i, row in enumerate(
+                        iter_fmp_rows_et(stream, n_fields, repeats=self._repeats)
+                    )
+                    if i >= emitted
+                )
+                yield from self._read_rowwise(rows_iter)
         finally:
             stream.close()
+
+    def _read_rowwise(self, rows: Iterator[tuple]):
+        buf: list[tuple] = []
+        for row in rows:
+            buf.append(row)
+            if len(buf) >= ARROW_BATCH_ROWS:
+                yield self._to_batch(buf)
+                buf.clear()
+        if buf:
+            yield self._to_batch(buf)
 
 
 def _to_double(v: str | None) -> float | None:

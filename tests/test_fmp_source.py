@@ -29,6 +29,7 @@ from ceneton_database_tools_spark.sources import (
 )
 from ceneton_database_tools_spark.sources.fmp_xml import (
     REPEAT_SEPARATOR,
+    iter_fmp_rows,
     read_fmp_xml,
 )
 
@@ -277,3 +278,48 @@ def test_datasource_typed_mode(spark):
     rows = {r._15e_bibliotheek: r for r in df.collect()}
     assert rows["KB Den Haag"].aantal_pag_ == 42.0
     assert rows["UB Leiden"].aantal_pag_ is None
+
+
+# ---------------------------------------------------------------------------
+# Batch-columnar region scanner
+# ---------------------------------------------------------------------------
+
+
+def _rows_via_regions(path, n_fields, repeats="error"):
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        iter_fmp_value_regions,
+        open_xml_stream,
+    )
+
+    flat, total = [], 0
+    with open_xml_stream(path) as stream:
+        for n_rows, vals in iter_fmp_value_regions(stream, n_fields, repeats=repeats):
+            assert len(vals) == n_rows * n_fields
+            flat.extend(vals)
+            total += n_rows
+    return [tuple(flat[i * n_fields : (i + 1) * n_fields]) for i in range(total)]
+
+
+@pytest.mark.parametrize(
+    "fixture,n_fields",
+    [("fmp_basic.xml", 8), ("fmp_basic.xml.bz2", 8), ("fmp_edges.xml", 2)],
+)
+def test_region_scanner_matches_row_scanner(fixture, n_fields):
+    """The batch-columnar scanner yields exactly the row scanner's cells
+    (entities, CR normalization, empty-cell None mapping included)."""
+    path = os.path.join(DATA, fixture)
+    with open_xml_stream(path) as stream:
+        expected = list(iter_fmp_rows(stream, n_fields))
+    assert _rows_via_regions(path, n_fields) == expected
+
+
+def test_region_scanner_repeating_field_falls_back_per_row():
+    """A repeating field breaks the region count check; the per-row
+    reparse inside the region must produce the join semantics (and the
+    error semantics) identical to the row scanner."""
+    path = os.path.join(DATA, "fmp_repeat.xml")
+    with open_xml_stream(path) as stream:
+        expected = list(iter_fmp_rows(stream, 2, repeats="join"))
+    assert _rows_via_regions(path, 2, repeats="join") == expected
+    with pytest.raises(ValueError, match="repeating field"):
+        _rows_via_regions(path, 2, repeats="error")
