@@ -1291,3 +1291,81 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_orderstatus"
     )
     return before.intersectAll(after)
+
+
+@register(
+    "window_range_frame_time",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(count(*) OVER w AS BIGINT)      AS n_72h,
+           round(sum(value) OVER w, 2)          AS sum_72h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY epoch_us(ts)
+      RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "range-frame", "time-series"),
+)
+def window_range_frame_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing-72-hour event
+    count and value sum — the value-based frame (all rows within an
+    interval of the current row's timestamp), as opposed to the
+    ROWS-based frames elsewhere in this module.
+
+    Cross-engine determinism: ordering and the frame bound compare at
+    epoch-microseconds on BOTH engines (``unix_micros`` / ``epoch_us``
+    — the repo-wide rule for timestamp arithmetic), and (user_id, ts)
+    is unique so frame membership is a total function of the data.
+
+    Scale shape: one shuffle on user_id, one in-partition sort; the
+    running frame evaluates with a sliding two-pointer over the sorted
+    partition — no per-row rescan, no global window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-259_200_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_72h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_72h"),
+    )
+
+
+@register(
+    "window_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+    tags=("window", "dedup", "scd"),
+)
+def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-record-per-key (the SCD/changelog compaction shape):
+    row_number over (key ORDER BY ts DESC) = 1. Ordering tie-breaks on
+    the unique event_id per the repo's unique-window-ordering rule.
+
+    Scale shape: one shuffle on the key; with AQE the rank filter
+    evaluates per partition after an in-partition sort — the same plan
+    a dropDuplicates-keep-latest needs, but with deterministic
+    tie-breaking (dropDuplicates keeps an arbitrary row).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
