@@ -10,6 +10,7 @@ from ceneton_database_tools_spark.operators import (  # noqa: F401
     events,
     multimodal,
     pipeline,
+    quality,
     relational,
     scalar,
     scale,
