@@ -155,3 +155,40 @@ def test_fast_scanner_equals_et_parser(tmp_path_factory, data):
     with open(path, "rb") as f:
         et = list(iter_fmp_rows_et(f, len(field_names)))
     assert fast == et
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.integers(2, 6).flatmap(
+        lambda width: st.tuples(
+            st.just([f"Field {i}" for i in range(width)]),
+            st.lists(
+                st.lists(values, min_size=width, max_size=width), min_size=0, max_size=8
+            ),
+        )
+    )
+)
+def test_region_scanner_equals_et_parser(tmp_path_factory, data):
+    """Property: the batch-columnar region scanner produces exactly the
+    row scanner's cells on arbitrary generated exports (entities from
+    escape(), \\r normalization, empty-DATA None mapping, unicode)."""
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        iter_fmp_rows,
+        iter_fmp_value_regions,
+        open_xml_stream,
+    )
+
+    field_names, rows = data
+    width = len(field_names)
+    path = tmp_path_factory.mktemp("fmpr") / "prop.xml"
+    path.write_bytes(build_fmp_xml(field_names, rows))
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, width))
+    flat, total = [], 0
+    with open_xml_stream(str(path)) as stream:
+        for n_rows, vals in iter_fmp_value_regions(stream, width):
+            assert len(vals) == n_rows * width
+            flat.extend(vals)
+            total += n_rows
+    got = [tuple(flat[i * width : (i + 1) * width]) for i in range(total)]
+    assert got == expected
