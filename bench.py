@@ -64,6 +64,8 @@ def main() -> int:
 
     fmp_rate, fmp_sec = _bench_fmp_parse(spark)
     timings["fmp_parse"] = fmp_sec
+    fmp_shard_rate, fmp_shard_sec = _bench_fmp_parse_sharded(spark)
+    timings["fmp_parse_sharded"] = fmp_shard_sec
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -76,6 +78,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "fmp_parse_rec_per_s": fmp_rate,
+                "fmp_parse_sharded_rec_per_s": fmp_shard_rate,
             }
         )
     )
@@ -103,6 +106,34 @@ def _bench_fmp_parse(spark) -> tuple[float, float]:
         best = min(best, time.perf_counter() - t0)
     rate = round(n / best, 1)
     print(f"# fmp_parse: {best:.3f}s ({n} rows, {rate} rec/s)", file=sys.stderr)
+    return rate, round(best, 3)
+
+
+def _bench_fmp_parse_sharded(spark) -> tuple[float, float]:
+    """Sharded-directory scan: 8 export shards × 12,500 rows, one input
+    partition per file — the parallel scale-out path a single-file
+    export cannot exercise (an FMP file is one XML document)."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+    single = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp.xml")
+    shard_dir = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp_shards")
+    if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != 8:
+        if not os.path.exists(single):
+            _write_bench_fmp(single, nrows=12500, ncols=126)
+        os.makedirs(shard_dir, exist_ok=True)
+        for i in range(8):
+            shutil.copy(single, os.path.join(shard_dir, f"shard_{i}.xml"))
+    df = read_fmp_xml_df(spark, os.path.join(shard_dir, "*.xml"))
+    best, n = float("inf"), 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = df.count()
+        best = min(best, time.perf_counter() - t0)
+    rate = round(n / best, 1)
+    print(f"# fmp_parse_sharded: {best:.3f}s ({n} rows, {rate} rec/s)", file=sys.stderr)
     return rate, round(best, 3)
 
 
