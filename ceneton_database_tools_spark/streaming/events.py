@@ -464,3 +464,52 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value", "max_gap_sec")
     )
+
+
+@register(
+    "streaming_ohlc_downsample",
+    oracle="""
+    SELECT user_id,
+           CAST(ts AS DATE)             AS day,
+           round(arg_min(value, ts), 2) AS open,
+           round(max(value), 2)         AS high,
+           round(min(value), 2)         AS low,
+           round(arg_max(value, ts), 2) AS close,
+           CAST(count(*) AS BIGINT)     AS n_events
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    tags=("streaming", "time-series"),
+)
+def streaming_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tick-to-bar OHLC: per user per day, min_by/max_by pick
+    open/close inside the streaming aggregation state — the streaming
+    twin of events_ohlc_downsample (same oracle shape, 4-decimal avg
+    dropped: streaming state merges partial (value, ts) pairs, which is
+    exact for min_by/max_by/count but would reorder a float avg).
+
+    Scale shape: watermarked day-window state, one (user_id, day) row
+    per group in the state store; min_by/max_by carry a single pair per
+    group so state stays O(groups), not O(events).
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "user_id")
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return run_stream_to_batch(agg).select(
+        "user_id",
+        F.col("window.start").cast("date").alias("day"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
