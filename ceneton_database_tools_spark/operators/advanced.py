@@ -493,10 +493,19 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     s = int(xi.sum())
     ss = int((xi * xi).sum())
     n = len(pdf)
-    mu = s / (100.0 * n)
-    sd = math.sqrt((ss / 10000.0 - n * mu * mu) / (n - 1))
     out = pdf[["event_id", "event_type"]].copy()
-    out["z"] = ((pdf["value"] - mu) / sd).round(4)
+    mu = s / (100.0 * n)
+    var = (ss / 10000.0 - n * mu * mu) / (n - 1) if n >= 2 else 0.0
+    if n < 2 or var <= 0.0:
+        # degenerate group (single row or constant values): z is NULL,
+        # matching the oracle's CASE guard on both engines
+        out["z"] = None
+        return out
+    sd = math.sqrt(var)
+    # rounding happens Spark-side (F.round, HALF_UP — the repo-wide
+    # pairing with DuckDB round); pandas .round is half-even and would
+    # be the one divergent rounding in the repo
+    out["z"] = (pdf["value"] - mu) / sd
     return out
 
 
@@ -517,10 +526,14 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     SELECT event_id,
            event_type,
-           round((value - sx / (100.0 * n))
-                 / sqrt((sxx / 10000.0
-                         - n * (sx / (100.0 * n)) * (sx / (100.0 * n)))
-                        / (n - 1)), 4) AS z
+           CASE WHEN n >= 2
+                 AND (sxx / 10000.0
+                      - n * (sx / (100.0 * n)) * (sx / (100.0 * n))) / (n - 1) > 0
+                THEN round((value - sx / (100.0 * n))
+                           / sqrt((sxx / 10000.0
+                                   - n * (sx / (100.0 * n)) * (sx / (100.0 * n)))
+                                  / (n - 1)), 4)
+                ELSE NULL END AS z
     FROM s
     WHERE event_id < 2000
     """,
@@ -544,4 +557,6 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized = ev.groupBy("event_type").applyInPandas(
         _zscore_group, schema="event_id long, event_type string, z double"
     )
-    return normalized.where(F.col("event_id") < 2000)
+    return normalized.where(F.col("event_id") < 2000).select(
+        "event_id", "event_type", F.round("z", 4).alias("z")
+    )

@@ -337,19 +337,27 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, each with its share of the corpus.
 
     Scale shape: bucketing is map-side integer arithmetic; the
-    denominator comes from a second aggregate over the same cached scan
-    (Spark reuses the exchange). Ten output rows regardless of corpus
-    size — the classic pre-training length-distribution report.
+    denominator is a lazy scalar aggregate crossJoined (1-row
+    broadcast) onto the ten bucket rows — one plan, no eager driver
+    action. Ten output rows regardless of corpus size — the classic
+    pre-training length-distribution report.
     """
     docs = _docs(spark, sf_dir)
-    total = docs.count()
     b = docs.select(
         F.least(F.floor(F.col("n_chars") / 50), F.lit(9)).cast("long").alias("bucket")
     )
-    return b.groupBy("bucket").agg(
-        (F.col("bucket") * 50).cast("long").alias("chars_lo"),
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(F.count("*") * 100.0 / F.lit(total), 2).alias("pct"),
+    total = docs.agg(F.count("*").alias("total"))  # scalar aggregate, stays lazy
+    return (
+        b.groupBy("bucket")
+        .agg((F.col("bucket") * 50).cast("long").alias("chars_lo"),
+             F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "chars_lo",
+            "n_docs",
+            F.round(F.col("n_docs") * 100.0 / F.col("total"), 2).alias("pct"),
+        )
     )
 
 

@@ -500,12 +500,24 @@ def iter_fmp_value_regions(
                 continue
             region = buf[pos : last + 6]
             pos = last + 6
-            n_rows = region.count("</ROW>")
+            # Per-row validation via one C-level split: every piece
+            # before the tail must open exactly one ROW and contain
+            # exactly n_fields COL units. This catches COMPENSATING
+            # structural errors (an extra COL in one row plus a missing
+            # COL in another) that region-global counts would cancel
+            # out; the global match-count check then ensures every COL
+            # was one of the fast shapes (a repeating field matches
+            # nothing and comes up short).
+            pieces = region.split("</ROW>")
+            n_rows = len(pieces) - 1
             values = _FAST_COL_RE.findall(region)
             if (
-                region.count("<ROW") == n_rows
-                and len(values) == n_rows * n_fields
-                and region.count("<COL") == n_rows * n_fields
+                len(values) == n_rows * n_fields
+                and not pieces[-1].strip()
+                and all(
+                    p.count("<ROW") == 1 and p.count("<COL") == n_fields
+                    for p in pieces[:-1]
+                )
             ):
                 if "&" in region or "\r" in region:
                     values = [_norm_text(v) if v else None for v in values]

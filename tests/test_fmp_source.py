@@ -323,3 +323,42 @@ def test_region_scanner_repeating_field_falls_back_per_row():
     assert _rows_via_regions(path, 2, repeats="join") == expected
     with pytest.raises(ValueError, match="repeating field"):
         _rows_via_regions(path, 2, repeats="error")
+
+
+def test_region_scanner_rejects_compensating_col_errors():
+    """An extra fast-shaped COL in one row plus a missing COL in the
+    next cancels out in region-global counts; the per-row split
+    validation must still catch it and route through the strict per-row
+    reparse (which raises)."""
+    import io
+
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        FMPFastPathError,
+        iter_fmp_value_regions,
+    )
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?><FMPXMLRESULT>'
+        '<RESULTSET FOUND="2">'
+        "<ROW><COL><DATA>a</DATA></COL><COL><DATA>b</DATA></COL>"
+        "<COL><DATA>c</DATA></COL></ROW>"
+        "<ROW><COL><DATA>d</DATA></COL></ROW>"
+        "</RESULTSET></FMPXMLRESULT>"
+    ).encode()
+    with pytest.raises((FMPFastPathError, ValueError)):
+        list(iter_fmp_value_regions(io.BytesIO(xml), 2))
+
+
+def test_zscore_group_degenerate_returns_null():
+    """Single-row and constant-value groups yield NULL z (matching the
+    oracle's CASE guard) instead of crashing or emitting inf."""
+    import pandas as pd
+
+    from ceneton_database_tools_spark.operators.advanced import _zscore_group
+
+    one = pd.DataFrame({"event_id": [1], "event_type": ["x"], "value": [5.0]})
+    assert _zscore_group(one)["z"].isna().all()
+    const = pd.DataFrame(
+        {"event_id": [1, 2, 3], "event_type": ["x"] * 3, "value": [5.0, 5.0, 5.0]}
+    )
+    assert _zscore_group(const)["z"].isna().all()
