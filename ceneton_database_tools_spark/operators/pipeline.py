@@ -500,3 +500,65 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_vecs"),
         F.round(F.avg("x"), 4).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({T.DUCK_TOKENS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS total FROM tok),
+    per_doc AS (
+      SELECT t.doc_id, t.lang, avg(ln(f.cnt::DOUBLE / n.total)) AS logprob
+      FROM tok t JOIN freq f USING (token) CROSS JOIN n
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           round(avg(logprob), 4)    AS avg_logprob,
+           round(min(logprob), 4)    AS min_logprob,
+           round(max(logprob), 4)    AS max_logprob
+    FROM per_doc
+    GROUP BY lang
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train token frequencies on the
+    corpus itself, score each document by its mean token log-probability
+    (the cheap stand-in for the perplexity quality filter), and report
+    the per-language distribution.
+
+    Scale shape: the LM "training" is one token-count aggregate; the
+    scoring join is tokens-to-frequencies on the token key (AQE
+    broadcasts the vocabulary when it fits — no hard hint, so a
+    web-scale vocabulary degrades to a shuffle join); per-doc and
+    per-language rollups partial-aggregate map-side. Same ln() on both
+    engines as the green TF-IDF oracle.
+    """
+    tok = (
+        _docs(spark, sf_dir)
+        .withColumn("w", F.expr(T.SPARK_TOKENS))
+        .select("doc_id", "lang", F.explode("w").alias("token"))
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    n = tok.agg(F.count("*").alias("total"))
+    per_doc = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))).alias("logprob"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("logprob"), 4).alias("avg_logprob"),
+        F.round(F.min("logprob"), 4).alias("min_logprob"),
+        F.round(F.max("logprob"), 4).alias("max_logprob"),
+    )
