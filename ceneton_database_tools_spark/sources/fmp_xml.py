@@ -327,6 +327,43 @@ def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats: str) -> tuple:
     return tuple(values)
 
 
+class _ScanBuffer:
+    """Chunked text window over the byte stream, shared by the row and
+    region scanners: grow-on-demand buffer with consumed-prefix
+    trimming, the RESULTSET seek, and the detach-not-close contract
+    (the caller may rewind the underlying binary stream for the ET
+    fallback)."""
+
+    def __init__(self, stream: IO[bytes], chunk_size: int):
+        import io
+
+        self.text = io.TextIOWrapper(stream, encoding="utf-8", newline="")
+        self.chunk_size = chunk_size
+        self.buf = ""
+        self.pos = 0
+
+    def fill(self) -> bool:
+        piece = self.text.read(self.chunk_size)
+        if self.pos:
+            self.buf = self.buf[self.pos :]
+            self.pos = 0
+        self.buf += piece
+        return bool(piece)
+
+    def seek_resultset(self) -> None:
+        while True:
+            idx = self.buf.find("<RESULTSET", self.pos)
+            if idx >= 0:
+                self.pos = idx
+                return
+            self.pos = max(0, len(self.buf) - 16)  # a split tag can straddle chunks
+            if not self.fill():
+                raise FMPFastPathError("no RESULTSET section found")
+
+    def detach(self) -> None:
+        self.text.detach()
+
+
 def iter_fmp_rows_fast(
     stream: IO[bytes], n_fields: int, repeats: str = "error"
 ) -> Iterator[tuple]:
@@ -334,52 +371,27 @@ def iter_fmp_rows_fast(
     regex COL/DATA extraction. Constant memory (buffer holds at most
     one chunk + one partial row). Raises FMPFastPathError on any
     structural deviation so the caller can fall back to ET."""
-    import io
-
-    text = io.TextIOWrapper(stream, encoding="utf-8", newline="")
+    sb = _ScanBuffer(stream, 1 << 20)
     try:
-        buf = ""
-        pos = 0
-        chunk_size = 1 << 20
-
-        def fill() -> bool:
-            nonlocal buf, pos
-            piece = text.read(chunk_size)
-            if pos:
-                buf = buf[pos:]
-                pos = 0
-            buf += piece
-            return bool(piece)
-
+        sb.seek_resultset()
         while True:
-            idx = buf.find("<RESULTSET", pos)
-            if idx >= 0:
-                pos = idx
-                break
-            pos = max(0, len(buf) - 16)  # a split tag can straddle chunks
-            if not fill():
-                raise FMPFastPathError("no RESULTSET section found")
-
-        while True:
-            end = buf.find("</ROW>", pos)
+            end = sb.buf.find("</ROW>", sb.pos)
             while end == -1:
-                if not fill():
-                    if "<ROW" in buf[pos:]:
+                if not sb.fill():
+                    if "<ROW" in sb.buf[sb.pos :]:
                         raise FMPFastPathError("unterminated ROW at end of input")
                     return
-                end = buf.find("</ROW>", pos)
-            start = buf.find("<ROW", pos)
+                end = sb.buf.find("</ROW>", sb.pos)
+            start = sb.buf.find("<ROW", sb.pos)
             if start == -1 or start > end:
                 raise FMPFastPathError("ROW structure out of order")
-            body_start = buf.find(">", start, end)
+            body_start = sb.buf.find(">", start, end)
             if body_start == -1:
                 raise FMPFastPathError("malformed ROW start tag")
-            yield _parse_row_chunk(buf[body_start + 1 : end], n_fields, repeats)
-            pos = end + len("</ROW>")
+            yield _parse_row_chunk(sb.buf[body_start + 1 : end], n_fields, repeats)
+            sb.pos = end + len("</ROW>")
     finally:
-        # detach, never close: the caller may rewind the underlying
-        # binary stream for the ET fallback
-        text.detach()
+        sb.detach()
 
 
 def iter_fmp_rows(
@@ -465,41 +477,19 @@ def iter_fmp_value_regions(
     when the region contains ``&`` or ``\\r`` at all — the common
     machine-generated region skips it wholesale.
     """
-    import io
-
-    text = io.TextIOWrapper(stream, encoding="utf-8", newline="")
+    sb = _ScanBuffer(stream, _REGION_CHUNK)
     try:
-        buf = ""
-        pos = 0
-
-        def fill() -> bool:
-            nonlocal buf, pos
-            piece = text.read(_REGION_CHUNK)
-            if pos:
-                buf = buf[pos:]
-                pos = 0
-            buf += piece
-            return bool(piece)
-
+        sb.seek_resultset()
         while True:
-            idx = buf.find("<RESULTSET", pos)
-            if idx >= 0:
-                pos = idx
-                break
-            pos = max(0, len(buf) - 16)  # a split tag can straddle chunks
-            if not fill():
-                raise FMPFastPathError("no RESULTSET section found")
-
-        while True:
-            last = buf.rfind("</ROW>")
-            if last < pos:
-                if not fill():
-                    if "<ROW" in buf[pos:]:
+            last = sb.buf.rfind("</ROW>")
+            if last < sb.pos:
+                if not sb.fill():
+                    if "<ROW" in sb.buf[sb.pos :]:
                         raise FMPFastPathError("unterminated ROW at end of input")
                     return
                 continue
-            region = buf[pos : last + 6]
-            pos = last + 6
+            region = sb.buf[sb.pos : last + 6]
+            sb.pos = last + 6
             # Per-row validation via one C-level split: every piece
             # before the tail must open exactly one ROW and contain
             # exactly n_fields COL units. This catches COMPENSATING
@@ -545,9 +535,7 @@ def iter_fmp_value_regions(
                     p = e + 6
                 yield cnt, flat
     finally:
-        # detach, never close: the caller may rewind the underlying
-        # binary stream for the ET fallback
-        text.detach()
+        sb.detach()
 
 
 class FMPXMLReader(DataSourceReader):
