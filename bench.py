@@ -86,55 +86,53 @@ def main() -> int:
     return 0
 
 
-def _bench_fmp_parse(spark) -> tuple[float, float]:
-    """Generate a deterministic 12,500×126 FMP export and measure the
-    fmpxml DataSource end-to-end (parse + Arrow transfer + count)."""
+def _bench_fmp_fixture() -> str:
+    """Deterministic 12,500x126 FMP export in the temp dir (cached)."""
     import tempfile
-
-    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
 
     path = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp.xml")
     if not os.path.exists(path):
         _write_bench_fmp(path, nrows=12500, ncols=126)
-    df = read_fmp_xml_df(spark, path)
+    return path
+
+
+def _time_fmp_scan(spark, label: str, source: str) -> tuple[float, float]:
+    """Best-of-3 count over the fmpxml DataSource (parse + Arrow
+    transfer + count): the Python-worker + JVM path keeps JIT-warming
+    through the first two runs (measured 2.1s -> 1.8s -> 1.5s here)."""
+    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
+
+    df = read_fmp_xml_df(spark, source)
     best, n = float("inf"), 0
-    # best-of-3: the Python-worker + JVM path keeps JIT-warming through
-    # the first two runs (measured 2.1s -> 1.8s -> 1.5s on this host)
     for _ in range(3):
         t0 = time.perf_counter()
         n = df.count()
         best = min(best, time.perf_counter() - t0)
     rate = round(n / best, 1)
-    print(f"# fmp_parse: {best:.3f}s ({n} rows, {rate} rec/s)", file=sys.stderr)
+    print(f"# {label}: {best:.3f}s ({n} rows, {rate} rec/s)", file=sys.stderr)
     return rate, round(best, 3)
 
 
+def _bench_fmp_parse(spark) -> tuple[float, float]:
+    """Single reference-shaped export — the BASELINE.md comparison
+    (the reference's only published figure is ~5,234 rec/s there)."""
+    return _time_fmp_scan(spark, "fmp_parse", _bench_fmp_fixture())
+
+
 def _bench_fmp_parse_sharded(spark) -> tuple[float, float]:
-    """Sharded-directory scan: 8 export shards × 12,500 rows, one input
+    """Sharded-directory scan: 8 export shards x 12,500 rows, one input
     partition per file — the parallel scale-out path a single-file
     export cannot exercise (an FMP file is one XML document)."""
     import shutil
     import tempfile
 
-    from ceneton_database_tools_spark.sources.fmp_xml import read_fmp_xml_df
-
-    single = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp.xml")
     shard_dir = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp_shards")
     if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != 8:
-        if not os.path.exists(single):
-            _write_bench_fmp(single, nrows=12500, ncols=126)
+        single = _bench_fmp_fixture()
         os.makedirs(shard_dir, exist_ok=True)
         for i in range(8):
             shutil.copy(single, os.path.join(shard_dir, f"shard_{i}.xml"))
-    df = read_fmp_xml_df(spark, os.path.join(shard_dir, "*.xml"))
-    best, n = float("inf"), 0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        n = df.count()
-        best = min(best, time.perf_counter() - t0)
-    rate = round(n / best, 1)
-    print(f"# fmp_parse_sharded: {best:.3f}s ({n} rows, {rate} rec/s)", file=sys.stderr)
-    return rate, round(best, 3)
+    return _time_fmp_scan(spark, "fmp_parse_sharded", os.path.join(shard_dir, "*.xml"))
 
 
 def _write_bench_fmp(path: str, nrows: int, ncols: int) -> None:
