@@ -1369,3 +1369,38 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, n
+    FROM (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event_type per user), expressed as
+    count + rank so ties break deterministically (count DESC, value
+    ASC) — engine-native ``mode()`` is tie-nondeterministic on BOTH
+    engines, which is exactly what a cross-engine gate can't accept.
+
+    Scale shape: two-phase count aggregate (map-side partials) on
+    (user_id, event_type), then a per-user rank over at most
+    |event_type| rows — the heavy reduction happens before the window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").cast("long").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
