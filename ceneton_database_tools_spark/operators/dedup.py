@@ -180,7 +180,36 @@ def _band_exprs_spark() -> list[str]:
     ]
 
 
-def _minhash_oracle() -> str:
+def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-doc distinct hashed-shingle arrays (doc_id, ba).
+
+    Hashed shingle sets (60-bit ints mod P) are the stored form —
+    signatures AND Jaccard verification both read them, so verify
+    joins ship small int arrays instead of string shingles. Shared
+    (one persisted copy per app/sf) between the LSH pair query, the
+    cluster assignment, and the recall evaluation."""
+
+    def build() -> DataFrame:
+        shingled = _near_corpus_tokens(spark, sf_dir).select(
+            "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
+        )
+        return shingled.select(
+            "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
+        )
+
+    return _shared_persist(spark, "minhash_base", sf_dir, build)
+
+
+_DUCK_PAIR_JACCARD = (
+    "len(list_intersect(sa.ba, sb.ba))::DOUBLE /"
+    " (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba)))"
+)
+
+
+def _minhash_ctes() -> str:
+    """The shared WITH-body of the MinHash-LSH pipeline (tokens →
+    shingles → base hashes → signatures → bands → candidate pairs),
+    used by both the pair oracle and the recall-eval oracle."""
     sigs = ",\n        ".join(f"{T.duck_minhash_cw(j)} AS h{j}" for j in range(NUM_HASHES))
     band_rows = "\n      UNION ALL\n".join(
         "      SELECT doc_id, {b} AS band_idx, concat_ws('|', {cols}) AS band_val FROM sigs".format(
@@ -189,8 +218,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return f"""
-    WITH toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
+    return f"""toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
     shingled AS (
       SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks
     ),
@@ -208,17 +236,20 @@ def _minhash_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
     SELECT
       c.doc_a,
       c.doc_b,
-      round(len(list_intersect(sa.ba, sb.ba))::DOUBLE /
-            (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba))), 6) AS jaccard
+      round({_DUCK_PAIR_JACCARD}, 6) AS jaccard
     FROM cand c
     JOIN based sa ON sa.doc_id = c.doc_a
     JOIN based sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.ba, sb.ba))::DOUBLE /
-          (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba))) >= {JACCARD_THRESHOLD}
+    WHERE {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
     """
 
 
@@ -245,20 +276,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH skew risk; AQE skew-join splitting handles moderate skew,
     salting the band value is the escape hatch beyond that.
     """
-    shingled = _near_corpus_tokens(spark, sf_dir).select(
-        "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
-    )
-    # Hashed shingle sets (60-bit ints mod P) are the stored form —
-    # signatures AND Jaccard verification both read them, so the
-    # verify join ships small int arrays instead of string shingles.
-    based = _shared_persist(
-        spark,
-        "minhash_base",
-        sf_dir,
-        lambda: shingled.select(
-            "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
-        ),
-    )
+    based = _minhash_base(spark, sf_dir)
     sigs = based.select(
         "doc_id", *[F.expr(T.spark_minhash_cw(j)).alias(f"h{j}") for j in range(NUM_HASHES)]
     )
@@ -734,3 +752,85 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()},
+    found AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN based sa ON sa.doc_id = c.doc_a
+      JOIN based sb ON sb.doc_id = c.doc_b
+      WHERE {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
+    ),
+    expected AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      FROM based sa JOIN based sb ON sb.doc_id = sa.doc_id + {TWIN_OFFSET}
+      WHERE {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
+    ),
+    caught AS (
+      SELECT e.doc_a FROM expected e JOIN found f
+        ON e.doc_a = f.doc_a AND e.doc_b = f.doc_b
+    )
+    SELECT CAST((SELECT count(*) FROM expected) AS BIGINT) AS n_expected,
+           CAST((SELECT count(*) FROM caught) AS BIGINT)   AS n_caught,
+           round((SELECT count(*) FROM caught) * 1.0
+                 / (SELECT count(*) FROM expected), 4)     AS recall,
+           CAST((SELECT count(*) FROM found) AS BIGINT)    AS n_found
+    """
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=_lsh_recall_oracle(),
+    tags=("dedup", "eval", "llm-pipeline"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall evaluation: measure the banded MinHash pipeline
+    against ground truth. The twin construction makes the true
+    positive set computable exactly — every (doc, doc+offset) pair
+    whose true hashed-shingle Jaccard clears the threshold — with a
+    LINEAR equi-join, no all-pairs scan. Recall = banding-survivor
+    twins / qualifying twins; precision is 1.0 by construction (every
+    candidate is exact-verified), so n_found also counts any organic
+    non-twin duplicates the corpus happens to contain.
+
+    This is the eval harness a production dedup pipeline runs when
+    tuning bands x rows: the same query at a new (BANDS, ROWS_PER_BAND)
+    setting quantifies the recall cost of cheaper banding.
+
+    Scale shape: reuses the persisted signature table; the ground-truth
+    join is keyed on doc_id (linear), the found set comes from the
+    bucketed candidate join — nothing here is quadratic.
+    """
+    based = _minhash_base(spark, sf_dir)
+    sa = based.select(F.col("doc_id").alias("doc_a"), F.col("ba").alias("ba_a"))
+    sb = based.select(
+        (F.col("doc_id") - TWIN_OFFSET).alias("doc_a"), F.col("ba").alias("ba_b")
+    ).where(F.col("doc_a") >= 0)
+    inter = F.size(F.array_intersect("ba_a", "ba_b")).cast("double")
+    union = F.size("ba_a") + F.size("ba_b") - F.size(F.array_intersect("ba_a", "ba_b"))
+    expected = (
+        sa.join(sb, "doc_a")
+        .where(inter / union >= JACCARD_THRESHOLD)
+        .select("doc_a", (F.col("doc_a") + TWIN_OFFSET).alias("doc_b"))
+    )
+    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    caught = expected.join(found, ["doc_a", "doc_b"], "left_semi")
+    return (
+        expected.agg(F.count("*").cast("long").alias("n_expected"))
+        .crossJoin(caught.agg(F.count("*").cast("long").alias("n_caught")))
+        .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
+        .select(
+            "n_expected",
+            "n_caught",
+            F.round(F.col("n_caught") * 1.0 / F.col("n_expected"), 4).alias("recall"),
+            "n_found",
+        )
+    )
