@@ -73,20 +73,39 @@ def _shared_persist(spark: SparkSession, name: str, sf_dir: str, build) -> DataF
     key bounds the cache to one copy per signature table, and
     :func:`release_persisted` drops them all (bench and the test
     session call it when a phase ends)."""
-    key = (spark.sparkContext.applicationId, name, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _PERSISTED if k[0] != app_id]:
+        # Entries from stopped sessions are unreachable (their JVM cache
+        # blocks died with the session); evict lazily so the dict never
+        # accumulates across session restarts in one process.
+        _PERSISTED.pop(stale, None)
+    key = (app_id, name, sf_dir)
     if key not in _PERSISTED:
         _PERSISTED[key] = build().persist()
     return _PERSISTED[key]
 
 
-def release_persisted() -> None:
-    """Unpersist every shared dedup intermediate (idempotent)."""
-    for df in _PERSISTED.values():
+def release_persisted(application_id: str | None = None) -> None:
+    """Unpersist the shared dedup intermediates (idempotent).
+
+    Scoped to one Spark application: by default the active session's,
+    or an explicit ``application_id``. Entries belonging to other live
+    sessions in the same process are left cached. With no resolvable
+    application (no active session, no argument) everything is dropped
+    — the process-teardown path."""
+    if application_id is None:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            application_id = active.sparkContext.applicationId
+    victims = [
+        k for k in _PERSISTED if application_id is None or k[0] == application_id
+    ]
+    for key in victims:
         try:
-            df.unpersist()
+            _PERSISTED[key].unpersist()
         except Exception:
             pass  # session already stopped
-    _PERSISTED.clear()
+        _PERSISTED.pop(key, None)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,17 +519,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — exact counts and 60-bit ints — so the candidate SET, not
     just the final pairs, is deterministic cross-engine.
     """
-    shingled = _near_corpus_tokens(spark, sf_dir).select(
-        "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
-    )
-    based = _shared_persist(
-        spark,
-        "minhash_base",  # same table the MinHash pipeline materializes
-        sf_dir,
-        lambda: shingled.select(
-            "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
-        ),
-    )
+    # Same persisted table the MinHash pipeline materializes — a single
+    # builder (_minhash_base) owns the key, so the two queries can never
+    # drift onto different signature tables.
+    based = _minhash_base(spark, sf_dir)
     grams = based.select("doc_id", F.explode("ba").alias("g"))
     dfreq = grams.groupBy("g").agg(F.count("*").alias("dfreq"))
     gsorted = (

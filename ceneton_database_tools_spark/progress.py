@@ -74,8 +74,10 @@ def stage_progress(spark, total_records: int | None, desc: str = "records"):
 
     Polls the status tracker while the action runs inside the ``with``
     body; completed/total task fraction is scaled to ``total_records``
-    (the FMP header's declared count). On exit the bar is driven to the
-    total and closed, so even sub-poll-interval jobs render once.
+    (the FMP header's declared count). On clean exit the bar is driven
+    to the total and closed, so even sub-poll-interval jobs render
+    once; if the body raises, the bar closes at its last observed
+    count instead of claiming completion.
     """
     bar = progress(total=total_records, desc=desc)
     stop = threading.Event()
@@ -100,11 +102,15 @@ def stage_progress(spark, total_records: int | None, desc: str = "records"):
 
     poller = threading.Thread(target=_poll, daemon=True)
     poller.start()
+    completed = False
     try:
         yield bar
+        completed = True
     finally:
         stop.set()
         poller.join(timeout=1.0)
-        if total_records is not None:
+        if completed and total_records is not None:
+            # Only a clean exit snaps to 100%; a raised Spark action
+            # leaves the bar at its last observed count.
             bar.n = total_records
         bar.close()

@@ -607,10 +607,20 @@ class FMPXMLReader(DataSourceReader):
             except Exception:
                 start_pos = None
             if start_pos is None:
-                yield from self._read_rowwise(
-                    iter_fmp_rows_et(stream, n_fields, repeats=self._repeats)
-                )
-                return
+                # Unreachable via open_xml_stream today (files and bz2 are
+                # both seekable), but a future non-seekable source must not
+                # silently drop to the row-wise ET path: spool to a temp
+                # file (memory-backed up to 64 MiB) so the ET-rewind
+                # fallback works and the columnar fast path stays in play.
+                import shutil
+                import tempfile
+
+                spool = tempfile.SpooledTemporaryFile(max_size=64 << 20)
+                shutil.copyfileobj(stream, spool)
+                stream.close()
+                spool.seek(0)
+                stream = spool
+                start_pos = 0
             vals: list = []
             rows = 0
             emitted = 0

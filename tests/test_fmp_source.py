@@ -362,3 +362,44 @@ def test_zscore_group_degenerate_returns_null():
         {"event_id": [1, 2, 3], "event_type": ["x"] * 3, "value": [5.0, 5.0, 5.0]}
     )
     assert _zscore_group(const)["z"].isna().all()
+
+
+def test_reader_non_seekable_stream_spools_to_fast_path(monkeypatch):
+    """A non-seekable input must not silently drop to the row-wise ET
+    path: the reader spools it to a seekable temp file and keeps the
+    columnar fast path (ADVICE r3: throughput cliff guard)."""
+    import io
+
+    from ceneton_database_tools_spark.sources import fmp_xml as mod
+
+    class _NonSeekable(io.RawIOBase):
+        def __init__(self, data: bytes):
+            self._buf = io.BytesIO(data)
+
+        def readable(self):
+            return True
+
+        def seekable(self):
+            return False
+
+        def readinto(self, b):
+            chunk = self._buf.read(len(b))
+            b[: len(chunk)] = chunk
+            return len(chunk)
+
+    with open(BASIC, "rb") as f:
+        raw = f.read()
+
+    schema = parse_fmp_header(open_xml_stream(BASIC))
+    names = schema.clean_names
+
+    monkeypatch.setattr(
+        mod, "open_xml_stream", lambda path: io.BufferedReader(_NonSeekable(raw))
+    )
+    reader = mod.FMPXMLReader([BASIC], list(names), repeats="error")
+    batches = list(reader.read(mod.InputPartition(0)))
+    assert sum(b.num_rows for b in batches) == 4
+    # columnar fast path: Arrow RecordBatches, not row tuples
+    assert all(hasattr(b, "num_rows") for b in batches)
+    first_col = batches[0].column(names.index("nummer")).to_pylist()
+    assert first_col[0] == "000001"

@@ -89,3 +89,61 @@ def test_count_with_observe_matches_and_warns(spark, sf_smoke, caplog):
     with caplog.at_level(logging.WARNING):
         count_with_observe(orders, declared_count=n + 5)
     assert any("header declared" in r.message for r in caplog.records)
+
+
+def test_release_persisted_scoped_to_application(spark):
+    """release_persisted drops only the active application's entries;
+    other live sessions' caches survive (ADVICE r3)."""
+    from ceneton_database_tools_spark.operators import dedup as D
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3).toDF("doc_id")
+
+    df = D._shared_persist(spark, "_test_scope", "sfX", build)
+    assert D._shared_persist(spark, "_test_scope", "sfX", build) is df
+    assert calls["n"] == 1
+
+    class _Fake:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    foreign = _Fake()
+    D._PERSISTED[("other-app", "k", "sfY")] = foreign
+    # default scope = active session: the foreign entry survives
+    D.release_persisted()
+    app_id = spark.sparkContext.applicationId
+    assert ("other-app", "k", "sfY") in D._PERSISTED
+    assert not any(k[0] == app_id for k in D._PERSISTED)
+    assert not foreign.unpersisted
+    # explicit scope removes exactly that application's entries
+    D.release_persisted("other-app")
+    assert ("other-app", "k", "sfY") not in D._PERSISTED
+    assert foreign.unpersisted
+    # stale foreign entries are evicted lazily on the next _shared_persist
+    D._PERSISTED[("dead-app", "k", "sfZ")] = _Fake()
+    D._shared_persist(spark, "_test_scope", "sfX", build)
+    assert ("dead-app", "k", "sfZ") not in D._PERSISTED
+    D.release_persisted()
+
+
+def test_stage_progress_does_not_claim_completion_on_failure(spark):
+    """A raised action leaves the bar at its last observed count instead
+    of rendering 100% (ADVICE r3)."""
+    import pytest as _pytest
+
+    from ceneton_database_tools_spark.progress import stage_progress
+
+    with _pytest.raises(RuntimeError):
+        with stage_progress(spark, total_records=1000) as bar:
+            bar.n = 137
+            raise RuntimeError("boom")
+    assert bar.n == 137
+
+    with stage_progress(spark, total_records=1000) as bar:
+        bar.n = 137
+    assert bar.n == 1000
