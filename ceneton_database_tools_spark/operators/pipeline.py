@@ -562,3 +562,161 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("logprob"), 4).alias("min_logprob"),
         F.round(F.max("logprob"), 4).alias("max_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: sliding-window chunking, language-balanced resampling,
+# embedding normalize + int8 quantization
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "docs_chunk_sliding",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {T.DUCK_TOKENS} AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(w, s + 1, s + {CHUNK_TOKENS})) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(w, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk
+    FROM tok, unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS t(s)
+    """,
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: overlapping {CHUNK_TOKENS}-token
+    windows at stride {CHUNK_STRIDE} — the context-window preparation
+    step of a pretraining pipeline (every token appears in ≥1 chunk;
+    consecutive chunks share an 8-token overlap so no boundary context
+    is lost).
+
+    Scale shape: pure per-row narrow work — tokenize, build the start
+    offsets with ``sequence``, ``posexplode`` one row per chunk. No
+    shuffle at all (the fan-out multiplies rows ~len/stride×, which is
+    the operator's defined output). At 100 TB this pipelines inside the
+    scan stage.
+    """
+    docs = _docs(spark, sf_dir).withColumn("w", F.expr(T.SPARK_TOKENS))
+    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+    exploded = docs.select(
+        "doc_id", "w", F.explode(starts).alias("s")
+    )
+    chunk = F.expr(f"slice(w, s + 1, {CHUNK_TOKENS})")
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk"),
+    )
+
+
+@register(
+    "docs_lang_balance_resample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    ),
+    target AS (
+      SELECT min(cnt) AS t
+      FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked CROSS JOIN target
+    WHERE rk <= t
+    """,
+    tags=("sampling", "llm-pipeline"),
+)
+def docs_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsampling: keep exactly min-language-count
+    documents per language, chosen by md5 rank — the deterministic
+    version of the language-rebalancing step in a multilingual
+    training mix (every engine, every run, every partitioning picks
+    the same documents).
+
+    Scale shape: one window partitioned BY LANGUAGE (bounded
+    cardinality — each language's rows hash to its own partitions; for
+    a skewed web corpus the md5 order also makes a per-language
+    ``orderBy().limit()`` formulation legal since the cut is rank-
+    based). The target count is a 1-row aggregate broadcast into the
+    filter.
+    """
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    key = F.md5(F.col("doc_id").cast("string"))
+    rk = F.row_number().over(W.partitionBy("lang").orderBy(key, "doc_id"))
+    ranked = docs.select("doc_id", "lang", rk.cast("bigint").alias("rk"))
+    target = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("t"))
+    )
+    return (
+        ranked.join(F.broadcast(target))  # 1-row aggregate: fixed-size
+        .filter(F.col("rk") <= F.col("t"))
+        .select("doc_id", "lang", "rk")
+    )
+
+
+@register(
+    "embeddings_normalize_int8",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, v,
+             {T.norm_chain("v", 64, one_based=True)} AS nrm
+      FROM base
+    )
+    SELECT vec_id, label,
+           round(nrm, 6) AS norm,
+           array_to_string(
+             list_transform(v, x -> CAST(CAST(floor(x / nrm * 127 + 0.5) AS BIGINT) AS VARCHAR)),
+             ',') AS q8
+    FROM normed
+    WHERE nrm > 0
+    """,
+    tags=("similarity", "vector", "quantization", "llm-pipeline"),
+)
+def embeddings_normalize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding and quantize to int8 (×127) — the
+    storage-compression step before an ANN index build (4× smaller
+    than float32, cosine ≈ int8 dot product / 127²).
+
+    Cross-engine determinism: the norm is the repo's explicit
+    left-associated dot chain (identical FP order both engines), and
+    the quantizer is ``floor(x + 0.5)`` — not ``round()``, whose
+    half-away/half-even convention differs between engines. The final
+    vector leaves as a comma-joined string (the driver's canonicalizer
+    cannot sort array-typed columns — round-2 lesson).
+
+    Scale shape: pure per-row narrow work inside the scan stage, no
+    shuffle; at 100 TB this is a streaming map over the vector table.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    normed = emb.withColumn("nrm", F.expr(T.norm_chain("v", 64, one_based=False)))
+    q8 = F.expr(
+        "array_join(transform(v, x -> CAST(CAST(floor(x / nrm * 127 + 0.5) AS BIGINT) AS STRING)), ',')"
+    )
+    return normed.filter(F.col("nrm") > 0).select(
+        "vec_id",
+        "label",
+        F.round("nrm", 6).alias("norm"),
+        q8.alias("q8"),
+    )

@@ -1,14 +1,17 @@
 """TPC-H-shaped relational coverage beyond the round-2 set.
 
-Nine more classic decision-support shapes — correlated EXISTS,
+Fourteen more classic decision-support shapes — correlated EXISTS,
 nation-pair volume, market share, returned-item ranking, conditional
 category counts, distribution histograms, view-plus-argmax, HAVING-IN
-composition, and multi-way correlated self-joins — each reshaped to the
+composition, multi-way correlated self-joins, and (round 4) the five
+partsupp-dependent shapes Q2/Q9/Q11/Q16/Q20 — each reshaped to the
 columns the driver's synthetic tables actually carry (no ``partsupp``
-table, no ``l_commitdate``/``l_receiptdate``/``l_shipmode``, so Q2, Q9,
-Q11, Q16, and Q20 are out of reach and the date/shipmode predicates of
-Q4, Q12, and Q21 are re-expressed over ``l_shipdate`` lateness vs
-``o_orderdate`` and ``o_orderpriority`` classes).
+table, so supply cost/availqty are derived from lineitem — see the
+round-4 section; no ``l_commitdate``/``l_receiptdate``/``l_shipmode``,
+so the date/shipmode predicates of Q4, Q12, and Q21 are re-expressed
+over ``l_shipdate`` lateness vs ``o_orderdate`` and ``o_orderpriority``
+classes). With these, all 22 TPC-H query shapes are registered and
+oracle-gated.
 
 Scale posture shared by all nine: filters sit before joins so they push
 into the parquet scans; only fixed-size dimensions (region: 5 rows,
@@ -511,4 +514,299 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the five partsupp-dependent TPC-H shapes, reshaped over a
+# lineitem-DERIVED supply table. There is no partsupp fixture, so
+# "supply cost" is min(l_extendedprice) per (part, supplier) — an
+# order-independent exact-double aggregate (no summation), safe for
+# cross-engine equality joins — and "availqty" is the integer shipped
+# quantity. With these stand-ins Q2/Q9/Q11/Q16/Q20 keep their defining
+# plan shapes (min-per-group equality join, profit measure, global-
+# fraction HAVING, NOT-IN distinct count, nested quantity threshold).
+# ---------------------------------------------------------------------------
+
+_DERIVED_PS = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem-derived partsupp stand-in: one row per (part,
+    supplier) that ever traded, cost = exact min extendedprice. One
+    shuffle on (partkey, suppkey) with map-side partial min; at 100 TB
+    this is the natural pre-aggregation that shrinks lineitem to
+    partsupp cardinality before any dimension join."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_DERIVED_PS}),
+    eu AS (
+      SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    FROM part
+    JOIN ps ON p_partkey = ps_partkey
+    JOIN eu ON s_suppkey = ps_suppkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = (
+        SELECT min(ps2.ps_supplycost)
+        FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.ps_suppkey
+        WHERE ps2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "topk", "multi-table"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional supplier per part.
+
+    The correlated min-cost subquery decorrelates to a window min over
+    ps_partkey AFTER the region filter — one extra shuffle on partkey,
+    never a re-scan per part. Equality against the min is exact (the
+    cost is a stored double, no arithmetic). nation/region broadcast
+    (fixed-size); supplier and the derived ps scale with SF and are
+    left to AQE. Top-100 is orderBy().limit() over a unique key tuple.
+    """
+    ps = _derived_ps(spark, sf_dir)
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    regional = ps.join(eu, F.col("s_suppkey") == F.col("ps_suppkey"))
+    win_min = F.min("ps_supplycost").over(W.partitionBy("ps_partkey"))
+    best = regional.withColumn("min_cost", win_min).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON l_partkey  = p_partkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "agg", "multi-table"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+
+    Supply cost is proxied as 10% of retail price per unit (no
+    ps_supplycost fixture). The p_name LIKE filter sits on the part
+    scan, so the 5-way join starts from the pruned part side; nation
+    broadcasts (fixed-size), everything else is AQE's choice. One
+    shuffle for the (nation, year) group-by, partial-aggregated
+    map-side.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nat = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH nation_value AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           round(value_cents / 100.0, 2) AS value
+    FROM nation_value
+    WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM nation_value)
+    ORDER BY value DESC, partkey
+    """,
+    tags=("join", "agg", "subquery", "having"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose single-nation traded value exceeds
+    a fraction (0.1%) of that nation's total.
+
+    Values are summed as integer CENTS (exact, order-independent), so
+    the global-fraction HAVING compares integers — no cross-engine
+    float boundary. The global total is a 1-row aggregate broadcast
+    into the filter (scalar subquery shape); the per-part aggregation
+    is the only data-sized shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    per_part = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))  # 1-row aggregate: fixed-size by construction
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "anti", "agg", "distinct"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    triple, excluding a supplier denylist.
+
+    The complaint denylist (no comment column) is suppliers with
+    negative balances; NOT IN over a non-null key compiles to a LEFT
+    ANTI join. Part's brand/type/size predicates all push to its scan;
+    countDistinct is Catalyst's two-phase expand-aggregate — no
+    driver-side distinct.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    deny = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(deny, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM shipped
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE qty * 10 > 3 * (
+      SELECT sum(s2.qty) FROM shipped s2 WHERE s2.l_partkey = shipped.l_partkey
+    )
+    ORDER BY s_name
+    """,
+    tags=("join", "subquery", "window"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant share (>30%) of a
+    part line's shipped volume in one year.
+
+    Quantities sum as integers (exact both engines); the correlated
+    per-part total decorrelates to a window sum over l_partkey on the
+    already part+supplier-aggregated table (partsupp cardinality, not
+    lineitem). The share test is integer cross-multiplication — no
+    float division. The final DISTINCT is supplier-cardinality.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1998-01-01 00:00:00"))
+    )
+    shipped = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    part_total = F.sum("qty").over(W.partitionBy("l_partkey"))
+    dominant = shipped.withColumn("total_qty", part_total).filter(
+        F.col("qty") * 10 > 3 * F.col("total_qty")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        dominant.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
     )
