@@ -48,22 +48,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default (PARQUET_TYPE_ILLEGAL). Read nanos as long (the session
-    factory sets the legacy flag) and truncate to microseconds — exactly
-    what DuckDB does when it reads the same file, so oracle comparisons
-    stay value-identical.
+    """Normalize ``events.ts`` to session-local TIMESTAMP regardless of
+    the parquet physical type the generator used that round:
 
-    Nano→micro must be integer division: epoch nanos (~1.7e18) exceed a
-    double's 53-bit mantissa, so float `/ 1000` can be off by ±1 µs.
+    * TIMESTAMP(NANOS) — Spark rejects it by default
+      (PARQUET_TYPE_ILLEGAL); the session factory sets the legacy
+      nanos-as-long flag, and the bigint is truncated to microseconds
+      (exactly what DuckDB does reading the same file). Nano→micro must
+      be integer division: epoch nanos (~1.7e18) exceed a double's
+      53-bit mantissa, so float ``/ 1000`` can be off by ±1 µs.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark infers
+      TIMESTAMP_NTZ, which watermarks/``unix_micros`` reject; cast to
+      LTZ. The session timezone is pinned UTC, so the wall-clock values
+      stay identical to DuckDB's naive read.
+    * TIMESTAMP(MICROS, adjusted) — already session-local, no-op.
     """
     from pyspark.sql import functions as F
 
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

@@ -46,8 +46,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet carries TIMESTAMP(NANOS); read as long + truncate
-        # (catalog._load_events) instead of failing PARQUET_TYPE_ILLEGAL.
+        # Some rounds' events.parquet carries TIMESTAMP(NANOS); read as
+        # long + truncate (catalog._load_events normalizes this AND the
+        # MICROS-NTZ variant) instead of failing PARQUET_TYPE_ILLEGAL.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if "SPARK_GRAFT_MASTER" in os.environ:

@@ -67,17 +67,22 @@ def _as_stream_dir(path: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet replayed as a file stream with the same
-    nano→micro timestamp normalization as the batch loader
-    (catalog._load_events)."""
+    timestamp normalization as the batch loader (catalog._load_events):
+    NANOS → bigint div 1000 → micros; MICROS-NTZ → cast to LTZ
+    (watermarks require TIMESTAMP, and the session tz is pinned UTC so
+    wall-clock values match DuckDB's naive read)."""
     path = _as_stream_dir(table_path(sf_dir, "events"))
     # self-heal like catalog._load_events: the driver's session may not
-    # have been built by our factory, and events.ts is TIMESTAMP(NANOS)
+    # have been built by our factory
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema  # one driver-side footer read
     sdf = spark.readStream.schema(schema).parquet(path)
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
