@@ -115,14 +115,19 @@ def _time_fmp_scan(spark, label: str, source: str) -> tuple[float, float]:
 
 def _bench_fmp_parse(spark) -> tuple[float, float]:
     """Single reference-shaped export — the BASELINE.md comparison
-    (the reference's only published figure is ~5,234 rec/s there)."""
+    (the reference's only published figure is ~5,234 rec/s there).
+    The auto byte-range splitter scans the one file on several cores
+    (fmp_xml.iter_fmp_split_regions), so this leg now measures the
+    parallel single-file path a native single-threaded parser cannot
+    have."""
     return _time_fmp_scan(spark, "fmp_parse", _bench_fmp_fixture())
 
 
 def _bench_fmp_parse_sharded(spark) -> tuple[float, float]:
-    """Sharded-directory scan: 8 export shards x 12,500 rows, one input
-    partition per file — the parallel scale-out path a single-file
-    export cannot exercise (an FMP file is one XML document)."""
+    """Sharded-directory scan: 8 export shards x 12,500 rows — the
+    many-files scale-out path. Auto split sizing keeps whole-file
+    partitions here (each shard is under the 64 MiB multi-file floor),
+    so this leg stays comparable round-over-round."""
     import shutil
     import tempfile
 

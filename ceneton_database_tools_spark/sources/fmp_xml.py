@@ -7,12 +7,14 @@ Spark-first:
 * the XML header (``<DATABASE>`` / ``<METADATA><FIELD>``) is parsed
   **driver-side** — it is the first few KB of the file — producing the
   all-string StructType (schema.py);
-* rows stream **executor-side** through the DataSource reader, one
-  incremental ``iterparse`` pass per input file, constant memory
-  (parsed elements are cleared as each ``<ROW>`` completes);
-* one FMP export is one XML document, so one file = one input
-  partition (XML is not byte-splittable); parallelism at scale comes
-  from many export files and from ``repartition()`` after the scan.
+* rows stream **executor-side** through the DataSource reader,
+  constant memory per partition;
+* parallelism comes from BOTH axes: one input partition per export
+  file, AND — because the rigid FMP grammar keeps ``<`` escaped in
+  all text, making ``b"<ROW"`` an unambiguous row boundary — byte-range
+  splits WITHIN a large plain ``.xml`` file (the Hadoop InputSplit
+  protocol; see ``iter_fmp_split_regions``). A single 100 GB export
+  scans on every core instead of one.
 
 Deliberate behavior differences from the reference (documented, not
 accidental — SURVEY.md §1.4 quirks):
@@ -458,6 +460,56 @@ ARROW_BATCH_ROWS = 4096
 _REGION_CHUNK = 4 << 20
 
 
+def _parse_region_text(region: str, n_fields: int, repeats: str) -> tuple[int, list]:
+    """Parse one ``</ROW>``-terminated region of complete rows into
+    ``(n_rows, flat_values)`` — the shared core of the whole-file and
+    byte-range region scanners.
+
+    Per-row validation via one C-level split: every piece before the
+    tail must open exactly one ROW and contain exactly n_fields COL
+    units. This catches COMPENSATING structural errors (an extra COL in
+    one row plus a missing COL in another) that region-global counts
+    would cancel out; the global match-count check then ensures every
+    COL was one of the fast shapes (a repeating field matches nothing
+    and comes up short). Entity/CR normalization runs per-value only
+    when the region contains ``&`` or ``\\r`` at all — the common
+    machine-generated region skips it wholesale.
+    """
+    pieces = region.split("</ROW>")
+    n_rows = len(pieces) - 1
+    values = _FAST_COL_RE.findall(region)
+    if (
+        len(values) == n_rows * n_fields
+        and not pieces[-1].strip()
+        and all(
+            p.count("<ROW") == 1 and p.count("<COL") == n_fields
+            for p in pieces[:-1]
+        )
+    ):
+        if "&" in region or "\r" in region:
+            return n_rows, [_norm_text(v) if v else None for v in values]
+        return n_rows, [v or None for v in values]
+    # row-by-row reparse of just this region: exact per-row
+    # validation, same contract as the row scanner
+    flat: list = []
+    cnt = 0
+    p = 0
+    while True:
+        e = region.find("</ROW>", p)
+        if e == -1:
+            break
+        s = region.find("<ROW", p)
+        if s == -1 or s > e:
+            raise FMPFastPathError("ROW structure out of order")
+        bs = region.find(">", s, e)
+        if bs == -1:
+            raise FMPFastPathError("malformed ROW start tag")
+        flat.extend(_parse_row_chunk(region[bs + 1 : e], n_fields, repeats))
+        cnt += 1
+        p = e + 6
+    return cnt, flat
+
+
 def iter_fmp_value_regions(
     stream: IO[bytes], n_fields: int, repeats: str = "error"
 ) -> Iterator[tuple[int, list]]:
@@ -467,15 +519,11 @@ def iter_fmp_value_regions(
 
     One ``findall`` per multi-MiB region replaces one per row — the COL
     regex only ever matches real COL units, so scanning straight across
-    ``</ROW><ROW …>`` boundaries is safe. Structure is validated by
-    region counts (``<ROW`` opens == ``</ROW>`` closes == n_rows, COL
-    opens == matches == n_rows*n_fields); ANY single structural
-    deviation (repeating field, whitespace variant, stray markup) trips
-    a count and the region re-parses row-by-row with the strict per-row
-    checks (which in turn raise :class:`FMPFastPathError` for the ET
-    fallback to decide). Entity/CR normalization runs per-value only
-    when the region contains ``&`` or ``\\r`` at all — the common
-    machine-generated region skips it wholesale.
+    ``</ROW><ROW …>`` boundaries is safe. ANY structural deviation
+    (repeating field, whitespace variant, stray markup) re-parses that
+    region row-by-row with the strict per-row checks (which in turn
+    raise :class:`FMPFastPathError` for the ET fallback to decide) —
+    see :func:`_parse_region_text`.
     """
     sb = _ScanBuffer(stream, _REGION_CHUNK)
     try:
@@ -490,57 +538,148 @@ def iter_fmp_value_regions(
                 continue
             region = sb.buf[sb.pos : last + 6]
             sb.pos = last + 6
-            # Per-row validation via one C-level split: every piece
-            # before the tail must open exactly one ROW and contain
-            # exactly n_fields COL units. This catches COMPENSATING
-            # structural errors (an extra COL in one row plus a missing
-            # COL in another) that region-global counts would cancel
-            # out; the global match-count check then ensures every COL
-            # was one of the fast shapes (a repeating field matches
-            # nothing and comes up short).
-            pieces = region.split("</ROW>")
-            n_rows = len(pieces) - 1
-            values = _FAST_COL_RE.findall(region)
-            if (
-                len(values) == n_rows * n_fields
-                and not pieces[-1].strip()
-                and all(
-                    p.count("<ROW") == 1 and p.count("<COL") == n_fields
-                    for p in pieces[:-1]
-                )
-            ):
-                if "&" in region or "\r" in region:
-                    values = [_norm_text(v) if v else None for v in values]
-                else:
-                    values = [v or None for v in values]
-                yield n_rows, values
-            else:
-                # row-by-row reparse of just this region: exact per-row
-                # validation, same contract as the row scanner
-                flat: list = []
-                cnt = 0
-                p = 0
-                while True:
-                    e = region.find("</ROW>", p)
-                    if e == -1:
-                        break
-                    s = region.find("<ROW", p)
-                    if s == -1 or s > e:
-                        raise FMPFastPathError("ROW structure out of order")
-                    bs = region.find(">", s, e)
-                    if bs == -1:
-                        raise FMPFastPathError("malformed ROW start tag")
-                    flat.extend(_parse_row_chunk(region[bs + 1 : e], n_fields, repeats))
-                    cnt += 1
-                    p = e + 6
-                yield cnt, flat
+            yield _parse_region_text(region, n_fields, repeats)
     finally:
         sb.detach()
 
 
+# ---------------------------------------------------------------------------
+# Byte-range splits: parallel scan of ONE large export file
+# ---------------------------------------------------------------------------
+#
+# XML in general is not byte-splittable, but the FMP grammar is: `<` is
+# always escaped inside text (XML 1.0 §2.4 — raw `<` is a well-formedness
+# error), so the byte pattern b"<ROW" can only occur at a real row start.
+# That makes the Hadoop InputSplit protocol applicable: a split [start,
+# end) owns every row whose `<ROW` byte offset lies in [start, end) — it
+# scans forward from `start` to the first row start, and keeps reading
+# PAST `end` until the first row start at or after `end` (which the next
+# split will find the same way). Splits cut at ASCII tag boundaries, so
+# each region decodes as UTF-8 independently of its neighbors.
+#
+# Exotic structure a machine-generated export never contains (comments /
+# CDATA sections with "<ROW" or "</ROW>" inside) would make byte slicing
+# ambiguous; the per-region validation catches every such case LOUDLY
+# (FMPFastPathError via the ET-fragment fallback's parse error) — never
+# a silent wrong answer — and `split="never"` restores the whole-file
+# scanner with its full-document ET fallback.
+
+
+def _parse_region_et(region: bytes, n_fields: int, repeats: str) -> tuple[int, list]:
+    """Strict fallback for one split region: wrap the complete-row
+    fragment in a synthetic RESULTSET root and ET-parse it (handles
+    comments, CDATA, whitespace variants inside rows). A fragment the
+    wrapper cannot make well-formed means byte slicing itself was
+    ambiguous — raise with the split="never" escape hatch."""
+    import io
+    from xml.etree.ElementTree import ParseError
+
+    stream = io.BytesIO(b"<RESULTSET>" + region + b"</RESULTSET>")
+    try:
+        rows = list(iter_fmp_rows_et(stream, n_fields, repeats=repeats))
+    except ParseError as exc:
+        raise FMPFastPathError(
+            f"split region is not a well-formed row fragment ({exc}); this "
+            "export needs the whole-file parser — read with split='never'"
+        ) from exc
+    return len(rows), [v for row in rows for v in row]
+
+
+def _parse_region_bytes(region: bytes, n_fields: int, repeats: str) -> tuple[int, list]:
+    try:
+        return _parse_region_text(region.decode("utf-8"), n_fields, repeats)
+    except FMPFastPathError:
+        return _parse_region_et(region, n_fields, repeats)
+
+
+def iter_fmp_split_regions(
+    f: IO[bytes], start: int, end: int, n_fields: int, repeats: str = "error"
+) -> Iterator[tuple[int, list]]:
+    """Bounded byte-range scanner over one split of a plain ``.xml``
+    export: yields ``(n_rows, flat_values)`` regions for exactly the
+    rows whose ``<ROW`` start offset lies in ``[start, end)``.
+
+    Constant memory: complete-row prefixes are emitted as they
+    accumulate; the buffer holds at most one chunk plus one partial row.
+    """
+    f.seek(start)
+    base = start  # absolute file offset of buf[0]
+    buf = b""
+    # Phase 1: find the first row starting at offset >= start. A `<ROW`
+    # straddling `start` belongs to the previous split (its `<` is
+    # before `start`) and is invisible to this scan by construction.
+    while True:
+        i = buf.find(b"<ROW")
+        if i >= 0:
+            break
+        keep = min(len(buf), 3)  # a split `<ROW` tag can straddle chunks
+        base += len(buf) - keep
+        buf = buf[len(buf) - keep :]
+        piece = f.read(_REGION_CHUNK)
+        if not piece:
+            return  # no row starts in [start, EOF)
+        buf += piece
+    if base + i >= end:
+        return  # first row of this range belongs to the next split
+    base += i
+    buf = buf[i:]
+    # Phase 2: emit regions of complete rows; stop at the first row
+    # starting at offset >= end (scanning past `end` to finish the row
+    # in flight — the next split skips it symmetrically).
+    while True:
+        if base + len(buf) > end:
+            cut = buf.find(b"<ROW", max(0, end - base))
+            if cut >= 0:
+                region = buf[:cut]
+                last = region.rfind(b"</ROW>")
+                if last == -1 or region[last + 6 :].strip():
+                    raise FMPFastPathError(
+                        "split cut does not fall on a row boundary; "
+                        "read with split='never'"
+                    )
+                yield _parse_region_bytes(region[: last + 6], n_fields, repeats)
+                return
+        # Every complete row currently buffered started before `end`
+        # (a later start would have matched the cut search above) —
+        # safe to emit before reading more.
+        last = buf.rfind(b"</ROW>")
+        if last >= 0:
+            yield _parse_region_bytes(buf[: last + 6], n_fields, repeats)
+            base += last + 6
+            buf = buf[last + 6 :]
+        piece = f.read(_REGION_CHUNK)
+        if not piece:
+            if b"<ROW" in buf:
+                raise FMPFastPathError("unterminated ROW at end of input")
+            return  # trailer (</RESULTSET>…) only
+        buf += piece
+
+
+#: files below this size never auto-split (split overhead > parse cost)
+_SPLIT_MIN_FILE = 8 << 20
+#: auto split-size floors — measured, not guessed. Each Python
+#: DataSource task pays a fixed worker-handshake + import cost
+#: (~0.3 s here), so splits must be coarse enough to amortize it:
+#: on a 57 MB / 12,500-row export, 4 splits (~16 MiB) scan ~2.3x
+#: faster than whole-file, while 14 splits scan SLOWER. A single
+#: file leaves every other core idle, so fine (16 MiB) splits pay
+#: off; a multi-file input already parallelizes by file, so
+#: intra-file splits only help once they are big enough (64 MiB)
+#: that the fixed cost is noise (measured: 8 files × 4 fine splits
+#: ran 2.3x SLOWER than 8 whole files). Ceiling: Hadoop-block
+#: ballpark.
+_SPLIT_AUTO_MIN_SINGLE = 16 << 20
+_SPLIT_AUTO_MIN_MULTI = 64 << 20
+_SPLIT_AUTO_MAX = 128 << 20
+#: explicit split sizes are floored here (tests use tiny splits)
+_SPLIT_EXPLICIT_MIN = 4096
+
+
 class FMPXMLReader(DataSourceReader):
-    """One input partition per FMP export file (an FMP export is one
-    XML document — not byte-splittable; files are the parallel unit).
+    """Input partitions: one per file, and — for large plain ``.xml``
+    files — one per byte-range split WITHIN a file (see the InputSplit
+    protocol above ``iter_fmp_split_regions``; ``.bz2`` files are not
+    byte-addressable and stay whole-file).
 
     Rows leave Python as Arrow RecordBatches (4096 rows × all-string
     columns): one columnar transfer per batch instead of one pickled
@@ -553,14 +692,66 @@ class FMPXMLReader(DataSourceReader):
         field_names: list[str],
         repeats: str,
         double_cols: tuple[int, ...] = (),
+        split_bytes: int | None = None,
+        parallelism: int = 0,
     ):
         self._paths = paths
         self._field_names = field_names
         self._repeats = repeats
         self._double_cols = frozenset(double_cols)
+        # None = auto (size/parallelism, clamped), 0 = never split,
+        # >0 = explicit target split size in bytes
+        self._split_bytes = split_bytes
+        self._parallelism = max(parallelism, 2)
+
+    def _split_ranges(self, path: str, total_size: int) -> list[tuple[int, int | None]]:
+        """Byte ranges for one file. ``(0, None)`` = whole-file scan
+        (keeps the full-document ET fallback). Auto sizing targets
+        ``total_input / parallelism`` clamped to [4 MiB, 128 MiB] —
+        computed over ALL input files so a sharded directory of large
+        exports does not over-split each shard."""
+        import os
+
+        if self._split_bytes == 0 or path.endswith(".bz2"):
+            return [(0, None)]
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return [(0, None)]
+        if self._split_bytes is None:
+            if size < _SPLIT_MIN_FILE:
+                return [(0, None)]
+            floor = (
+                _SPLIT_AUTO_MIN_SINGLE
+                if len(self._paths) == 1
+                else _SPLIT_AUTO_MIN_MULTI
+            )
+            target = min(
+                max(-(-total_size // self._parallelism), floor),
+                _SPLIT_AUTO_MAX,
+            )
+        else:
+            target = max(self._split_bytes, _SPLIT_EXPLICIT_MIN)
+        n = -(-size // target)
+        if n <= 1:
+            return [(0, None)]
+        bounds = [size * k // n for k in range(n + 1)]
+        return [(bounds[k], bounds[k + 1]) for k in range(n)]
 
     def partitions(self) -> list[InputPartition]:
-        return [InputPartition(i) for i in range(len(self._paths))]
+        import os
+
+        total = 0
+        for p in self._paths:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        parts: list[InputPartition] = []
+        for i, path in enumerate(self._paths):
+            for start, end in self._split_ranges(path, total):
+                parts.append(InputPartition((i, start, end)))
+        return parts
 
     def _to_batch(self, buf: list[tuple]):
         import pyarrow as pa
@@ -599,7 +790,38 @@ class FMPXMLReader(DataSourceReader):
         return pa.RecordBatch.from_arrays(arrays, names=self._field_names)
 
     def read(self, partition: InputPartition):
-        stream = open_xml_stream(self._paths[partition.value])
+        value = partition.value
+        if isinstance(value, tuple):
+            idx, start, end = value
+        else:  # plain file index (direct callers / older pickles)
+            idx, start, end = value, 0, None
+        if end is not None:
+            yield from self._read_split(self._paths[idx], start, end)
+            return
+        yield from self._read_whole(self._paths[idx])
+
+    def _read_split(self, path: str, start: int, end: int):
+        """One byte-range split of a plain .xml file: bounded region
+        scan → columnar Arrow batches. Structural surprises fall back
+        per-region (ET over a synthetic root), never per-file — a
+        corrupt region cannot silently shift its neighbors."""
+        n_fields = len(self._field_names)
+        with open(path, "rb") as f:
+            vals: list = []
+            rows = 0
+            for n_rows, flat in iter_fmp_split_regions(
+                f, start, end, n_fields, repeats=self._repeats
+            ):
+                vals.extend(flat)
+                rows += n_rows
+                while rows >= ARROW_BATCH_ROWS:
+                    yield self._emit_columnar(vals, ARROW_BATCH_ROWS)
+                    rows -= ARROW_BATCH_ROWS
+            if rows:
+                yield self._emit_columnar(vals, rows)
+
+    def _read_whole(self, path: str):
+        stream = open_xml_stream(path)
         n_fields = len(self._field_names)
         try:
             try:
@@ -715,11 +937,21 @@ class FMPXMLDataSource(DataSource):
     * ``typed`` — ``false`` (default, all-string parity with the
       reference sink, ``sql.py:35``) or ``true``: NUMBER-typed fields
       are declared DOUBLE and cast on read (SURVEY.md §1.3's declared
-      engine feature — an explicit mode, never an implicit guess).
+      engine feature — an explicit mode, never an implicit guess);
+    * ``split`` — ``auto`` (default), ``never``, or a target split
+      size in bytes. Large plain ``.xml`` files are scanned in
+      parallel byte-range splits (the FMP grammar is byte-splittable
+      on ``<ROW`` — see ``iter_fmp_split_regions``); auto sizing is
+      ``total_input / local parallelism`` clamped to [16 MiB (single
+      file) or 64 MiB (multi-file), 128 MiB], files under 8 MiB never
+      auto-split, and ``.bz2`` inputs always scan whole-file. On a
+      multi-executor cluster set ``split`` explicitly (e.g.
+      ``134217728``): the planner sizes splits driver-side and cannot
+      see executor counts from here.
 
     The schema comes from a driver-side header parse of the FIRST file
     (sharded exports share one header); rows stream on executors, one
-    partition per file.
+    partition per file plus one per byte-range split of large files.
     """
 
     @classmethod
@@ -759,7 +991,17 @@ class FMPXMLDataSource(DataSource):
             ]
         )
 
+    def _split_bytes(self) -> int | None:
+        raw = str(self.options.get("split", "auto")).strip().lower()
+        if raw in ("never", "false", "0"):
+            return 0
+        if raw in ("auto", "true", ""):
+            return None
+        return int(raw)
+
     def reader(self, schema: SqlT.StructType) -> FMPXMLReader:
+        import os
+
         return FMPXMLReader(
             paths=self._paths(),
             field_names=[f.name for f in schema.fields],
@@ -769,6 +1011,8 @@ class FMPXMLDataSource(DataSource):
                 for i, f in enumerate(schema.fields)
                 if f.dataType.typeName() == "double"
             ),
+            split_bytes=self._split_bytes(),
+            parallelism=os.cpu_count() or 2,
         )
 
 
@@ -786,6 +1030,7 @@ def read_fmp_xml_df(
     repeats: str = "error",
     multi: bool = False,
     typed: bool = False,
+    split: str | int = "auto",
 ) -> DataFrame:
     """Convenience: register + read FMP export(s) as a DataFrame."""
     register_fmp_source(spark)
@@ -794,5 +1039,6 @@ def read_fmp_xml_df(
         .option("repeats", repeats)
         .option("multi", str(multi).lower())
         .option("typed", str(typed).lower())
+        .option("split", str(split))
         .load(path)
     )

@@ -349,6 +349,159 @@ def test_region_scanner_rejects_compensating_col_errors():
         list(iter_fmp_value_regions(io.BytesIO(xml), 2))
 
 
+# ---------------------------------------------------------------------------
+# Byte-range splits (parallel scan of one large file)
+# ---------------------------------------------------------------------------
+
+
+def _write_split_fixture(path, nrows=60, ncols=3):
+    """Export exercising everything byte slicing could break: XML
+    entities, CR/LF normalization, empty cells, and multibyte UTF-8
+    (so naive byte cuts would land mid-codepoint)."""
+    from xml.sax.saxutils import escape
+
+    cells = []
+    for r in range(nrows):
+        row = []
+        for c in range(ncols):
+            k = (r * ncols + c) % 5
+            if k == 0:
+                row.append("<COL><DATA/></COL>")
+            elif k == 1:
+                row.append(f"<COL><DATA>{escape('a&b<c>' + str(r))}</DATA></COL>")
+            elif k == 2:
+                row.append(f"<COL><DATA>café ☕ 日本語 {r}-{c}</DATA></COL>")
+            elif k == 3:
+                row.append(f"<COL><DATA>line1&#13;&#10;line2 {r}</DATA></COL>")
+            else:
+                row.append(f"<COL><DATA>plain {r}-{c}</DATA></COL>")
+        cells.append('<ROW MODID="1" RECORDID="1">' + "".join(row) + "</ROW>")
+    fields = "".join(
+        f'<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="F{c}" TYPE="TEXT"/>' for c in range(ncols)
+    )
+    path.write_bytes(
+        (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+            "<ERRORCODE>0</ERRORCODE>\n"
+            f'<DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="Split" RECORDS="{nrows}" '
+            'TIMEFORMAT="k:mm:ss"/>\n'
+            f"<METADATA>{fields}</METADATA>\n"
+            f'<RESULTSET FOUND="{nrows}">\n' + "\n".join(cells) + "\n</RESULTSET>\n"
+            "</FMPXMLRESULT>\n"
+        ).encode("utf-8")
+    )
+
+
+def _rows_via_splits(path, bounds, n_fields, repeats="error"):
+    from ceneton_database_tools_spark.sources.fmp_xml import iter_fmp_split_regions
+
+    out = []
+    for s, e in zip(bounds, bounds[1:]):
+        with open(path, "rb") as f:
+            for n_rows, flat in iter_fmp_split_regions(f, s, e, n_fields, repeats=repeats):
+                assert len(flat) == n_rows * n_fields
+                out.extend(
+                    tuple(flat[i * n_fields : (i + 1) * n_fields]) for i in range(n_rows)
+                )
+    return out
+
+
+def test_split_every_byte_boundary_exactly_once(tmp_path):
+    """The InputSplit invariant: for EVERY possible cut position, the
+    two splits together yield each row exactly once, in file order —
+    cuts mid-tag, mid-row, mid-multibyte-codepoint, in the header and
+    in the trailer included."""
+    path = tmp_path / "split.xml"
+    _write_split_fixture(path, nrows=40, ncols=3)
+    size = path.stat().st_size
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, 3))
+    assert len(expected) == 40
+    for cut in range(0, size + 1, 1):
+        got = _rows_via_splits(path, [0, cut, size], 3)
+        assert got == expected, f"cut at byte {cut} lost or duplicated rows"
+
+
+def test_split_many_ranges_match_whole(tmp_path):
+    path = tmp_path / "split.xml"
+    _write_split_fixture(path, nrows=200, ncols=4)
+    size = path.stat().st_size
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, 4))
+    for nparts in (1, 2, 3, 7, 16):
+        bounds = [size * k // nparts for k in range(nparts + 1)]
+        assert _rows_via_splits(path, bounds, 4) == expected
+
+
+def test_split_datasource_partitions_and_rows(spark, tmp_path):
+    """End-to-end through the DataSource: an explicit split size yields
+    multiple input partitions and the same rows in the same order as
+    the whole-file scan."""
+    path = tmp_path / "big.xml"
+    _write_split_fixture(path, nrows=300, ncols=3)
+    whole = read_fmp_xml_df(spark, str(path), split="never")
+    assert whole.rdd.getNumPartitions() == 1
+    split = read_fmp_xml_df(spark, str(path), split=4096)
+    assert split.rdd.getNumPartitions() > 1
+    assert split.collect() == whole.collect()
+
+
+def test_split_bz2_and_small_files_stay_whole(spark, tmp_path):
+    """.bz2 is not byte-addressable (whole-file even with an explicit
+    split size); small plain files never auto-split."""
+    import bz2 as _bz2
+
+    path = tmp_path / "small.xml"
+    _write_split_fixture(path, nrows=20, ncols=3)
+    (tmp_path / "small.xml.bz2").write_bytes(_bz2.compress(path.read_bytes()))
+    assert read_fmp_xml_df(spark, str(path)).rdd.getNumPartitions() == 1  # auto
+    bz = read_fmp_xml_df(spark, str(tmp_path / "small.xml.bz2"), split=4096)
+    assert bz.rdd.getNumPartitions() == 1
+    assert bz.count() == 20
+
+
+def test_split_region_et_fallback_comment_in_col(tmp_path):
+    """A comment inside a COL breaks the fast grammar; the split path
+    must recover per-region via the synthetic-root ET fallback and
+    still produce the whole-file parser's cells."""
+    path = tmp_path / "comment.xml"
+    _write_split_fixture(path, nrows=30, ncols=3)
+    data = path.read_bytes()
+    assert b"<COL><DATA>plain 6-1</DATA></COL>" in data
+    data = data.replace(
+        b"<COL><DATA>plain 6-1</DATA></COL>",
+        b"<COL><!-- odd --><DATA>plain 6-1</DATA></COL>",
+    )
+    path.write_bytes(data)
+    size = path.stat().st_size
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, 3))
+    bounds = [size * k // 5 for k in range(6)]
+    assert _rows_via_splits(path, bounds, 3) == expected
+
+
+def test_split_repeating_field_semantics(tmp_path):
+    """repeats='join'/'error' behave identically under byte-range
+    splits (the per-region row-by-row reparse path)."""
+    path = tmp_path / "rep.xml"
+    _write_split_fixture(path, nrows=30, ncols=3)
+    data = path.read_bytes()
+    assert b"<COL><DATA>plain 11-1</DATA></COL>" in data
+    data = data.replace(
+        b"<COL><DATA>plain 11-1</DATA></COL>",
+        b"<COL><DATA>u</DATA><DATA>v</DATA></COL>",
+    )
+    path.write_bytes(data)
+    size = path.stat().st_size
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, 3, repeats="join"))
+    bounds = [size * k // 4 for k in range(5)]
+    assert _rows_via_splits(path, bounds, 3, repeats="join") == expected
+    with pytest.raises(ValueError, match="repeating field"):
+        _rows_via_splits(path, bounds, 3, repeats="error")
+
+
 def test_zscore_group_degenerate_returns_null():
     """Single-row and constant-value groups yield NULL z (matching the
     oracle's CASE guard) instead of crashing or emitting inf."""

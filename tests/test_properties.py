@@ -192,3 +192,45 @@ def test_region_scanner_equals_et_parser(tmp_path_factory, data):
             total += n_rows
     got = [tuple(flat[i * width : (i + 1) * width]) for i in range(total)]
     assert got == expected
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    data=st.integers(2, 5).flatmap(
+        lambda width: st.tuples(
+            st.just([f"Veld {i}" for i in range(width)]),
+            st.lists(
+                st.lists(values, min_size=width, max_size=width), min_size=0, max_size=10
+            ),
+        )
+    ),
+    cut_fracs=st.lists(st.floats(0.0, 1.0), min_size=0, max_size=5),
+)
+def test_split_scan_equals_whole_scan(tmp_path_factory, data, cut_fracs):
+    """Property (the InputSplit invariant): byte-range splits at
+    ARBITRARY cut positions yield each generated row exactly once, in
+    file order, for any generated export — the contract that makes a
+    single large FMP file parallel-scannable."""
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        iter_fmp_rows,
+        iter_fmp_split_regions,
+        open_xml_stream,
+    )
+
+    field_names, rows = data
+    width = len(field_names)
+    path = tmp_path_factory.mktemp("fmps") / "prop.xml"
+    path.write_bytes(build_fmp_xml(field_names, rows))
+    size = path.stat().st_size
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, width))
+    bounds = sorted({0, size, *(int(f * size) for f in cut_fracs)})
+    got = []
+    for s, e in zip(bounds, bounds[1:]):
+        with open(path, "rb") as f:
+            for n_rows, flat in iter_fmp_split_regions(f, s, e, width):
+                assert len(flat) == n_rows * width
+                got.extend(
+                    tuple(flat[i * width : (i + 1) * width]) for i in range(n_rows)
+                )
+    assert got == expected
