@@ -846,3 +846,74 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_found",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection (keep-best per duplicate cluster)
+# ---------------------------------------------------------------------------
+
+
+def _keep_canonical_oracle() -> str:
+    return f"""
+    WITH comp AS ({_clusters_oracle()}),
+    toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
+    scored AS (
+      SELECT c.doc_id, c.component, len(t.w) AS n_tok
+      FROM comp c JOIN toks t USING (doc_id)
+    ),
+    best AS (
+      SELECT component, max(n_tok) AS m, CAST(count(*) AS BIGINT) AS n_members
+      FROM scored GROUP BY component
+    )
+    SELECT s.component,
+           min(s.doc_id)        AS kept_doc_id,
+           b.n_members,
+           b.n_members - 1      AS n_dropped
+    FROM scored s
+    JOIN best b ON s.component = b.component AND s.n_tok = b.m
+    GROUP BY s.component, b.n_members
+    """
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=_keep_canonical_oracle(),
+    tags=("dedup", "graph", "llm-pipeline"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster, keep
+    exactly one document — the longest member (token count), smallest
+    doc_id on ties — and report how many members were dropped. This is
+    the decision step a production dedup pipeline runs after clustering:
+    the cluster ids come from connected components (dedup_clusters) and
+    the keep-rule is a deterministic quality proxy (real pipelines swap
+    in a quality score; the argmax plan shape is identical).
+
+    Scale shape: the cluster relation only contains documents that
+    appear in near-dup pairs (a small fraction of the corpus at any
+    realistic dup rate), so every join here is on an already-reduced
+    relation; the argmax is groupBy(max) + equality join + groupBy(min)
+    — two shuffles on component, no windows over the full corpus and
+    no driver-side iteration beyond the component loop already run by
+    dedup_clusters.
+    """
+    comp = dedup_clusters(spark, sf_dir)
+    toks = _near_corpus_tokens(spark, sf_dir).select(
+        "doc_id", F.size("w").alias("n_tok")
+    )
+    scored = comp.join(toks, "doc_id")
+    best = scored.groupBy("component").agg(
+        F.max("n_tok").alias("m"), F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        scored.join(best, "component")
+        .where(F.col("n_tok") == F.col("m"))
+        .groupBy("component", "n_members")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+        .select(
+            "component",
+            "kept_doc_id",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
