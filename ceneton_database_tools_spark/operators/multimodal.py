@@ -81,23 +81,49 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_binaryfile_scan",
-    # PERMANENTLY no_oracle: this container's DuckDB (v1.0.0) types both
-    # md5() and sha256() as VARCHAR-only — raw blobs from read_blob()
-    # cannot be hashed at all (verified: `sha256(content)` and
-    # `md5(content)` both raise Binder Error), and parquet bytes are not
-    # valid UTF-8 so no VARCHAR detour exists. The pytest suite instead
-    # checks every sha256 value against hashlib ground truth
-    # (tests/test_multimodal.py).
-    oracle=None,
+    # This container's DuckDB (v1.0.0) types md5()/sha256() as
+    # VARCHAR-only, so raw blobs from read_blob() cannot be hashed
+    # directly — but hex(blob) IS a VARCHAR with identical bytes in
+    # both engines (uppercase hex), so sha256-over-hex gives a real
+    # content-integrity hash the oracle can compute (any byte flip
+    # changes the hex, hence the digest). The raw-bytes sha256 variant
+    # (binaryfile_scan_raw, = reference _cli.py:146-150 semantics) is
+    # pytest-verified against hashlib. The gate compares at sf0.01, so
+    # the oracle bakes that path in (read_blob takes a filesystem glob,
+    # not a registered view).
+    oracle="""
+    SELECT
+      string_split(filename, '/')[-1]     AS file_name,
+      CAST(size AS BIGINT)                AS n_bytes,
+      sha256(hex(content))                AS sha256_hex
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
     tags=("multimodal", "binary", "source", "llm-pipeline"),
 )
 def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed binary-file scan: Spark's ``binaryFile`` source over
-    the parquet files themselves → (file name, byte length, sha256).
+    the parquet files themselves → (file name, byte length, content
+    digest).
 
     This is the reference's whole-file sha256 (``_cli.py:146-150``)
     re-expressed as a distributed scan: each file hashes where it is
-    read, nothing funnels through the driver."""
+    read, nothing funnels through the driver. The gated digest is
+    sha256 over the hex encoding (the only byte-faithful VARCHAR both
+    engines can hash — see the oracle note); ``binaryfile_scan_raw``
+    below hashes the raw bytes for exact reference parity."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.lower(F.sha2(F.hex("content"), 256)).alias("sha256_hex"),
+    )
+
+
+def binaryfile_scan_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-bytes sha256 over the same distributed binary scan — the
+    exact reference semantics (``_cli.py:146-150``); DuckDB cannot
+    hash blobs, so this variant is hashlib-verified in pytest instead
+    of oracle-gated."""
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),

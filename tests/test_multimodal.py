@@ -16,14 +16,22 @@ from ceneton_database_tools_spark.operators.multimodal import (
 
 
 def test_binaryfile_scan_sha256_matches_hashlib(spark, sf_smoke):
-    rows = {r.file_name: r for r in multimodal_binaryfile_scan(spark, sf_smoke).collect()}
+    import binascii
+
+    from ceneton_database_tools_spark.operators.multimodal import binaryfile_scan_raw
+
+    raw = {r.file_name: r for r in binaryfile_scan_raw(spark, sf_smoke).collect()}
+    hexed = {r.file_name: r for r in multimodal_binaryfile_scan(spark, sf_smoke).collect()}
     paths = glob.glob(f"{sf_smoke}/*.parquet")
-    assert len(rows) == len(paths) > 0
+    assert len(raw) == len(hexed) == len(paths) > 0
     for path in paths:
         blob = open(path, "rb").read()
-        row = rows[os.path.basename(path)]
-        assert row.n_bytes == len(blob)
-        assert row.sha256 == hashlib.sha256(blob).hexdigest()
+        name = os.path.basename(path)
+        assert raw[name].n_bytes == hexed[name].n_bytes == len(blob)
+        assert raw[name].sha256 == hashlib.sha256(blob).hexdigest()
+        assert hexed[name].sha256_hex == hashlib.sha256(
+            binascii.hexlify(blob).upper()
+        ).hexdigest()
 
 
 def test_feature_extract_matches_local_decode(spark, sf_smoke):
