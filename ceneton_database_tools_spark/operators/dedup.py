@@ -917,3 +917,109 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - 1).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus index
+# ---------------------------------------------------------------------------
+
+
+def _incremental_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()},
+    matches AS (
+      SELECT c.doc_b AS new_doc_id, c.doc_a AS idx_doc_id,
+             {_DUCK_PAIR_JACCARD} AS j
+      FROM cand c
+      JOIN based sa ON sa.doc_id = c.doc_a
+      JOIN based sb ON sb.doc_id = c.doc_b
+      WHERE c.doc_a < {TWIN_OFFSET} AND c.doc_b >= {TWIN_OFFSET}
+        AND {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
+    ),
+    best AS (
+      SELECT new_doc_id, max(j) AS bj, CAST(count(*) AS BIGINT) AS n_matches
+      FROM matches GROUP BY new_doc_id
+    )
+    SELECT m.new_doc_id,
+           min(m.idx_doc_id) AS matched_doc_id,
+           round(b.bj, 6)    AS best_jaccard,
+           b.n_matches
+    FROM matches m
+    JOIN best b ON m.new_doc_id = b.new_doc_id AND m.j = b.bj
+    GROUP BY m.new_doc_id, b.bj, b.n_matches
+    """
+
+
+@register(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "lsh", "incremental", "llm-pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: check a NEW batch of documents against an
+    EXISTING corpus index — the shape a production pipeline runs per
+    ingest cycle (the index's signature table is precomputed and only
+    the new batch is shingled). Here the corpus is the original
+    documents and the new batch is their near-dup twins, so every new
+    doc has a planted match to find; each new doc reports its best
+    index match (highest Jaccard, smallest doc_id on ties) and how
+    many index docs it collided with.
+
+    Scale shape: the band-bucket join is new-batch × index (linear in
+    the new batch, never index × index); the index side of the bucket
+    table would be a materialized table in production — exactly the
+    persisted signature relation this module already shares. Best-match
+    selection is groupBy(max) + equality join, no global window. The
+    double-precision Jaccard equality in the argmax join is exact:
+    both sides are the same IEEE division of the same integers.
+    """
+    based = _minhash_base(spark, sf_dir)
+    sigs = based.select(
+        "doc_id", *[F.expr(T.spark_minhash_cw(j)).alias(f"h{j}") for j in range(NUM_HASHES)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in _band_exprs_spark()])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    idx_bands = bands.where(F.col("doc_id") < TWIN_OFFSET).alias("i")
+    new_bands = bands.where(F.col("doc_id") >= TWIN_OFFSET).alias("n")
+    cand = (
+        new_bands.join(
+            idx_bands,
+            (F.col("n.band_idx") == F.col("i.band_idx"))
+            & (F.col("n.band_val") == F.col("i.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("idx_doc_id"),
+        )
+        .distinct()
+    )
+    sa = based.select(F.col("doc_id").alias("idx_doc_id"), F.col("ba").alias("ba_a"))
+    sb = based.select(F.col("doc_id").alias("new_doc_id"), F.col("ba").alias("ba_b"))
+    inter = F.size(F.array_intersect("ba_a", "ba_b")).cast("double")
+    union = F.size("ba_a") + F.size("ba_b") - F.size(F.array_intersect("ba_a", "ba_b"))
+    matches = (
+        cand.join(sa, "idx_doc_id")
+        .join(sb, "new_doc_id")
+        .withColumn("j", inter / union)
+        .where(F.col("j") >= JACCARD_THRESHOLD)
+        .select("new_doc_id", "idx_doc_id", "j")
+    )
+    best = matches.groupBy("new_doc_id").agg(
+        F.max("j").alias("bj"), F.count("*").cast("long").alias("n_matches")
+    )
+    return (
+        matches.join(best, "new_doc_id")
+        .where(F.col("j") == F.col("bj"))
+        .groupBy("new_doc_id", "bj", "n_matches")
+        .agg(F.min("idx_doc_id").alias("matched_doc_id"))
+        .select(
+            "new_doc_id",
+            "matched_doc_id",
+            F.round("bj", 6).alias("best_jaccard"),
+            "n_matches",
+        )
+    )
