@@ -11,10 +11,11 @@ that plumbing end-to-end:
   bytes + metadata struct (byte length, md5, mime). Oracle-checked:
   md5 over utf-8 bytes is identical in both engines.
 * ``multimodal_binaryfile_scan`` — the real ``binaryFile`` source over
-  the parquet files themselves (path, length, sha256 of content).
-  DuckDB v1.0.0 cannot hash raw blobs (md5/sha256 are VARCHAR-only),
-  so the gate is rows-only; the pytest suite verifies the sha256
-  values against hashlib ground truth.
+  the parquet files themselves (path, length, content digest).
+  Oracle-gated via sha256-over-hex (DuckDB v1.0.0 cannot hash raw
+  blobs, but hex(blob) is a byte-faithful VARCHAR both engines hash
+  identically); the raw-bytes sha256 variant is hashlib-verified in
+  pytest.
 * ``multimodal_feature_extract`` — Arrow-batched ``mapInPandas``
   "decoder". The image/audio libraries are not in this container, so
   the decode is a deterministic fake (header-byte arithmetic); the
@@ -111,7 +112,7 @@ def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256 over the hex encoding (the only byte-faithful VARCHAR both
     engines can hash — see the oracle note); ``binaryfile_scan_raw``
     below hashes the raw bytes for exact reference parity."""
-    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    files = spark.read.format("binaryFile").load(_parquet_paths(sf_dir))
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").cast("long").alias("n_bytes"),
@@ -119,12 +120,26 @@ def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_paths(sf_dir: str) -> list[str]:
+    """Resolve the glob driver-side: passing a literal '*.parquet'
+    string into load() makes Spark's FileStreamSink metadata probe
+    stat the glob literal and log a FileNotFoundException traceback
+    (harmless but alarming in driver logs); an explicit file list
+    skips the probe."""
+    import glob
+
+    paths = sorted(glob.glob(f"{sf_dir}/*.parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no parquet files under {sf_dir}")
+    return paths
+
+
 def binaryfile_scan_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-bytes sha256 over the same distributed binary scan — the
     exact reference semantics (``_cli.py:146-150``); DuckDB cannot
     hash blobs, so this variant is hashlib-verified in pytest instead
     of oracle-gated."""
-    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    files = spark.read.format("binaryFile").load(_parquet_paths(sf_dir))
     return files.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").cast("long").alias("n_bytes"),
