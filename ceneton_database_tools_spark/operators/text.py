@@ -354,3 +354,170 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling k-gram hash + window-min selection)
+# ---------------------------------------------------------------------------
+
+K_GRAM = 8          # character k-gram width
+WINNOW_WINDOW = 4   # fingerprints = min hash per window of 4 k-grams
+_HASH_MOD = 2147483647  # 2^31-1; Horner step stays < 2^40, no overflow
+
+
+def _horner_unrolled(char_fn, i_expr: str) -> str:
+    """The Rabin-Karp polynomial hash of the k-gram at position
+    ``i_expr``, unrolled as k Horner steps with a mod after each step
+    (intermediates stay << 2^63). The rolling recurrence
+    h_i = (h_{i-1} - c*B^{k-1})*B + c is the streaming optimization of
+    THIS same polynomial; evaluating it positionally keeps the SQL
+    pure and the output identical. ``char_fn(pos_expr)`` renders the
+    code point at a 1-based position."""
+    h = "CAST(0 AS BIGINT)"
+    for j in range(K_GRAM):
+        h = f"(({h}) * 257 + {char_fn(f'{i_expr} + {j}')}) % {_HASH_MOD}"
+    return h
+
+
+# Spark: substr() on UTF8String seeks from the string start (O(i) per
+# call → O(n²) per document inside the position lambda — measured 13×
+# slower than this form); split the text into a code-point array ONCE
+# and read it with O(1) element_at instead.
+_SPARK_CODES = "transform(split(txt, ''), c -> ascii(c))"
+_SPARK_KH = (
+    f"CASE WHEN length(txt) >= {K_GRAM} THEN "
+    f"transform(sequence(1, length(txt) - {K_GRAM - 1}), i -> {{h}}) "
+    "ELSE array() END"
+).format(h=_horner_unrolled(lambda p: f"element_at(cs, {p})", "i"))
+# Spark sequence(1, n) DESCENDS when n < 1 — both levels need guards.
+_SPARK_FPS = (
+    f"CASE WHEN size(kh) >= {WINNOW_WINDOW} THEN "
+    f"array_distinct(transform(sequence(1, size(kh) - {WINNOW_WINDOW - 1}), "
+    f"i -> array_min(slice(kh, i, {WINNOW_WINDOW})))) "
+    "WHEN size(kh) > 0 THEN array(array_min(kh)) ELSE array() END"
+)
+
+_DUCK_KH = (
+    f"[{_horner_unrolled(lambda p: f'ord(substr(txt, {p}, 1))', 'i')} "
+    f"for i in range(1, length(txt) - {K_GRAM - 2})]"
+)
+_DUCK_FPS = (
+    f"CASE WHEN len(kh) >= {WINNOW_WINDOW} THEN "
+    f"list_distinct([list_min(kh[i:i+{WINNOW_WINDOW - 1}]) "
+    f"for i in range(1, len(kh) - {WINNOW_WINDOW - 2})]) "
+    "WHEN len(kh) > 0 THEN [list_min(kh)] ELSE [] END"
+)
+
+# normalized char stream: tokens rejoined on single spaces, so the twin
+# (first token dropped) shares the original's exact character suffix
+_SPARK_NORM = f"concat_ws(' ', {T.SPARK_TOKENS})"
+_DUCK_NORM = f"array_to_string({T.DUCK_TOKENS}, ' ')"
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {_DUCK_NORM} AS txt FROM documents
+      UNION ALL
+      SELECT doc_id + {TWIN_OFFSET},
+             array_to_string(list_slice({T.DUCK_TOKENS}, 2, len({T.DUCK_TOKENS})), ' ')
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_DUCK_KH} AS kh FROM corpus),
+    fps AS (SELECT doc_id, {_DUCK_FPS} AS fp FROM hashed),
+    paired AS (
+      SELECT a.doc_id,
+             len(a.fp) AS n_fp,
+             len(b.fp) AS n_fp_twin,
+             len(list_intersect(a.fp, b.fp))::DOUBLE /
+               (len(a.fp) + len(b.fp) - len(list_intersect(a.fp, b.fp))) AS j
+      FROM fps a JOIN fps b ON b.doc_id = a.doc_id + {TWIN_OFFSET}
+      WHERE len(a.fp) > 0 AND len(b.fp) > 0
+    )
+    SELECT doc_id,
+           CAST(n_fp AS BIGINT)      AS n_fp,
+           CAST(n_fp_twin AS BIGINT) AS n_fp_twin,
+           round(j, 6)               AS fp_jaccard
+    FROM paired
+    WHERE j >= 0.5
+    """,
+    tags=("text", "fingerprint", "dedup", "llm-pipeline"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): a
+    Rabin-Karp polynomial hash over every character 8-gram, then the
+    minimum hash of each 4-hash sliding window, deduplicated — a
+    position-robust fingerprint set. The eval pairs each document with
+    its first-token-dropped twin: a PREFIX fingerprint breaks on any
+    shift (text_fingerprint's failure mode), while ~all winnowed
+    fingerprints survive, so the twin join reports fingerprint Jaccard
+    ≥ 0.5 for essentially the whole corpus.
+
+    Everything is built-in expression work inside the scan stage
+    (transform/slice/array_min over codegen'd arrays — no explode, no
+    shuffle until the linear doc_id equi-join); at 100 TB the
+    fingerprint sets feed an inverted index (explode → bucket join),
+    exactly the LSH-bucket shape dedup_minhash_lsh already implements.
+    """
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", F.expr(_SPARK_NORM).alias("txt"))
+    twins = docs.select(
+        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({T.SPARK_TOKENS}, 2, "
+            f"greatest(size({T.SPARK_TOKENS}) - 1, 0)), ' ')"
+        ).alias("txt"),
+    )
+    # Plan-shape discipline: the winnowing expression tree is LARGE (an
+    # unrolled 8-step Horner inside two nested transforms), and fp/kh/cs
+    # each appear several times in their consumers — any optimizer
+    # substitution that inlines them multiplies the tree (a pre-fix
+    # `where(size(fp) > 0)` pushed through the projection made analysis
+    # hang). Each stage below is one select whose downstream references
+    # are plain attributes; no filter sits between the expensive
+    # projections, and the twin join compares attribute-typed arrays
+    # computed once per side.
+    # The hashing is by far the most expensive per-row projection in
+    # this module; a small single-file input arrives as ONE partition,
+    # which would serialize it on one core. Repartitioning costs a tiny
+    # shuffle of raw texts and buys full-core parallelism; at real
+    # scale the input already has enough partitions and this coalesces
+    # into normal narrow execution.
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def winnow(src: DataFrame) -> DataFrame:
+        return (
+            src.repartition(n_parts, "doc_id")
+            .select("doc_id", F.expr(_SPARK_CODES).alias("cs"), "txt")
+            .select("doc_id", F.expr(_SPARK_KH).alias("kh"))
+            .select("doc_id", F.expr(_SPARK_FPS).alias("fp"))
+        )
+
+    # originals and twins winnowed separately (not a union + self-join,
+    # which would run the expensive projection over every row TWICE —
+    # once per join side)
+    fps = winnow(base)
+    b = winnow(twins).select(
+        (F.col("doc_id") - TWIN_OFFSET).alias("doc_id"), F.col("fp").alias("fp_b")
+    )
+    sized = (
+        fps.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("fp", "fp_b")).alias("ni"),
+            F.size("fp").alias("na"),
+            F.size("fp_b").alias("nb"),
+        )
+    )
+    j = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        sized.withColumn("j", j)
+        .where(F.col("j") >= 0.5)
+        .select(
+            "doc_id",
+            F.col("na").cast("long").alias("n_fp"),
+            F.col("nb").cast("long").alias("n_fp_twin"),
+            F.round("j", 6).alias("fp_jaccard"),
+        )
+    )
