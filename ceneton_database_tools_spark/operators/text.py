@@ -443,6 +443,7 @@ _DUCK_NORM = f"array_to_string({T.DUCK_TOKENS}, ' ')"
     WHERE j >= 0.5
     """,
     tags=("text", "fingerprint", "dedup", "llm-pipeline"),
+    bench=True,
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (the MOSS algorithm): a
