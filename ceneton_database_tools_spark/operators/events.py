@@ -384,3 +384,96 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window anomaly detection (trailing z-score)
+# ---------------------------------------------------------------------------
+
+ANOMALY_LOOKBACK = 20  # trailing events per user feeding the baseline
+ANOMALY_MIN_N = 8      # minimum history before scoring
+ANOMALY_Z = 3.0
+
+
+@register(
+    "events_anomaly_rolling_z",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, value, vc,
+             CAST(count(vc) OVER win AS BIGINT) AS n,
+             CAST(sum(vc)   OVER win AS BIGINT) AS s,
+             CAST(sum(vc * vc) OVER win AS BIGINT) AS ss
+      FROM v
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_id, user_id, ts, value,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1) AS var,
+             CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / n AS dev,
+             n
+      FROM w WHERE n >= {ANOMALY_MIN_N}
+    )
+    SELECT event_id, user_id, ts, value,
+           round(dev / sqrt(var), 4) AS z
+    FROM scored
+    WHERE var > 0 AND abs(dev / sqrt(var)) >= {ANOMALY_Z}
+    """,
+    tags=("events", "window", "anomaly", "llm-pipeline"),
+)
+def events_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event scored against the mean
+    and variance of its user's trailing 20 events (frame ends
+    at 1 PRECEDING — the scored event never contaminates its own
+    baseline); |z| >= 3 flags the anomaly. The streaming-monitoring
+    shape expressed as a batch window.
+
+    Cross-engine determinism (the repo's integer-stat rule): values go
+    through exact integer cents; count/sum/sum-of-squares over the
+    frame are integer aggregates, and mean/variance derive from those
+    integers with the SAME double-precision expression on both
+    engines — no order-dependent float accumulation anywhere. The
+    window is partitioned per user (never global) and ordered by the
+    unique (ts, event_id) tuple.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_LOOKBACK, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "vc",
+        F.count("vc").over(win).alias("n"),
+        F.sum("vc").over(win).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(win).alias("ss"),
+    ).where(F.col("n") >= ANOMALY_MIN_N)
+    var = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    dev = F.col("vc").cast("double") - F.col("s").cast("double") / F.col("n")
+    scored = w.select(
+        "event_id", "user_id", "ts", "value", var.alias("var"), dev.alias("dev")
+    )
+    z = F.col("dev") / F.sqrt("var")
+    return (
+        scored.where((F.col("var") > 0) & (F.abs(z) >= ANOMALY_Z))
+        .select("event_id", "user_id", "ts", "value", F.round(z, 4).alias("z"))
+    )

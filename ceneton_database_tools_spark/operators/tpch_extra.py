@@ -810,3 +810,85 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join (interval algebra over shipping windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey, l_linenumber,
+             l_shipdate AS s,
+             l_shipdate + to_days(CAST(l_quantity AS INTEGER) % 14 + 1) AS e
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_orderkey,
+             date_diff('day',
+                       greatest(a.s, b.s),
+                       least(a.e, b.e)) + 1 AS overlap_days
+      FROM iv a JOIN iv b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_linenumber < b.l_linenumber
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT)          AS n_overlapping_pairs,
+           CAST(sum(overlap_days) AS BIGINT) AS total_overlap_days,
+           CAST(max(overlap_days) AS BIGINT) AS max_overlap_days
+    FROM pairs
+    GROUP BY l_orderkey
+    """,
+    tags=("join", "interval", "temporal"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each line item carries a shipping window
+    [shipdate, shipdate + quantity-derived days]; find, per order, the
+    line-item pairs whose windows overlap and the total/max overlap in
+    days (inclusive-end interval algebra: overlap = least(ends) -
+    greatest(starts) + 1).
+
+    Scale shape: the overlap predicate rides ON an equi-join key
+    (l_orderkey), so Catalyst plans a hash join with the interval
+    condition as a post-join filter — never a cross product. For
+    interval joins WITHOUT an equi key, the scalable formulation is
+    time-grid binning (explode each interval to its buckets, equi-join
+    on bucket, dedupe) — the same bucket-join shape as join_range;
+    this query demonstrates the equi-anchored case a real order/log
+    workload mostly hits.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("s"),
+        F.expr(
+            "date_add(l_shipdate, CAST(l_quantity AS INT) % 14 + 1)"
+        ).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        (
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            )
+            + 1
+        ).alias("overlap_days"),
+    )
+    return pairs.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_overlapping_pairs"),
+        F.sum("overlap_days").cast("long").alias("total_overlap_days"),
+        F.max("overlap_days").cast("long").alias("max_overlap_days"),
+    )
