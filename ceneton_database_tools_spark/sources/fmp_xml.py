@@ -42,7 +42,12 @@ from typing import IO, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as SqlT
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ceneton_database_tools_spark.schema import (
     FMPField,
@@ -924,6 +929,74 @@ def resolve_source_paths(path: str, multi: bool = False) -> list[str]:
     return [str(resolve_input_path(path))]
 
 
+class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming FMP ingest: watch a directory (or glob) and emit each
+    newly-arrived export's rows exactly once — the reference's one-shot
+    ``create_db`` load re-expressed as continuous Structured-Streaming
+    ingest (new snapshot lands → its rows flow to the sink).
+
+    Offsets are the sorted list of already-ingested file paths, so a
+    restart from a checkpoint replays nothing and picks up only files
+    that arrived while the query was down (``readBetweenOffsets``
+    provides exact microbatch replay for failure recovery).
+
+    Spark's *simple* stream-reader API feeds rows through the driver by
+    design (prefetched per microbatch) — right for the
+    snapshot-every-so-often cadence of FMP exports; a high-throughput
+    backfill belongs on the batch reader's partitioned/split path.
+    """
+
+    def __init__(self, path: str, field_names: list[str], repeats: str):
+        self._path = path
+        self._field_names = field_names
+        self._repeats = repeats
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _list(self) -> list[str]:
+        import glob as _glob
+        import os
+
+        if os.path.isdir(self._path):
+            return sorted(
+                p
+                for p in _glob.glob(os.path.join(self._path, "*"))
+                if p.endswith((".xml", ".xml.bz2"))
+            )
+        return sorted(_glob.glob(self._path))
+
+    def _rows(self, paths: list[str]) -> Iterator[tuple]:
+        """Materialized per-microbatch rows. Spark's simple-reader
+        wrapper caches and copy.copy()s the iterator for replay, which
+        a generator cannot survive — and the simple API prefetches the
+        whole microbatch driver-side by contract, so a list iterator
+        costs nothing extra."""
+        n_fields = len(self._field_names)
+        out: list[tuple] = []
+        for path in paths:
+            stream = open_xml_stream(path)
+            try:
+                # skip each file's header; rows follow the shared schema
+                out.extend(iter_fmp_rows(stream, n_fields, repeats=self._repeats))
+            finally:
+                stream.close()
+        return iter(out)
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [p for p in self._list() if p not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        seen = set(start.get("seen", []))
+        return self._rows([p for p in end.get("seen", []) if p not in seen])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-contained; nothing external to ack
+
+
 class FMPXMLDataSource(DataSource):
     """``spark.read.format("fmpxml").load(path)``.
 
@@ -977,15 +1050,21 @@ class FMPXMLDataSource(DataSource):
 
     def schema(self) -> SqlT.StructType:
         struct = self._fmp_schema().to_struct_type()
-        if not self._typed():
-            return struct
+        typed = self._typed()
+        # The published schema is metadata-free: the streaming runner
+        # asserts (arrow-round-tripped schema == source schema), and
+        # Arrow drops StructField metadata, so keeping the FMP header
+        # attributes here would fail every streaming read. The rich
+        # struct (original_name/fmp_type/empty_ok/max_repeat metadata)
+        # stays available via parse_fmp_header().to_struct_type().
         return SqlT.StructType(
             [
                 SqlT.StructField(
                     f.name,
-                    SqlT.DoubleType() if f.metadata.get("fmp_type") == "NUMBER" else f.dataType,
+                    SqlT.DoubleType()
+                    if typed and f.metadata.get("fmp_type") == "NUMBER"
+                    else f.dataType,
                     f.nullable,
-                    f.metadata,
                 )
                 for f in struct.fields
             ]
@@ -998,6 +1077,22 @@ class FMPXMLDataSource(DataSource):
         if raw in ("auto", "true", ""):
             return None
         return int(raw)
+
+    def simpleStreamReader(self, schema: SqlT.StructType) -> FMPXMLSimpleStreamReader:
+        """``spark.readStream.format("fmpxml").option("multi", "true")
+        .load(dir)`` — continuous ingest of a directory of exports.
+        Streaming is all-string only (``typed`` needs the batch
+        reader's columnar conversion)."""
+        if self._typed():
+            raise ValueError(
+                "fmpxml streaming is all-string (reference-sink parity); "
+                "typed=true is a batch-reader mode"
+            )
+        return FMPXMLSimpleStreamReader(
+            path=self.options.get("path", ""),
+            field_names=[f.name for f in schema.fields],
+            repeats=self.options.get("repeats", "error"),
+        )
 
     def reader(self, schema: SqlT.StructType) -> FMPXMLReader:
         import os

@@ -350,6 +350,95 @@ def test_region_scanner_rejects_compensating_col_errors():
 
 
 # ---------------------------------------------------------------------------
+# Streaming ingest (directory watch)
+# ---------------------------------------------------------------------------
+
+
+def _write_stream_shard(path, nums):
+    rows = "".join(
+        f'<ROW MODID="1" RECORDID="1"><COL><DATA>{n}</DATA></COL>'
+        f"<COL><DATA>t{n}</DATA></COL></ROW>"
+        for n in nums
+    )
+    path.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+        "<ERRORCODE>0</ERRORCODE>\n"
+        f'<DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="Stream" RECORDS="{len(nums)}" '
+        'TIMEFORMAT="k:mm:ss"/>\n'
+        "<METADATA>"
+        '<FIELD EMPTYOK="NO" MAXREPEAT="1" NAME="Nummer" TYPE="TEXT"/>'
+        '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Titel" TYPE="TEXT"/>'
+        "</METADATA>\n"
+        f'<RESULTSET FOUND="{len(nums)}">{rows}</RESULTSET>\n'
+        "</FMPXMLRESULT>\n"
+    )
+
+
+def test_streaming_ingest_incremental(spark, tmp_path):
+    """readStream over a directory of exports: the first availableNow
+    run ingests the files present; a restart from the same checkpoint
+    ingests ONLY files that arrived in between (offset = ingested file
+    set) — the reference's one-shot load as continuous ingest."""
+    from ceneton_database_tools_spark.sources.fmp_xml import register_fmp_source
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    _write_stream_shard(src / "export_a.xml", ["100", "101"])
+    register_fmp_source(spark)
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("fmpxml")
+            .option("multi", "true")
+            .load(str(src))
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.nummer for r in spark.read.parquet(out).collect())
+
+    assert run_once() == ["100", "101"]
+    _write_stream_shard(src / "export_b.xml", ["200", "201", "202"])
+    # restart from the same checkpoint: ONLY the new file is ingested —
+    # a replay bug would append shard A again (7 rows, with dupes)
+    assert run_once() == ["100", "101", "200", "201", "202"]
+
+
+def test_streaming_typed_mode_rejected(spark, tmp_path):
+    from ceneton_database_tools_spark.sources.fmp_xml import register_fmp_source
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_stream_shard(src / "export_a.xml", ["1"])
+    register_fmp_source(spark)
+    sdf = (
+        spark.readStream.format("fmpxml")
+        .option("multi", "true")
+        .option("typed", "true")
+        .load(str(src))
+    )
+    q = None
+    with pytest.raises(Exception, match="typed=true is a batch-reader mode"):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("fmp_stream_typed")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if q is not None:
+        q.stop()
+
+
+# ---------------------------------------------------------------------------
 # Byte-range splits (parallel scan of one large file)
 # ---------------------------------------------------------------------------
 
