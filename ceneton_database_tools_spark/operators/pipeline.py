@@ -797,3 +797,91 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random sign projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+EMB_IN_DIM = 64
+PROJ_DIM = 16
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix, PROJ_DIM × EMB_IN_DIM: the
+    sign of output j, input d is the parity of the first hex nibble of
+    md5(f"jl_{j}_{d}"). Computed once at import and EMBEDDED as a
+    constant into both engines' expressions, so cross-engine equality
+    is by construction (1/sqrt(PROJ_DIM) scaling is deferred — sign
+    sums keep the arithmetic exact until the final rounding)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl_{j}_{d}".encode()).hexdigest()[0], 16) % 2 else -1
+            for d in range(EMB_IN_DIM)
+        ]
+        for j in range(PROJ_DIM)
+    ]
+
+
+_JL = _jl_signs()
+
+
+def _proj_expr(j: int, elem: str) -> str:
+    """Left-associated signed sum for output dim j; `elem` formats a
+    1-based element access. Identical token order in both engines →
+    identical IEEE result."""
+    terms = []
+    for d in range(EMB_IN_DIM):
+        sign = "+" if _JL[j][d] == 1 else "-"
+        terms.append(f"{sign} {elem.format(i=d + 1)}")
+    body = " ".join(terms)
+    return f"(0.0 {body})"
+
+
+_SPARK_ELEM = "CAST(element_at(embedding, {i}) AS DOUBLE)"
+_DUCK_ELEM = "embedding[{i}]::DOUBLE"
+
+
+@register(
+    "embeddings_random_projection",
+    oracle=f"""
+    SELECT vec_id, label,
+           concat_ws(',',
+             {", ".join(
+                 f"CAST(floor({_proj_expr(j, _DUCK_ELEM)} * 10000 + 0.5) AS BIGINT)"
+                 for j in range(PROJ_DIM)
+             )}
+           ) AS proj16
+    FROM embeddings
+    """,
+    tags=("similarity", "vector", "llm-pipeline"),
+)
+def embeddings_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random sign projection: 64-dim embeddings
+    reduced to 16 dims through a deterministic ±1 matrix — the
+    byte-reduction step before LSH bucketing or IVF assignment at
+    corpus scale (4x fewer bytes per vector, pairwise distances
+    preserved within JL tolerance).
+
+    The projection matrix is a compile-time constant (md5-parity
+    signs) embedded in both engines' SQL, each output dimension a
+    left-associated signed sum — exact cross-engine determinism with
+    zero joins, zero shuffles: at 100 TB this is a streaming map over
+    the vector table, and the 16 rounded components leave as a joined
+    string (the canonicalizer-safe vector encoding used repo-wide).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # components leave as integer ten-thousandths (floor(x+0.5), the
+    # repo's cross-engine quantizer): Spark's double->string cast uses
+    # scientific notation for small magnitudes, DuckDB's does not
+    proj = F.concat_ws(
+        ",",
+        *[
+            F.expr(
+                f"CAST(floor({_proj_expr(j, _SPARK_ELEM)} * 10000 + 0.5) AS BIGINT)"
+            ).cast("string")
+            for j in range(PROJ_DIM)
+        ],
+    )
+    return emb.select("vec_id", "label", proj.alias("proj16"))
