@@ -63,7 +63,7 @@ def cmd_print(args: argparse.Namespace) -> int:
     # distributed, so the bar tracks task completion via the status
     # tracker, scaled to the header's declared record count.
     with stage_progress(spark, schema.record_count):
-        n = read_fmp_xml_df(spark, args.file_path).count()
+        n = read_fmp_xml_df(spark, args.file_path, split=args.split).count()
     if n != schema.record_count:
         print(f"warning: parsed {n} records, header declared {schema.record_count}")
     print("Done")
@@ -79,7 +79,7 @@ def cmd_to_json(args: argparse.Namespace) -> int:
 
     schema = _parse_header(args.file_path)
     spark = get_spark(app_name="ct-db-to-json")
-    df = read_fmp_xml_df(spark, args.file_path)
+    df = read_fmp_xml_df(spark, args.file_path, split=args.split)
     if args.output:
         with stage_progress(spark, schema.record_count):
             write_jsonl(df, args.output)
@@ -142,7 +142,7 @@ def cmd_create_db(args: argparse.Namespace) -> int:
     table_name = args.table_name or sanitize_name(schema.name)
 
     spark = get_spark(app_name="ct-db-create-db")
-    df = read_fmp_xml_df(spark, args.file_path)
+    df = read_fmp_xml_df(spark, args.file_path, split=args.split)
     create_db_from_df(
         df,
         db_url=args.db_url,
@@ -153,6 +153,15 @@ def cmd_create_db(args: argparse.Namespace) -> int:
         db_metadata=metadata,
     )
     return 0
+
+
+def _add_split(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--split",
+        default="auto",
+        help="byte-range splits for large plain .xml files: auto "
+        "(default), never, or a target split size in bytes",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -167,11 +176,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("print", help="Print the stream of records from the FMP XML file.")
     p.add_argument("file_path")
+    _add_split(p)
     p.set_defaults(fn=cmd_print)
 
     p = sub.add_parser("to_json", help="Convert the FMP XML file to JSONL format.")
     p.add_argument("file_path")
     p.add_argument("--output", help="write a JSONL directory instead of stdout")
+    _add_split(p)
     p.set_defaults(fn=cmd_to_json)
 
     p = sub.add_parser("create_db", help="Create a database from FMP XML file.")
@@ -184,6 +195,7 @@ def build_parser() -> argparse.ArgumentParser:
         action="append",
         help="key=value metadata rows (repeatable)",
     )
+    _add_split(p)
     p.set_defaults(fn=cmd_create_db)
     return parser
 
