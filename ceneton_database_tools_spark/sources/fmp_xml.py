@@ -944,6 +944,13 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
     design (prefetched per microbatch) — right for the
     snapshot-every-so-often cadence of FMP exports; a high-throughput
     backfill belongs on the batch reader's partitioned/split path.
+
+    Boundedness note: the offset carries the full ingested-file list,
+    so checkpoint size grows with the number of files ever seen. For
+    the snapshot cadence this source targets (one export per
+    day/week), that is thousands of entries after years — fine; a
+    firehose of small files wants an archive-after-ingest directory
+    convention (move processed files out) to keep offsets short.
     """
 
     def __init__(self, path: str, field_names: list[str], repeats: str):

@@ -496,6 +496,46 @@ def _rows_via_splits(path, bounds, n_fields, repeats="error"):
     return out
 
 
+def test_split_sizing_policy(tmp_path):
+    """The auto-split policy matrix, asserted directly on the reader:
+    small files and .bz2 never split; a large single file splits at
+    the 16 MiB floor; the same file among many splits at the 64 MiB
+    multi-file floor (files are already the parallel unit); explicit
+    sizes are honored with the 4096-byte test floor."""
+    from ceneton_database_tools_spark.sources.fmp_xml import FMPXMLReader
+
+    def ranges(reader, path, total):
+        return reader._split_ranges(str(path), total)
+
+    big = tmp_path / "big.xml"
+    big.write_bytes(b"x" * (48 << 20))  # 48 MiB: 3 splits at 16 MiB floor
+    small = tmp_path / "small.xml"
+    small.write_bytes(b"x" * (1 << 20))
+    bz = tmp_path / "big.xml.bz2"
+    bz.write_bytes(b"x" * (48 << 20))
+
+    single = FMPXMLReader([str(big)], ["f"], "error", split_bytes=None, parallelism=32)
+    assert len(ranges(single, big, big.stat().st_size)) == 3
+    assert ranges(single, small, small.stat().st_size) == [(0, None)]
+
+    multi = FMPXMLReader(
+        [str(big), str(bz)], ["f"], "error", split_bytes=None, parallelism=32
+    )
+    # multi-file floor is 64 MiB -> a 48 MiB file stays whole
+    assert ranges(multi, big, 96 << 20) == [(0, None)]
+    assert ranges(multi, bz, 96 << 20) == [(0, None)]  # bz2 never splits
+
+    never = FMPXMLReader([str(big)], ["f"], "error", split_bytes=0, parallelism=32)
+    assert ranges(never, big, big.stat().st_size) == [(0, None)]
+
+    explicit = FMPXMLReader([str(big)], ["f"], "error", split_bytes=1 << 20, parallelism=32)
+    rs = ranges(explicit, big, big.stat().st_size)
+    assert len(rs) == 48
+    # ranges tile [0, size) exactly, in order
+    assert rs[0][0] == 0 and rs[-1][1] == big.stat().st_size
+    assert all(rs[i][1] == rs[i + 1][0] for i in range(len(rs) - 1))
+
+
 def test_split_every_byte_boundary_exactly_once(tmp_path):
     """The InputSplit invariant: for EVERY possible cut position, the
     two splits together yield each row exactly once, in file order —
