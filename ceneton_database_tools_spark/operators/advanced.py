@@ -560,3 +560,53 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized.where(F.col("event_id") < 2000).select(
         "event_id", "event_type", F.round("z", 4).alias("z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# Identical text runs on both engines: the implicit supplier hierarchy
+# is the binary-heap shape (children of k are 2k+1, 2k+2 — pure
+# multiplication, deliberately no integer division: Spark's `div`
+# truncates toward zero while DuckDB's `//` floors, which would
+# diverge at the root).
+_RECURSIVE_SQL = """
+    WITH RECURSIVE tree(k, depth) AS (
+      SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 0
+      UNION ALL
+      SELECT s.s_suppkey, t.depth + 1
+      FROM supplier s JOIN tree t
+        ON s.s_suppkey = 2 * t.k + 1 OR s.s_suppkey = 2 * t.k + 2
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(k)                   AS min_key,
+           max(k)                   AS max_key,
+           CAST(sum(k) AS BIGINT)   AS key_sum
+    FROM tree
+    GROUP BY depth
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_SQL,
+    tags=("sql", "recursive", "iterative"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk the implicit
+    binary-heap hierarchy over supplier keys from the root and report
+    per-depth membership — the org-chart / bill-of-materials traversal
+    as ONE SQL string, character-identical on both engines.
+
+    Spark executes the recursion as an iterative union (each level one
+    distributed join against the previous frontier), conceptually the
+    same loop dedup_clusters hand-rolls — here the engine owns the
+    iteration, termination, and plan reuse. Depth is O(log n) for this
+    hierarchy, so the recursion terminates in ~7 rounds at any SF.
+    """
+    from ceneton_database_tools_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(_RECURSIVE_SQL)
