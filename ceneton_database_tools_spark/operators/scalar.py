@@ -250,3 +250,44 @@ def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("position('AND' in upper(p_type))").cast("long").alias("and_pos"),
         (F.col("p_brand") == F.col("p_type")).alias("exact_equal"),
     )
+
+
+@register(
+    "scalar_variant_funcs",
+    # The oracle reconstructs Spark's canonical VARIANT outputs from
+    # plain JSON functions: props is always a single-key object
+    # {"k": N}, so to_json(parse_json(props)) is exactly '{"k":' || k
+    # || '}' and schema_of_variant is the constant 'OBJECT<k: BIGINT>'
+    # for every row — the oracle thereby VERIFIES Spark infers that
+    # schema and canonicalizes that round-trip on every single row.
+    oracle="""
+    SELECT
+      event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      json_extract_string(props, '$.missing') IS NULL   AS missing_is_null,
+      'OBJECT<k: BIGINT>'                               AS vschema,
+      '{"k":' || json_extract_string(props, '$.k') || '}' AS vjson
+    FROM events
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: ``parse_json`` the semi-structured props column
+    into the binary VARIANT type, then typed path extraction
+    (``variant_get`` with a target type), missing-path NULL semantics,
+    per-row schema inference (``schema_of_variant``), and the
+    canonical ``to_json`` round-trip. VARIANT is the 100 TB answer to
+    ragged JSON columns: one binary-encoded column, no schema
+    unification pass, typed extraction pushed into the scan stage.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("prop_k"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string') IS NULL").alias(
+            "missing_is_null"
+        ),
+        F.schema_of_variant(v).alias("vschema"),
+        F.to_json(v).alias("vjson"),
+    )
