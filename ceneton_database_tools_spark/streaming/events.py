@@ -378,6 +378,12 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
+#
+# Spark 4's successor API (transformWithStateInPandas: ValueState /
+# ListState / timers over the RocksDB store) was evaluated and does
+# run up to state-server startup here, but its Python side requires
+# the `protobuf` package, which this container does not ship —
+# applyInPandasWithState carries the custom-stateful surface instead.
 # ---------------------------------------------------------------------------
 
 USER_STATS_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE, max_gap_sec DOUBLE"
