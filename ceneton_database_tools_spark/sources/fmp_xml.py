@@ -637,7 +637,19 @@ def iter_fmp_split_regions(
             if cut >= 0:
                 region = buf[:cut]
                 last = region.rfind(b"</ROW>")
-                if last == -1 or region[last + 6 :].strip():
+                if last == -1:
+                    # Every owned row was already emitted by a previous
+                    # iteration (a chunk boundary fell between the last
+                    # owned </ROW> and the next split's <ROW); a
+                    # whitespace-only remainder is the normal end of
+                    # this split, not a structural error.
+                    if region.strip():
+                        raise FMPFastPathError(
+                            "split cut does not fall on a row boundary; "
+                            "read with split='never'"
+                        )
+                    return
+                if region[last + 6 :].strip():
                     raise FMPFastPathError(
                         "split cut does not fall on a row boundary; "
                         "read with split='never'"
@@ -709,19 +721,16 @@ class FMPXMLReader(DataSourceReader):
         self._split_bytes = split_bytes
         self._parallelism = max(parallelism, 2)
 
-    def _split_ranges(self, path: str, total_size: int) -> list[tuple[int, int | None]]:
-        """Byte ranges for one file. ``(0, None)`` = whole-file scan
-        (keeps the full-document ET fallback). Auto sizing targets
-        ``total_input / parallelism`` clamped to [4 MiB, 128 MiB] —
+    def _split_ranges(
+        self, path: str, size: int | None, total_size: int
+    ) -> list[tuple[int, int | None]]:
+        """Byte ranges for one file (``size`` = stat from partitions(),
+        None if unstattable). ``(0, None)`` = whole-file scan (keeps
+        the full-document ET fallback). Auto sizing targets
+        ``total_input / parallelism`` clamped per the floors above —
         computed over ALL input files so a sharded directory of large
         exports does not over-split each shard."""
-        import os
-
-        if self._split_bytes == 0 or path.endswith(".bz2"):
-            return [(0, None)]
-        try:
-            size = os.path.getsize(path)
-        except OSError:
+        if self._split_bytes == 0 or path.endswith(".bz2") or size is None:
             return [(0, None)]
         if self._split_bytes is None:
             if size < _SPLIT_MIN_FILE:
@@ -746,15 +755,16 @@ class FMPXMLReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         import os
 
-        total = 0
+        sizes: list[int | None] = []
         for p in self._paths:
             try:
-                total += os.path.getsize(p)
+                sizes.append(os.path.getsize(p))
             except OSError:
-                pass
+                sizes.append(None)
+        total = sum(s for s in sizes if s)
         parts: list[InputPartition] = []
         for i, path in enumerate(self._paths):
-            for start, end in self._split_ranges(path, total):
+            for start, end in self._split_ranges(path, sizes[i], total):
                 parts.append(InputPartition((i, start, end)))
         return parts
 
@@ -945,12 +955,15 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
     snapshot-every-so-often cadence of FMP exports; a high-throughput
     backfill belongs on the batch reader's partitioned/split path.
 
-    Boundedness note: the offset carries the full ingested-file list,
-    so checkpoint size grows with the number of files ever seen. For
-    the snapshot cadence this source targets (one export per
-    day/week), that is thousands of entries after years — fine; a
-    firehose of small files wants an archive-after-ingest directory
-    convention (move processed files out) to keep offsets short.
+    Boundedness: the offset carries the ingested-file list, TRIMMED to
+    files still present (a name neither listed nor newly read drops
+    out of the next offset), so checkpoint size is bounded by the
+    CURRENT directory size, not by history. The operational rule that
+    makes failure recovery sound: archive/delete a file only AFTER the
+    batch that ingested it has committed — replay of an uncommitted
+    batch (readBetweenOffsets) re-opens that batch's files by name. A
+    deleted-then-recreated name counts as a new snapshot and is
+    ingested again.
     """
 
     def __init__(self, path: str, field_names: list[str], repeats: str):
@@ -962,16 +975,14 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"seen": []}
 
     def _list(self) -> list[str]:
-        import glob as _glob
-        import os
-
-        if os.path.isdir(self._path):
-            return sorted(
-                p
-                for p in _glob.glob(os.path.join(self._path, "*"))
-                if p.endswith((".xml", ".xml.bz2"))
-            )
-        return sorted(_glob.glob(self._path))
+        """Current matching files — same resolution as the batch
+        reader's multi-file listing, except an empty/missing directory
+        means 'no files yet', not an error (the watcher may start
+        before the first export lands)."""
+        try:
+            return resolve_source_paths(self._path, multi=True)
+        except FileNotFoundError:
+            return []
 
     def _rows(self, paths: list[str]) -> Iterator[tuple]:
         """Materialized per-microbatch rows. Spark's simple-reader
@@ -992,8 +1003,10 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         seen = set(start.get("seen", []))
-        new = [p for p in self._list() if p not in seen]
-        end = {"seen": sorted(seen | set(new))}
+        listed = self._list()
+        new = [p for p in listed if p not in seen]
+        # trim to present ∪ new: archived files age out of the offset
+        end = {"seen": sorted((seen & set(listed)) | set(new))}
         return self._rows(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -1046,7 +1059,16 @@ class FMPXMLDataSource(DataSource):
         return resolve_source_paths(path, multi=multi)
 
     def _fmp_schema(self) -> FMPSchema:
-        stream = open_xml_stream(self._paths()[0])
+        try:
+            first = self._paths()[0]
+        except FileNotFoundError as exc:
+            raise FileNotFoundError(
+                f"{exc}. Schema inference needs at least one export "
+                "present; to START a stream on an empty watch directory, "
+                "pass the schema explicitly "
+                "(spark.readStream.schema(...).format('fmpxml')...)"
+            ) from exc
+        stream = open_xml_stream(first)
         try:
             return parse_fmp_header(stream)
         finally:

@@ -412,6 +412,44 @@ def test_streaming_ingest_incremental(spark, tmp_path):
     assert run_once() == ["100", "101", "200", "201", "202"]
 
 
+def test_streaming_offsets_trim_archived_files(tmp_path):
+    """Offset boundedness: a file that was ingested and later archived
+    (no longer listed) drops out of the next offset, so checkpoint
+    size tracks the CURRENT directory, not history; a new arrival is
+    still ingested exactly once."""
+    from ceneton_database_tools_spark.sources.fmp_xml import FMPXMLSimpleStreamReader
+
+    src = tmp_path / "in"
+    src.mkdir()
+    a, b = src / "a.xml", src / "b.xml"
+    _write_stream_shard(a, ["1"])
+    reader = FMPXMLSimpleStreamReader(str(src), ["nummer", "titel"], "error")
+    rows1, off1 = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows1] == ["1"]
+    assert off1 == {"seen": [str(a)]}
+    a.unlink()  # archive after (simulated) commit
+    _write_stream_shard(b, ["2"])
+    rows2, off2 = reader.read(off1)
+    assert [r[0] for r in rows2] == ["2"]
+    assert off2 == {"seen": [str(b)]}  # archived a.xml aged out
+
+
+def test_streaming_empty_dir_schema_error_guides(spark, tmp_path):
+    """Starting a stream on an empty watch directory cannot infer a
+    schema; the error must say how to proceed (explicit .schema())."""
+    from ceneton_database_tools_spark.sources.fmp_xml import register_fmp_source
+
+    src = tmp_path / "empty"
+    src.mkdir()
+    register_fmp_source(spark)
+    with pytest.raises(Exception, match="pass the schema explicitly"):
+        (
+            spark.readStream.format("fmpxml")
+            .option("multi", "true")
+            .load(str(src))
+        )
+
+
 def test_streaming_typed_mode_rejected(spark, tmp_path):
     from ceneton_database_tools_spark.sources.fmp_xml import register_fmp_source
 
@@ -505,7 +543,7 @@ def test_split_sizing_policy(tmp_path):
     from ceneton_database_tools_spark.sources.fmp_xml import FMPXMLReader
 
     def ranges(reader, path, total):
-        return reader._split_ranges(str(path), total)
+        return reader._split_ranges(str(path), path.stat().st_size, total)
 
     big = tmp_path / "big.xml"
     big.write_bytes(b"x" * (48 << 20))  # 48 MiB: 3 splits at 16 MiB floor
@@ -550,6 +588,27 @@ def test_split_every_byte_boundary_exactly_once(tmp_path):
     for cut in range(0, size + 1, 1):
         got = _rows_via_splits(path, [0, cut, size], 3)
         assert got == expected, f"cut at byte {cut} lost or duplicated rows"
+
+
+def test_split_chunk_boundary_between_rows(tmp_path, monkeypatch):
+    """Regression (round-4 review): when a read-chunk boundary falls
+    between the last owned </ROW> and the next split's <ROW, a prior
+    iteration has already emitted every owned row and the pre-cut
+    region is row-less whitespace — the scanner must return, not raise
+    'split cut does not fall on a row boundary'. Tiny chunk sizes force
+    emit-then-cut-search sequences at every possible alignment."""
+    from ceneton_database_tools_spark.sources import fmp_xml as mod
+
+    path = tmp_path / "split.xml"
+    _write_split_fixture(path, nrows=12, ncols=2)
+    size = path.stat().st_size
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, 2))
+    for chunk in (31, 53, 97):
+        monkeypatch.setattr(mod, "_REGION_CHUNK", chunk)
+        for cut in range(0, size + 1, 7):
+            got = _rows_via_splits(path, [0, cut, size], 2)
+            assert got == expected, f"chunk={chunk} cut={cut}"
 
 
 def test_split_many_ranges_match_whole(tmp_path):
