@@ -137,7 +137,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_mktsegment,
       event_type,
       count(*)             AS n_events,
-      round(avg(value), 6) AS avg_value
+      round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)
+                           AS avg_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment, event_type
     """,
@@ -155,7 +156,15 @@ def events_user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment", "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact decimal sum, one double division — order-independent
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
+        )
     )
 
 
@@ -348,7 +357,8 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(value), 2)             AS low,
            round(arg_max(value, ts), 2)     AS close,
            CAST(count(*) AS BIGINT)         AS n_events,
-           round(avg(value), 4)             AS avg_value
+           (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200
+            + count(*)) // (2 * count(*)) / 10000.0 AS avg_value
     FROM events
     GROUP BY user_id, CAST(ts AS DATE)
     """,
@@ -377,12 +387,25 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("low"),
             F.round(F.max_by("value", "ts"), 2).alias("close"),
             F.count("*").cast("long").alias("n_events"),
-            # 4 decimals, not 2: an average of 2-decimal values lands
-            # exactly on a half-cent boundary for every odd-cent pair,
-            # where the engines' boundary rounding of the same double
-            # can differ; at 4 decimals the quotient is never boundary.
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("_sc"),
         )
+        # avg at 4 decimals, ENTIRELY in integers: values are exact
+        # cents, so avg*1e4 = cents*100/n, and half-up rounding is
+        # (cents*200 + n) div (2n). Float avg is order-dependent in
+        # the last ulp, and a group landing on an exact half (one did,
+        # at sf0.1: 67.49125) rounds differently per engine — Spark's
+        # round() goes through the shortest decimal repr, DuckDB's
+        # rounds the raw double. Integer arithmetic sidesteps both.
+        .withColumn(
+            "avg_value",
+            # CAST to DOUBLE before dividing: Spark parses the 10000.0
+            # literal as DECIMAL, and long/decimal renders with trailing
+            # zeros ("31.1567000") where DuckDB's double gives "31.1567"
+            F.expr(
+                "CAST((_sc * 200 + n_events) div (2 * n_events) AS DOUBLE) / 10000.0"
+            ),
+        )
+        .drop("_sc")
     )
 
 

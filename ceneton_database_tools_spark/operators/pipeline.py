@@ -470,11 +470,18 @@ EMB_DIM = 64
 
 @register(
     "embeddings_label_centroids",
+    # avg() over raw doubles is ORDER-DEPENDENT in the last ulp, and
+    # at sf0.1 the partial-aggregation tree vs DuckDB's sequential sum
+    # lands on opposite sides of a 4-decimal rounding boundary for a
+    # handful of (label, dim) cells — the repo's integer-stat rule
+    # applies: quantize each component to exact micro-units (double op,
+    # identical both engines), sum EXACT integers, divide once.
     oracle=f"""
     SELECT label,
            i AS dim,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg(embedding[i]::DOUBLE), 4) AS centroid
+           round(CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT)
+                 / (count(*) * 1000000.0), 4) + 0.0 AS centroid
     FROM embeddings, generate_series(1, {EMB_DIM}) AS t(i)
     GROUP BY label, i
     """,
@@ -496,9 +503,12 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
+    micro = F.expr("CAST(round(x * 1000000) AS BIGINT)")
+    # `+ 0.0` normalizes IEEE -0.0 (a tiny negative mean rounds to
+    # -0.0 in DuckDB but +0.0 through Spark's decimal-repr round)
     return exploded.groupBy("label", "dim").agg(
         F.count("*").cast("long").alias("n_vecs"),
-        F.round(F.avg("x"), 4).alias("centroid"),
+        (F.round(F.sum(micro) / (F.count("*") * 1000000.0), 4) + 0.0).alias("centroid"),
     )
 
 

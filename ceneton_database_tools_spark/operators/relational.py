@@ -43,12 +43,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       l_returnflag,
       l_linestatus,
       round(sum(l_quantity), 2)                                    AS sum_qty,
-      round(sum(l_extendedprice), 2)                               AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 2) AS sum_disc_price,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(5,2))
+                    * CAST(1 + l_tax AS DECIMAL(5,2))) AS DOUBLE), 2) AS sum_charge,
       round(avg(l_quantity), 6)                                    AS avg_qty,
-      round(avg(l_extendedprice), 6)                               AS avg_price,
-      round(avg(l_discount), 6)                                    AS avg_disc,
+      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*), 6)                                         AS avg_price,
+      round(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+            / count(*), 6)                                         AS avg_disc,
       count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -66,18 +71,35 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries a pushed `l_shipdate` predicate and prunes to 7 columns.
     """
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Money sums in DECIMAL: decimal addition is EXACT and therefore
+    # order-independent — float sums differ in the last ulp between
+    # partial-aggregation trees and can flip boundary rounding (the
+    # local sf0.1 parity sweep caught exactly that in sibling queries).
+    # Averages divide the exact decimal sum ONCE, as a double, on both
+    # engines. avg(l_quantity) stays float: integer-valued doubles sum
+    # exactly at any order.
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(5,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(price_d).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price_d * one_minus_disc).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price_d * one_minus_disc * one_plus_tax).cast("double"), 2
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(price_d).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(5,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -525,7 +547,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
     FROM customer
-    WHERE round(c_acctbal, 2) > (SELECT round(avg(c_acctbal), 2) FROM customer)
+    WHERE round(c_acctbal, 2) > (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) FROM customer)
     """,
     tags=("subquery", "filter"),
 )
@@ -540,7 +562,13 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (summation order), flipping boundary rows.
     """
     cust = _t(spark, sf_dir, "customer")
-    avg_bal = cust.agg(F.round(F.avg("c_acctbal"), 2).alias("_avg_bal"))
+    avg_bal = cust.agg(
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("_avg_bal")
+    )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.round("c_acctbal", 2) > F.col("_avg_bal"))
@@ -1098,7 +1126,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                 AS n_custs,
            round(sum(c_acctbal), 2) AS total_bal
     FROM customer c
-    WHERE round(c_acctbal, 2) > (SELECT round(avg(c_acctbal), 2) FROM customer
+    WHERE round(c_acctbal, 2) > (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) FROM customer
                                  WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1116,7 +1144,11 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 2).alias("_avg")
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("_avg")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
