@@ -288,7 +288,7 @@ def _net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.S
     oracle="""
     SELECT
       l_returnflag,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2)) * CAST(1 + l_tax AS DECIMAL(5,2))), 2) AS DOUBLE) AS net_revenue,
       count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -304,8 +304,22 @@ def udf_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.withColumn("net", _net_price("l_extendedprice", "l_discount", "l_tax"))
+        # the UDF's float net is quantized to exact integer micro-units
+        # per row (the float is within ~1e-10 of the exact 1e-6-precision
+        # value, so floor(x*1e6 + 0.5) recovers the exact integer on any
+        # engine), summed exactly, and cent-rounded in integers
         .groupBy("l_returnflag")
-        .agg(F.round(F.sum("net"), 2).alias("net_revenue"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.expr("CAST(floor(net * 1000000 + 0.5) AS BIGINT)")).alias("_s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.expr("CAST((_s + 5000) div 10000 AS DOUBLE) / 100.0").alias(
+                "net_revenue"
+            ),
+            "n",
+        )
     )
 
 

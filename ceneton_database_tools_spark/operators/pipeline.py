@@ -84,7 +84,9 @@ _DUCK_NGRAMS = (
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN n_hit * 2 >= n_g THEN 1 ELSE 0 END) AS BIGINT)
              AS n_contaminated,
-           round(avg(n_hit::DOUBLE / n_g), 4) AS avg_overlap
+           CAST(floor(
+             CAST(sum(CAST(floor(n_hit::DOUBLE / n_g * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100000 + 0.5) AS DOUBLE) / 10000.0 AS avg_overlap
     FROM per_doc
     GROUP BY source
     """,
@@ -116,12 +118,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("n_g"), F.count("bg").alias("n_hit"))
     )
+    # per-doc ratio quantized to integer nano-units, summed exactly;
+    # floor(x + 0.5) rounding from exact integers — order-independent
+    # (the float avg-of-ratios it replaces depends on summation order)
+    ratio_nano = F.expr(
+        "CAST(floor(CAST(n_hit AS DOUBLE) / n_g * 1000000000 + 0.5) AS BIGINT)"
+    )
     return per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.when(F.col("n_hit") * 2 >= F.col("n_g"), 1).otherwise(0))
         .cast("long")
         .alias("n_contaminated"),
-        F.round(F.avg(F.col("n_hit").cast("double") / F.col("n_g")), 4).alias("avg_overlap"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(floor(CAST(n_hit AS DOUBLE) / n_g * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100000 + 0.5) AS DOUBLE) / 10000.0"
+        ).alias("avg_overlap"),
     )
 
 
@@ -526,15 +536,21 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
     n AS (SELECT count(*) AS total FROM tok),
     per_doc AS (
-      SELECT t.doc_id, t.lang, avg(ln(f.cnt::DOUBLE / n.total)) AS logprob
+      SELECT t.doc_id, t.lang,
+             CAST(floor(
+               CAST(sum(CAST(floor(ln(f.cnt::DOUBLE / n.total) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) AS BIGINT) AS lp_nano
       FROM tok t JOIN freq f USING (token) CROSS JOIN n
       GROUP BY t.doc_id, t.lang
     )
     SELECT lang,
            CAST(count(*) AS BIGINT)  AS n_docs,
-           round(avg(logprob), 4)    AS avg_logprob,
-           round(min(logprob), 4)    AS min_logprob,
-           round(max(logprob), 4)    AS max_logprob
+           CAST(floor(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 100000 + 0.5) AS DOUBLE)
+             / 10000.0 AS avg_logprob,
+           CAST(floor(CAST(min(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE)
+             / 10000.0 AS min_logprob,
+           CAST(floor(CAST(max(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE)
+             / 10000.0 AS max_logprob
     FROM per_doc
     GROUP BY lang
     """,
@@ -560,17 +576,40 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     n = tok.agg(F.count("*").alias("total"))
+    # Order-independence discipline (same scheme as the money
+    # aggregates): each token's ln() is quantized to integer
+    # nano-units per row, per-doc and per-language reductions sum
+    # EXACT integers, and every rounding is floor(x + 0.5) on doubles
+    # derived from those integers — identical in both engines,
+    # including on negative values (where `div` vs `//` truncation
+    # conventions would diverge).
+    lp_nano = F.expr(
+        "CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000000 + 0.5) AS BIGINT)"
+    )
     per_doc = (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id", "lang")
-        .agg(F.avg(F.log(F.col("cnt").cast("double") / F.col("total"))).alias("logprob"))
+        .agg(F.sum(lp_nano).alias("s"), F.count("*").alias("c"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(floor(CAST(s AS DOUBLE) / c + 0.5) AS BIGINT)").alias(
+                "lp_nano"
+            ),
+        )
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("logprob"), 4).alias("avg_logprob"),
-        F.round(F.min("logprob"), 4).alias("min_logprob"),
-        F.round(F.max("logprob"), 4).alias("max_logprob"),
+        F.expr(
+            "CAST(floor(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 100000 + 0.5) AS DOUBLE) / 10000.0"
+        ).alias("avg_logprob"),
+        F.expr(
+            "CAST(floor(CAST(min(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE) / 10000.0"
+        ).alias("min_logprob"),
+        F.expr(
+            "CAST(floor(CAST(max(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE) / 10000.0"
+        ).alias("max_logprob"),
     )
 
 

@@ -43,12 +43,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       l_returnflag,
       l_linestatus,
       round(sum(l_quantity), 2)                                    AS sum_qty,
-      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 2) AS sum_disc_price,
-      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(5,2))
-                    * CAST(1 + l_tax AS DECIMAL(5,2))) AS DOUBLE), 2) AS sum_charge,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l_discount AS DECIMAL(5,2))
+                     * CAST(1 + l_tax AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_charge,
       round(avg(l_quantity), 6)                                    AS avg_qty,
       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
             / count(*), 6)                                         AS avg_price,
@@ -86,13 +86,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(price_d).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(price_d * one_minus_disc).cast("double"), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(price_d * one_minus_disc * one_plus_tax).cast("double"), 2
-            ).alias("sum_charge"),
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price_d * one_minus_disc), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(price_d * one_minus_disc * one_plus_tax), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.sum(price_d).cast("double") / F.count("*"), 6).alias("avg_price"),
             F.round(
@@ -305,7 +305,7 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_orderkey,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -344,7 +344,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -359,7 +359,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_name AS nation,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
     JOIN lineitem ON l_orderkey  = o_orderkey
@@ -405,7 +405,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -547,7 +547,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
     FROM customer
-    WHERE round(c_acctbal, 2) > (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) FROM customer)
+    WHERE round(c_acctbal, 2) > (SELECT CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS DOUBLE) / 100.0 FROM customer)
     """,
     tags=("subquery", "filter"),
 )
@@ -563,10 +563,9 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.agg(
-        F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
-            / F.count("*"),
-            2,
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)"
+            " / count(*) + 0.5) AS DOUBLE) / 100.0"
         ).alias("_avg_bal")
     )
     return (
@@ -983,7 +982,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1009,7 +1008,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(5,2)")), 2).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -1018,9 +1017,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue_share",
     oracle="""
     SELECT round(
-             100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+             100.0 * CAST(sum(CASE WHEN p_type LIKE 'STANDARD%'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * CAST(1 - l_discount AS DECIMAL(5,2))
+                              ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 4) AS promo_share,
            count(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1037,12 +1038,18 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(
+        F.lit(0).cast("decimal(24,4)")
+    )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share"),
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("promo_share"),
             F.count("*").alias("n"),
         )
     )
@@ -1086,7 +1093,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 10 AND l_quantity <= 30)
@@ -1112,7 +1119,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(1, 15))
     )
     return j.filter(c).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
             "revenue"
         ),
         F.count("*").alias("n"),
@@ -1126,7 +1133,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                 AS n_custs,
            round(sum(c_acctbal), 2) AS total_bal
     FROM customer c
-    WHERE round(c_acctbal, 2) > (SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) FROM customer
+    WHERE round(c_acctbal, 2) > (SELECT CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS DOUBLE) / 100.0 FROM customer
                                  WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1144,10 +1151,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
-            / F.count("*"),
-            2,
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)"
+            " / count(*) + 0.5) AS DOUBLE) / 100.0"
         ).alias("_avg")
     )
     return (
