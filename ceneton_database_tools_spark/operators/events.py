@@ -137,7 +137,8 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_mktsegment,
       event_type,
       count(*)             AS n_events,
-      round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6)
+      CAST(floor(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0
                            AS avg_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment, event_type
@@ -158,11 +159,11 @@ def events_user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # exact decimal sum, one double division — order-independent
-            F.round(
-                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
-                / F.count("*"),
-                6,
+            # exact decimal sum, one double division, floor-quantized
+            # at 1e-6 — order-independent AND half-boundary-free
+            F.expr(
+                "CAST(floor(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+                " / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
             ).alias("avg_value"),
         )
     )

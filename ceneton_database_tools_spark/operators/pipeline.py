@@ -121,9 +121,6 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc ratio quantized to integer nano-units, summed exactly;
     # floor(x + 0.5) rounding from exact integers — order-independent
     # (the float avg-of-ratios it replaces depends on summation order)
-    ratio_nano = F.expr(
-        "CAST(floor(CAST(n_hit AS DOUBLE) / n_g * 1000000000 + 0.5) AS BIGINT)"
-    )
     return per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.when(F.col("n_hit") * 2 >= F.col("n_g"), 1).otherwise(0))
@@ -490,8 +487,8 @@ EMB_DIM = 64
     SELECT label,
            i AS dim,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT)
-                 / (count(*) * 1000000.0), 4) + 0.0 AS centroid
+           CAST(floor(CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
+                      / count(*) / 100 + 0.5) AS DOUBLE) / 10000.0 AS centroid
     FROM embeddings, generate_series(1, {EMB_DIM}) AS t(i)
     GROUP BY label, i
     """,
@@ -513,12 +510,15 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), F.col("x").cast("double").alias("x"))
-    micro = F.expr("CAST(round(x * 1000000) AS BIGINT)")
-    # `+ 0.0` normalizes IEEE -0.0 (a tiny negative mean rounds to
-    # -0.0 in DuckDB but +0.0 through Spark's decimal-repr round)
+    # floor-quantized at 1e-4 from the exact integer micro-sum: no
+    # engine-specific round(double) at half boundaries, and floor's
+    # integer output can never be IEEE -0.0
     return exploded.groupBy("label", "dim").agg(
         F.count("*").cast("long").alias("n_vecs"),
-        (F.round(F.sum(micro) / (F.count("*") * 1000000.0), 4) + 0.0).alias("centroid"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)"
+            " / count(*) / 100 + 0.5) AS DOUBLE) / 10000.0"
+        ).alias("centroid"),
     )
 
 
@@ -580,9 +580,16 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates): each token's ln() is quantized to integer
     # nano-units per row, per-doc and per-language reductions sum
     # EXACT integers, and every rounding is floor(x + 0.5) on doubles
-    # derived from those integers — identical in both engines,
-    # including on negative values (where `div` vs `//` truncation
-    # conventions would diverge).
+    # derived from those integers — no engine-specific round(double)
+    # and no truncation-convention hazard on negatives (`div` vs `//`
+    # diverge there, floor does not). Honest caveat: ln() itself is
+    # JVM Math.log vs libm — each correct to ~1 ulp but not
+    # bit-identical by contract, so a token whose ln*1e9 sits within
+    # ~1e-6 of a .5 boundary COULD quantize off by one nano-unit on
+    # some platform; the downstream floors then absorb a ±1-nano sum
+    # shift everywhere except measure-zero boundary alignments. This
+    # is platform-contingent rather than structural — unlike the
+    # money paths, whose inputs are exact decimals.
     lp_nano = F.expr(
         "CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000000 + 0.5) AS BIGINT)"
     )

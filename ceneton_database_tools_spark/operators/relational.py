@@ -50,10 +50,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                      * CAST(1 - l_discount AS DECIMAL(5,2))
                      * CAST(1 + l_tax AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_charge,
       round(avg(l_quantity), 6)                                    AS avg_qty,
-      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-            / count(*), 6)                                         AS avg_price,
-      round(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
-            / count(*), 6)                                         AS avg_disc,
+      CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS avg_price,
+      CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS avg_disc,
       count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -94,11 +94,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.sum(price_d).cast("double") / F.count("*"), 6).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(5,2)")).cast("double")
-                / F.count("*"),
-                6,
+            # floor-quantized at 1e-6: floor of identical doubles — no
+            # engine-specific round(double) at half boundaries
+            F.expr(
+                "CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+                " / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
+            ).alias("avg_price"),
+            F.expr(
+                "CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)"
+                " / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -1016,12 +1020,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_share",
     oracle="""
-    SELECT round(
+    SELECT CAST(floor(
              100.0 * CAST(sum(CASE WHEN p_type LIKE 'STANDARD%'
                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
                                    * CAST(1 - l_discount AS DECIMAL(5,2))
                               ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE), 4) AS promo_share,
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE)
+             * 10000 + 0.5) AS DOUBLE) / 10000.0 AS promo_share,
            count(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1047,10 +1052,16 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
-            ).alias("promo_share"),
+            F.sum(promo).alias("_promo"),
+            F.sum(rev).alias("_rev"),
             F.count("*").alias("n"),
+        )
+        .select(
+            F.expr(
+                "CAST(floor(100.0 * CAST(_promo AS DOUBLE) / CAST(_rev AS DOUBLE)"
+                " * 10000 + 0.5) AS DOUBLE) / 10000.0"
+            ).alias("promo_share"),
+            "n",
         )
     )
 

@@ -84,11 +84,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2)) AS volume
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey  = c_custkey
@@ -148,11 +148,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_11' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           CAST(floor(
+             CAST(sum(CASE WHEN nation = 'NATION_11' THEN volume
+                           ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+             / 1000000.0 AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2)) AS volume,
              n2.n_name AS nation
       FROM lineitem
       JOIN part     ON l_partkey  = p_partkey
@@ -193,7 +196,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -205,10 +210,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("volume", volume)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_11", F.col("volume")).otherwise(0))
-                / F.sum("volume"),
-                6,
+            # exact decimal sums; the ratio is floor-quantized at 1e-6
+            # (floor of identical doubles — no engine-specific rounding)
+            F.expr(
+                "CAST(floor(CAST(sum(CASE WHEN nation = 'NATION_11' THEN volume "
+                "ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE) "
+                "/ CAST(sum(volume) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) "
+                "/ 1000000.0"
             ).alias("mkt_share")
         )
     )
