@@ -89,14 +89,25 @@ def main() -> int:
     return 0
 
 
-def _bench_fmp_fixture() -> str:
-    """Deterministic 12,500x126 FMP export in the temp dir (cached)."""
+def _fmp_fixture(name: str, nrows: int, ncols: int) -> str:
+    """Deterministic cached FMP export. The (nrows, ncols) shape is
+    embedded in the cache filename so changing the constants can never
+    silently benchmark a stale file, and the write goes through a
+    same-directory temp file + atomic rename so an interrupted run can
+    never leave a partial file at the cached path."""
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp.xml")
+    path = os.path.join(tempfile.gettempdir(), f"{name}_{nrows}x{ncols}.xml")
     if not os.path.exists(path):
-        _write_bench_fmp(path, nrows=12500, ncols=126)
+        tmp = path + f".tmp{os.getpid()}"
+        _write_bench_fmp(tmp, nrows=nrows, ncols=ncols)
+        os.replace(tmp, path)
     return path
+
+
+def _bench_fmp_fixture() -> str:
+    """Deterministic 12,500x126 FMP export in the temp dir (cached)."""
+    return _fmp_fixture("ceneton_bench_fmp", nrows=12500, ncols=126)
 
 
 def _time_fmp_scan(spark, label: str, source: str) -> tuple[float, float]:
@@ -131,12 +142,9 @@ def _bench_fmp_parse_big(spark) -> tuple[float, float]:
     the byte-range splitter's headline case — one XML document scanned
     on every core (~28 auto splits; measured ~100k rec/s, ~20x the
     reference's single-thread figure). Fixture is generated once and
-    cached in the temp dir (~11 s)."""
-    import tempfile
-
-    path = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp_big.xml")
-    if not os.path.exists(path):
-        _write_bench_fmp(path, nrows=100_000, ncols=126)
+    cached in the temp dir (~11 s) under a shape-keyed name, written
+    atomically (see _fmp_fixture)."""
+    path = _fmp_fixture("ceneton_bench_fmp_big", nrows=100_000, ncols=126)
     return _time_fmp_scan(spark, "fmp_parse_big", path)
 
 
@@ -151,9 +159,13 @@ def _bench_fmp_parse_sharded(spark) -> tuple[float, float]:
     shard_dir = os.path.join(tempfile.gettempdir(), "ceneton_bench_fmp_shards")
     if not os.path.isdir(shard_dir) or len(os.listdir(shard_dir)) != 8:
         single = _bench_fmp_fixture()
-        os.makedirs(shard_dir, exist_ok=True)
+        if os.path.isdir(shard_dir):
+            shutil.rmtree(shard_dir)  # never reuse a partial shard set
+        os.makedirs(shard_dir)
         for i in range(8):
-            shutil.copy(single, os.path.join(shard_dir, f"shard_{i}.xml"))
+            dst = os.path.join(shard_dir, f"shard_{i}.xml")
+            shutil.copy(single, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
     return _time_fmp_scan(spark, "fmp_parse_sharded", os.path.join(shard_dir, "*.xml"))
 
 

@@ -24,4 +24,5 @@ from ceneton_database_tools_spark.operators.registry import (  # noqa: F401
     QuerySpec,
     all_queries,
     oracle_catalog,
+    render_oracle,
 )

@@ -315,6 +315,11 @@ def udf_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
+            # `div` truncates toward zero; _s is provably nonnegative
+            # (TPC-H: extendedprice > 0, 0 <= discount < 1, tax >= 0 →
+            # every net price > 0), so truncate == floor and the half-up
+            # idiom is exact. A signed variant would need the abs/sign
+            # split used in events_ohlc_downsample.
             F.expr("CAST((_s + 5000) div 10000 AS DOUBLE) / 100.0").alias(
                 "net_revenue"
             ),

@@ -351,17 +351,23 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_ohlc_downsample",
     oracle="""
-    SELECT user_id,
-           CAST(ts AS DATE)                 AS day,
-           round(arg_min(value, ts), 2)     AS open,
-           round(max(value), 2)             AS high,
-           round(min(value), 2)             AS low,
-           round(arg_max(value, ts), 2)     AS close,
-           CAST(count(*) AS BIGINT)         AS n_events,
-           (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200
-            + count(*)) // (2 * count(*)) / 10000.0 AS avg_value
-    FROM events
-    GROUP BY user_id, CAST(ts AS DATE)
+    WITH g AS (
+      SELECT user_id,
+             CAST(ts AS DATE)                 AS day,
+             round(arg_min(value, ts), 2)     AS open,
+             round(max(value), 2)             AS high,
+             round(min(value), 2)             AS low,
+             round(arg_max(value, ts), 2)     AS close,
+             CAST(count(*) AS BIGINT)         AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT user_id, day, open, high, low, close, n_events,
+           (CASE WHEN sc < 0 THEN -1 ELSE 1 END)
+             * ((abs(sc) * 200 + n_events) // (2 * n_events)) / 10000.0
+             AS avg_value
+    FROM g
     """,
     tags=("events", "time-series"),
 )
@@ -391,19 +397,25 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("_sc"),
         )
         # avg at 4 decimals, ENTIRELY in integers: values are exact
-        # cents, so avg*1e4 = cents*100/n, and half-up rounding is
-        # (cents*200 + n) div (2n). Float avg is order-dependent in
-        # the last ulp, and a group landing on an exact half (one did,
-        # at sf0.1: 67.49125) rounds differently per engine — Spark's
-        # round() goes through the shortest decimal repr, DuckDB's
-        # rounds the raw double. Integer arithmetic sidesteps both.
+        # cents, so avg*1e4 = cents*100/n, and half-away-from-zero
+        # rounding is sign(cents) * ((|cents|*200 + n) div (2n)). Float
+        # avg is order-dependent in the last ulp, and a group landing on
+        # an exact half (one did, at sf0.1: 67.49125) rounds differently
+        # per engine — Spark's round() goes through the shortest decimal
+        # repr, DuckDB's rounds the raw double. Integer arithmetic
+        # sidesteps both. The abs/sign split keeps the division operand
+        # nonnegative, where Spark `div` (truncate) and DuckDB `//`
+        # coincide — so the idiom stays exact even if a future events
+        # generator emits negative values.
         .withColumn(
             "avg_value",
             # CAST to DOUBLE before dividing: Spark parses the 10000.0
             # literal as DECIMAL, and long/decimal renders with trailing
             # zeros ("31.1567000") where DuckDB's double gives "31.1567"
             F.expr(
-                "CAST((_sc * 200 + n_events) div (2 * n_events) AS DOUBLE) / 10000.0"
+                "CAST((CASE WHEN _sc < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(_sc) * 200 + n_events) div (2 * n_events))"
+                " AS DOUBLE) / 10000.0"
             ),
         )
         .drop("_sc")

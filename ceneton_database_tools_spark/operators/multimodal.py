@@ -89,15 +89,16 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # content-integrity hash the oracle can compute (any byte flip
     # changes the hex, hence the digest). The raw-bytes sha256 variant
     # (binaryfile_scan_raw, = reference _cli.py:146-150 semantics) is
-    # pytest-verified against hashlib. The gate compares at sf0.01, so
-    # the oracle bakes that path in (read_blob takes a filesystem glob,
-    # not a registered view).
+    # pytest-verified against hashlib. read_blob takes a filesystem
+    # glob, not a registered view, so the oracle uses the {SF_DIR}
+    # token: oracle_sql() renders it to the driver gate's sf0.01 and
+    # the local harness renders it to whatever scale it is testing.
     oracle="""
     SELECT
       string_split(filename, '/')[-1]     AS file_name,
       CAST(size AS BIGINT)                AS n_bytes,
       sha256(hex(content))                AS sha256_hex
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    FROM read_blob('{SF_DIR}/*.parquet')
     """,
     tags=("multimodal", "binary", "source", "llm-pipeline"),
 )

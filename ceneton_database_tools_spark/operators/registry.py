@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The driver's correctness gate always runs at sf0.01; oracles that must
+# reference the filesystem directly (read_blob globs — DuckDB functions
+# that take paths, not registered views) embed this token instead of a
+# hardcoded path so the LOCAL harness can re-render them for any sf_dir
+# while the driver-facing oracle_sql() contract stays a plain string.
+SF_DIR_TOKEN = "{SF_DIR}"
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+
+def render_oracle(sql: str, sf_dir: str) -> str:
+    """Substitute the sf-dir token (plain replace — oracle SQL may
+    legally contain other braces, e.g. struct literals)."""
+    return sql.replace(SF_DIR_TOKEN, sf_dir.rstrip("/"))
+
 
 @dataclass
 class QuerySpec:
@@ -56,5 +70,11 @@ def all_queries() -> dict[str, QueryFn]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
 
-def oracle_catalog() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+def oracle_catalog(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
+    """Driver-facing catalog: oracles rendered for the gate's sf0.01
+    (or any sf_dir the local harness passes)."""
+    return {
+        name: render_oracle(spec.oracle, sf_dir)
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
+    }

@@ -964,6 +964,13 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
     batch (readBetweenOffsets) re-opens that batch's files by name. A
     deleted-then-recreated name counts as a new snapshot and is
     ingested again.
+
+    Arrival contract: exports must be staged elsewhere and atomically
+    renamed into the watch directory (the standard Spark file-source
+    contract). As defense-in-depth, ``read`` stats each candidate
+    before and after parsing and defers any file whose size changed
+    mid-read — a non-atomic copy is retried on a later microbatch
+    instead of being permanently marked seen on a truncated prefix.
     """
 
     def __init__(self, path: str, field_names: list[str], repeats: str):
@@ -1002,12 +1009,48 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
         return iter(out)
 
     def read(self, start: dict):
+        import os
+
         seen = set(start.get("seen", []))
         listed = self._list()
         new = [p for p in listed if p not in seen]
-        # trim to present ∪ new: archived files age out of the offset
-        end = {"seen": sorted((seen & set(listed)) | set(new))}
-        return self._rows(new), end
+        # In-flight-copy guard: a file listed while still being written
+        # (non-atomic arrival) must not be ingested-and-marked-seen on
+        # its truncated prefix — rows appended after that read would be
+        # silently lost forever. Stat before AND after parsing; a file
+        # whose size changed mid-read (or vanished) is excluded from
+        # both the batch and the offset, so the next microbatch retries
+        # it once it is stable. The contract-level fix remains staging +
+        # atomic rename into the watch directory (the standard Spark
+        # file-source contract) — this guard only narrows the window.
+        def _size(p: str) -> int | None:
+            try:
+                return os.stat(p).st_size
+            except OSError:
+                return None
+
+        sizes0 = {p: _size(p) for p in new}
+        stable: list[str] = []
+        rows: list[tuple] = []
+        for p in new:
+            if sizes0[p] is None:
+                continue
+            try:
+                batch = list(self._rows([p]))
+            except Exception:
+                # mid-copy XML is typically truncated → parse error;
+                # leave the file out of `seen` so it retries next batch
+                if _size(p) != sizes0[p]:
+                    continue
+                raise
+            if _size(p) != sizes0[p]:
+                continue
+            stable.append(p)
+            rows.extend(batch)
+        # trim to present ∪ newly-ingested: archived files age out of
+        # the offset; unstable files stay pending
+        end = {"seen": sorted((seen & set(listed)) | set(stable))}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         seen = set(start.get("seen", []))

@@ -1,11 +1,16 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from ceneton_database_tools_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# The driver's gate runs at sf0.01; override to re-run the full local
+# oracle-parity suite at another scale, e.g.
+#   SPARK_GRAFT_SF_CORRECT=/root/testdata/sf0.1 pytest tests/test_oracle_parity.py
+SF_CORRECT = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -30,6 +30,7 @@ def test_query_matches_oracle(spark, sf_correct, con, name):
         rows = df.count()
         assert rows >= 0
         return
-    problems = compare(df, con, spec.oracle)
-    problems += compare_driver_canon(df, con, spec.oracle)
+    oracle = ops.render_oracle(spec.oracle, sf_correct)
+    problems = compare(df, con, oracle)
+    problems += compare_driver_canon(df, con, oracle)
     assert not problems, f"{name}:\n" + "\n".join(problems)
