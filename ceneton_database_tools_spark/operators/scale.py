@@ -41,7 +41,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; pytest checks the error bound
+    # HLL sketch VALUES are engine-specific (DuckDB's approx sketch
+    # differs from Spark's HLL++), so the gateable form asserts the
+    # sketch's error BOUND instead: exact distinct count + a boolean
+    # that the HLL estimate landed within max(10% relative, 5 abs) of
+    # it. rsd=0.02 makes a 10%/5 excursion a many-sigma event, so the
+    # row is deterministically TRUE on both engines unless the sketch
+    # genuinely regresses — which is exactly what a gate should catch.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE                                    AS approx_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
     tags=("agg", "approx", "scale"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +63,36 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``approx_count_distinct``, rsd 2%) — the declared 100 TB variant
     of ``events_tumbling_window``'s exact ``countDistinct``, which
     plans an expand + full shuffle of the distinct pairs. The sketch
-    aggregates in constant memory and merges map-side."""
+    aggregates in constant memory and merges map-side.
+
+    The gated form computes BOTH the exact count and the sketch purely
+    to prove the error bound cross-engine; the production 100 TB shape
+    (sketch only, no expand) is :func:`agg_approx_distinct_raw`, whose
+    values pytest checks against the same bound."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(F.col("exact_users") * 0.10, F.lit(5.0))
+            ).alias("approx_within_bound"),
+        )
+    )
+
+
+def agg_approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure HLL-only aggregation — constant memory per group, no
+    expand, no exact pass: what a 100 TB pipeline actually runs.
+    Engine-specific values → pytest-bounded, not oracle-gated."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")

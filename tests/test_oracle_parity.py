@@ -22,6 +22,28 @@ def con(sf_correct):
     con.close()
 
 
+def test_registry_fully_oracle_gated():
+    """Every registered query must carry oracle SQL: the driver's gate
+    samples ~50 registry entries per round, and an oracle-less entry
+    gets only the weaker rows-only check. A genuinely SQL-inexpressible
+    operator must find a gateable reformulation (agg_approx_distinct
+    gates its HLL error BOUND as a boolean) rather than opt out."""
+    missing = sorted(n for n, s in ops.QUERIES.items() if s.oracle is None)
+    assert missing == [], f"oracle-less registry entries: {missing}"
+
+
+def test_every_oracle_renders_clean():
+    """No oracle may hardcode a scale directory — filesystem paths go
+    through the {SF_DIR} token so the local harness can re-render them
+    at any scale (and nothing else brace-like is mangled)."""
+    for name, spec in ops.QUERIES.items():
+        if spec.oracle is None:
+            continue
+        assert "/root/testdata/sf" not in spec.oracle, f"{name}: hardcoded sf dir"
+        rendered = ops.render_oracle(spec.oracle, "/some/dir/")
+        assert "{SF_DIR}" not in rendered
+
+
 @pytest.mark.parametrize("name", _NAMES)
 def test_query_matches_oracle(spark, sf_correct, con, name):
     spec = ops.QUERIES[name]

@@ -6,11 +6,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
-from ceneton_database_tools_spark.operators.scale import agg_approx_distinct
+from ceneton_database_tools_spark.operators.scale import agg_approx_distinct_raw
 
 
 def test_approx_distinct_within_rsd(spark, sf_correct):
-    approx = {r.event_type: r.approx_users for r in agg_approx_distinct(spark, sf_correct).collect()}
+    approx = {
+        r.event_type: r.approx_users for r in agg_approx_distinct_raw(spark, sf_correct).collect()
+    }
     exact = {
         r.event_type: r.exact
         for r in load_table(spark, sf_correct, "events")
