@@ -54,14 +54,23 @@ class FMPSchema:
     def name_mapping(self) -> dict[str, FMPField]:
         return dict(zip(self.clean_names, self.fields))
 
-    def to_struct_type(self) -> SqlT.StructType:
+    def to_struct_type(self, repeats: str = "error") -> SqlT.StructType:
         """All-string StructType (parity with the reference sink,
-        ``sql.py:35``); provenance kept in per-field metadata."""
+        ``sql.py:35``); provenance kept in per-field metadata.
+
+        ``repeats="array"`` is the typed compatibility mode the
+        reference parses but never uses (``fmp_reader.py:135`` reads
+        MAXREPEAT, then crashes on any multi-DATA column): fields the
+        header declares ``MAXREPEAT > 1`` become
+        ``ArrayType(StringType())`` — a queryable array instead of the
+        ``join`` mode's separator-flattened string."""
         return SqlT.StructType(
             [
                 SqlT.StructField(
                     clean,
-                    SqlT.StringType(),
+                    SqlT.ArrayType(SqlT.StringType())
+                    if repeats == "array" and f.max_repeat > 1
+                    else SqlT.StringType(),
                     nullable=True,  # reference never enforces EMPTYOK
                     metadata={
                         "original_name": f.name,

@@ -65,6 +65,32 @@ REPEAT_SEPARATOR = "\x1d"  # ASCII group separator for joined repeating fields
 
 HeaderStrategy = Callable[[list[FMPField]], list[str]]
 
+#: Parse-level repeating-field mode. The public option is a string —
+#: ``"error"`` (reference-crash parity), ``"join"`` (GS-joined string),
+#: ``"array"`` (typed arrays) — but ``"array"`` needs the header to
+#: know WHICH columns are arrays, so before parsing it is resolved to a
+#: frozenset of MAXREPEAT>1 column indices; the parse functions accept
+#: either form and every intermediate layer forwards it untouched.
+RepeatSpec = "str | frozenset[int]"
+
+
+def repeat_spec_for_fields(repeats: str, fields: list[FMPField]):
+    """Resolve the public ``repeats`` option against a parsed header:
+    ``"array"`` → frozenset of array-typed column indices; the string
+    modes pass through."""
+    if repeats == "array":
+        return frozenset(i for i, f in enumerate(fields) if f.max_repeat > 1)
+    return repeats
+
+
+def _repeat_error(n: int) -> ValueError:
+    return ValueError(
+        f"repeating field with {n} DATA values in one COL; pass "
+        "repeats='join' to join on the ASCII group separator or "
+        "repeats='array' for typed ArrayType columns (declared "
+        "MAXREPEAT > 1 fields only)"
+    )
+
 
 def _local_tag(tag: object) -> str:
     """Clark-notation ``{ns}TAG`` → ``TAG`` (namespace-agnostic)."""
@@ -191,11 +217,18 @@ def iter_fmp_rows_et(
         if tag == "DATA":
             if in_col:
                 col_data.append(elem.text)
+            elif isinstance(repeats, frozenset) and len(row_values) in repeats:
+                # COL-less export: an array-declared column still emits
+                # a (one-element) list so the tuple shape matches schema
+                row_values.append([elem.text])
             else:  # COL-less export (the shape the reference assumes)
                 row_values.append(elem.text)
         elif tag == "COL":
             in_col = False
-            if len(col_data) == 0:
+            if isinstance(repeats, frozenset) and len(row_values) in repeats:
+                # array column: <COL/> → null, else the DATA list
+                row_values.append(list(col_data) if col_data else None)
+            elif len(col_data) == 0:
                 row_values.append(None)
             elif len(col_data) == 1:
                 row_values.append(col_data[0])
@@ -204,10 +237,10 @@ def iter_fmp_rows_et(
                     REPEAT_SEPARATOR.join("" if v is None else v for v in col_data)
                 )
             else:
-                raise ValueError(
-                    f"repeating field with {len(col_data)} DATA values in one COL; "
-                    "pass repeats='join' to join on the ASCII group separator"
-                )
+                # array mode with multi-DATA in a column the header
+                # declared MAXREPEAT=1 lands here too: the header and
+                # the data disagree, which must not silently flatten
+                raise _repeat_error(len(col_data))
         elif tag == "ROW":
             if len(row_values) != n_fields:
                 raise ValueError(
@@ -280,7 +313,7 @@ def _norm_text(s: str) -> str | None:
     return _unescape(s)
 
 
-def _parse_row_chunk(chunk: str, n_fields: int, repeats: str) -> tuple:
+def _parse_row_chunk(chunk: str, n_fields: int, repeats) -> tuple:
     values = _FAST_COL_RE.findall(chunk)
     if len(values) != n_fields:
         # a COL outside the three fast shapes (repeating field,
@@ -288,6 +321,20 @@ def _parse_row_chunk(chunk: str, n_fields: int, repeats: str) -> tuple:
         # the strict per-COL path, which itself raises FMPFastPathError
         # on anything structurally surprising.
         return _parse_row_chunk_slow(chunk, n_fields, repeats)
+    if isinstance(repeats, frozenset) and repeats:
+        # array mode: a single-DATA array cell must still come out as a
+        # one-element list; an empty match is ambiguous between <COL/>
+        # (→ null) and <COL><DATA/></COL> (→ [null]) at findall level,
+        # so that cell re-parses on the per-COL path.
+        if any(not values[i] for i in repeats):
+            return _parse_row_chunk_slow(chunk, n_fields, repeats)
+        out = [
+            None if not v else (_norm_text(v) if "&" in v or "\r" in v else v)
+            for v in values
+        ]
+        for i in repeats:
+            out[i] = [out[i]]
+        return tuple(out)
     # hot path: most cells have no CR and no entity — skip both calls
     return tuple(
         None
@@ -297,10 +344,12 @@ def _parse_row_chunk(chunk: str, n_fields: int, repeats: str) -> tuple:
     )
 
 
-def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats: str) -> tuple:
-    values: list[str | None] = []
+def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats) -> tuple:
+    array_cols = repeats if isinstance(repeats, frozenset) else frozenset()
+    values: list = []
     for m in _COL_RE.finditer(chunk):
         body = m.group(1)
+        is_array = len(values) in array_cols
         if body is None:  # <COL/>
             values.append(None)
             continue
@@ -314,7 +363,9 @@ def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats: str) -> tuple:
                 f"COL body contains non-DATA markup: {leftover.strip()[:60]!r}"
             )
         datas = _DATA_RE.findall(body)
-        if len(datas) == 1:
+        if is_array:
+            values.append([_norm_text(d) for d in datas] if datas else None)
+        elif len(datas) == 1:
             values.append(_norm_text(datas[0]))
         elif len(datas) == 0:
             values.append(None)
@@ -323,10 +374,9 @@ def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats: str) -> tuple:
                 REPEAT_SEPARATOR.join(_norm_text(d) or "" for d in datas)
             )
         else:
-            raise ValueError(
-                f"repeating field with {len(datas)} DATA values in one COL; "
-                "pass repeats='join' to join on the ASCII group separator"
-            )
+            # includes array mode's MAXREPEAT=1 columns: header and
+            # data disagree — never silently flatten
+            raise _repeat_error(len(datas))
     if len(values) != n_fields:
         raise FMPFastPathError(
             f"row has {len(values)} COL groups, header declares {n_fields}"
@@ -449,7 +499,8 @@ def read_fmp_xml(
             stream = open_xml_stream(source)
         else:
             stream.seek(0)
-        yield from iter_fmp_rows(stream, len(schema.fields), repeats=repeats)
+        spec = repeat_spec_for_fields(repeats, schema.fields)
+        yield from iter_fmp_rows(stream, len(schema.fields), repeats=spec)
     finally:
         if owns:
             stream.close()
@@ -707,7 +758,7 @@ class FMPXMLReader(DataSourceReader):
         self,
         paths: list[str],
         field_names: list[str],
-        repeats: str,
+        repeats,
         double_cols: tuple[int, ...] = (),
         split_bytes: int | None = None,
         parallelism: int = 0,
@@ -715,6 +766,9 @@ class FMPXMLReader(DataSourceReader):
         self._paths = paths
         self._field_names = field_names
         self._repeats = repeats
+        # array mode arrives pre-resolved as the frozenset of
+        # ArrayType column indices (repeat_spec_for_fields)
+        self._array_cols = repeats if isinstance(repeats, frozenset) else frozenset()
         self._double_cols = frozenset(double_cols)
         # None = auto (size/parallelism, clamped), 0 = never split,
         # >0 = explicit target split size in bytes
@@ -773,7 +827,9 @@ class FMPXMLReader(DataSourceReader):
 
         arrays = []
         for i, col in enumerate(zip(*buf)):
-            if i in self._double_cols:
+            if i in self._array_cols:
+                arrays.append(pa.array(col, type=pa.list_(pa.string())))
+            elif i in self._double_cols:
                 # typed mode: SQL-CAST semantics — unparseable → null
                 arrays.append(pa.array([_to_double(v) for v in col], type=pa.float64()))
             else:
@@ -791,6 +847,24 @@ class FMPXMLReader(DataSourceReader):
         n = len(self._field_names)
         take = vals[: k * n]
         del vals[: k * n]
+        if self._array_cols:
+            # array mode: the flat cell list mixes str and list[str]
+            # cells, so the single-pa.array + strided-take trick cannot
+            # apply; fall back to per-column Python step-slices (the
+            # compatibility mode trades this measured ~3.4x Arrow-leg
+            # factor for typed arrays).
+            arrays = []
+            for j in range(n):
+                col = take[j::n]
+                if j in self._array_cols:
+                    arrays.append(pa.array(col, type=pa.list_(pa.string())))
+                elif j in self._double_cols:
+                    arrays.append(
+                        pa.array([_to_double(v) for v in col], type=pa.float64())
+                    )
+                else:
+                    arrays.append(pa.array(col, type=pa.string()))
+            return pa.RecordBatch.from_arrays(arrays, names=self._field_names)
         flat = pa.array(take, type=pa.string())
         arrays = []
         for j in range(n):
@@ -1069,7 +1143,11 @@ class FMPXMLDataSource(DataSource):
       input partition — the multi-file parallel scan), or a directory
       (with ``multi=true``: every export inside in parallel; without:
       the latest ``*.bz2`` snapshot, the reference's convention);
-    * ``repeats`` — ``error`` (default) or ``join`` for MAXREPEAT>1;
+    * ``repeats`` — ``error`` (default, reference-crash parity),
+      ``join`` (repeats GS-joined into one string), or ``array``
+      (header MAXREPEAT>1 fields become ``array<string>`` columns —
+      ``<COL/>`` → null, ``<COL><DATA>a</DATA><DATA>b</DATA></COL>``
+      → ``["a","b"]``, a single DATA → a one-element array);
     * ``typed`` — ``false`` (default, all-string parity with the
       reference sink, ``sql.py:35``) or ``true``: NUMBER-typed fields
       are declared DOUBLE and cast on read (SURVEY.md §1.3's declared
@@ -1120,8 +1198,27 @@ class FMPXMLDataSource(DataSource):
     def _typed(self) -> bool:
         return str(self.options.get("typed", "false")).lower() == "true"
 
+    def _repeats_opt(self) -> str:
+        raw = str(self.options.get("repeats", "error")).lower()
+        if raw not in ("error", "join", "array"):
+            raise ValueError(f"repeats must be error|join|array, got {raw!r}")
+        return raw
+
+    @staticmethod
+    def _repeat_spec(repeats: str, schema: SqlT.StructType):
+        """Resolve ``"array"`` against the (possibly user-supplied)
+        schema: any ArrayType column parses as a repeating field. The
+        string modes pass through unchanged."""
+        if repeats == "array":
+            return frozenset(
+                i
+                for i, f in enumerate(schema.fields)
+                if f.dataType.typeName() == "array"
+            )
+        return repeats
+
     def schema(self) -> SqlT.StructType:
-        struct = self._fmp_schema().to_struct_type()
+        struct = self._fmp_schema().to_struct_type(repeats=self._repeats_opt())
         typed = self._typed()
         # The published schema is metadata-free: the streaming runner
         # asserts (arrow-round-tripped schema == source schema), and
@@ -1133,8 +1230,14 @@ class FMPXMLDataSource(DataSource):
             [
                 SqlT.StructField(
                     f.name,
+                    # typed applies to scalar NUMBER columns only; an
+                    # array-mode repeating NUMBER field stays
+                    # array<string> (a typed-array cast is explicit,
+                    # F.transform(col, x -> cast(x as double)))
                     SqlT.DoubleType()
-                    if typed and f.metadata.get("fmp_type") == "NUMBER"
+                    if typed
+                    and f.metadata.get("fmp_type") == "NUMBER"
+                    and f.dataType.typeName() == "string"
                     else f.dataType,
                     f.nullable,
                 )
@@ -1163,7 +1266,7 @@ class FMPXMLDataSource(DataSource):
         return FMPXMLSimpleStreamReader(
             path=self.options.get("path", ""),
             field_names=[f.name for f in schema.fields],
-            repeats=self.options.get("repeats", "error"),
+            repeats=self._repeat_spec(self._repeats_opt(), schema),
         )
 
     def reader(self, schema: SqlT.StructType) -> FMPXMLReader:
@@ -1172,7 +1275,7 @@ class FMPXMLDataSource(DataSource):
         return FMPXMLReader(
             paths=self._paths(),
             field_names=[f.name for f in schema.fields],
-            repeats=self.options.get("repeats", "error"),
+            repeats=self._repeat_spec(self._repeats_opt(), schema),
             double_cols=tuple(
                 i
                 for i, f in enumerate(schema.fields)

@@ -744,3 +744,147 @@ def test_reader_non_seekable_stream_spools_to_fast_path(monkeypatch):
     assert all(hasattr(b, "num_rows") for b in batches)
     first_col = batches[0].column(names.index("nummer")).to_pylist()
     assert first_col[0] == "000001"
+
+
+# -- repeats='array': MAXREPEAT>1 fields as typed array<string> columns -----
+# (SURVEY.md §1.4 commitment; the reference parses MAXREPEAT at
+# fmp_reader.py:135 and then crashes on any multi-DATA column)
+
+
+def _write_array_fixture(path, nrows=5):
+    """3 fields: scalar, MAXREPEAT=3 repeating, scalar — rows cover
+    multi-DATA, single-DATA (fast-path wrap), <COL/> (null array),
+    <DATA/> (array holding a null element), and entity escapes."""
+    shapes = [
+        "<COL><DATA>UBL</DATA><DATA>KB</DATA></COL>",
+        "<COL><DATA>solo</DATA></COL>",
+        "<COL/>",
+        "<COL><DATA/></COL>",
+        "<COL><DATA>a&amp;b</DATA><DATA>c&lt;d</DATA><DATA>e</DATA></COL>",
+    ]
+    rows = []
+    for r in range(nrows):
+        rows.append(
+            '<ROW MODID="1" RECORDID="1">'
+            f"<COL><DATA>name {r}</DATA></COL>"
+            f"{shapes[r % len(shapes)]}"
+            f"<COL><DATA>tail {r}</DATA></COL>"
+            "</ROW>"
+        )
+    path.write_bytes(
+        (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+            "<ERRORCODE>0</ERRORCODE>\n"
+            f'<DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="Arr" RECORDS="{nrows}" '
+            'TIMEFORMAT="k:mm:ss"/>\n'
+            "<METADATA>"
+            '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Naam" TYPE="TEXT"/>'
+            '<FIELD EMPTYOK="YES" MAXREPEAT="3" NAME="Vindplaats" TYPE="TEXT"/>'
+            '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Tail" TYPE="TEXT"/>'
+            "</METADATA>\n"
+            f'<RESULTSET FOUND="{nrows}">\n' + "\n".join(rows) + "\n</RESULTSET>\n"
+            "</FMPXMLRESULT>\n"
+        ).encode("utf-8")
+    )
+
+
+ARRAY_EXPECT = [
+    ["UBL", "KB"],
+    ["solo"],
+    None,
+    [None],
+    ["a&b", "c<d", "e"],
+]
+
+
+def test_repeats_array_driver_side():
+    stream = read_fmp_xml(REPEAT, repeats="array")
+    schema = next(stream)
+    assert [f.max_repeat for f in schema.fields] == [1, 3]
+    assert list(stream) == [("Een spel", ["UBL", "KB", "BL"])]
+
+
+def test_to_struct_type_array_mode():
+    with open_xml_stream(REPEAT) as stream:
+        schema = parse_fmp_header(stream)
+    arr = schema.to_struct_type(repeats="array")
+    assert arr["vindplaats"].dataType.typeName() == "array"
+    assert arr["vindplaats"].dataType.elementType.typeName() == "string"
+    assert arr["titel"].dataType.typeName() == "string"
+    # string modes unchanged
+    assert schema.to_struct_type()["vindplaats"].dataType.typeName() == "string"
+    assert schema.to_struct_type(repeats="join")["vindplaats"].dataType.typeName() == "string"
+
+
+def test_array_mode_scanner_matches_et(tmp_path):
+    """Fast scanner ≡ strict ET for every array-mode COL shape."""
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        iter_fmp_rows_et,
+        iter_fmp_rows_fast,
+    )
+
+    path = tmp_path / "arr.xml"
+    _write_array_fixture(path, nrows=10)
+    spec = frozenset([1])
+    with open_xml_stream(str(path)) as stream:
+        fast = list(iter_fmp_rows_fast(stream, 3, repeats=spec))
+    with open_xml_stream(str(path)) as stream:
+        et = list(iter_fmp_rows_et(stream, 3, repeats=spec))
+    assert fast == et
+    assert [r[1] for r in fast] == ARRAY_EXPECT * 2
+
+
+def test_datasource_array_mode(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = tmp_path / "arr.xml"
+    _write_array_fixture(path, nrows=5)
+    df = read_fmp_xml_df(spark, str(path), repeats="array")
+    assert dict(df.dtypes)["vindplaats"] == "array<string>"
+    rows = df.orderBy("naam").collect()
+    assert [r.vindplaats for r in rows] == ARRAY_EXPECT
+    # the column is genuinely queryable as an array
+    sizes = (
+        df.select(F.size("vindplaats").alias("n")).orderBy("naam").collect()
+    )
+    assert [r.n for r in sizes] == [2, 1, None, 1, 3]  # ANSI: size(null) = null
+
+
+def test_datasource_array_mode_other_modes_unchanged(spark, tmp_path):
+    path = tmp_path / "arr.xml"
+    _write_array_fixture(path, nrows=5)
+    joined = read_fmp_xml_df(spark, str(path), repeats="join").orderBy("naam").collect()
+    assert joined[0].vindplaats == REPEAT_SEPARATOR.join(["UBL", "KB"])
+    with pytest.raises(Exception, match="repeating field"):
+        read_fmp_xml_df(spark, str(path), repeats="error").collect()
+
+
+def test_array_mode_header_mismatch_raises(tmp_path):
+    """Multi-DATA in a column the header declares MAXREPEAT=1 must
+    raise under repeats='array' — never silently flatten."""
+    path = tmp_path / "bad.xml"
+    _write_array_fixture(path, nrows=1)
+    data = path.read_bytes().replace(
+        b"<COL><DATA>tail 0</DATA></COL>",
+        b"<COL><DATA>t1</DATA><DATA>t2</DATA></COL>",
+    )
+    path.write_bytes(data)
+    stream = read_fmp_xml(str(path), repeats="array")
+    next(stream)
+    with pytest.raises(ValueError, match="repeating field"):
+        list(stream)
+
+
+def test_split_array_semantics(tmp_path):
+    """Byte-range splits produce the same array cells as the
+    whole-file scan (per-region row reparse path included)."""
+    path = tmp_path / "arr.xml"
+    _write_array_fixture(path, nrows=40)
+    spec = frozenset([1])
+    with open_xml_stream(str(path)) as stream:
+        expected = list(iter_fmp_rows(stream, 3, repeats=spec))
+    size = path.stat().st_size
+    bounds = [size * k // 4 for k in range(5)]
+    assert _rows_via_splits(path, bounds, 3, repeats=spec) == expected
+    assert [r[1] for r in expected[:5]] == ARRAY_EXPECT
