@@ -742,12 +742,71 @@ _SPLIT_AUTO_MAX = 128 << 20
 #: explicit split sizes are floored here (tests use tiny splits)
 _SPLIT_EXPLICIT_MIN = 4096
 
+#: .bz2 inputs below this COMPRESSED size never auto-spool: the
+#: decompressed file would land under / near the _SPLIT_MIN_FILE
+#: never-split floor anyway (bz2 on FMP XML measures 6-16x, so 1 MiB
+#: compressed ≈ 6-16 MB plain), and the spool would buy no parallelism
+_BZ2_SPOOL_MIN = 1 << 20
+
+
+def spool_bz2(path: str, spool_dir: str | None = None) -> str:
+    """Driver-side decompress-once for a ``.bz2`` export: stream the
+    file into a plain ``.xml`` spool (hashing as it goes) so the
+    byte-range splitter can scan it on every core — bz2 is not
+    seekable-splittable, so without the spool the reference's flagship
+    input (``_cli.py:23-35``, a single large ``.bz2`` snapshot) parses
+    on exactly one core.
+
+    The spool is cached under a name keyed on the source's identity
+    (abspath, size, mtime_ns): re-reading the same snapshot re-uses it,
+    a regenerated snapshot re-spools. Completion is signalled by the
+    atomic rename — a crashed spool leaves only a ``.tmp``. The
+    streamed sha256 of the DECOMPRESSED bytes (the reference's content
+    hash, ``_cli.py:146-150``) is written to a ``.sha256`` sidecar so a
+    later hash pass needn't re-read the data.
+
+    Cluster note: in local mode any temp dir works; on a multi-executor
+    cluster ``spool_dir`` must be shared storage (the executors open
+    the spool by path) — or pass ``bz2spool=never`` and accept the
+    whole-file scan.
+    """
+    import bz2 as _bz2
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()
+    base = spool_dir or tempfile.gettempdir()
+    spool = os.path.join(base, f"fmpspool_{key}.xml")
+    if os.path.exists(spool):
+        return spool
+    os.makedirs(base, exist_ok=True)
+    tmp = spool + f".tmp{os.getpid()}"
+    digest = hashlib.sha256()
+    with _bz2.open(path, "rb") as src, open(tmp, "wb") as dst:
+        while True:
+            chunk = src.read(8 << 20)
+            if not chunk:
+                break
+            digest.update(chunk)
+            dst.write(chunk)
+    with open(tmp + ".sha256", "w") as f:
+        f.write(digest.hexdigest() + "\n")
+    os.replace(tmp + ".sha256", spool + ".sha256")
+    os.replace(tmp, spool)
+    return spool
+
 
 class FMPXMLReader(DataSourceReader):
     """Input partitions: one per file, and — for large plain ``.xml``
     files — one per byte-range split WITHIN a file (see the InputSplit
-    protocol above ``iter_fmp_split_regions``; ``.bz2`` files are not
-    byte-addressable and stay whole-file).
+    protocol above ``iter_fmp_split_regions``). ``.bz2`` files are not
+    byte-addressable; large ones decompress once into a cached plain
+    spool that splits like any plain file (``spool_bz2``), small ones
+    (or ``bz2_spool=False``) stay whole-file.
 
     Rows leave Python as Arrow RecordBatches (4096 rows × all-string
     columns): one columnar transfer per batch instead of one pickled
@@ -762,6 +821,8 @@ class FMPXMLReader(DataSourceReader):
         double_cols: tuple[int, ...] = (),
         split_bytes: int | None = None,
         parallelism: int = 0,
+        bz2_spool: bool = True,
+        spool_dir: str | None = None,
     ):
         self._paths = paths
         self._field_names = field_names
@@ -774,6 +835,8 @@ class FMPXMLReader(DataSourceReader):
         # >0 = explicit target split size in bytes
         self._split_bytes = split_bytes
         self._parallelism = max(parallelism, 2)
+        self._bz2_spool = bz2_spool
+        self._spool_dir = spool_dir
 
     def _split_ranges(
         self, path: str, size: int | None, total_size: int
@@ -806,20 +869,46 @@ class FMPXMLReader(DataSourceReader):
         bounds = [size * k // n for k in range(n + 1)]
         return [(bounds[k], bounds[k + 1]) for k in range(n)]
 
+    def _spoolable(self, path: str, size: int | None) -> bool:
+        """Spool-then-split a .bz2 when splitting is on and the input
+        is big enough to benefit (any explicit split size counts as an
+        instruction to parallelize; tests use tiny ones)."""
+        if not (self._bz2_spool and path.endswith(".bz2")):
+            return False
+        if self._split_bytes == 0 or size is None:
+            return False
+        if self._split_bytes is not None:  # explicit split size
+            return True
+        return size >= _BZ2_SPOOL_MIN
+
     def partitions(self) -> list[InputPartition]:
         import os
 
-        sizes: list[int | None] = []
-        for p in self._paths:
+        def _size(p: str) -> int | None:
             try:
-                sizes.append(os.path.getsize(p))
+                return os.path.getsize(p)
             except OSError:
-                sizes.append(None)
-        total = sum(s for s in sizes if s)
+                return None
+
+        # Resolve each input to its effective scan target first: a
+        # large .bz2 decompresses once into a plain-xml spool
+        # (driver-side, cached by source identity) so its byte ranges
+        # can split like any plain file. Partitions carry the EFFECTIVE
+        # path, not an index: the spool path must reach executors even
+        # though self._paths still names the .bz2.
+        effective: list[tuple[str, int | None]] = []
+        for p in self._paths:
+            size = _size(p)
+            if self._spoolable(p, size):
+                spool = spool_bz2(p, self._spool_dir)
+                effective.append((spool, _size(spool)))
+            else:
+                effective.append((p, size))
+        total = sum(s for _, s in effective if s)
         parts: list[InputPartition] = []
-        for i, path in enumerate(self._paths):
-            for start, end in self._split_ranges(path, sizes[i], total):
-                parts.append(InputPartition((i, start, end)))
+        for path, size in effective:
+            for start, end in self._split_ranges(path, size, total):
+                parts.append(InputPartition((path, start, end)))
         return parts
 
     def _to_batch(self, buf: list[tuple]):
@@ -881,13 +970,16 @@ class FMPXMLReader(DataSourceReader):
     def read(self, partition: InputPartition):
         value = partition.value
         if isinstance(value, tuple):
-            idx, start, end = value
+            target, start, end = value
         else:  # plain file index (direct callers / older pickles)
-            idx, start, end = value, 0, None
+            target, start, end = value, 0, None
+        # partitions() emits effective paths (str); an int is a direct
+        # caller indexing self._paths
+        path = target if isinstance(target, str) else self._paths[target]
         if end is not None:
-            yield from self._read_split(self._paths[idx], start, end)
+            yield from self._read_split(path, start, end)
             return
-        yield from self._read_whole(self._paths[idx])
+        yield from self._read_whole(path)
 
     def _read_split(self, path: str, start: int, end: int):
         """One byte-range split of a plain .xml file: bounded region
@@ -1158,10 +1250,19 @@ class FMPXMLDataSource(DataSource):
       on ``<ROW`` — see ``iter_fmp_split_regions``); auto sizing is
       ``total_input / local parallelism`` clamped to [16 MiB (single
       file) or 64 MiB (multi-file), 128 MiB], files under 8 MiB never
-      auto-split, and ``.bz2`` inputs always scan whole-file. On a
-      multi-executor cluster set ``split`` explicitly (e.g.
-      ``134217728``): the planner sizes splits driver-side and cannot
-      see executor counts from here.
+      auto-split. On a multi-executor cluster set ``split`` explicitly
+      (e.g. ``134217728``): the planner sizes splits driver-side and
+      cannot see executor counts from here.
+    * ``bz2spool`` — ``auto`` (default) or ``never``. bz2 is not
+      byte-addressable, so a large ``.bz2`` export (the reference's
+      flagship input) decompresses ONCE driver-side into a cached
+      plain-xml spool which then byte-range splits like any plain
+      file (see ``spool_bz2``; a streamed sha256 sidecar comes free).
+      ``never`` — or a sub-4 MiB compressed input under ``auto`` —
+      keeps the whole-file single-partition scan.
+    * ``spooldir`` — where spools land (default: the system temp dir).
+      On a multi-executor cluster this MUST be shared storage, since
+      executors open the spool by path.
 
     The schema comes from a driver-side header parse of the FIRST file
     (sharded exports share one header); rows stream on executors, one
@@ -1283,6 +1384,9 @@ class FMPXMLDataSource(DataSource):
             ),
             split_bytes=self._split_bytes(),
             parallelism=os.cpu_count() or 2,
+            bz2_spool=str(self.options.get("bz2spool", "auto")).lower()
+            not in ("never", "false", "0"),
+            spool_dir=self.options.get("spooldir") or None,
         )
 
 
@@ -1301,14 +1405,19 @@ def read_fmp_xml_df(
     multi: bool = False,
     typed: bool = False,
     split: str | int = "auto",
+    bz2spool: str = "auto",
+    spooldir: str | None = None,
 ) -> DataFrame:
     """Convenience: register + read FMP export(s) as a DataFrame."""
     register_fmp_source(spark)
-    return (
+    reader = (
         spark.read.format("fmpxml")
         .option("repeats", repeats)
         .option("multi", str(multi).lower())
         .option("typed", str(typed).lower())
         .option("split", str(split))
-        .load(path)
+        .option("bz2spool", bz2spool)
     )
+    if spooldir:
+        reader = reader.option("spooldir", spooldir)
+    return reader.load(path)

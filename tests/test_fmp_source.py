@@ -636,17 +636,67 @@ def test_split_datasource_partitions_and_rows(spark, tmp_path):
 
 
 def test_split_bz2_and_small_files_stay_whole(spark, tmp_path):
-    """.bz2 is not byte-addressable (whole-file even with an explicit
-    split size); small plain files never auto-split."""
+    """Small plain files never auto-split; a small .bz2 under AUTO
+    sizing stays a whole-file single partition (no spool below the
+    4 MiB compressed floor), and bz2spool='never' forces whole-file
+    even when an explicit split size would otherwise spool."""
     import bz2 as _bz2
 
     path = tmp_path / "small.xml"
     _write_split_fixture(path, nrows=20, ncols=3)
     (tmp_path / "small.xml.bz2").write_bytes(_bz2.compress(path.read_bytes()))
     assert read_fmp_xml_df(spark, str(path)).rdd.getNumPartitions() == 1  # auto
-    bz = read_fmp_xml_df(spark, str(tmp_path / "small.xml.bz2"), split=4096)
+    auto = read_fmp_xml_df(spark, str(tmp_path / "small.xml.bz2"))
+    assert auto.rdd.getNumPartitions() == 1
+    bz = read_fmp_xml_df(
+        spark, str(tmp_path / "small.xml.bz2"), split=4096, bz2spool="never"
+    )
     assert bz.rdd.getNumPartitions() == 1
     assert bz.count() == 20
+
+
+def test_bz2_spool_then_split(spark, tmp_path):
+    """An explicit split size on a .bz2 input decompresses once into a
+    cached spool and scans it in parallel byte-range splits, with rows
+    identical to the whole-file bz2 scan; the spool carries a sha256
+    sidecar of the decompressed bytes and is re-used on re-read."""
+    import bz2 as _bz2
+    import glob
+    import hashlib
+
+    path = tmp_path / "snap.xml"
+    _write_split_fixture(path, nrows=300, ncols=3)
+    raw = path.read_bytes()
+    bzpath = tmp_path / "snap.xml.bz2"
+    bzpath.write_bytes(_bz2.compress(raw))
+    spool_dir = tmp_path / "spools"
+
+    whole = read_fmp_xml_df(spark, str(bzpath), bz2spool="never")
+    split = read_fmp_xml_df(
+        spark, str(bzpath), split=4096, spooldir=str(spool_dir)
+    )
+    assert split.rdd.getNumPartitions() > 1
+    assert split.collect() == whole.collect()
+
+    spools = glob.glob(str(spool_dir / "fmpspool_*.xml"))
+    assert len(spools) == 1
+    assert open(spools[0], "rb").read() == raw
+    sidecar = open(spools[0] + ".sha256").read().strip()
+    assert sidecar == hashlib.sha256(raw).hexdigest()
+
+    # second read re-uses the cached spool (same identity key)
+    read_fmp_xml_df(spark, str(bzpath), split=4096, spooldir=str(spool_dir)).count()
+    assert glob.glob(str(spool_dir / "fmpspool_*.xml")) == spools
+
+    # a REGENERATED snapshot (new mtime/size) re-spools under a new key
+    import os
+    import time
+
+    time.sleep(0.01)
+    bzpath.write_bytes(_bz2.compress(raw))
+    os.utime(bzpath)
+    read_fmp_xml_df(spark, str(bzpath), split=4096, spooldir=str(spool_dir)).count()
+    assert len(glob.glob(str(spool_dir / "fmpspool_*.xml"))) == 2
 
 
 def test_split_region_et_fallback_comment_in_col(tmp_path):
