@@ -182,23 +182,135 @@ IVF_NLIST = 8  # coarse centroids
 IVF_NPROBE = 2  # probed lists per query
 IVF_TOP_K = 3
 IVF_N_QUERIES = 10
+IVF_KMEANS_ITERS = 2  # fixed Lloyd iterations — part of the index spec
+
+# Centroid updates are the one place k-means sums floats across rows,
+# which is partition-order-dependent in the last ulp — a 1-ulp centroid
+# wobble can flip an assignment and cascade into a different index. So
+# updates run in EXACT integer space: coordinates quantize to micro-unit
+# BIGINTs (floor(x*1e6 + 0.5) — embeddings are float32, so the double is
+# within ~1e-9 of the exact 1e-6-precision value and the quantization is
+# engine-stable), sum exactly in any order, and the new centroid
+# coordinate is the identical double s/(n*1e6) on both engines.
+_QUANT_SPARK = "transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+_QUANT_DUCK = "list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
 
 
-def _ivf_oracle() -> str:
-    dot_cv = T.dot_chain("c.v", "e.v", EMB_DIM, one_based=True)
-    dot_qc = T.dot_chain("q.v", "c.v", EMB_DIM, one_based=True)
-    dot_qe = T.dot_chain("q.v", "e.v", EMB_DIM, one_based=True)
-    return f"""
-    WITH base AS ({_DUCK_BASE}),
-    centroids AS (
-      SELECT vec_id AS cid, v, nrm FROM base WHERE vec_id < {IVF_NLIST}
-    ),
+def _ivf_centroids(base: DataFrame) -> DataFrame:
+    """Seeded spherical k-means: deterministic init (the first ``nlist``
+    vectors by id, coordinates derived from the same integer
+    quantization the updates use), then ``IVF_KMEANS_ITERS`` Lloyd
+    iterations assigning by cosine (the index's own probe metric) and
+    recomputing centroids as exact-integer means. An emptied cluster
+    keeps its previous centroid (left join + coalesce — identical
+    semantics in the oracle). Everything is deterministic, so the
+    DuckDB oracle reproduces the trained index bit-for-bit.
+
+    Scale shape: centroids are a broadcast-sized table at any corpus
+    size; each iteration is one map-side broadcast assignment plus one
+    (cid, 64 ints) aggregation — the same two-stage shape FAISS-style
+    coarse training has, expressed as DataFrame ops."""
+    pts = base.select("vec_id", "v", "nrm", F.expr(_QUANT_SPARK).alias("vq"))
+    cents = (
+        pts.filter(F.col("vec_id") < IVF_NLIST)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.expr("transform(vq, s -> CAST(s AS DOUBLE) / 1000000.0)").alias("cv"),
+        )
+        .withColumn("cnrm", F.expr(T.norm_chain("cv", EMB_DIM, one_based=False)))
+    )
+    cos = F.expr(T.dot_chain("v", "cv", EMB_DIM, one_based=False)) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("acos_").desc(), F.col("cid"))
+    for _ in range(IVF_KMEANS_ITERS):
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .withColumn("acos_", cos)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cid", "vq")
+        )
+        upd = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.expr(f"vq[{j}]")).alias(f"s{j}") for j in range(EMB_DIM)],
+            )
+            .select(
+                "cid",
+                F.array(
+                    *[
+                        F.expr(f"CAST(s{j} AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)")
+                        for j in range(EMB_DIM)
+                    ]
+                ).alias("ncv"),
+            )
+        )
+        cents = (
+            cents.join(upd, "cid", "left")
+            .select("cid", F.coalesce("ncv", "cv").alias("cv"))
+            .withColumn("cnrm", F.expr(T.norm_chain("cv", EMB_DIM, one_based=False)))
+        )
+    return cents
+
+
+def _kmeans_ctes() -> str:
+    """DuckDB CTE chain mirroring :func:`_ivf_centroids` exactly;
+    terminates in ``cents(cid, cv, cnrm)``."""
+    dims = range(1, EMB_DIM + 1)
+    ctes = [
+        f"pts AS (SELECT vec_id, v, nrm, {_QUANT_DUCK} AS vq FROM base)",
+        f"""cent0 AS (
+      SELECT vec_id AS cid,
+             list_transform(vq, s -> CAST(s AS DOUBLE) / 1000000.0) AS cv
+      FROM pts WHERE vec_id < {IVF_NLIST})""",
+    ]
+    prev = "cent0"
+    for it in range(1, IVF_KMEANS_ITERS + 1):
+        dot = T.dot_chain("p.v", "c.cv", EMB_DIM, one_based=True)
+        cnrm = T.norm_chain("c.cv", EMB_DIM, one_based=True)
+        coords = ", ".join(
+            f"CAST(sum(vq[{j}]) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)"
+            for j in dims
+        )
+        ctes.append(
+            f"""assign{it} AS (
+      SELECT p.vq, c.cid,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY ({dot}) / (p.nrm * {cnrm}) DESC, c.cid) AS rn
+      FROM pts p CROSS JOIN {prev} c)"""
+        )
+        ctes.append(
+            f"upd{it} AS (SELECT cid, [{coords}] AS ncv "
+            f"FROM assign{it} WHERE rn = 1 GROUP BY cid)"
+        )
+        ctes.append(
+            f"cent{it} AS (SELECT c.cid, COALESCE(u.ncv, c.cv) AS cv "
+            f"FROM {prev} c LEFT JOIN upd{it} u ON u.cid = c.cid)"
+        )
+        prev = f"cent{it}"
+    ctes.append(
+        f"cents AS (SELECT cid, cv, {T.norm_chain('cv', EMB_DIM, one_based=True)} "
+        f"AS cnrm FROM {prev})"
+    )
+    return ",\n    ".join(ctes)
+
+
+def _ivf_ctes() -> str:
+    """Everything up to the IVF result set: trained centroids, inverted
+    lists, probed lists, candidates, and ``ivf(query_id, neighbor_id,
+    rank, cos)``."""
+    dot_cv = T.dot_chain("c.cv", "e.v", EMB_DIM, one_based=True)
+    dot_qc = T.dot_chain("q.v", "c.cv", EMB_DIM, one_based=True)
+    dot_qe = T.dot_chain("qv", "v", EMB_DIM, one_based=True)
+    return f"""{_kmeans_ctes()},
     assigned AS (
       SELECT e.vec_id, e.v, e.nrm, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY ({dot_cv}) / (c.nrm * e.nrm) DESC, c.cid) AS rn
-      FROM base e CROSS JOIN centroids c
+               ORDER BY ({dot_cv}) / (c.cnrm * e.nrm) DESC, c.cid) AS rn
+      FROM base e CROSS JOIN cents c
     ),
     lists AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE rn = 1),
     queries AS (SELECT vec_id AS query_id, v, nrm FROM base WHERE vec_id < {IVF_N_QUERIES}),
@@ -206,27 +318,33 @@ def _ivf_oracle() -> str:
       SELECT q.query_id, q.v, q.nrm, c.cid,
              row_number() OVER (
                PARTITION BY q.query_id
-               ORDER BY ({dot_qc}) / (q.nrm * c.nrm) DESC, c.cid) AS prn
-      FROM queries q CROSS JOIN centroids c
+               ORDER BY ({dot_qc}) / (q.nrm * c.cnrm) DESC, c.cid) AS prn
+      FROM queries q CROSS JOIN cents c
     ),
     cand AS (
       SELECT p.query_id, p.v AS qv, p.nrm AS qnrm, e.vec_id AS neighbor_id,
              e.v, e.nrm
       FROM probed p JOIN lists e ON e.cid = p.cid
       WHERE p.prn <= {IVF_NPROBE} AND e.vec_id <> p.query_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (
-             PARTITION BY query_id
-             ORDER BY ({T.dot_chain("qv", "v", EMB_DIM, one_based=True)}) / (qnrm * nrm) DESC,
-                      neighbor_id) AS BIGINT) AS rank,
-           round(({T.dot_chain("qv", "v", EMB_DIM, one_based=True)}) / (qnrm * nrm), 6)
-             AS cosine
-    FROM cand
-    QUALIFY row_number() OVER (
-      PARTITION BY query_id
-      ORDER BY ({T.dot_chain("qv", "v", EMB_DIM, one_based=True)}) / (qnrm * nrm) DESC,
-               neighbor_id) <= {IVF_TOP_K}
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY ({dot_qe}) / (qnrm * nrm) DESC, neighbor_id) AS BIGINT) AS rank,
+             ({dot_qe}) / (qnrm * nrm) AS cos
+      FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY ({dot_qe}) / (qnrm * nrm) DESC, neighbor_id) <= {IVF_TOP_K}
+    )"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH base AS ({_DUCK_BASE}),
+    {_ivf_ctes()}
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ivf
     """
 
 
@@ -237,21 +355,21 @@ def _ivf_oracle() -> str:
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbor: assign every
-    vector to its nearest of 8 coarse centroids (the inverted lists),
-    then each query probes only its 2 closest lists and ranks exact
-    cosine inside them.
+    vector to its nearest of 8 trained coarse centroids (the inverted
+    lists), then each query probes only its 2 closest lists and ranks
+    exact cosine inside them.
 
-    Centroid "training" is deterministic — the first ``nlist`` vectors
-    by id — so the oracle reproduces the index bit-for-bit; swapping in
-    k-means centroids changes recall, not the plan. Scale shape: the
-    centroid table broadcasts everywhere (assignment is map-side), the
-    only shuffle is the list-id equi-join, and each query scans
-    ~nprobe/nlist of the corpus instead of all of it. At 100 TB the
-    lists are the partitioning key of the stored index."""
+    Centroids come from deterministic seeded spherical k-means
+    (:func:`_ivf_centroids`: first-nlist init + 2 exact-integer Lloyd
+    iterations), so the oracle reproduces the trained index
+    bit-for-bit and ``similarity_ivf_recall_eval`` measures real index
+    quality. Scale shape: the centroid table broadcasts everywhere
+    (assignment is map-side), the only shuffle is the list-id
+    equi-join, and each query scans ~nprobe/nlist of the corpus
+    instead of all of it. At 100 TB the lists are the partitioning key
+    of the stored index."""
     base = _base(spark, sf_dir)
-    centroids = base.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    centroids = _ivf_centroids(base)
     cos_ce = F.expr(T.dot_chain("cv", "v", EMB_DIM, one_based=False)) / (
         F.col("cnrm") * F.col("nrm")
     )
@@ -288,4 +406,77 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    dot = T.dot_chain("q.v", "c.v", EMB_DIM, one_based=True)
+    return f"""
+    WITH base AS ({_DUCK_BASE}),
+    {_ivf_ctes()},
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM base q JOIN base c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {IVF_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ({dot}) / (q.nrm * c.nrm) DESC, c.vec_id) <= {IVF_TOP_K}
+    )
+    SELECT CAST({IVF_N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({IVF_TOP_K} AS BIGINT)     AS k,
+           CAST(count(*) AS BIGINT)        AS hits,
+           round(CAST(count(*) AS DOUBLE)
+                 / ({IVF_N_QUERIES} * {IVF_TOP_K}), 4) AS recall_at_k
+    FROM exact e JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    """
+
+
+@register(
+    "similarity_ivf_recall_eval",
+    oracle=_ivf_recall_oracle(),
+    tags=("similarity", "ann", "ivf", "recall", "llm-pipeline"),
+)
+def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the trained IVF index against brute-force ground
+    truth (the ANN analogue of ``dedup_lsh_recall_eval``): exact
+    cosine top-k per query vs the index's top-k; recall is the overlap
+    fraction. Because the whole pipeline — k-means training included —
+    is deterministic, both engines compute the SAME recall, so the
+    gate verifies index quality measurement end-to-end.
+
+    Scale shape: ground truth is the broadcast-query exact plan over
+    the full corpus (affordable because the query SET is small — the
+    standard way recall is sampled in production), the index side is
+    the nprobe-bounded IVF plan."""
+    base = _base(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < IVF_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    exact = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = similarity_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .agg(F.count("*").alias("hits"))
+        .select(
+            F.lit(IVF_N_QUERIES).cast("long").alias("n_queries"),
+            F.lit(IVF_TOP_K).cast("long").alias("k"),
+            F.col("hits").cast("long").alias("hits"),
+            F.round(
+                F.col("hits").cast("double") / (IVF_N_QUERIES * IVF_TOP_K), 4
+            ).alias("recall_at_k"),
+        )
     )
