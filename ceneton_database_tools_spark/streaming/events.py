@@ -524,3 +524,135 @@ def streaming_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch replay: watermark progression across micro-batch boundaries
+# ---------------------------------------------------------------------------
+
+REPLAY_CHUNKS = 4
+REPLAY_DELAY = "1 hour"
+
+
+@register(
+    "streaming_multibatch_replay",
+    # Append mode emits a window only once the watermark (final value:
+    # max event time minus the 1-hour delay, carried across runs by the
+    # checkpoint) passes its END; later windows stay in state forever.
+    # The oracle reproduces exactly that emitted set. Chunks are
+    # chronological, so no event is late and every emitted window holds
+    # its full aggregate.
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 2)     AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT a.window_start, a.event_type, a.n_events, a.sum_value
+    FROM agg a, wm
+    WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+    tags=("streaming", "window-agg", "watermark"),
+)
+def streaming_multibatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode windows across REAL micro-batch
+    boundaries: events split into 4 chronological file drops, each
+    ingested by its own checkpointed availableNow run — the watermark
+    advances run-over-run through the checkpoint, finalized hour
+    windows emit exactly once, and their state is EVICTED between
+    batches (the single-pass availableNow harness never exercises
+    this; tests/test_streaming.py asserts the eviction counters and
+    late-drop behavior on a crafted replay).
+
+    Scale shape: this IS the production posture — bounded state
+    (open windows only), append emission to files, checkpointed
+    recovery; the gate result is the accumulated emitted set."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    )
+    chunk = F.least(
+        F.lit(REPLAY_CHUNKS - 1),
+        F.floor(
+            (F.unix_micros("ts") - F.col("lo"))
+            * REPLAY_CHUNKS
+            / (F.col("hi") - F.col("lo") + 1)
+        ),
+    )
+    chunked = ev.crossJoin(F.broadcast(bounds)).withColumn("_chunk", chunk)
+
+    work = tempfile.mkdtemp(prefix="ceneton_replay_")
+    indir = os.path.join(work, "in")
+    ckpt = os.path.join(work, "ckpt")
+    outdir = os.path.join(work, "out")
+    stage = os.path.join(work, "stage")
+    os.makedirs(indir)
+    # One partitioned write stages all chunks in a single scan; the
+    # replay loop then just moves files. Fewer state-store partitions
+    # per pass (8 vs the session's 32) cut the fixed per-run state
+    # init/commit cost — the replay runs 4 checkpointed passes, and
+    # the shuffle width is baked into the checkpoint at first run.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        chunked.drop("lo", "hi").coalesce(REPLAY_CHUNKS).write.partitionBy(
+            "_chunk"
+        ).parquet(stage)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for i in range(REPLAY_CHUNKS):
+            cdir = os.path.join(stage, f"_chunk={i}")
+            for j, f in enumerate(sorted(os.listdir(cdir))):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(cdir, f), os.path.join(indir, f"c{i}_{j}.parquet")
+                    )
+            run_replay_pass(spark, ev.schema, indir, ckpt, outdir)
+        result = (
+            spark.read.parquet(outdir)
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        # snapshot driver-side before the temp dirs vanish
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_replay_pass(spark, schema, indir: str, ckpt: str, outdir: str):
+    """One checkpointed availableNow pass of the replay aggregation;
+    returns the finished StreamingQuery (its progress carries the
+    state-operator eviction counters the tests assert)."""
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(indir)
+        .withWatermark("ts", REPLAY_DELAY)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -153,3 +153,61 @@ def test_foreachbatch_exactly_once_sink(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_multibatch_replay_evicts_state_and_drops_late(spark, tmp_path):
+    """Watermark semantics ACROSS micro-batch boundaries on the replay
+    harness itself: run 2 restores the checkpointed watermark, drops a
+    late event below it (numRowsDroppedByWatermark), and evicts the
+    state of windows it finalizes (numRowsRemoved) — the single-pass
+    availableNow harness never exercises either."""
+    import datetime as dt
+
+    from ceneton_database_tools_spark.streaming.events import run_replay_pass
+
+    indir, ckpt, outdir = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    os.makedirs(indir)
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+
+    def ts(sec):
+        return dt.datetime.fromtimestamp(base + sec, dt.timezone.utc).replace(tzinfo=None)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def drop_chunk(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp_path / name))
+        for j, f in enumerate(sorted(os.listdir(tmp_path / name))):
+            if f.endswith(".parquet"):
+                os.rename(tmp_path / name / f, os.path.join(indir, f"{name}_{j}.parquet"))
+
+    def counters(q):
+        dropped = removed = 0
+        for p in q.recentProgress:
+            for so in p["stateOperators"]:
+                dropped += so["numRowsDroppedByWatermark"]
+                removed += so["numRowsRemoved"]
+        return dropped, removed
+
+    sch = spark.createDataFrame([], schema).schema
+    # run 1: hour-0 and hour-3 events -> watermark lands at hour 2;
+    # hour-0 finalizes and its state evicts within run 1
+    drop_chunk("c0", [(1, ts(0), 1, "a", 1.0), (2, ts(3 * 3600), 1, "a", 2.0)])
+    q1 = run_replay_pass(spark, sch, indir, ckpt, outdir)
+    d1, r1 = counters(q1)
+    assert r1 >= 1  # hour-0 window emitted + evicted
+    # run 2: a LATE hour-0 event (beneath the RESTORED watermark) plus
+    # an hour-6 event that pushes the watermark past hour 3
+    drop_chunk("c1", [(3, ts(60), 1, "a", 100.0), (4, ts(6 * 3600), 1, "a", 4.0)])
+    q2 = run_replay_pass(spark, sch, indir, ckpt, outdir)
+    d2, r2 = counters(q2)
+    assert d2 >= 1, "late event must be dropped by the restored watermark"
+    assert r2 >= 1, "hour-3 window state must evict in run 2"
+
+    rows = [
+        (r["window"].start, r["sum_value"])
+        for r in spark.read.parquet(outdir).collect()
+    ]
+    # hour-0 emitted exactly once, WITHOUT the late 100.0
+    assert rows.count((ts(0), 1.0)) == 1
+    assert all(s not in (100.0, 101.0) for _, s in rows)
+    assert (ts(3 * 3600), 2.0) in rows
