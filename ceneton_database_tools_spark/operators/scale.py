@@ -313,3 +313,127 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "scale_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("scale", "join", "bucketed"),
+)
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle co-located join: both sides bucketed + sorted on
+    the join key, so the sort-merge join runs with NO Exchange at all
+    — the one-time layout cost that turns a repeated 100 TB shuffle
+    into a local merge. The operator SELF-CHECKS its plan (raises if
+    the join gains an Exchange or loses SortMergeJoin), so the gate
+    fails on plan regression, and the oracle verifies the values are
+    identical to the plain join.
+
+    Bucketed tables are written per call into the session warehouse
+    under unique names and dropped afterwards; in production the
+    layout is written once and amortized over every subsequent join
+    on the key."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    bo, bl = f"bjoin_orders_{tag}", f"bjoin_lineitem_{tag}"
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(bo)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(bl)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(bl).join(
+            spark.table(bo), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan or "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join must be an exchange-free SortMergeJoin; got:\n"
+                + plan[:2000]
+            )
+        result = joined.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        # snapshot before the backing tables are dropped
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {bo}")
+        spark.sql(f"DROP TABLE IF EXISTS {bl}")
+
+
+@register(
+    "scale_partition_pruned_read",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("scale", "partitioning", "pruning"),
+)
+def scale_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: orders written partitioned by
+    o_orderstatus, read back with a partition-column filter that must
+    prune at PLAN time (PartitionFilters on the scan — only the
+    matching directory is listed/read, the layout that turns a 100 TB
+    full scan into a directory lookup). Self-checks the executed plan
+    for the pruning filter; the oracle verifies the filtered aggregate
+    against the unpartitioned table."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks import read_partitioned, write_partitioned
+
+    import os
+
+    work = tempfile.mkdtemp(prefix="ceneton_prune_")
+    out = os.path.join(work, "orders_by_status")  # writer requires a fresh path
+    try:
+        write_partitioned(_t(spark, sf_dir, "orders"), out, ["o_orderstatus"])
+        pruned = read_partitioned(spark, out).filter(F.col("o_orderstatus") == "O")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters" not in plan or "o_orderstatus" not in plan.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0]:
+            raise AssertionError(
+                "partition-column filter must prune at plan time; got:\n"
+                + plan[:2000]
+            )
+        result = pruned.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
