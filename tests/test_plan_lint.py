@@ -27,13 +27,21 @@ state bounds) is documented and tested in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import json
+import os
+
 import pytest
 
 from ceneton_database_tools_spark import operators as ops
+from tests.regen_plan_baseline import OUT as PLAN_BASELINE_PATH
+from tests.regen_plan_baseline import exchange_count
 
 SF_PLAN = "/root/testdata/sf0.001"  # plans only, never executed
 
 SINGLE_PARTITION_ALLOWLIST: set[str] = set()
+
+with open(PLAN_BASELINE_PATH) as _f:
+    PLAN_EXCHANGE_BASELINE: dict[str, int] = json.load(_f)
 
 _BATCH_NAMES = sorted(
     name
@@ -67,3 +75,20 @@ def test_plan_has_no_scale_killers(spark, name):
             f"{name}: whole-dataset single-partition funnel "
             f"(unpartitioned window or global sort without limit): {bad}"
         )
+    # Plan-drift guard: the shuffle count of every query is pinned to a
+    # committed baseline. A query silently gaining an Exchange (a lost
+    # broadcast, a new unaligned partitioning, an optimizer-barrier
+    # refactor) fails HERE instead of surfacing as a 100x regression at
+    # cluster scale. Intentional changes re-pin with:
+    #     python tests/regen_plan_baseline.py
+    n = exchange_count(plan)
+    assert name in PLAN_EXCHANGE_BASELINE, (
+        f"{name}: no committed Exchange-count baseline — run "
+        "python tests/regen_plan_baseline.py and review the diff"
+    )
+    want = PLAN_EXCHANGE_BASELINE[name]
+    assert n == want, (
+        f"{name}: plan drift — {n} shuffle Exchanges vs committed {want}. "
+        "If intentional, re-pin with python tests/regen_plan_baseline.py "
+        "and justify the diff in the commit."
+    )
