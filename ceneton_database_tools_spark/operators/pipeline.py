@@ -538,18 +538,18 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc AS (
       SELECT t.doc_id, t.lang,
              CAST(floor(
-               CAST(sum(CAST(floor(ln(f.cnt::DOUBLE / n.total) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / count(*) + 0.5) AS BIGINT) AS lp_nano
+               CAST(sum(CAST(floor(ln(f.cnt::DOUBLE / n.total) * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) AS BIGINT) AS lp_q
       FROM tok t JOIN freq f USING (token) CROSS JOIN n
       GROUP BY t.doc_id, t.lang
     )
     SELECT lang,
            CAST(count(*) AS BIGINT)  AS n_docs,
-           CAST(floor(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 100000 + 0.5) AS DOUBLE)
+           CAST(floor(CAST(sum(lp_q) AS DOUBLE) / count(*) / 10000 + 0.5) AS DOUBLE)
              / 10000.0 AS avg_logprob,
-           CAST(floor(CAST(min(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE)
+           CAST(floor(CAST(min(lp_q) AS DOUBLE) / 10000 + 0.5) AS DOUBLE)
              / 10000.0 AS min_logprob,
-           CAST(floor(CAST(max(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE)
+           CAST(floor(CAST(max(lp_q) AS DOUBLE) / 10000 + 0.5) AS DOUBLE)
              / 10000.0 AS max_logprob
     FROM per_doc
     GROUP BY lang
@@ -577,45 +577,49 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     n = tok.agg(F.count("*").alias("total"))
     # Order-independence discipline (same scheme as the money
-    # aggregates): each token's ln() is quantized to integer
-    # nano-units per row, per-doc and per-language reductions sum
-    # EXACT integers, and every rounding is floor(x + 0.5) on doubles
-    # derived from those integers — no engine-specific round(double)
-    # and no truncation-convention hazard on negatives (`div` vs `//`
-    # diverge there, floor does not). Honest caveat: ln() itself is
-    # JVM Math.log vs libm — each correct to ~1 ulp but not
-    # bit-identical by contract, so a token whose ln*1e9 sits within
-    # ~1e-6 of a .5 boundary COULD quantize off by one nano-unit on
-    # some platform; the downstream floors then absorb a ±1-nano sum
-    # shift everywhere except measure-zero boundary alignments. This
-    # is platform-contingent rather than structural — unlike the
-    # money paths, whose inputs are exact decimals.
-    lp_nano = F.expr(
-        "CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000000 + 0.5) AS BIGINT)"
+    # aggregates): each token's ln() is quantized to an integer grid
+    # per row, per-doc and per-language reductions sum EXACT integers,
+    # and every rounding is floor(x + 0.5) on doubles derived from
+    # those integers — no engine-specific round(double) and no
+    # truncation-convention hazard on negatives (`div` vs `//` diverge
+    # there, floor does not). Honest caveat: ln() itself is JVM
+    # Math.log vs libm — each correct to ~1 ulp but not bit-identical
+    # by contract, so a token whose scaled ln sits within ~1e-7 of a
+    # .5 boundary COULD quantize off by one grid unit on some
+    # platform. The grid is 1e8 (not 1e9): one decade of headroom
+    # above the 4-decimal output cuts the per-value boundary exposure
+    # 10x while the downstream floors still absorb a ±1-unit sum shift
+    # everywhere except measure-zero alignments. (An epsilon bias was
+    # considered and rejected: shifting the boundary by eps relocates
+    # the hazard window rather than shrinking it.) This residue is
+    # platform-contingent rather than structural — unlike the money
+    # paths, whose inputs are exact decimals.
+    lp_q = F.expr(
+        "CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 100000000 + 0.5) AS BIGINT)"
     )
     per_doc = (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id", "lang")
-        .agg(F.sum(lp_nano).alias("s"), F.count("*").alias("c"))
+        .agg(F.sum(lp_q).alias("s"), F.count("*").alias("c"))
         .select(
             "doc_id",
             "lang",
             F.expr("CAST(floor(CAST(s AS DOUBLE) / c + 0.5) AS BIGINT)").alias(
-                "lp_nano"
+                "lp_q"
             ),
         )
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.expr(
-            "CAST(floor(CAST(sum(lp_nano) AS DOUBLE) / count(*) / 100000 + 0.5) AS DOUBLE) / 10000.0"
+            "CAST(floor(CAST(sum(lp_q) AS DOUBLE) / count(*) / 10000 + 0.5) AS DOUBLE) / 10000.0"
         ).alias("avg_logprob"),
         F.expr(
-            "CAST(floor(CAST(min(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE) / 10000.0"
+            "CAST(floor(CAST(min(lp_q) AS DOUBLE) / 10000 + 0.5) AS DOUBLE) / 10000.0"
         ).alias("min_logprob"),
         F.expr(
-            "CAST(floor(CAST(max(lp_nano) AS DOUBLE) / 100000 + 0.5) AS DOUBLE) / 10000.0"
+            "CAST(floor(CAST(max(lp_q) AS DOUBLE) / 10000 + 0.5) AS DOUBLE) / 10000.0"
         ).alias("max_logprob"),
     )
 

@@ -257,6 +257,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
+            # ln() tail exposure here is negligible without quantization
+            # tricks: the rounding grid is 5e-7 on a ~1-magnitude value,
+            # while a 1-ulp Math.log-vs-libm divergence perturbs the
+            # product by ~1e-15 — eight orders of headroom (contrast
+            # text_unigram_logprob, whose 1e8 integer grid needed the
+            # explicit margin analysis).
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6).alias("tfidf"),
         )
     )
