@@ -18,6 +18,11 @@ Four subcommands with the reference's exact surface
 
 Run as ``python -m ceneton_database_tools_spark.cli <cmd> ...``
 (alias it to ``ct-db`` for drop-in parity).
+
+The front-end is a click group like the reference's (click ships in
+this environment as a transitive dependency), so usage-error text,
+exit codes, and ``--help`` formatting are click-exact; an equivalent
+argparse parser remains as the import-gated fallback.
 """
 
 from __future__ import annotations
@@ -200,7 +205,117 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+# ---------------------------------------------------------------------------
+# click front-end (reference-exact UX)
+#
+# The reference is a click group (_cli.py:18-20), and click's usage
+# errors, exit codes, and --help formatting are observable surface for
+# scripts that parse them ("Error: No such command '...'.",
+# "Error: Missing argument 'FILE_PATH'.", exit 2, the Commands block).
+# click ships in this environment as a transitive dependency, so the
+# CLI uses it when importable — exact parity by construction — and
+# degrades to the equivalent argparse parser above when it is absent
+# (same commands, same semantics, argparse-formatted messages).
+# ---------------------------------------------------------------------------
+
+try:
+    import click as _click
+except ImportError:  # pragma: no cover - click present in this container
+    _click = None
+
+
+def _ns(**kw) -> argparse.Namespace:
+    return argparse.Namespace(**kw)
+
+
+if _click is not None:
+
+    _split_option = _click.option(
+        "--split",
+        default="auto",
+        help="Byte-range splits for large plain .xml files: auto, never, or bytes.",
+    )
+
+    @_click.group()
+    def cli():
+        pass
+
+    @cli.command(name="dump_headers")
+    @_click.argument("file_path", type=_click.Path(exists=True))
+    def dump_headers(file_path: str):
+        """Dump the headers of the FMP XML file."""
+        return cmd_dump_headers(_ns(file_path=file_path))
+
+    @cli.command(name="print")
+    @_click.argument("file_path", type=_click.Path(exists=True))
+    @_split_option
+    def print_stream(file_path: str, split: str):
+        """Print the stream of records from the FMP XML file."""
+        return cmd_print(_ns(file_path=file_path, split=split))
+
+    @cli.command(name="to_json")
+    @_click.argument("file_path", type=_click.Path(exists=True))
+    @_click.option("--output", help="Write a JSONL directory instead of stdout.")
+    @_split_option
+    def to_json(file_path: str, output: str | None, split: str):
+        """Convert the FMP XML file to JSONL (JSON Lines) format."""
+        return cmd_to_json(_ns(file_path=file_path, output=output, split=split))
+
+    @cli.command(name="create_db")
+    @_click.argument("file_path", type=_click.Path(exists=True))
+    @_click.argument("db_url", type=str)
+    @_click.option("--mapping-column", type=str, help="Column name to use for mapping")
+    @_click.option("--table-name", type=str, help="Name of the table to create")
+    @_click.option(
+        "--db-metadata",
+        multiple=True,
+        help="Metadata to store as key=value pairs (can be repeated)",
+    )
+    @_split_option
+    def create_db(
+        file_path: str,
+        db_url: str,
+        mapping_column: str | None,
+        table_name: str | None,
+        db_metadata: tuple[str, ...],
+        split: str,
+    ):
+        """Create a database from FMP XML file."""
+        for item in db_metadata:
+            if "=" not in item:
+                # reference raises click.BadParameter here (_cli.py:139)
+                raise _click.BadParameter(
+                    f"Metadata must be in key=value format, got: {item}"
+                )
+        return cmd_create_db(
+            _ns(
+                file_path=file_path,
+                db_url=db_url,
+                mapping_column=mapping_column,
+                table_name=table_name,
+                db_metadata=list(db_metadata),
+                split=split,
+            )
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
+    if _click is not None:
+        # standalone_mode=False so main() returns an exit CODE (tests
+        # and the console script both want one); click's own rendering
+        # of usage errors / --help / aborts is reproduced here exactly
+        # as BaseCommand.main does in standalone mode.
+        try:
+            rc = cli.main(args=argv, prog_name="ct-db", standalone_mode=False)
+            return int(rc) if isinstance(rc, int) else 0
+        except _click.ClickException as e:
+            e.show()
+            return e.exit_code
+        except _click.exceptions.Exit as e:  # --help / ctx.exit()
+            return e.exit_code
+        except _click.exceptions.Abort:
+            sys.stderr.write("Aborted!\n")
+            return 1
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

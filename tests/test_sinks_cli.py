@@ -215,3 +215,32 @@ def test_cli_create_db(spark, tmp_path):
     expected_sha = hashlib.sha256(open(BASIC, "rb").read()).hexdigest()
     assert meta["source_sha256"] == expected_sha
     conn.close()
+
+
+def test_cli_click_exact_usage_surface(capsys):
+    """Reference-exact CLI UX (the reference is a click group,
+    _cli.py:18-20): usage-error texts, exit codes, and the --help
+    Commands block are observable surface for scripts that parse them."""
+    import pytest as _pytest
+
+    click = _pytest.importorskip("click")  # noqa: F841 - parity needs real click
+    from ceneton_database_tools_spark.cli import main
+
+    assert main(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "Usage: ct-db [OPTIONS] COMMAND [ARGS]..." in out
+    for cmd in ("create_db", "dump_headers", "print", "to_json"):
+        assert f"\n  {cmd}" in out  # underscore names, not click-8 dashes
+
+    assert main(["nosuch"]) == 2
+    err = capsys.readouterr().err
+    assert "Error: No such command 'nosuch'." in err
+    assert "Try 'ct-db --help' for help." in err
+
+    assert main(["dump_headers"]) == 2
+    err = capsys.readouterr().err
+    assert "Error: Missing argument 'FILE_PATH'." in err
+
+    assert main(["dump_headers", "/no/such/file.xml"]) == 2
+    err = capsys.readouterr().err
+    assert "Error: Invalid value for 'FILE_PATH'" in err and "does not exist" in err
