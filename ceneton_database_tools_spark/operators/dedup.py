@@ -1051,17 +1051,17 @@ def _semantic_kmeans_oracle() -> str:
     dot_ce = T.dot_chain("c.cv", "e.v", EMB_DIM, one_based=True)
     dot_ab = T.dot_chain("a.v", "b.v", EMB_DIM, one_based=True)
     return f"""
-    WITH base AS ({_semantic_corpus_duck()}),
+    WITH base AS MATERIALIZED ({_semantic_corpus_duck()}),
     {_kmeans_ctes()},
-    cassign AS (
+    cassign AS MATERIALIZED (
       SELECT e.vec_id, e.v, e.nrm, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY ({dot_ce}) / (c.cnrm * e.nrm) DESC, c.cid) AS rn
       FROM base e CROSS JOIN cents c
     ),
-    members AS (SELECT vec_id, v, nrm, cid FROM cassign WHERE rn = 1),
-    dups AS (
+    members AS MATERIALIZED (SELECT vec_id, v, nrm, cid FROM cassign WHERE rn = 1),
+    dups AS MATERIALIZED (
       SELECT DISTINCT b.vec_id
       FROM members a JOIN members b
         ON a.cid = b.cid AND a.vec_id < b.vec_id

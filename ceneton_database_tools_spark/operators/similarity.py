@@ -260,8 +260,8 @@ def _kmeans_ctes() -> str:
     terminates in ``cents(cid, cv, cnrm)``."""
     dims = range(1, EMB_DIM + 1)
     ctes = [
-        f"pts AS (SELECT vec_id, v, nrm, {_QUANT_DUCK} AS vq FROM base)",
-        f"""cent0 AS (
+        f"pts AS MATERIALIZED (SELECT vec_id, v, nrm, {_QUANT_DUCK} AS vq FROM base)",
+        f"""cent0 AS MATERIALIZED (
       SELECT vec_id AS cid,
              list_transform(vq, s -> CAST(s AS DOUBLE) / 1000000.0) AS cv
       FROM pts WHERE vec_id < {IVF_NLIST})""",
@@ -275,23 +275,23 @@ def _kmeans_ctes() -> str:
             for j in dims
         )
         ctes.append(
-            f"""assign{it} AS (
+            f"""assign{it} AS MATERIALIZED (
       SELECT p.vq, c.cid,
              row_number() OVER (PARTITION BY p.vec_id
                ORDER BY ({dot}) / (p.nrm * {cnrm}) DESC, c.cid) AS rn
       FROM pts p CROSS JOIN {prev} c)"""
         )
         ctes.append(
-            f"upd{it} AS (SELECT cid, [{coords}] AS ncv "
+            f"upd{it} AS MATERIALIZED (SELECT cid, [{coords}] AS ncv "
             f"FROM assign{it} WHERE rn = 1 GROUP BY cid)"
         )
         ctes.append(
-            f"cent{it} AS (SELECT c.cid, COALESCE(u.ncv, c.cv) AS cv "
+            f"cent{it} AS MATERIALIZED (SELECT c.cid, COALESCE(u.ncv, c.cv) AS cv "
             f"FROM {prev} c LEFT JOIN upd{it} u ON u.cid = c.cid)"
         )
         prev = f"cent{it}"
     ctes.append(
-        f"cents AS (SELECT cid, cv, {T.norm_chain('cv', EMB_DIM, one_based=True)} "
+        f"cents AS MATERIALIZED (SELECT cid, cv, {T.norm_chain('cv', EMB_DIM, one_based=True)} "
         f"AS cnrm FROM {prev})"
     )
     return ",\n    ".join(ctes)
@@ -305,29 +305,29 @@ def _ivf_ctes() -> str:
     dot_qc = T.dot_chain("q.v", "c.cv", EMB_DIM, one_based=True)
     dot_qe = T.dot_chain("qv", "v", EMB_DIM, one_based=True)
     return f"""{_kmeans_ctes()},
-    assigned AS (
+    assigned AS MATERIALIZED (
       SELECT e.vec_id, e.v, e.nrm, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY ({dot_cv}) / (c.cnrm * e.nrm) DESC, c.cid) AS rn
       FROM base e CROSS JOIN cents c
     ),
-    lists AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE rn = 1),
+    lists AS MATERIALIZED (SELECT vec_id, v, nrm, cid FROM assigned WHERE rn = 1),
     queries AS (SELECT vec_id AS query_id, v, nrm FROM base WHERE vec_id < {IVF_N_QUERIES}),
-    probed AS (
+    probed AS MATERIALIZED (
       SELECT q.query_id, q.v, q.nrm, c.cid,
              row_number() OVER (
                PARTITION BY q.query_id
                ORDER BY ({dot_qc}) / (q.nrm * c.cnrm) DESC, c.cid) AS prn
       FROM queries q CROSS JOIN cents c
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT p.query_id, p.v AS qv, p.nrm AS qnrm, e.vec_id AS neighbor_id,
              e.v, e.nrm
       FROM probed p JOIN lists e ON e.cid = p.cid
       WHERE p.prn <= {IVF_NPROBE} AND e.vec_id <> p.query_id
     ),
-    ivf AS (
+    ivf AS MATERIALIZED (
       SELECT query_id, neighbor_id,
              CAST(row_number() OVER (
                PARTITION BY query_id
@@ -342,7 +342,7 @@ def _ivf_ctes() -> str:
 
 def _ivf_oracle() -> str:
     return f"""
-    WITH base AS ({_DUCK_BASE}),
+    WITH base AS MATERIALIZED ({_DUCK_BASE}),
     {_ivf_ctes()}
     SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ivf
     """
@@ -412,9 +412,9 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_recall_oracle() -> str:
     dot = T.dot_chain("q.v", "c.v", EMB_DIM, one_based=True)
     return f"""
-    WITH base AS ({_DUCK_BASE}),
+    WITH base AS MATERIALIZED ({_DUCK_BASE}),
     {_ivf_ctes()},
-    exact AS (
+    exact AS MATERIALIZED (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM base q JOIN base c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < {IVF_N_QUERIES}
