@@ -11,6 +11,7 @@ from ceneton_database_tools_spark.operators import (  # noqa: F401
     multimodal,
     pipeline,
     quality,
+    refine,
     relational,
     scalar,
     scale,
