@@ -629,3 +629,127 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("supplier",))
     return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: warehouse-maintenance shapes — SCD2 history build and
+# incremental materialized-view refresh
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dimension_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER (
+                  PARTITION BY user_id ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+                AS BIGINT) AS version
+    FROM changes
+    """,
+    tags=("warehouse", "scd2", "window"),
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a change
+    log: collapse each user's event stream into validity intervals —
+    one row per *change* of ``event_type``, with ``valid_from`` /
+    ``valid_to`` half-open bounds, an ``is_current`` flag on the open
+    interval, and a per-user ``version`` counter. The standard
+    dimension-table construction every warehouse load runs; the
+    reference has no temporal surface at all.
+
+    Scale shape: two window passes, both partitioned BY USER — one
+    shuffle on user_id, then every lag/lead/row_number runs within a
+    user's partition slice (no global ordering anywhere; the tie-break
+    on the unique event_id makes the change detection deterministic).
+    The changes filter between the passes shrinks the second input to
+    the number of actual transitions. At 100 TB this is the
+    partitioned-window shape that scales linearly with users.
+    """
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w_log = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_log))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w_hist)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+        F.row_number().over(w_hist).cast("long").alias("version"),
+    )
+
+
+_MV_CUTOFF = "1999-01-01"
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("warehouse", "incremental", "aggregation"),
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: an aggregate MV over
+    orders is maintained as mergeable partials — the historical
+    partial (orders before the cutoff, computed once and reused) plus
+    a delta partial over only the new data, merged by re-aggregating
+    (counts add, DECIMAL sums add). The oracle is the full
+    re-aggregation over all orders, proving partial-merge == full
+    recompute — the invariant that lets a 100 TB pipeline refresh a
+    daily rollup by scanning one day, not the whole fact table.
+
+    Scale shape: each partial is a map-side-combined hash aggregate
+    over its date slice (at scale, date-partitioned parquet prunes the
+    delta scan to the new partitions); the merge re-aggregates
+    |priorities| × 2 partial rows. DECIMAL partials make the merge
+    exact — mergeability would NOT hold for e.g. raw double sums
+    (order-dependent) or non-algebraic aggregates (median needs a
+    sketch, cf. agg_percentiles).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_sum"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.round(F.sum("price_sum"), 2).cast("double").alias("total_price"),
+        )
+    )

@@ -443,3 +443,80 @@ def scale_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "scale_runtime_bloom_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("scale", "join", "runtime-filter"),
+)
+def scale_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Spark 3.3+ row-level runtime
+    filtering): a selective dimension predicate (urgent orders only)
+    is turned by the optimizer into a ``bloom_filter_agg`` over the
+    build side's join keys, and the FACT scan is pre-filtered with
+    ``might_contain`` BEFORE the shuffle — at 100 TB this drops the
+    ~80% of lineitem rows that would never match from ever being
+    shuffled, the single biggest win available on a selective
+    fact-dim join that is too big to broadcast. The operator
+    SELF-CHECKS the executed plan for the injected ``might_contain``
+    probe (raises if the runtime filter was not inserted), then
+    verifies values against the plain-join oracle.
+
+    The thresholds are lowered only inside this operator because the
+    test tables are tiny (production defaults — 10 MB creation side /
+    10 GB application side — are exactly right at cluster scale, where
+    this kicks in untouched); broadcast is disabled so the join
+    actually exercises the shuffle path being pruned. Confs are
+    restored in ``finally``; the result is snapshotted first.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = _t(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = _t(spark, sf_dir, "lineitem")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected into the fact scan; got:\n"
+                + plan[:2000]
+            )
+        result = joined.groupBy("l_returnflag").agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        # snapshot before the confs are restored
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
