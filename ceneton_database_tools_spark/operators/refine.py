@@ -82,6 +82,7 @@ _DUCK_PASSAGES = (
     GROUP BY p.doc_id, p.lang
     """,
     tags=("text", "dedup", "llm-pipeline"),
+    bench=True,
 )
 def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level duplicate measurement: split each document into
