@@ -16,9 +16,12 @@ shapes every web-scale curation pipeline needs:
   evaluated in one map pass, each rule reported separately so the
   pipeline can tune thresholds from the rule-level pass rates;
 * bigram LM scoring — the add-one-smoothed conditional-probability
-  upgrade of the unigram perplexity filter.
+  upgrade of the unigram perplexity filter;
+* passage scrub — the write-side of passage dedup: rebuild the corpus
+  with every cross-document duplicated span kept only in its owner
+  document.
 
-All three are pure DataFrame compositions (no UDFs): tokenization,
+All four are pure DataFrame compositions (no UDFs): tokenization,
 hashing and rule math are codegen'd JVM expressions; the only shuffles
 are key-partitioned aggregates/joins that carry hashes and counts,
 never document text.
@@ -338,4 +341,84 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(floor(CAST(max(lp_q) AS DOUBLE) / 10000 + 0.5) AS DOUBLE) / 10000.0"
         ).alias("max_logprob"),
+    )
+
+
+# Passage texts (not hashes) for the scrub variant: slice i covers
+# tokens [i*8+1, i*8+8] (1-based), joined back with single spaces.
+_SPARK_PASSAGE_TEXTS = (
+    f"transform(sequence(0, CAST(ceil(size(w) / {_PASSAGE}.0) AS INT) - 1), "
+    f"i -> array_join(slice(w, i * {_PASSAGE} + 1, {_PASSAGE}), ' '))"
+)
+_DUCK_PASSAGE_TEXTS = (
+    f"[array_to_string(list_slice(w, i * {_PASSAGE} + 1, i * {_PASSAGE} + {_PASSAGE}), ' ') "
+    f"for i in range(0, CAST(ceil(len(w) / {_PASSAGE}.0) AS INT))]"
+)
+
+
+@register(
+    "text_passage_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {T.DUCK_TOKENS} AS w FROM documents
+    ),
+    pas AS (
+      SELECT doc_id, lang,
+             unnest(range(0, CAST(ceil(len(w) / {_PASSAGE}.0) AS INT))) AS idx,
+             unnest({_DUCK_PASSAGE_TEXTS}) AS ptext
+      FROM toks
+    ),
+    hashed AS (SELECT *, md5(ptext) AS ph FROM pas),
+    owner AS (SELECT ph, min(doc_id) AS owner_doc FROM hashed GROUP BY ph)
+    SELECT h.doc_id, h.lang,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN h.doc_id = o.owner_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(
+             CASE WHEN h.doc_id = o.owner_doc THEN h.ptext END, ' '
+             ORDER BY h.idx), '') AS cleaned_text
+    FROM hashed h JOIN owner o USING (ph)
+    GROUP BY h.doc_id, h.lang
+    """,
+    tags=("text", "dedup", "llm-pipeline"),
+)
+def text_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side of passage dedup: REBUILD the corpus with every
+    cross-document duplicated passage kept only in its owner document
+    (the lowest doc_id containing it) and removed everywhere else —
+    each 8-token window survives exactly once corpus-wide, and each
+    document comes back as its surviving passages re-joined in
+    original order (of the lower+trim-normalized text; within-document
+    repeats are the owner's own and are kept). ``n_kept``/``
+    n_passages`` give the per-doc retention rate.
+
+    Scale shape: the corpus-wide state is the passage→owner table —
+    md5 keys and a min(doc_id), built by one map-side-combined hash
+    aggregate; the scrub is an equi-join on the hash key. The
+    reconstruction aggregate carries struct(idx, passage) per doc and
+    sorts WITHIN each document's group (array_sort on the collected
+    list — bounded by document length, never a global order). This is
+    the join-then-rebuild shape that scrubs a 100 TB corpus in one
+    pass over it plus one pass over the (much smaller) passage table.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.expr(T.SPARK_TOKENS).alias("w")
+    )
+    pas = toks.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.expr(_SPARK_PASSAGE_TEXTS)).alias("idx", "ptext"),
+    ).withColumn("ph", F.md5("ptext"))
+    owner = pas.groupBy("ph").agg(F.min("doc_id").alias("owner_doc"))
+    marked = pas.join(owner, "ph").withColumn(
+        "kept", F.col("doc_id") == F.col("owner_doc")
+    )
+    return marked.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_passages"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(CASE WHEN kept THEN struct(idx, ptext) END)"
+            "), x -> x.ptext), ' ')"
+        ).alias("cleaned_text"),
     )
