@@ -647,17 +647,17 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     changes AS (
-      SELECT user_id, event_type, ts AS valid_from
+      SELECT user_id, event_type, ts AS valid_from, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
              AS valid_to,
            CAST(CASE WHEN lead(valid_from) OVER (
-                  PARTITION BY user_id ORDER BY valid_from) IS NULL
+                  PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
                 THEN 1 ELSE 0 END AS INT) AS is_current,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
                 AS BIGINT) AS version
     FROM changes
     """,
@@ -687,9 +687,12 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w_log))
         .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
-        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
     )
-    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    # same unique tie-break as the first pass: two change rows CAN share
+    # a valid_from (same-ts events of different types), and lead/
+    # row_number over the bare timestamp would be nondeterministic there
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     valid_to = F.lead("valid_from").over(w_hist)
     return changes.select(
         "user_id",

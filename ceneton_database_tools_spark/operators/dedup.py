@@ -573,6 +573,35 @@ SIGN_BITS = 8
 SIGN_DIM_LO = 1
 COSINE_THRESHOLD = 0.85
 
+# Embedding corpus-with-twins, ONE definition per dialect (shared by
+# the sign-LSH cosine and k-means semantic dedup variants): the twin
+# is the original perturbed by +0.5 in dim 0 under a shifted vec_id.
+# Changing the perturbation / offset / dim count here changes every
+# consumer AND its oracle together.
+_DUCK_EMB_TWIN_CORPUS = f"""
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {TWIN_OFFSET},
+             list_concat([embedding[1]::DOUBLE + 0.5], (embedding::DOUBLE[])[2:])
+      FROM embeddings
+"""
+
+
+def _emb_twin_corpus(emb: DataFrame) -> DataFrame:
+    """Spark twin of :data:`_DUCK_EMB_TWIN_CORPUS`: (vec_id, v)."""
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        F.expr(
+            "concat(array(CAST(embedding[0] AS DOUBLE) + 0.5d), "
+            "slice(transform(embedding, x -> CAST(x AS DOUBLE)), 2, "
+            f"{EMB_DIM - 1}))"
+        ).alias("v"),
+    )
+    return base.unionByName(twins)
+
 
 def _emb_cosine_oracle() -> str:
     bucket = " || ".join(
@@ -581,13 +610,7 @@ def _emb_cosine_oracle() -> str:
     )
     dot = T.dot_chain("a.v", "b.v", EMB_DIM, one_based=True)
     return f"""
-    WITH corpus AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-      UNION ALL
-      SELECT vec_id + {TWIN_OFFSET},
-             list_concat([embedding[1]::DOUBLE + 0.5], (embedding::DOUBLE[])[2:])
-      FROM embeddings
-    ),
+    WITH corpus AS ({_DUCK_EMB_TWIN_CORPUS}),
     base AS (
       SELECT vec_id, v, {T.norm_chain("v", EMB_DIM, one_based=True)} AS nrm,
              {bucket} AS bucket
@@ -618,17 +641,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink buckets at higher density.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    as_double = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-    base = emb.select("vec_id", as_double.alias("v"))
-    twins = emb.select(
-        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
-        F.expr(
-            "concat(array(CAST(embedding[0] AS DOUBLE) + 0.5d), "
-            "slice(transform(embedding, x -> CAST(x AS DOUBLE)), 2, "
-            f"{EMB_DIM - 1}))"
-        ).alias("v"),
-    )
-    corpus = base.unionByName(twins)
+    corpus = _emb_twin_corpus(emb)
     bucket = F.concat(
         *[
             F.when(F.expr(f"v[{i}]") >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -1035,13 +1048,7 @@ def _semantic_corpus_duck() -> str:
     k-means CTE chain."""
     return f"""
       SELECT vec_id, v, {T.norm_chain("v", EMB_DIM, one_based=True)} AS nrm
-      FROM (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        UNION ALL
-        SELECT vec_id + {TWIN_OFFSET},
-               list_concat([embedding[1]::DOUBLE + 0.5], (embedding::DOUBLE[])[2:])
-        FROM embeddings
-      ) c
+      FROM ({_DUCK_EMB_TWIN_CORPUS}) c
     """
 
 
@@ -1103,18 +1110,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ceneton_database_tools_spark.operators.similarity import _ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
-    )
-    twins = emb.select(
-        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
-        F.expr(
-            "concat(array(CAST(embedding[0] AS DOUBLE) + 0.5d), "
-            "slice(transform(embedding, x -> CAST(x AS DOUBLE)), 2, "
-            f"{EMB_DIM - 1}))"
-        ).alias("v"),
-    )
-    corpus = base.unionByName(twins).withColumn(
+    corpus = _emb_twin_corpus(emb).withColumn(
         "nrm", F.expr(T.norm_chain("v", EMB_DIM, one_based=False))
     )
     cents = _ivf_centroids(corpus)

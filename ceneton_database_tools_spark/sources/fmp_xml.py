@@ -535,7 +535,15 @@ def _parse_region_text(region: str, n_fields: int, repeats: str) -> tuple[int, l
     n_rows = len(pieces) - 1
     values = _FAST_COL_RE.findall(region)
     if (
-        len(values) == n_rows * n_fields
+        # array mode (non-empty frozenset) must take the per-row path:
+        # the region-global branch returns plain strings, so a region
+        # whose array cells are all single-DATA would pass the count
+        # check yet never get wrapped into one-element lists (and
+        # pa.array(..., list_(string())) would then explode each string
+        # into its characters). _parse_row_chunk wraps correctly and
+        # keeps its own fast path per row.
+        not (isinstance(repeats, frozenset) and repeats)
+        and len(values) == n_rows * n_fields
         and not pieces[-1].strip()
         and all(
             p.count("<ROW") == 1 and p.count("<COL") == n_fields
@@ -1258,7 +1266,9 @@ class FMPXMLDataSource(DataSource):
       flagship input) decompresses ONCE driver-side into a cached
       plain-xml spool which then byte-range splits like any plain
       file (see ``spool_bz2``; a streamed sha256 sidecar comes free).
-      ``never`` — or a sub-4 MiB compressed input under ``auto`` —
+      ``never`` — or a sub-1 MiB compressed input under ``auto``
+      (≈6-16 MB plain at FMP XML's bz2 ratios: under / near the 8 MiB
+      never-split floor, so the spool would buy no parallelism) —
       keeps the whole-file single-partition scan.
     * ``spooldir`` — where spools land (default: the system temp dir).
       On a multi-executor cluster this MUST be shared storage, since

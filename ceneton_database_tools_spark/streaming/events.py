@@ -609,7 +609,13 @@ def streaming_multibatch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(stage)
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         for i in range(REPLAY_CHUNKS):
+            # a skewed/degenerate time range can leave a quarter empty
+            # (partitionBy writes no directory for it) — run the pass
+            # anyway so watermark progression stays 4 batches
             cdir = os.path.join(stage, f"_chunk={i}")
+            if not os.path.isdir(cdir):
+                run_replay_pass(spark, ev.schema, indir, ckpt, outdir)
+                continue
             for j, f in enumerate(sorted(os.listdir(cdir))):
                 if f.endswith(".parquet"):
                     os.rename(

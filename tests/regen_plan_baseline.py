@@ -40,10 +40,16 @@ def build_counts() -> dict[str, int]:
     from ceneton_database_tools_spark import operators as ops
     from ceneton_database_tools_spark.session import get_spark
 
+    from tests.test_plan_lint import SELF_CHECKING_PLANS
+
     spark = get_spark(app_name="plan-baseline", cpus=32)
     counts: dict[str, int] = {}
     for name, spec in sorted(ops.QUERIES.items()):
         if "streaming" in spec.tags or name.startswith("streaming"):
+            continue
+        if name in SELF_CHECKING_PLANS:
+            # these execute real jobs and return LocalRelation
+            # snapshots — their plan shape is asserted inside fn()
             continue
         plan = spec.fn(spark, SF_PLAN)._jdf.queryExecution().executedPlan().toString()
         counts[name] = exchange_count(plan)

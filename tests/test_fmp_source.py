@@ -638,7 +638,7 @@ def test_split_datasource_partitions_and_rows(spark, tmp_path):
 def test_split_bz2_and_small_files_stay_whole(spark, tmp_path):
     """Small plain files never auto-split; a small .bz2 under AUTO
     sizing stays a whole-file single partition (no spool below the
-    4 MiB compressed floor), and bz2spool='never' forces whole-file
+    1 MiB compressed floor), and bz2spool='never' forces whole-file
     even when an explicit split size would otherwise spool."""
     import bz2 as _bz2
 
@@ -938,3 +938,45 @@ def test_split_array_semantics(tmp_path):
     bounds = [size * k // 4 for k in range(5)]
     assert _rows_via_splits(path, bounds, 3, repeats=spec) == expected
     assert [r[1] for r in expected[:5]] == ARRAY_EXPECT
+
+
+def test_array_mode_single_data_only_region(spark, tmp_path):
+    """Regression: a region whose array-column cells are ALL
+    single-DATA (the common sparsely-filled repeating field) used to
+    pass the region-global fast branch unwrapped, and pyarrow then
+    exploded each string into its characters. Array mode must take the
+    per-row path and wrap every cell."""
+    path = tmp_path / "solo.xml"
+    rows = "\n".join(
+        '<ROW MODID="1" RECORDID="1">'
+        f"<COL><DATA>name {r}</DATA></COL>"
+        f"<COL><DATA>solo {r}</DATA></COL>"
+        f"<COL><DATA>tail {r}</DATA></COL>"
+        "</ROW>"
+        for r in range(6)
+    )
+    path.write_bytes(
+        (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+            "<ERRORCODE>0</ERRORCODE>\n"
+            '<DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="Arr" RECORDS="6" '
+            'TIMEFORMAT="k:mm:ss"/>\n'
+            "<METADATA>"
+            '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Naam" TYPE="TEXT"/>'
+            '<FIELD EMPTYOK="YES" MAXREPEAT="3" NAME="Vindplaats" TYPE="TEXT"/>'
+            '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Tail" TYPE="TEXT"/>'
+            "</METADATA>\n"
+            '<RESULTSET FOUND="6">\n' + rows + "\n</RESULTSET>\n"
+            "</FMPXMLRESULT>\n"
+        ).encode("utf-8")
+    )
+    from ceneton_database_tools_spark.sources.fmp_xml import iter_fmp_value_regions
+
+    spec = frozenset([1])
+    with open_xml_stream(str(path)) as stream:
+        flat = [v for _, vals in iter_fmp_value_regions(stream, 3, repeats=spec) for v in vals]
+    assert flat[1::3] == [[f"solo {r}"] for r in range(6)]
+    df = read_fmp_xml_df(spark, str(path), repeats="array")
+    rows_out = df.orderBy("naam").collect()
+    assert [r.vindplaats for r in rows_out] == [[f"solo {r}"] for r in range(6)]

@@ -40,13 +40,27 @@ SF_PLAN = "/root/testdata/sf0.001"  # plans only, never executed
 
 SINGLE_PARTITION_ALLOWLIST: set[str] = set()
 
+# The plan-self-checking operators (bucketed layout write, partitioned
+# rewrite, runtime-bloom-filter conf scope) EXECUTE real jobs inside
+# fn() and return a driver-side snapshot whose plan is just a
+# LocalRelation — linting the snapshot proves nothing, and calling
+# fn() here would turn the cheap plan walk into real I/O at every
+# lint run. Each of these asserts its own interesting plan shape
+# INSIDE the operator (raising on regression), so the gate still
+# catches drift — through the parity tests that execute them.
+SELF_CHECKING_PLANS: frozenset[str] = frozenset(
+    {"scale_bucketed_join", "scale_partition_pruned_read", "scale_runtime_bloom_join"}
+)
+
 with open(PLAN_BASELINE_PATH) as _f:
     PLAN_EXCHANGE_BASELINE: dict[str, int] = json.load(_f)
 
 _BATCH_NAMES = sorted(
     name
     for name, spec in ops.QUERIES.items()
-    if "streaming" not in spec.tags and not name.startswith("streaming")
+    if "streaming" not in spec.tags
+    and not name.startswith("streaming")
+    and name not in SELF_CHECKING_PLANS
 )
 
 
