@@ -197,6 +197,7 @@ def iter_fmp_rows_et(
     col_data: list[str | None] = []
     in_col = False
     root = None
+    resultset = None
 
     for event, elem in iterparse(stream, events=("start", "end")):
         if root is None:
@@ -205,6 +206,7 @@ def iter_fmp_rows_et(
         if not in_results:
             if event == "start" and tag == "RESULTSET":
                 in_results = True
+                resultset = elem
             continue
         if event == "start":
             if tag == "ROW":
@@ -249,7 +251,12 @@ def iter_fmp_rows_et(
                 )
             yield tuple(row_values)
             row_values = []
-            root.clear()  # drop completed subtrees — constant memory
+            # Completed ROW subtrees accumulate as children of the
+            # LIVE RESULTSET element (the parser stack holds it), so
+            # clearing the root alone frees nothing — clear RESULTSET
+            # itself for actual constant memory on 100 GB exports.
+            resultset.clear()
+            root.clear()
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +477,11 @@ def iter_fmp_rows(
         for row in iter_fmp_rows_fast(stream, n_fields, repeats=repeats):
             yield row
             yielded += 1
-    except FMPFastPathError:
+    except (FMPFastPathError, UnicodeDecodeError):
+        # UnicodeDecodeError: the fast scanner hardcodes UTF-8; a
+        # non-UTF-8 export (declared encoding in the XML prolog) must
+        # fall back exactly like a structural surprise — ET honors the
+        # declaration.
         stream.seek(start_pos)
         for i, row in enumerate(iter_fmp_rows_et(stream, n_fields, repeats=repeats)):
             if i >= yielded:
@@ -531,28 +542,29 @@ def _parse_region_text(region: str, n_fields: int, repeats: str) -> tuple[int, l
     when the region contains ``&`` or ``\\r`` at all — the common
     machine-generated region skips it wholesale.
     """
-    pieces = region.split("</ROW>")
-    n_rows = len(pieces) - 1
-    values = _FAST_COL_RE.findall(region)
-    if (
-        # array mode (non-empty frozenset) must take the per-row path:
-        # the region-global branch returns plain strings, so a region
-        # whose array cells are all single-DATA would pass the count
-        # check yet never get wrapped into one-element lists (and
-        # pa.array(..., list_(string())) would then explode each string
-        # into its characters). _parse_row_chunk wraps correctly and
-        # keeps its own fast path per row.
-        not (isinstance(repeats, frozenset) and repeats)
-        and len(values) == n_rows * n_fields
-        and not pieces[-1].strip()
-        and all(
-            p.count("<ROW") == 1 and p.count("<COL") == n_fields
-            for p in pieces[:-1]
-        )
-    ):
-        if "&" in region or "\r" in region:
-            return n_rows, [_norm_text(v) if v else None for v in values]
-        return n_rows, [v or None for v in values]
+    # array mode (non-empty frozenset) must take the per-row path: the
+    # region-global branch returns plain strings, so a region whose
+    # array cells are all single-DATA would pass the count check yet
+    # never get wrapped into one-element lists (and pa.array(...,
+    # list_(string())) would then explode each string into its
+    # characters). _parse_row_chunk wraps correctly and keeps its own
+    # fast path per row — and skipping the region-global findall/split
+    # here avoids paying that full-region scan twice in array mode.
+    if not (isinstance(repeats, frozenset) and repeats):
+        pieces = region.split("</ROW>")
+        n_rows = len(pieces) - 1
+        values = _FAST_COL_RE.findall(region)
+        if (
+            len(values) == n_rows * n_fields
+            and not pieces[-1].strip()
+            and all(
+                p.count("<ROW") == 1 and p.count("<COL") == n_fields
+                for p in pieces[:-1]
+            )
+        ):
+            if "&" in region or "\r" in region:
+                return n_rows, [_norm_text(v) if v else None for v in values]
+            return n_rows, [v or None for v in values]
     # row-by-row reparse of just this region: exact per-row
     # validation, same contract as the row scanner
     flat: list = []
@@ -652,7 +664,10 @@ def _parse_region_et(region: bytes, n_fields: int, repeats: str) -> tuple[int, l
 def _parse_region_bytes(region: bytes, n_fields: int, repeats: str) -> tuple[int, list]:
     try:
         return _parse_region_text(region.decode("utf-8"), n_fields, repeats)
-    except FMPFastPathError:
+    except (FMPFastPathError, UnicodeDecodeError):
+        # non-UTF-8 bytes end up at the ET region parser, whose
+        # ParseError → FMPFastPathError carries the split='never'
+        # escape hatch (a fragment has no prolog for ET to honor)
         return _parse_region_et(region, n_fields, repeats)
 
 
@@ -755,6 +770,21 @@ _SPLIT_EXPLICIT_MIN = 4096
 #: never-split floor anyway (bz2 on FMP XML measures 6-16x, so 1 MiB
 #: compressed ≈ 6-16 MB plain), and the spool would buy no parallelism
 _BZ2_SPOOL_MIN = 1 << 20
+
+
+def _probe_literal_row(path: str, limit: int = 1 << 20) -> bool:
+    """Driver-side split-safety probe: True iff the file's first
+    ``limit`` bytes contain a literal ``b'<ROW'``. The byte-range
+    scanner keys on that exact byte sequence, so an export without it
+    (namespace prefixes, exotic layouts) must NOT be split — the probe
+    costs one bounded read per large file at planning time. A false
+    negative (>1 MiB of pre-row header) only costs parallelism, never
+    correctness."""
+    try:
+        with open(path, "rb") as fh:
+            return b"<ROW" in fh.read(limit)
+    except OSError:
+        return False
 
 
 def spool_bz2(path: str, spool_dir: str | None = None) -> str:
@@ -874,6 +904,13 @@ class FMPXMLReader(DataSourceReader):
         n = -(-size // target)
         if n <= 1:
             return [(0, None)]
+        if not _probe_literal_row(path):
+            # namespace-PREFIXED exports (<f:ROW>) contain no literal
+            # b'<ROW' for the byte-range scanner to find — splitting
+            # would return a silently EMPTY result. Fall back to the
+            # whole-file partition, whose scanner raises loudly at
+            # seek_resultset and re-parses with namespace-aware ET.
+            return [(0, None)]
         bounds = [size * k // n for k in range(n + 1)]
         return [(bounds[k], bounds[k + 1]) for k in range(n)]
 
@@ -918,20 +955,6 @@ class FMPXMLReader(DataSourceReader):
             for start, end in self._split_ranges(path, size, total):
                 parts.append(InputPartition((path, start, end)))
         return parts
-
-    def _to_batch(self, buf: list[tuple]):
-        import pyarrow as pa
-
-        arrays = []
-        for i, col in enumerate(zip(*buf)):
-            if i in self._array_cols:
-                arrays.append(pa.array(col, type=pa.list_(pa.string())))
-            elif i in self._double_cols:
-                # typed mode: SQL-CAST semantics — unparseable → null
-                arrays.append(pa.array([_to_double(v) for v in col], type=pa.float64()))
-            else:
-                arrays.append(pa.array(col, type=pa.string()))
-        return pa.RecordBatch.from_arrays(arrays, names=self._field_names)
 
     def _emit_columnar(self, vals: list, k: int):
         """Arrow batch from the first k rows of the flat row-major cell
@@ -1047,7 +1070,7 @@ class FMPXMLReader(DataSourceReader):
                         emitted += ARROW_BATCH_ROWS
                 if rows:
                     yield self._emit_columnar(vals, rows)
-            except FMPFastPathError:
+            except (FMPFastPathError, UnicodeDecodeError):
                 # structural surprise the region scanner couldn't localize:
                 # rewind, strict ET parse, skip rows already emitted as
                 # batches (un-emitted accumulated rows are re-parsed)
@@ -1064,18 +1087,30 @@ class FMPXMLReader(DataSourceReader):
             stream.close()
 
     def _read_rowwise(self, rows: Iterator[tuple]):
-        buf: list[tuple] = []
+        # flatten row tuples and delegate to the one column-typing
+        # dispatch (_emit_columnar) — a second copy of the
+        # array/double/string branch here silently diverged once
+        buf: list = []
+        n_rows = 0
         for row in rows:
-            buf.append(row)
-            if len(buf) >= ARROW_BATCH_ROWS:
-                yield self._to_batch(buf)
-                buf.clear()
-        if buf:
-            yield self._to_batch(buf)
+            buf.extend(row)
+            n_rows += 1
+            if n_rows >= ARROW_BATCH_ROWS:
+                yield self._emit_columnar(buf, n_rows)
+                n_rows = 0
+        if n_rows:
+            yield self._emit_columnar(buf, n_rows)
 
 
 def _to_double(v: str | None) -> float | None:
-    if v is None:
+    """SQL-CAST-style string→double: plain decimal / scientific
+    notation and the Inf/NaN special literals; unparseable → null.
+    Python float() accepts PEP 515 underscore separators ('1_000')
+    which Spark's CAST rejects — gated out below. (The reverse
+    residue is accepted as a documented simplification: Java-only
+    forms a Spark CAST would take — trailing 'd'/'f', hex-float —
+    come back null here; no FMP export emits them.)"""
+    if v is None or "_" in v:
         return None
     try:
         return float(v)
@@ -1096,7 +1131,9 @@ def resolve_source_paths(path: str, multi: bool = False) -> list[str]:
     import glob as _glob
     import os
 
-    if any(ch in path for ch in "*?["):
+    # a literal file whose NAME contains glob metacharacters (e.g.
+    # browser-dedup'd "export[1].xml") wins over glob interpretation
+    if any(ch in path for ch in "*?[") and not os.path.isfile(path):
         matches = sorted(_glob.glob(path))
         if not matches:
             raise FileNotFoundError(f"no files match {path}")
@@ -1401,11 +1438,19 @@ class FMPXMLDataSource(DataSource):
 
 
 def register_fmp_source(spark: SparkSession) -> None:
-    """Idempotently register the fmpxml format on this session."""
-    try:
-        spark.dataSource.register(FMPXMLDataSource)
-    except Exception:  # already registered
-        pass
+    """Idempotently register the fmpxml format on this session.
+
+    Spark 4 re-registration replaces silently (one WARN), so no
+    exception needs swallowing here — a raise is a REAL failure
+    (e.g. pre-4.0 PySpark without the Python DataSource API) and must
+    propagate instead of resurfacing later as an unrelated
+    'data source not found'."""
+    if not hasattr(spark, "dataSource"):
+        raise RuntimeError(
+            "this SparkSession has no Python DataSource registry "
+            "(spark.dataSource) — the fmpxml source needs PySpark >= 4.0"
+        )
+    spark.dataSource.register(FMPXMLDataSource)
 
 
 def read_fmp_xml_df(

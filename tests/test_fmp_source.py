@@ -545,12 +545,14 @@ def test_split_sizing_policy(tmp_path):
     def ranges(reader, path, total):
         return reader._split_ranges(str(path), path.stat().st_size, total)
 
+    # fixtures carry a literal <ROW so the planner's split-safety probe
+    # (namespace-prefix guard) sees a splittable grammar
     big = tmp_path / "big.xml"
-    big.write_bytes(b"x" * (48 << 20))  # 48 MiB: 3 splits at 16 MiB floor
+    big.write_bytes(b"<ROW" + b"x" * ((48 << 20) - 4))  # 48 MiB: 3 splits at 16 MiB floor
     small = tmp_path / "small.xml"
-    small.write_bytes(b"x" * (1 << 20))
+    small.write_bytes(b"<ROW" + b"x" * ((1 << 20) - 4))
     bz = tmp_path / "big.xml.bz2"
-    bz.write_bytes(b"x" * (48 << 20))
+    bz.write_bytes(b"<ROW" + b"x" * ((48 << 20) - 4))
 
     single = FMPXMLReader([str(big)], ["f"], "error", split_bytes=None, parallelism=32)
     assert len(ranges(single, big, big.stat().st_size)) == 3
@@ -980,3 +982,114 @@ def test_array_mode_single_data_only_region(spark, tmp_path):
     df = read_fmp_xml_df(spark, str(path), repeats="array")
     rows_out = df.orderBy("naam").collect()
     assert [r.vindplaats for r in rows_out] == [[f"solo {r}"] for r in range(6)]
+
+
+# -- round-5 review regressions ---------------------------------------------
+
+
+def test_et_path_constant_memory():
+    """root.clear() alone freed nothing (ROWs accumulate under the
+    live RESULTSET element) — the ET fallback must stay bounded on a
+    100 GB-class export. 5k rows must peak well under the full-tree
+    footprint."""
+    import io
+    import tracemalloc
+
+    from ceneton_database_tools_spark.sources.fmp_xml import iter_fmp_rows_et
+
+    rows = "".join(
+        f'<ROW MODID="1" RECORDID="{i}"><COL><DATA>v{i}</DATA></COL></ROW>'
+        for i in range(5000)
+    )
+    doc = (
+        '<?xml version="1.0"?>'
+        '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">'
+        '<ERRORCODE>0</ERRORCODE><DATABASE RECORDS="5000"/><METADATA>'
+        '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="A" TYPE="TEXT"/></METADATA>'
+        f'<RESULTSET FOUND="5000">{rows}</RESULTSET></FMPXMLRESULT>'
+    ).encode()
+    tracemalloc.start()
+    out = list(iter_fmp_rows_et(io.BytesIO(doc), 1))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == 5000 and out[-1] == ("v4999",)
+    assert peak < 3_000_000, f"ET path held the whole tree: peak={peak}"
+
+
+def _prefixed_doc(nrows: int) -> bytes:
+    rows = "".join(
+        f'<f:ROW MODID="1" RECORDID="{i}"><f:COL><f:DATA>v{i}</f:DATA></f:COL></f:ROW>'
+        for i in range(nrows)
+    )
+    return (
+        '<?xml version="1.0"?>'
+        '<f:FMPXMLRESULT xmlns:f="http://www.filemaker.com/fmp/1/result">'
+        f'<f:ERRORCODE>0</f:ERRORCODE><f:DATABASE RECORDS="{nrows}"/><f:METADATA>'
+        '<f:FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="A" TYPE="TEXT"/></f:METADATA>'
+        f'<f:RESULTSET FOUND="{nrows}">{rows}</f:RESULTSET></f:FMPXMLRESULT>'
+    ).encode()
+
+
+def test_namespace_prefixed_export_never_silently_empty(spark, tmp_path):
+    """A namespace-PREFIXED export has no literal b'<ROW' for the
+    byte-range scanner; the split planner must detect that (driver-side
+    probe) and fall back to the whole-file ET path instead of loading
+    an empty DataFrame."""
+    path = tmp_path / "prefixed.xml"
+    path.write_bytes(_prefixed_doc(400))
+    # force a split size small enough that the planner WOULD split
+    df = read_fmp_xml_df(spark, str(path), split=4096)
+    rows = df.collect()
+    assert len(rows) == 400
+    assert rows[0][0] == "v0"
+
+
+def test_non_utf8_export_falls_back_to_et(tmp_path):
+    """A declared non-UTF-8 encoding must fall back to ET (which honors
+    the prolog) instead of crashing with UnicodeDecodeError."""
+    from ceneton_database_tools_spark.sources.fmp_xml import iter_fmp_rows
+
+    doc = (
+        "<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>"
+        '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">'
+        '<ERRORCODE>0</ERRORCODE><DATABASE RECORDS="1"/><METADATA>'
+        '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="A" TYPE="TEXT"/></METADATA>'
+        '<RESULTSET FOUND="1">'
+        "<ROW MODID=\"1\" RECORDID=\"1\"><COL><DATA>caf\xe9</DATA></COL></ROW>"
+        "</RESULTSET></FMPXMLRESULT>"
+    ).encode("iso-8859-1")
+    path = tmp_path / "latin1.xml"
+    path.write_bytes(doc)
+    with open_xml_stream(str(path)) as stream:
+        rows = list(iter_fmp_rows(stream, 1))
+    assert rows == [("café",)]
+
+
+def test_literal_path_with_brackets(tmp_path):
+    """A real file whose NAME contains glob metacharacters (browser
+    download dedup: export[1].xml) must resolve literally, not as a
+    character class."""
+    from ceneton_database_tools_spark.sources.fmp_xml import resolve_source_paths
+
+    p = tmp_path / "export[1].xml"
+    p.write_bytes(b"<x/>")
+    assert resolve_source_paths(str(p)) == [str(p)]
+
+
+def test_to_double_rejects_underscores():
+    from ceneton_database_tools_spark.sources.fmp_xml import _to_double
+
+    assert _to_double("1_000") is None  # SQL CAST rejects PEP 515 forms
+    assert _to_double("1000") == 1000.0
+    assert _to_double("1.5e2") == 150.0
+    assert _to_double("x") is None
+
+
+def test_register_fmp_source_requires_spark4():
+    from ceneton_database_tools_spark.sources.fmp_xml import register_fmp_source
+
+    class _NoRegistry:  # pre-4.0 session shape
+        pass
+
+    with pytest.raises(RuntimeError, match="PySpark >= 4.0"):
+        register_fmp_source(_NoRegistry())
