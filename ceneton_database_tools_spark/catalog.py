@@ -63,11 +63,25 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       stay identical to DuckDB's naive read.
     * TIMESTAMP(MICROS, adjusted) — already session-local, no-op.
     """
-    from pyspark.sql import functions as F
+    ensure_nanos_conf(spark)
+    return normalize_events_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
+
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Self-heal the legacy nanos-as-long flag (the driver's session may
+    not have been built by our factory). Must run BEFORE the parquet
+    read whose schema it affects."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """ONE copy of the events ts dispatch (see _load_events' docstring
+    for the physical-type history) — shared by the batch loader and the
+    streaming reader so a future fixture variant cannot be handled in
+    only one of them."""
+    from pyspark.sql import functions as F
+
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

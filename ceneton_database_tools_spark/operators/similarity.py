@@ -54,6 +54,40 @@ _DUCK_BASE = f"""
 """
 
 
+def _query_set(df: DataFrame, n: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """First-n query projection — the (query_id, qv, qnrm) shape every
+    similarity query broadcasts (ONE definition; it appeared
+    copy-pasted in four operators before round 5)."""
+    return df.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        *extra,
+    )
+
+
+def _score_rank(cands: DataFrame, k: int, with_cosine: bool = True) -> DataFrame:
+    """Shared scoring tail: drop self-pairs, score with the
+    left-associated cosine chain, window top-k per query (cos DESC,
+    neighbor_id tiebreak). ``cands`` carries the corpus columns
+    (vec_id, v, nrm) joined with a query projection."""
+    cos = F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)) / (
+        F.col("qnrm") * F.col("nrm")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    ranked = (
+        cands.filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if with_cosine:
+        return ranked.select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine")
+        )
+    return ranked.select("query_id", "neighbor_id")
+
+
 @register(
     "similarity_topk_exact",
     oracle=f"""
@@ -83,27 +117,8 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor_id as the total-order tiebreak.
     """
     base = _base(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    cos = F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)) / (
-        F.col("qnrm") * F.col("nrm")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        base.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cos.alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    cands = base.crossJoin(F.broadcast(_query_set(base, N_QUERIES)))
+    return _score_rank(cands, TOP_K)
 
 
 def _ann_bucket_duck() -> str:
@@ -154,24 +169,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bucketed = base.withColumn("bucket", bucket)
-    queries = bucketed.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-        "bucket",
-    )
-    cos = F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)) / (
-        F.col("qnrm") * F.col("nrm")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        bucketed.join(F.broadcast(queries), "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= ANN_TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    queries = _query_set(bucketed, ANN_N_QUERIES, extra=("bucket",))
+    cands = bucketed.join(F.broadcast(queries), "bucket")
+    return _score_rank(cands, ANN_TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +252,15 @@ def _ivf_centroids(base: DataFrame) -> DataFrame:
             .select("cid", F.coalesce("ncv", "cv").alias("cv"))
             .withColumn("cnrm", F.expr(T.norm_chain("cv", EMB_DIM, one_based=False)))
         )
-    return cents
+    # Materialize the trained index: nlist rows × 64 doubles. Without
+    # this, every downstream reference to the centroid table (lists +
+    # probe branches of the ANN query, plus the recall query's nested
+    # call) re-executes the FULL two-iteration training lineage —
+    # crossJoin, window, 64-column aggregate over the corpus — once
+    # per reference. Training runs exactly once; consumers broadcast a
+    # local relation, which is also the production shape (a trained
+    # coarse index is a small artifact loaded next to the query plan).
+    return cents.sparkSession.createDataFrame(cents.collect(), schema=cents.schema)
 
 
 def _kmeans_ctes() -> str:
@@ -381,9 +389,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "nrm", "cid")
     )
-    queries = base.filter(F.col("vec_id") < IVF_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
-    )
+    queries = _query_set(base, IVF_N_QUERIES)
     cos_qc = F.expr(T.dot_chain("qv", "cv", EMB_DIM, one_based=False)) / (
         F.col("qnrm") * F.col("cnrm")
     )
@@ -395,18 +401,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prn") <= IVF_NPROBE)
         .select("query_id", "qv", "qnrm", "cid")
     )
-    cos_qe = F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)) / (
-        F.col("qnrm") * F.col("nrm")
-    )
-    w_rank = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        lists.join(F.broadcast(probed), "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_qe.alias("cos"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rank") <= IVF_TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    return _score_rank(lists.join(F.broadcast(probed), "cid"), IVF_TOP_K)
 
 
 def _ivf_recall_oracle() -> str:
@@ -450,22 +445,10 @@ def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard way recall is sampled in production), the index side is
     the nprobe-bounded IVF plan."""
     base = _base(spark, sf_dir)
-    queries = base.filter(F.col("vec_id") < IVF_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    cos = F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)) / (
-        F.col("qnrm") * F.col("nrm")
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    exact = (
-        base.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= IVF_TOP_K)
-        .select("query_id", "neighbor_id")
+    exact = _score_rank(
+        base.crossJoin(F.broadcast(_query_set(base, IVF_N_QUERIES))),
+        IVF_TOP_K,
+        with_cosine=False,
     )
     ivf = similarity_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
     return (

@@ -71,19 +71,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     NANOS → bigint div 1000 → micros; MICROS-NTZ → cast to LTZ
     (watermarks require TIMESTAMP, and the session tz is pinned UTC so
     wall-clock values match DuckDB's naive read)."""
+    from ceneton_database_tools_spark.catalog import ensure_nanos_conf, normalize_events_ts
+
     path = _as_stream_dir(table_path(sf_dir, "events"))
-    # self-heal like catalog._load_events: the driver's session may not
-    # have been built by our factory
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(path).schema  # one driver-side footer read
-    sdf = spark.readStream.schema(schema).parquet(path)
-    ts_type = dict(sdf.dtypes).get("ts")
-    if ts_type == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
-    return sdf.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return normalize_events_ts(spark.readStream.schema(schema).parquet(path))
 
 
 def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -107,12 +100,15 @@ def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFr
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    result = spark.table(name)
-    out = spark.createDataFrame(result.collect(), schema=result.schema)
-    spark.catalog.dropTempView(name)
-    query.stop()
-    return out
+    try:
+        query.awaitTermination()
+        result = spark.table(name)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        # also on failure: a raise from awaitTermination/collect must
+        # not leak the uuid-named sink view into the session
+        query.stop()
+        spark.catalog.dropTempView(name)
 
 
 # ---------------------------------------------------------------------------
@@ -395,26 +391,45 @@ def _user_stats_fn(key, pdfs, state):
     sum, and the largest inter-event gap — the custom-stateful shape
     (fraud windows, session features) that built-in aggregations can't
     express. State holds four scalars per user regardless of history
-    length; batches arrive as Arrow frames and are reduced vectorized."""
+    length.
+
+    Correctness shape: a group larger than the Arrow batch size
+    arrives as MULTIPLE frames in shuffle order, so the frames are
+    concatenated and sorted ONCE (ts, then the unique event_id) before
+    the vectorized diff — per-chunk sorting would compute gaps across
+    chunk seams in arrival order, not time order. Across micro-batches
+    the gap bridges from the carried last_us (an in-watermark late
+    event in a later batch is measured against the running frontier —
+    the inherent streaming semantics; the single-pass availableNow
+    replay used by the gate delivers everything in one batch, where
+    this matches the relational oracle exactly).
+
+    Rounding deliberately does NOT happen here: Python round() is
+    half-to-even while the oracle (and every registered query) rounds
+    half-away — the caller rounds with F.round after the final state
+    is selected."""
+    import numpy as np
     import pandas as pd
 
     (n, total, last_us, max_gap_us) = state.get if state.exists else (0, 0.0, None, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        us = (pdf["ts"].astype("int64") // 1000).tolist()
-        for u in us:
-            if last_us is not None:
-                max_gap_us = max(max_gap_us, u - last_us)
-            last_us = u
-        n += len(pdf)
-        total += float(pdf["value"].sum())
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"])
+        us = (batch["ts"].astype("int64") // 1000).to_numpy()
+        if last_us is not None:
+            max_gap_us = max(max_gap_us, int(us[0]) - last_us)
+        if len(us) > 1:
+            max_gap_us = max(max_gap_us, int(np.diff(us).max()))
+        last_us = int(us[-1])
+        n += len(batch)
+        total += float(batch["value"].sum())
     state.update((n, total, last_us, max_gap_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 2)],
-            "max_gap_sec": [round(max_gap_us / 1_000_000, 1)],
+            "total_value": [total],
+            "max_gap_sec": [max_gap_us / 1_000_000],
         }
     )
 
@@ -473,7 +488,14 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value", "max_gap_sec")
+        # rounding happens HERE (engine half-away semantics), not in the
+        # Python state function (round() is half-to-even)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            F.round("max_gap_sec", 1).alias("max_gap_sec"),
+        )
     )
 
 
