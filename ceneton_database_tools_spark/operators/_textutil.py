@@ -101,3 +101,32 @@ def dot_chain(a: str, b: str, dim: int, one_based: bool) -> str:
 
 def norm_chain(v: str, dim: int, one_based: bool) -> str:
     return f"sqrt({dot_chain(v, v, dim, one_based)})"
+
+
+# -- distinct word-trigram count over a token array column `w` --------------
+# (shared by the repetition-ratio operator and the curation quality gate —
+# the 30%-distinct threshold only means the same thing in both if the
+# trigram definition is literally shared)
+SPARK_TRIGRAM_DISTINCT = (
+    "size(array_distinct(transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', slice(w, i + 1, 3)))))"
+)
+DUCK_TRIGRAM_DISTINCT = (
+    "len(list_distinct([array_to_string(w[i:i+2], ' ') "
+    "for i in range(1, len(w) - 1)]))"
+)
+
+
+def spark_md5_mod(expr: str, modulus: int, hex_digits: int = 15) -> str:
+    """Integer hash ``md5(expr)``'s first ``hex_digits`` hex chars as a
+    BIGINT, reduced mod ``modulus`` — the cross-engine bucket/sampling
+    recipe (pairs with :func:`duck_md5_mod`; same integer semantics on
+    both engines, all values non-negative)."""
+    return (
+        f"CAST(conv(substr(md5({expr}), 1, {hex_digits}), 16, 10) AS BIGINT)"
+        f" % {modulus}"
+    )
+
+
+def duck_md5_mod(expr: str, modulus: int, hex_digits: int = 15) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, {hex_digits}))::BIGINT) % {modulus}"

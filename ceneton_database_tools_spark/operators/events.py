@@ -301,10 +301,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click",
         "n_purchase",
-        F.round(F.col("n_click") * 100.0 / F.col("n_view"), 2).alias("view_to_click_pct"),
-        F.round(F.col("n_purchase") * 100.0 / F.col("n_click"), 2).alias(
-            "click_to_purchase_pct"
-        ),
+        F.expr(
+            "CAST(floor(n_click * 10000.0 / n_view + 0.5) AS DOUBLE) / 100"
+        ).alias("view_to_click_pct"),
+        F.expr(
+            "CAST(floor(n_purchase * 10000.0 / n_click + 0.5) AS DOUBLE) / 100"
+        ).alias("click_to_purchase_pct"),
     )
 
 

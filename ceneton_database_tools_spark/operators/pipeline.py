@@ -17,6 +17,7 @@ all; this family is mandated by the driver's brief.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
@@ -35,10 +36,8 @@ _RATE_CASE_SQL = "CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END"
 
 # 60-bit md5 prefix of the stringified key, reduced mod 100 — the same
 # cross-engine integer-hash recipe as the MinHash base in _textutil.
-_SPARK_BUCKET = (
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
-)
-_DUCK_BUCKET = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT) % 100"
+_SPARK_BUCKET = T.spark_md5_mod("CAST(doc_id AS STRING)", 100)
+_DUCK_BUCKET = T.duck_md5_mod("doc_id::VARCHAR", 100)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +149,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(target_pct) AS BIGINT)  AS target_pct,
            CAST(count(*) AS BIGINT)         AS n_docs,
            CAST(sum(keep) AS BIGINT)        AS n_sampled,
-           round(sum(keep) * 100.0 / count(*), 2) AS achieved_pct
+           CAST(floor(sum(keep) * 10000.0 / count(*) + 0.5) AS DOUBLE) / 100 AS achieved_pct
     FROM s
     GROUP BY lang
     """,
@@ -178,7 +177,9 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("target_pct").cast("long").alias("target_pct"),
         F.count("*").cast("long").alias("n_docs"),
         F.sum("keep").cast("long").alias("n_sampled"),
-        F.round(F.sum("keep") * 100.0 / F.count("*"), 2).alias("achieved_pct"),
+        F.expr(
+            "CAST(floor(sum(keep) * 10000.0 / count(*) + 0.5) AS DOUBLE) / 100"
+        ).alias("achieved_pct"),
     )
 
 
@@ -196,9 +197,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri AS (
       SELECT doc_id, lang,
              CAST(len(w) - 2 AS BIGINT) AS n_tri,
-             CAST(len(list_distinct(
-               [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
-             )) AS BIGINT) AS n_distinct
+             CAST({T.DUCK_TRIGRAM_DISTINCT} AS BIGINT) AS n_distinct
       FROM tok WHERE len(w) >= 3
     )
     SELECT doc_id, lang, n_tri, n_distinct,
@@ -229,16 +228,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             (F.size("w") - 2).cast("long").alias("n_tri"),
-            F.size(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(0, size(w) - 3), "
-                        "i -> concat_ws(' ', slice(w, i + 1, 3)))"
-                    )
-                )
-            )
-            .cast("long")
-            .alias("n_distinct"),
+            F.expr(T.SPARK_TRIGRAM_DISTINCT).cast("long").alias("n_distinct"),
         )
     )
     return (
@@ -333,7 +323,7 @@ def text_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            CAST(bucket * 50 AS BIGINT) AS chars_lo,
            CAST(count(*) AS BIGINT)    AS n_docs,
-           round(count(*) * 100.0 / (SELECT count(*) FROM documents), 2) AS pct
+           CAST(floor(count(*) * 10000.0 / (SELECT count(*) FROM documents) + 0.5) AS DOUBLE) / 100 AS pct
     FROM b
     GROUP BY bucket
     """,
@@ -363,7 +353,7 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "chars_lo",
             "n_docs",
-            F.round(F.col("n_docs") * 100.0 / F.col("total"), 2).alias("pct"),
+            F.expr("CAST(floor(n_docs * 10000.0 / total + 0.5) AS DOUBLE) / 100").alias("pct"),
         )
     )
 
@@ -376,14 +366,12 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # have trigrams, at least 30% distinct trigrams. Pure integer
 # comparisons (n_distinct * 10 >= n_tri * 3) — no float boundary.
 _SPARK_QUALITY = (
-    "size(w) BETWEEN 10 AND 400 AND (size(w) < 3 OR "
-    "size(array_distinct(transform(sequence(0, size(w) - 3), "
-    "i -> concat_ws(' ', slice(w, i + 1, 3))))) * 10 >= (size(w) - 2) * 3)"
+    f"size(w) BETWEEN 10 AND 400 AND (size(w) < 3 OR "
+    f"{T.SPARK_TRIGRAM_DISTINCT} * 10 >= (size(w) - 2) * 3)"
 )
 _DUCK_QUALITY = (
-    "len(w) BETWEEN 10 AND 400 AND (len(w) < 3 OR "
-    "len(list_distinct([array_to_string(w[i:i+2], ' ') "
-    "for i in range(1, len(w) - 1)])) * 10 >= (len(w) - 2) * 3)"
+    f"len(w) BETWEEN 10 AND 400 AND (len(w) < 3 OR "
+    f"{T.DUCK_TRIGRAM_DISTINCT} * 10 >= (len(w) - 2) * 3)"
 )
 
 
@@ -432,8 +420,6 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     under re-runs and appends). One window + one rollup: two shuffles
     total for a three-stage pipeline.
     """
-    from pyspark.sql import Window as W
-
     docs = _docs(spark, sf_dir).withColumn("w", F.expr(T.SPARK_TOKENS))
     b = docs.select(
         "doc_id",
@@ -643,16 +629,25 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
            CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
            CAST(len(list_slice(w, s + 1, s + {CHUNK_TOKENS})) AS BIGINT) AS n_tokens,
            array_to_string(list_slice(w, s + 1, s + {CHUNK_TOKENS}), ' ') AS chunk
-    FROM tok, unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE})) AS t(s)
+    FROM tok, unnest(generate_series(
+      0, GREATEST(len(w) - {CHUNK_TOKENS - CHUNK_STRIDE} - 1, 0), {CHUNK_STRIDE}
+    )) AS t(s)
     """,
     tags=("text", "chunking", "llm-pipeline"),
 )
 def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking: overlapping {CHUNK_TOKENS}-token
-    windows at stride {CHUNK_STRIDE} — the context-window preparation
-    step of a pretraining pipeline (every token appears in ≥1 chunk;
-    consecutive chunks share an 8-token overlap so no boundary context
-    is lost).
+    """Sliding-window document chunking: overlapping 32-token windows
+    at stride 24 — the context-window preparation step of a
+    pretraining pipeline (every token appears in ≥1 chunk; consecutive
+    chunks share an 8-token overlap so no boundary context is lost).
+
+    A start offset is emitted only while it contributes NEW tokens:
+    a chunk at start s adds content beyond its predecessor iff
+    s <= len - overlap - 1 (overlap = chunk - stride = 8), so the
+    last-window cap is len-9 — without it, any doc with len mod 24
+    in 1..8 emits a trailing chunk that is a strict SUBSET of the
+    previous one (duplicated training text, in the pipeline whose
+    other operators exist to remove duplicated passages).
 
     Scale shape: pure per-row narrow work — tokenize, build the start
     offsets with ``sequence``, ``posexplode`` one row per chunk. No
@@ -661,7 +656,11 @@ def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage.
     """
     docs = _docs(spark, sf_dir).withColumn("w", F.expr(T.SPARK_TOKENS))
-    starts = F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("w") - (CHUNK_TOKENS - CHUNK_STRIDE) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
     exploded = docs.select(
         "doc_id", "w", F.explode(starts).alias("s")
     )
@@ -709,8 +708,6 @@ def docs_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     based). The target count is a 1-row aggregate broadcast into the
     filter.
     """
-    from pyspark.sql import Window as W
-
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     key = F.md5(F.col("doc_id").cast("string"))
     rk = F.row_number().over(W.partitionBy("lang").orderBy(key, "doc_id"))
@@ -839,8 +836,6 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         F.size(F.expr(T.SPARK_TOKENS)).alias("n_tok"),
     )
-    from pyspark.sql import Window as W
-
     win = (
         W.partitionBy("shard")
         .orderBy("doc_id")

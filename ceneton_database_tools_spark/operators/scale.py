@@ -160,17 +160,17 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scale_hash_split",
-    oracle="""
+    oracle=f"""
     WITH tagged AS (
       SELECT doc_id, n_chars,
-             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                       % 100 < 90
+             CASE WHEN {T.duck_md5_mod("CAST(doc_id AS VARCHAR)", 100, hex_digits=8)} < 90
                   THEN 'train' ELSE 'holdout' END AS split
       FROM documents
     )
     SELECT split,
            count(*)                AS n_docs,
-           round(avg(n_chars), 2)  AS avg_chars,
+           CAST(floor(CAST(sum(n_chars) AS DOUBLE) * 100 / count(*) + 0.5)
+                AS DOUBLE) / 100   AS avg_chars,
            min(doc_id)             AS min_doc_id
     FROM tagged
     GROUP BY split
@@ -188,9 +188,7 @@ def scale_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE-clause sampler at any rate (``< 10`` → 10% sample).
     """
     docs = _t(spark, sf_dir, "documents")
-    bucket = F.expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
-    )
+    bucket = F.expr(T.spark_md5_mod("CAST(doc_id AS STRING)", 100, hex_digits=8))
     return (
         docs.withColumn(
             "split", F.when(bucket < 90, F.lit("train")).otherwise(F.lit("holdout"))
@@ -198,7 +196,10 @@ def scale_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.expr(
+                "CAST(floor(CAST(sum(n_chars) AS DOUBLE) * 100 / count(*) + 0.5)"
+                " AS DOUBLE) / 100"
+            ).alias("avg_chars"),
             F.min("doc_id").alias("min_doc_id"),
         )
     )

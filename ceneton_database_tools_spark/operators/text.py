@@ -51,8 +51,10 @@ def _with_tokens(docs: DataFrame) -> DataFrame:
       lang,
       count(*)                                   AS n_docs,
       count(DISTINCT source)                     AS n_sources,
-      round(avg(n_chars), 2)                     AS avg_chars,
-      round(avg(len({T.DUCK_TOKENS})), 2)        AS avg_tokens,
+      CAST(floor(CAST(sum(n_chars) AS DOUBLE) * 100 / count(*) + 0.5)
+           AS DOUBLE) / 100                       AS avg_chars,
+      CAST(floor(CAST(sum(len({T.DUCK_TOKENS})) AS DOUBLE) * 100 / count(*) + 0.5)
+           AS DOUBLE) / 100                       AS avg_tokens,
       min(n_chars)                               AS min_chars,
       max(n_chars)                               AS max_chars
     FROM documents
@@ -71,8 +73,14 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(F.size("w")), 2).alias("avg_tokens"),
+            F.expr(
+                "CAST(floor(CAST(sum(n_chars) AS DOUBLE) * 100 / count(*) + 0.5)"
+                " AS DOUBLE) / 100"
+            ).alias("avg_chars"),
+            F.expr(
+                "CAST(floor(CAST(sum(size(w)) AS DOUBLE) * 100 / count(*) + 0.5)"
+                " AS DOUBLE) / 100"
+            ).alias("avg_tokens"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
         )
@@ -97,7 +105,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     WITH t AS (
       SELECT doc_id,
              {T.DUCK_TOKENS} AS w,
-             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS bpe
+             regexp_extract_all(text, '{_BPE_PATTERN}') AS bpe
       FROM documents
     )
     SELECT doc_id,
@@ -413,6 +421,14 @@ _DUCK_FPS = (
 _SPARK_NORM = f"concat_ws(' ', {T.SPARK_TOKENS})"
 _DUCK_NORM = f"array_to_string({T.DUCK_TOKENS}, ' ')"
 
+# Astral-plane scrub: Spark's split('')/ascii() walks UTF-16 units
+# while DuckDB's substr/ord walks codepoints, so any char >= U+10000
+# (emoji, CJK extensions) would silently desynchronize every k-gram
+# hash from that position on. Both engines replace such codepoints
+# with '?' before hashing (verified identical on both), keeping the
+# fingerprint defined over the BMP char stream.
+_ASTRAL = "[\\x{10000}-\\x{10FFFF}]"
+
 
 @register(
     "text_winnow_fingerprint",
@@ -421,10 +437,13 @@ _DUCK_NORM = f"array_to_string({T.DUCK_TOKENS}, ' ')"
       SELECT doc_id, {_DUCK_NORM} AS txt FROM documents
       UNION ALL
       SELECT doc_id + {TWIN_OFFSET},
-             array_to_string(list_slice({T.DUCK_TOKENS}, 2, len({T.DUCK_TOKENS})), ' ')
+             {T.DUCK_DROP_FIRST_TOKEN}
       FROM documents
     ),
-    hashed AS (SELECT doc_id, {_DUCK_KH} AS kh FROM corpus),
+    scrubbed AS (
+      SELECT doc_id, regexp_replace(txt, '{_ASTRAL}', '?', 'g') AS txt FROM corpus
+    ),
+    hashed AS (SELECT doc_id, {_DUCK_KH} AS kh FROM scrubbed),
     fps AS (SELECT doc_id, {_DUCK_FPS} AS fp FROM hashed),
     paired AS (
       SELECT a.doc_id,
@@ -465,10 +484,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", F.expr(_SPARK_NORM).alias("txt"))
     twins = docs.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
-        F.expr(
-            f"array_join(slice({T.SPARK_TOKENS}, 2, "
-            f"greatest(size({T.SPARK_TOKENS}) - 1, 0)), ' ')"
-        ).alias("txt"),
+        F.expr(T.SPARK_DROP_FIRST_TOKEN).alias("txt"),
     )
     # Plan-shape discipline: the winnowing expression tree is LARGE (an
     # unrolled 8-step Horner inside two nested transforms), and fp/kh/cs
@@ -490,6 +506,10 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     def winnow(src: DataFrame) -> DataFrame:
         return (
             src.repartition(n_parts, "doc_id")
+            .select(
+                "doc_id",
+                F.regexp_replace("txt", _ASTRAL, "?").alias("txt"),
+            )
             .select("doc_id", F.expr(_SPARK_CODES).alias("cs"), "txt")
             .select("doc_id", F.expr(_SPARK_KH).alias("kh"))
             .select("doc_id", F.expr(_SPARK_FPS).alias("fp"))
