@@ -159,7 +159,9 @@ def scalar_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH orders_daily AS (
       SELECT o_custkey, o_orderdate,
-             count(*) AS n_orders, round(sum(o_totalprice), 2) AS day_total
+             count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS day_total
       FROM orders GROUP BY o_custkey, o_orderdate
     )
     SELECT e.event_id, e.user_id,
@@ -198,7 +200,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("day_total")
+        )
         .select(
             F.col("o_custkey").alias("user_id"),
             F.col("o_orderdate").alias("t"),

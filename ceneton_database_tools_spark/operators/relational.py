@@ -49,7 +49,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                      * CAST(1 - l_discount AS DECIMAL(5,2))
                      * CAST(1 + l_tax AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_charge,
-      round(avg(l_quantity), 6)                                    AS avg_qty,
+      CAST(floor(CAST(sum(l_quantity) AS BIGINT) * 1000000.0 / count(*) + 0.5)
+           AS DOUBLE) / 1000000.0                                 AS avg_qty,
       CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS avg_price,
       CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
@@ -93,7 +94,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(price_d * one_minus_disc * one_plus_tax), 2)
             .cast("double")
             .alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.expr(
+                "CAST(floor(CAST(sum(l_quantity) AS BIGINT) * 1000000.0 / count(*)"
+                " + 0.5) AS DOUBLE) / 1000000.0"
+            ).alias("avg_qty"),
             # floor-quantized at 1e-6: floor of identical doubles — no
             # engine-specific round(double) at half boundaries
             F.expr(
@@ -151,7 +155,7 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(o_orderstatus, '<ALL>')   AS orderstatus,
       coalesce(o_orderpriority, '<ALL>') AS orderpriority,
       count(*)                           AS n_orders,
-      round(sum(o_totalprice), 2)        AS total_price
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -164,7 +168,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("orderstatus"),
@@ -210,7 +216,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(c_mktsegment, '<ALL>') AS mktsegment,
       coalesce(n_name, '<ALL>')       AS nation,
       count(*)                        AS n_customers,
-      round(sum(c_acctbal), 2)        AS sum_acctbal
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
     """,
@@ -228,7 +234,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           coalesce(c_mktsegment, '<ALL>') AS mktsegment,
           coalesce(n_name, '<ALL>')       AS nation,
           count(*)                        AS n_customers,
-          round(sum(c_acctbal), 2)        AS sum_acctbal
+          CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
         FROM _gs_cust_nat
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
         """
@@ -626,16 +632,16 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_custkey,
       o_orderkey,
-      round(sum(o_totalprice) OVER (
+      CAST(floor(sum(o_totalprice) OVER (
         PARTITION BY o_custkey
         ORDER BY o_orderdate, o_orderkey
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ), 2) AS running_spend,
-      round(avg(o_totalprice) OVER (
+      ) * 100 + 0.5) AS DOUBLE) / 100 AS running_spend,
+      CAST(floor(avg(o_totalprice) OVER (
         PARTITION BY o_custkey
         ORDER BY o_orderdate, o_orderkey
         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-      ), 6) AS moving_avg_3
+      ) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS moving_avg_3
     FROM orders
     """,
     tags=("window", "frame"),
@@ -646,12 +652,21 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        # floor(x+0.5) quantization instead of engine round(double):
+        # identical on both engines at every half boundary; the frame
+        # sums are order-deterministic (unique ORDER BY tie-break)
+        F.expr(
+            "CAST(floor(sum(o_totalprice) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ") * 100 + 0.5) AS DOUBLE) / 100"
         ).alias("running_spend"),
-        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 6).alias(
-            "moving_avg_3"
-        ),
+        F.expr(
+            "CAST(floor(avg(o_totalprice) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+            ") * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
+        ).alias("moving_avg_3"),
     )
 
 
@@ -1142,7 +1157,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*)                 AS n_custs,
-           round(sum(c_acctbal), 2) AS total_bal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
     FROM customer c
     WHERE round(c_acctbal, 2) > (SELECT CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS DOUBLE) / 100.0 FROM customer
                                  WHERE c_acctbal > 0)
@@ -1174,7 +1189,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
         )
     )
 
