@@ -52,6 +52,13 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
 SIMHASH_BLOCKS = 4
 HAMMING_THRESHOLD = 3
+# Twin ids live at doc_id + TWIN_OFFSET. This is an EVAL construction
+# (the twins exist so recall paths are exercised at test scale), and
+# the offset is baked into the static oracle SQL, so it is a fixed
+# constant — valid while the corpus has < 1e6 documents (sf < ~200 for
+# the driver's generator). A production incremental-dedup deployment
+# keys batches by a disjoint namespace (e.g. (batch_id, doc_id)), not
+# an additive offset; dedup_incremental documents that shape.
 TWIN_OFFSET = 1_000_000
 
 _ODD_NIBBLES = "('1','3','5','7','9','b','d','f')"

@@ -427,7 +427,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer",
     oracle="""
     SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+           CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+                               0.00), 2) AS DOUBLE) AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
@@ -442,7 +443,15 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0).cast("decimal(18,2)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("spend"),
         )
     )
 
@@ -1084,7 +1093,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly, count(*) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_brand = 'Brand#1'
       AND l.l_quantity < (
@@ -1110,7 +1120,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
             F.count("*").alias("n"),
         )
     )
@@ -1225,8 +1237,10 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax",
     oracle="""
     SELECT c_mktsegment,
-           arg_min(c_name, c_acctbal + c_custkey * 0.000000001) AS poorest,
-           arg_max(c_name, c_acctbal + c_custkey * 0.000000001) AS richest,
+           arg_min(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           * 1000000000000 + c_custkey) AS poorest,
+           arg_max(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           * 1000000000000 + c_custkey) AS richest,
            count(*) AS n
     FROM customer
     GROUP BY c_mktsegment
@@ -1236,10 +1250,16 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by / max_by (argmin/argmax aggregates): the customer holding
     the extreme balance per segment, without a join-back or window.
-    The ordering key is perturbed by custkey*1e-9 — identical double
-    arithmetic on both engines — because balances DO tie and a tied
-    arg_min picks an arbitrary row on either engine."""
-    key = F.col("c_acctbal") + F.col("c_custkey") * F.lit(0.000000001)
+    Balances DO tie, and a tied arg_min picks an arbitrary row on
+    either engine — so the ordering key is the EXACT integer composite
+    (balance_cents, custkey) packed into one BIGINT: cents * 1e12 +
+    custkey orders lexicographically as long as custkey < 1e12 (valid
+    to sf ~6.7e6). An additive float perturbation (custkey * 1e-9) was
+    rejected: it exceeds the 0.01 balance quantum once custkey > 1e7,
+    silently reordering customers with different balances at scale."""
+    key = F.expr(
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 1000000000000 + c_custkey"
+    )
     return (
         _t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")

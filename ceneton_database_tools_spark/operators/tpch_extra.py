@@ -836,7 +836,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH iv AS (
       SELECT l_orderkey, l_linenumber,
              l_shipdate AS s,
-             l_shipdate + to_days(CAST(l_quantity AS INTEGER) % 14 + 1) AS e
+             l_shipdate + to_days(CAST(floor(l_quantity) AS INTEGER) % 14 + 1) AS e
       FROM lineitem
     ),
     pairs AS (
@@ -879,8 +879,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("l_shipdate").alias("s"),
+        # timestampadd keeps TIMESTAMP type (date_add truncates to DATE
+        # and would drop time-of-day — the oracle's `+ to_days(...)`
+        # stays a timestamp); floor() on both engines because DuckDB's
+        # CAST(double AS INT) rounds while Spark's truncates
         F.expr(
-            "date_add(l_shipdate, CAST(l_quantity AS INT) % 14 + 1)"
+            "timestampadd(DAY, CAST(floor(l_quantity) AS INT) % 14 + 1, l_shipdate)"
         ).alias("e"),
     )
     a, b = iv.alias("a"), iv.alias("b")
