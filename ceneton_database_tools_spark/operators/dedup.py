@@ -690,32 +690,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clusters_oracle() -> str:
+    """Recursive-CTE connected components over the SAME pair graph as
+    dedup_minhash_lsh — the LSH chain is reused verbatim from
+    _minhash_ctes() (the Spark side literally calls
+    dedup_minhash_lsh(), so oracle and engine change together)."""
     return f"""
-    WITH RECURSIVE toks AS ({_DUCK_NEAR_CORPUS_TOKENS}),
-    shingled AS (SELECT doc_id, {T.DUCK_SHINGLES} AS sh FROM toks),
-    based AS (SELECT doc_id, list_distinct({T.DUCK_HASH_BASE}) AS ba FROM shingled),
-    sigs AS (
-      SELECT doc_id,
-        {", ".join(f"{T.duck_minhash_cw(j)} AS h{j}" for j in range(NUM_HASHES))}
-      FROM based
-    ),
-    bands AS (
-{chr(10).join(f"      SELECT doc_id, {b} AS band_idx, concat_ws('|', {', '.join(f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))}) AS band_val FROM sigs" + ("" if b == BANDS - 1 else chr(10) + "      UNION ALL") for b in range(BANDS))}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_minhash_ctes()},
     pairs AS (
       SELECT c.doc_a, c.doc_b
       FROM cand c
       JOIN based sa ON sa.doc_id = c.doc_a
       JOIN based sb ON sb.doc_id = c.doc_b
-      WHERE len(list_intersect(sa.ba, sb.ba))::DOUBLE /
-            (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba)))
-            >= {JACCARD_THRESHOLD}
+      WHERE {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
     ),
     bidir AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
