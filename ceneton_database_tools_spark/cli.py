@@ -70,7 +70,12 @@ def cmd_print(args: argparse.Namespace) -> int:
     with stage_progress(spark, schema.record_count):
         n = read_fmp_xml_df(spark, args.file_path, split=args.split).count()
     if n != schema.record_count:
-        print(f"warning: parsed {n} records, header declared {schema.record_count}")
+        # stderr: the reference's stdout contract is exactly two lines
+        # ("Parsing ..." / "Done"); its subset warning goes to the log
+        print(
+            f"warning: parsed {n} records, header declared {schema.record_count}",
+            file=sys.stderr,
+        )
     print("Done")
     return 0
 
@@ -105,7 +110,10 @@ def _read_mapping(mapping_column: str | None) -> dict[str, str] | None:
     if mapping_column is None:
         return None
     if ":" in mapping_column:
-        mapping_file, column = mapping_column.split(":")
+        # rsplit: the path itself may contain colons; only the LAST
+        # segment is the column selector (the reference's bare split
+        # crashes on such paths — a ported-then-fixed bug)
+        mapping_file, column = mapping_column.rsplit(":", 1)
     else:
         mapping_file, column = mapping_column, 1
     mapping: dict[str, str] = {}

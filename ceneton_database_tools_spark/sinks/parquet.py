@@ -24,9 +24,17 @@ def write_partitioned(
     mode: str = "error",
 ) -> None:
     """Write ``df`` as parquet partitioned by ``partition_cols``.
-    Writers scale per partition; ``mode="overwrite"`` with dynamic
-    partition overwrite replaces only touched partitions."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    Writers scale per partition; ``mode="overwrite"`` replaces only the
+    partitions present in ``df`` — the per-write ``partitionOverwriteMode``
+    option is pinned to ``dynamic`` because the session default is
+    STATIC, which would first truncate the ENTIRE base path (a df
+    holding one day would silently destroy every other partition)."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:

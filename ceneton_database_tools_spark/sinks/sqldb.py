@@ -54,7 +54,14 @@ def generate_ddl(
     lines = []
     for i, name in enumerate(fields):
         comma = "," if i < len(fields) - 1 else ""
-        comment = f"  -- {mapping[name]}" if mapping and name in mapping else ""
+        # comment text is arbitrary user data (CSV mapping values, FMP
+        # field names) — a newline would terminate the `--` comment and
+        # inject the remainder as live SQL; collapse all whitespace
+        comment = (
+            f"  -- {' '.join(mapping[name].split())}"
+            if mapping and name in mapping
+            else ""
+        )
         lines.append(f"  {_quote(name)} TEXT{comma}{comment}")
     return f"CREATE TABLE {_quote(table_name)} (\n" + "\n".join(lines) + "\n)"
 
@@ -158,6 +165,11 @@ def _create_sqlite(
             raise ValueError(
                 f"Metadata table '{table_name}_metadata' already exists in the database"
             )
+        # Explicit BEGIN so the DDL joins the load transaction: Python's
+        # sqlite3 only implicitly begins before DML, so without this the
+        # CREATE TABLEs run in autocommit and a mid-load rollback leaves
+        # empty tables behind that block every rerun on the exists-guard.
+        conn.execute("BEGIN")
         conn.execute(generate_ddl(table_name, fields, mapping))
         conn.execute(_metadata_ddl(table_name))
         conn.executemany(
@@ -191,11 +203,35 @@ def _create_jdbc(
     meta_rows: list[tuple[str, str, str]],
     batch_size: int,
 ) -> None:
-    """Distributed JDBC load: errorifexists is the exists-guard,
+    """Distributed JDBC load: both tables are existence-probed UP
+    FRONT (like the reference's two-table guard, sql.py:66-75) so a
+    stale metadata twin fails fast instead of after the expensive data
+    load — errorifexists alone would discover it only after fully
+    writing the data table, leaving a partial, rerun-blocking state.
     ``batchsize`` matches the reference's 500-row INSERT batches;
     transactions are per-partition (the scale trade-off)."""
     spark = df.sparkSession
+    for t in (table_name, f"{table_name}_metadata"):
+        try:
+            spark.read.jdbc(db_url, t).schema  # metadata-only probe
+        except Exception:
+            continue  # table absent — the good case
+        raise ValueError(f"Table '{t}' already exists in the database")
     props = {"batchsize": str(batch_size)}
     df.write.mode("errorifexists").options(**props).jdbc(db_url, table_name)
-    meta_df = spark.createDataFrame(meta_rows, schema="key string, value string, created_at string")
-    meta_df.write.mode("errorifexists").options(**props).jdbc(db_url, f"{table_name}_metadata")
+    meta_df = spark.createDataFrame(
+        [(k, v, datetime.datetime.fromisoformat(ts)) for k, v, ts in meta_rows],
+        schema="key string, value string, created_at timestamp",
+    )
+    # match the parity DDL's column shapes (VARCHAR sizes + TIMESTAMP;
+    # a PRIMARY KEY constraint is not expressible through the JDBC
+    # writer — documented divergence from the sqlite parity table)
+    (
+        meta_df.write.mode("errorifexists")
+        .options(**props)
+        .option(
+            "createTableColumnTypes",
+            "key VARCHAR(255), value VARCHAR(1000), created_at TIMESTAMP",
+        )
+        .jdbc(db_url, f"{table_name}_metadata")
+    )

@@ -244,3 +244,60 @@ def test_cli_click_exact_usage_surface(capsys):
     assert main(["dump_headers", "/no/such/file.xml"]) == 2
     err = capsys.readouterr().err
     assert "Error: Invalid value for 'FILE_PATH'" in err and "does not exist" in err
+
+
+# -- round-5 review regressions ---------------------------------------------
+
+
+def test_sqlite_rollback_leaves_no_empty_tables(spark, tmp_path):
+    """DDL must join the load transaction: a mid-load failure used to
+    leave empty tables behind (autocommitted CREATEs survived the
+    rollback) and every rerun then died on the exists-guard."""
+    import sqlite3
+
+    from ceneton_database_tools_spark.sinks.sqldb import create_db_from_df
+
+    from pyspark.sql import functions as F
+
+    # rows fail during evaluation (raise_error) — the load dies AFTER
+    # the DDL has executed, exercising the rollback path
+    df = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id").cast("string"))
+        .otherwise(F.expr("raise_error('boom')"))
+        .alias("c1")
+    )
+    path = str(tmp_path / "fail.db")
+    with pytest.raises(Exception):
+        create_db_from_df(df, f"sqlite:///{path}", "t", "S", record_count=10)
+    conn = sqlite3.connect(path)
+    tables = {r[0] for r in conn.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+    conn.close()
+    assert "t" not in tables and "t_metadata" not in tables, tables
+
+
+def test_ddl_comment_newline_injection():
+    """Mapping values are arbitrary user data — a newline must not
+    escape the `--` comment and inject live SQL."""
+    import sqlite3
+
+    from ceneton_database_tools_spark.sinks.sqldb import generate_ddl
+
+    ddl = generate_ddl("t", ["col1"], {"col1": "orig name\nDROP TABLE x; --"})
+    assert "DROP TABLE" not in ddl.split("--", 1)[0]
+    conn = sqlite3.connect(":memory:")
+    conn.execute(ddl)  # must be valid SQL
+    conn.close()
+
+
+def test_write_partitioned_overwrite_keeps_untouched_partitions(spark, tmp_path):
+    """mode='overwrite' must replace only the partitions present in the
+    incoming df (dynamic overwrite), never truncate the base path."""
+    from ceneton_database_tools_spark.sinks import read_partitioned, write_partitioned
+
+    out = str(tmp_path / "part_table")
+    full = spark.createDataFrame([("a", 1), ("b", 2)], schema="k string, v int")
+    write_partitioned(full, out, ["k"])
+    patch = spark.createDataFrame([("b", 99)], schema="k string, v int")
+    write_partitioned(patch, out, ["k"], mode="overwrite")
+    rows = {(r.k, r.v) for r in read_partitioned(spark, out).collect()}
+    assert rows == {("a", 1), ("b", 99)}, rows
