@@ -514,7 +514,17 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     import math
 
-    xi = (pdf["value"] * 100).round().astype("int64")
+    import numpy as np
+
+    # half-AWAY-from-zero quantization to match both engines'
+    # round(value * 100): pandas .round() is half-to-even, which
+    # diverges on any exactly-representable half (e.g. 1.125 * 100)
+    # the moment the generator emits a 3-decimal grid
+    v100 = pdf["value"].to_numpy() * 100
+    xi = pd.Series(
+        (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype("int64"),
+        index=pdf.index,
+    )
     s = int(xi.sum())
     ss = int((xi * xi).sum())
     n = len(pdf)

@@ -28,7 +28,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       date_trunc('hour', ts)      AS window_start,
       event_type,
       count(*)                    AS n_events,
-      round(sum(value), 2)        AS sum_value,
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
       count(DISTINCT user_id)     AS n_users
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
@@ -48,7 +48,13 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact DECIMAL sum → one deterministic decimal→double
+            # conversion; a raw double sum is order-dependent in the
+            # last ulp and round(double, 2) diverges across engines the
+            # moment the generator leaves the 2-decimal grid
+            F.expr(
+                "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+            ).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -84,7 +90,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       session_id,
       count(*)                                   AS n_events,
-      round(sum(value), 2)                       AS session_value,
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value,
       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec
     FROM sessions
     GROUP BY user_id, session_id
@@ -122,7 +128,9 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.expr(
+                "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+            ).alias("session_value"),
             ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000))
             .cast("long")
             .alias("duration_sec"),
@@ -137,7 +145,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_mktsegment,
       event_type,
       count(*)             AS n_events,
-      CAST(floor(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+      CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                  / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0
                            AS avg_value
     FROM events JOIN customer ON user_id = c_custkey
@@ -162,7 +170,7 @@ def events_user_activity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal sum, one double division, floor-quantized
             # at 1e-6 — order-independent AND half-boundary-free
             F.expr(
-                "CAST(floor(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+                "CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
                 " / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
             ).alias("avg_value"),
         )
@@ -176,7 +184,8 @@ GAPFILL_USERS = 20
     "events_gapfill_ffill",
     oracle=f"""
     WITH hourly AS (
-      SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 2) AS v
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS v
       FROM events WHERE user_id < {GAPFILL_USERS}
       GROUP BY user_id, date_trunc('hour', ts)
     ),
@@ -218,7 +227,9 @@ def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < GAPFILL_USERS)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(
+        F.expr("CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)").alias("v")
+    )
     bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     cal = bounds.select(
         "user_id",
@@ -258,10 +269,12 @@ def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
-           round((SELECT count(*) FROM c) * 100.0
-                 / (SELECT count(*) FROM v), 2) AS view_to_click_pct,
-           round((SELECT count(*) FROM p) * 100.0
-                 / (SELECT count(*) FROM c), 2) AS click_to_purchase_pct
+           CAST(floor((SELECT count(*) FROM c) * 10000.0
+                      / (SELECT count(*) FROM v) + 0.5) AS DOUBLE) / 100
+             AS view_to_click_pct,
+           CAST(floor((SELECT count(*) FROM p) * 10000.0
+                      / (SELECT count(*) FROM c) + 0.5) AS DOUBLE) / 100
+             AS click_to_purchase_pct
     """,
     tags=("events", "funnel"),
 )
@@ -356,10 +369,10 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id,
              CAST(ts AS DATE)                 AS day,
-             round(arg_min(value, ts), 2)     AS open,
-             round(max(value), 2)             AS high,
-             round(min(value), 2)             AS low,
-             round(arg_max(value, ts), 2)     AS close,
+             CAST(round(CAST(arg_min(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS open,
+             CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS high,
+             CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS low,
+             CAST(round(CAST(arg_max(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS close,
              CAST(count(*) AS BIGINT)         AS n_events,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
       FROM events
@@ -391,10 +404,15 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
         .agg(
-            F.round(F.min_by("value", "ts"), 2).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            # round via an exact DECIMAL(18,6) hop: round(double, 2)
+            # resolves half-boundaries through the shortest decimal
+            # repr on Spark but the raw binary on DuckDB — divergent on
+            # any 3-decimal value like 1.005; the scale-6 cast is
+            # identical on both engines for any plausible value grid
+            F.expr("CAST(round(CAST(min_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("open"),
+            F.expr("CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("high"),
+            F.expr("CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("low"),
+            F.expr("CAST(round(CAST(max_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("close"),
             F.count("*").cast("long").alias("n_events"),
             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("_sc"),
         )

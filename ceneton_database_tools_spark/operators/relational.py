@@ -1385,7 +1385,8 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            CAST(count(*) OVER w AS BIGINT)      AS n_72h,
-           round(sum(value) OVER w, 2)          AS sum_72h
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+                                                AS sum_72h
     FROM events
     WINDOW w AS (
       PARTITION BY user_id
@@ -1420,14 +1421,19 @@ def window_range_frame_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).cast("long").alias("n_72h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_72h"),
+        # exact DECIMAL frame sum (the repo float-discipline idiom) —
+        # a double running sum is order-dependent in the last ulp
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("sum_72h"),
     )
 
 
 @register(
     "window_latest_per_key",
     oracle="""
-    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    SELECT user_id, event_id, event_type,
+           CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS value
     FROM (
       SELECT *,
              row_number() OVER (PARTITION BY user_id
@@ -1453,7 +1459,12 @@ def window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("value"),
+        )
     )
 
 

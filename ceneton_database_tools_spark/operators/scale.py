@@ -106,7 +106,8 @@ def agg_approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_salted_two_stage",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM events
     GROUP BY event_type
     """,
@@ -123,11 +124,16 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, not rand(), so the plan stays deterministic."""
     ev = _t(spark, sf_dir, "events")
     salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    # DECIMAL partials merge exactly across salt buckets (double
+    # partials would make the two-stage sum order-dependent in the
+    # last ulp — the float-discipline idiom, applied per stage)
     partial = salted.groupBy("event_type", "salt").agg(
-        F.count("*").alias("pn"), F.sum("value").alias("pv")
+        F.count("*").alias("pn"),
+        F.expr("sum(CAST(value AS DECIMAL(18,6)))").alias("pv"),
     )
     return partial.groupBy("event_type").agg(
-        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+        F.sum("pn").alias("n"),
+        F.expr("CAST(round(sum(pv), 2) AS DOUBLE)").alias("total"),
     )
 
 

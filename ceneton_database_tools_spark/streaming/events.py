@@ -38,6 +38,24 @@ from ceneton_database_tools_spark.operators.registry import register
 SESSION_GAP = "30 minutes"
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
+# Streaming aggregations run availableNow over test-scale fixtures; 32
+# state-store partitions per run is pure fixed init/commit overhead at
+# that size. 8 is plenty wide for the gate and the width is baked into
+# each query's own (fresh, uuid-scoped) checkpoint, so it never
+# conflicts with a resumed production checkpoint.
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+def _sum_value_expr(alias: str):
+    """Exact money sum: DECIMAL(18,6) hop → one deterministic
+    decimal→double conversion (the repo's float-discipline idiom; a raw
+    ``round(sum(double), 2)`` diverges between Spark's shortest-repr
+    rounding and DuckDB's binary-double rounding as soon as the events
+    generator leaves the 2-decimal grid)."""
+    return F.expr(
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+    ).alias(alias)
+
 
 def _as_stream_dir(path: str) -> str:
     """Spark's streaming file source lists a DIRECTORY; the driver's
@@ -93,22 +111,32 @@ def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFr
     is not a large-data collect.)"""
     spark = sdf.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Narrow state-store width for the run; the first micro-batch bakes
+    # the width into this query's fresh implicit checkpoint, so the
+    # session conf is held until the run completes and only restored
+    # after — restoring right after start() would race the async
+    # first-batch planning.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    query = None
     try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
         query.awaitTermination()
         result = spark.table(name)
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # also on failure: a raise from awaitTermination/collect must
         # not leak the uuid-named sink view into the session
-        query.stop()
-        spark.catalog.dropTempView(name)
+        if query is not None:
+            query.stop()
+            spark.catalog.dropTempView(name)
 
 
 # ---------------------------------------------------------------------------
@@ -123,7 +151,7 @@ def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFr
       date_trunc('hour', ts) AS window_start,
       event_type,
       count(*)               AS n_events,
-      round(sum(value), 2)   AS sum_value
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -137,7 +165,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_expr("sum_value"))
     )
     return run_stream_to_batch(agg).select(
         F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value"
@@ -154,7 +182,8 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         value
       FROM events
     )
-    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    SELECT window_start, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM assigned
     GROUP BY window_start
     """,
@@ -167,7 +196,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "2 hours", "1 hour"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_expr("sum_value"))
     )
     return run_stream_to_batch(agg).select(
         F.col("window.start").alias("window_start"), "n_events", "sum_value"
@@ -193,7 +222,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps
     )
     SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-           round(sum(value), 2) AS session_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -210,7 +239,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_expr("session_value"))
     )
     return run_stream_to_batch(agg).select(
         "user_id",
@@ -233,7 +262,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.user_id,
            CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT)
              AS secs_to_purchase,
-           round(b.value, 2) AS purchase_value
+           CAST(round(CAST(b.value AS DECIMAL(18,6)), 2) AS DOUBLE) AS purchase_value
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND a.event_type = 'view' AND b.event_type = 'purchase'
@@ -292,7 +321,9 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(pts) - unix_micros(vts)) div 1000000")
         .cast("long")
         .alias("secs_to_purchase"),
-        F.round("p_value", 2).alias("purchase_value"),
+        F.expr("CAST(round(CAST(p_value AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "purchase_value"
+        ),
     )
 
 
@@ -330,7 +361,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .join(cust, F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_expr("sum_value"))
     )
     return run_stream_to_batch(agg)
 
@@ -367,7 +398,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         doubled.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_expr("sum_value"))
     )
     return run_stream_to_batch(deduped)
 
@@ -382,8 +413,8 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applyInPandasWithState carries the custom-stateful surface instead.
 # ---------------------------------------------------------------------------
 
-USER_STATS_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE, max_gap_sec DOUBLE"
-USER_STATE_SCHEMA = "n LONG, total DOUBLE, last_us LONG, max_gap_us LONG"
+USER_STATS_SCHEMA = "user_id LONG, n_events LONG, total_u LONG, max_gap_us LONG"
+USER_STATE_SCHEMA = "n LONG, total_u LONG, last_us LONG, max_gap_us LONG"
 
 
 def _user_stats_fn(key, pdfs, state):
@@ -397,21 +428,29 @@ def _user_stats_fn(key, pdfs, state):
     arrives as MULTIPLE frames in shuffle order, so the frames are
     concatenated and sorted ONCE (ts, then the unique event_id) before
     the vectorized diff — per-chunk sorting would compute gaps across
-    chunk seams in arrival order, not time order. Across micro-batches
-    the gap bridges from the carried last_us (an in-watermark late
-    event in a later batch is measured against the running frontier —
-    the inherent streaming semantics; the single-pass availableNow
-    replay used by the gate delivers everything in one batch, where
-    this matches the relational oracle exactly).
+    chunk seams in arrival order, not time order. (Chunk time ranges
+    overlap arbitrarily, so a seam-carry merge of per-chunk sorts is
+    NOT equivalent; the concat is an accepted applyInPandasWithState
+    bound — per-key batch state is driver-side pandas, fine for any
+    realistic per-user event count, and a key hot enough to blow it
+    needs key-splitting upstream, not a different sort.) Across
+    micro-batches the gap bridges from the carried last_us (an
+    in-watermark late event in a later batch is measured against the
+    running frontier — the inherent streaming semantics; the
+    single-pass availableNow replay used by the gate delivers
+    everything in one batch, where this matches the relational oracle
+    exactly).
 
-    Rounding deliberately does NOT happen here: Python round() is
-    half-to-even while the oracle (and every registered query) rounds
-    half-away — the caller rounds with F.round after the final state
-    is selected."""
+    No floats anywhere: the value sum accumulates exact integer
+    micro-units (``vu``, quantized identically on both engines BEFORE
+    the UDF), so state merging is order-independent and the caller's
+    final rounding is pure integer arithmetic — a float total is
+    order-dependent in the last ulp and Python round() is half-to-even
+    besides."""
     import numpy as np
     import pandas as pd
 
-    (n, total, last_us, max_gap_us) = state.get if state.exists else (0, 0.0, None, 0)
+    (n, total_u, last_us, max_gap_us) = state.get if state.exists else (0, 0, None, 0)
     batch = pd.concat(list(pdfs), ignore_index=True)
     if len(batch):
         batch = batch.sort_values(["ts", "event_id"])
@@ -422,14 +461,14 @@ def _user_stats_fn(key, pdfs, state):
             max_gap_us = max(max_gap_us, int(np.diff(us).max()))
         last_us = int(us[-1])
         n += len(batch)
-        total += float(batch["value"].sum())
-    state.update((n, total, last_us, max_gap_us))
+        total_u += int(batch["vu"].sum())
+    state.update((n, total_u, last_us, max_gap_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [total],
-            "max_gap_sec": [max_gap_us / 1_000_000],
+            "total_u": [total_u],
+            "max_gap_us": [max_gap_us],
         }
     )
 
@@ -440,7 +479,15 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximum inter-event gap, with O(1) state per user."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    stream = (
+        events_stream(spark, sf_dir)
+        # quantize to exact integer micro-units BEFORE the UDF, with the
+        # same expression the oracle uses — scale-0 round(double) is the
+        # one cross-engine-safe double round (ties only at exactly
+        # representable halves, away-from-zero on both engines)
+        .withColumn("vu", F.expr("CAST(round(value * 1000000) AS BIGINT)"))
+        .withWatermark("ts", "1 hour")
+    )
     agg = stream.groupBy("user_id").applyInPandasWithState(
         _user_stats_fn,
         outputStructType=USER_STATS_SCHEMA,
@@ -455,15 +502,19 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_stateful_user_stats",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, value,
+      SELECT user_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vu,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
     )
     SELECT user_id,
-           count(*)                                        AS n_events,
-           round(sum(value), 2)                            AS total_value,
-           round(coalesce(max(gap_us), 0) / 1000000.0, 1)  AS max_gap_sec
+           count(*) AS n_events,
+           CAST((CASE WHEN sum(vu) < 0 THEN -1 ELSE 1 END)
+                * ((abs(sum(vu)) + 5000) // 10000) AS DOUBLE) / 100.0
+             AS total_value,
+           CAST((coalesce(max(gap_us), 0) + 50000) // 100000 AS DOUBLE) / 10.0
+             AS max_gap_sec
     FROM gaps
     GROUP BY user_id
     """,
@@ -488,13 +539,19 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        # rounding happens HERE (engine half-away semantics), not in the
-        # Python state function (round() is half-to-even)
+        # rounding happens HERE, entirely in integers (half-away of the
+        # exact micro-unit totals the state function carried — no
+        # double ever holds an unrounded aggregate on either engine)
         .select(
             "user_id",
             "n_events",
-            F.round("total_value", 2).alias("total_value"),
-            F.round("max_gap_sec", 1).alias("max_gap_sec"),
+            F.expr(
+                "CAST((CASE WHEN total_u < 0 THEN -1 ELSE 1 END)"
+                " * ((abs(total_u) + 5000) div 10000) AS DOUBLE) / 100.0"
+            ).alias("total_value"),
+            F.expr(
+                "CAST((max_gap_us + 50000) div 100000 AS DOUBLE) / 10.0"
+            ).alias("max_gap_sec"),
         )
     )
 
@@ -504,10 +561,10 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT user_id,
            CAST(ts AS DATE)             AS day,
-           round(arg_min(value, ts), 2) AS open,
-           round(max(value), 2)         AS high,
-           round(min(value), 2)         AS low,
-           round(arg_max(value, ts), 2) AS close,
+           CAST(round(CAST(arg_min(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS open,
+           CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS high,
+           CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS low,
+           CAST(round(CAST(arg_max(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS close,
            CAST(count(*) AS BIGINT)     AS n_events
     FROM events
     GROUP BY user_id, CAST(ts AS DATE)
@@ -530,10 +587,10 @@ def streaming_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day"), "user_id")
         .agg(
-            F.round(F.min_by("value", "ts"), 2).alias("open"),
-            F.round(F.max("value"), 2).alias("high"),
-            F.round(F.min("value"), 2).alias("low"),
-            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.expr("CAST(round(CAST(min_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("open"),
+            F.expr("CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("high"),
+            F.expr("CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("low"),
+            F.expr("CAST(round(CAST(max_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("close"),
             F.count("*").cast("long").alias("n_events"),
         )
     )
@@ -569,7 +626,7 @@ REPLAY_DELAY = "1 hour"
       SELECT date_trunc('hour', ts) AS window_start,
              event_type,
              CAST(count(*) AS BIGINT) AS n_events,
-             round(sum(value), 2)     AS sum_value
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
     ),
@@ -671,7 +728,7 @@ def run_replay_pass(spark, schema, indir: str, ckpt: str, outdir: str):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _sum_value_expr("sum_value"),
         )
     )
     q = (
