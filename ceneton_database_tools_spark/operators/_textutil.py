@@ -31,10 +31,15 @@ SPARK_SHINGLES = (
     "array_distinct(transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))) "
     "ELSE array(array_join(w, ' ')) END"
 )
+# coalesce: DuckDB array_to_string([]) is NULL where Spark
+# array_join([]) is '' — a zero-token doc (empty text, or the
+# drop-first-token twin of a single-token doc) must shingle to ['']
+# on BOTH engines or every degenerate doc desyncs the fuzzy-dedup
+# family (found by the perturbed-data gate, round 6)
 DUCK_SHINGLES = (
     "CASE WHEN len(w) >= 2 THEN "
     "list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) "
-    "ELSE [array_to_string(w, ' ')] END"
+    "ELSE [coalesce(array_to_string(w, ' '), '')] END"
 )
 
 # -- text with the first token dropped (near-duplicate twin) ----------------
@@ -42,9 +47,12 @@ SPARK_DROP_FIRST_TOKEN = (
     "array_join(slice(split(lower(trim(text)), '\\\\s+'), 2, "
     "greatest(size(split(lower(trim(text)), '\\\\s+')) - 1, 0)), ' ')"
 )
+# coalesce for the same array_to_string([]) → NULL asymmetry as
+# DUCK_SHINGLES: the twin of a single-token doc is the EMPTY string,
+# not NULL
 DUCK_DROP_FIRST_TOKEN = (
-    "array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, "
-    "len(string_split_regex(lower(trim(text)), '\\s+'))), ' ')"
+    "coalesce(array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 2, "
+    "len(string_split_regex(lower(trim(text)), '\\s+'))), ' '), '')"
 )
 
 

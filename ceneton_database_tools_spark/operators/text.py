@@ -531,7 +531,15 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("fp_b").alias("nb"),
         )
     )
-    j = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    # CASE-guarded division: a doc with ZERO fingerprints (empty or
+    # sub-k-gram text) joins its equally-empty twin with denominator 0
+    # — ANSI mode raises DIVIDE_BY_ZERO. The guard yields NULL there,
+    # which the j >= 0.5 filter drops, matching the oracle's
+    # len(fp) > 0 exclusion. (A size(fp) > 0 filter instead of a guard
+    # re-inlines the giant winnowing tree — the analysis-hang case the
+    # comment above documents.)
+    denom = F.col("na") + F.col("nb") - F.col("ni")
+    j = F.when(denom > 0, F.col("ni").cast("double") / denom)
     return (
         sized.withColumn("j", j)
         .where(F.col("j") >= 0.5)

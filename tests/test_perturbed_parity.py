@@ -1,0 +1,151 @@
+"""Oracle parity on a deliberately hostile clone of the sf0.01 data.
+
+The driver regenerates /root/testdata every round, and every latent
+failure this repo has ever found (sessionization ties, the OHLC
+67.49125 half-boundary, the empty replay chunk) was data-dependent,
+not logic-dependent. The driver's sampler also never reaches some
+families (streaming went 0-for-5 rounds). This module makes the local
+gate strictly stronger than the driver's: it re-runs oracle parity for
+every events/documents query on a perturbed copy of sf0.01 that bakes
+in the failure modes a future generator could emit:
+
+* ``events.value`` on a 3-decimal grid with values sitting exactly ON
+  scale-2 half boundaries (x.005), plus negatives — kills any
+  ``round(sum(double), 2)`` or pandas half-even quantization;
+* duplicate ``(user_id, ts)`` pairs (value/event_type copied so ties
+  are value-identical) — kills window orderings without a unique
+  tie-break;
+* the time range squeezed so that chunks 1–2 of the 4-chunk
+  multi-batch replay are EMPTY — kills replay passes that assume every
+  quarter has files;
+* documents extended with empty, whitespace-only, astral-plane
+  (U+1D11E/U+1F600), single-char, and pathologically repetitive texts
+  — kills UTF-16-unit char walking and shingles-shorter-than-text
+  assumptions.
+
+Every query whose oracle touches events or documents runs here
+(selected dynamically, so new operators are gated automatically).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ceneton_database_tools_spark import operators as ops
+from ceneton_database_tools_spark.catalog import TABLES, table_path
+from tests.oracle_harness import compare, compare_driver_canon, duck_con
+
+SRC_SF = "/root/testdata/sf0.01"
+
+
+def _perturbed_names() -> list[str]:
+    names = []
+    for name, spec in ops.QUERIES.items():
+        o = spec.oracle or ""
+        if "events" in o or "documents" in o:
+            names.append(name)
+    return sorted(names)
+
+
+_NAMES = _perturbed_names()
+
+
+def _perturb_events(src: str, dst: str) -> None:
+    ev = pd.read_parquet(src)
+
+    # -- time squeeze: everything except the single max-ts event lands
+    # in the first fifth of the range (exact integer µs/ns arithmetic;
+    # dtype preserved so the parquet physical type doesn't change)
+    arr = ev["ts"].to_numpy()
+    t = arr.view("int64").copy()
+    lo, hi = int(t.min()), int(t.max())
+    imax = int(np.argmax(t))
+    t_new = lo + (t - lo) // 5
+    t_new[imax] = hi
+    ev["ts"] = t_new.view(arr.dtype)
+
+    # -- value re-grid: 2-decimal base + {±0.005, 0.001} → 3-decimal
+    # values exactly on scale-2 half boundaries; every 7th negated
+    idx = np.arange(len(ev))
+    base = np.floor(ev["value"].to_numpy() * 100 + 0.5) / 100
+    delta = np.select(
+        [idx % 5 == 0, idx % 5 == 1, idx % 5 == 2], [0.005, -0.005, 0.001], 0.0
+    )
+    val = base + delta
+    ev["value"] = np.where(idx % 7 == 0, -val, val)
+
+    # -- duplicate (user_id, ts) ties: copy ts/value/event_type from
+    # the previous same-user row, keeping event_id/props distinct, so
+    # only orderings without a unique tie-break can diverge
+    ev = ev.sort_values(["user_id", "ts"], kind="mergesort").reset_index(drop=True)
+    same_user = ev["user_id"].eq(ev["user_id"].shift())
+    mask = (same_user & (np.arange(len(ev)) % 13 == 7)).to_numpy()
+    for col in ("ts", "value", "event_type"):
+        ev.loc[mask, col] = ev[col].shift()[mask]
+
+    ev.to_parquet(dst, index=False)
+
+
+def _perturb_documents(src: str, dst: str) -> None:
+    docs = pd.read_parquet(src)
+    next_id = int(docs["doc_id"].max()) + 1
+    langs = [x for x in docs["lang"].dropna().unique().tolist()] or ["en"]
+    source = (
+        docs["source"].dropna().iloc[0] if docs["source"].notna().any() else "web"
+    )
+    extra_texts = [
+        "",
+        "   \n\t ",
+        "music \U0001d11e clef emoji \U0001f600\U0001f600 rocket \U0001f680 end",
+        ("spam " * 200).strip(),
+        "a",
+        "café naïve coöperate 中文文本测试",
+    ]
+    extra = pd.DataFrame(
+        {
+            "doc_id": np.arange(next_id, next_id + len(extra_texts), dtype="int64"),
+            "text": extra_texts,
+            "lang": [langs[i % len(langs)] for i in range(len(extra_texts))],
+            "source": [source] * len(extra_texts),
+            "n_chars": np.array([len(t) for t in extra_texts], dtype="int64"),
+        }
+    )
+    pd.concat([docs, extra], ignore_index=True).to_parquet(dst, index=False)
+
+
+@pytest.fixture(scope="session")
+def sf_perturbed(tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("sf_perturbed"))
+    for name in TABLES:
+        src = table_path(SRC_SF, name)
+        dst = table_path(out, name)
+        if name == "events":
+            _perturb_events(src, dst)
+        elif name == "documents":
+            _perturb_documents(src, dst)
+        else:
+            os.symlink(src, dst)
+    return out
+
+
+@pytest.fixture(scope="module")
+def con_perturbed(sf_perturbed):
+    con = duck_con(sf_perturbed)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_query_matches_oracle_on_perturbed_data(
+    spark, sf_perturbed, con_perturbed, name
+):
+    spec = ops.QUERIES[name]
+    df = spec.fn(spark, sf_perturbed)
+    oracle = ops.render_oracle(spec.oracle, sf_perturbed)
+    problems = compare(df, con_perturbed, oracle)
+    problems += compare_driver_canon(df, con_perturbed, oracle)
+    assert not problems, f"{name} (perturbed):\n" + "\n".join(problems)
