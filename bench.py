@@ -39,6 +39,20 @@ def main() -> int:
         "r_name"
     ).count().collect()
 
+    # Untimed full-scan pass over every input table: the first run
+    # after a VM boot (or a driver testdata regen) otherwise pays the
+    # OS page-cache miss inside whichever timed query touches each
+    # file first — measured swings up to ±80% on the minhash leg
+    # round-over-round. The declared posture is WARM-cache engine
+    # cost; round-over-round comparability is the point.
+    from ceneton_database_tools_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass  # a missing optional table must not kill the bench
+
     # Best of two timed runs per query: single-shot numbers on a shared
     # host swing ±50%; the minimum is the reproducible engine cost.
     timings: dict[str, float] = {}

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import csv
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -109,13 +110,16 @@ def _read_mapping(mapping_column: str | None) -> dict[str, str] | None:
     (``_cli.py:86-105``)."""
     if mapping_column is None:
         return None
+    mapping_file, column = mapping_column, 1
     if ":" in mapping_column:
-        # rsplit: the path itself may contain colons; only the LAST
-        # segment is the column selector (the reference's bare split
-        # crashes on such paths — a ported-then-fixed bug)
-        mapping_file, column = mapping_column.rsplit(":", 1)
-    else:
-        mapping_file, column = mapping_column, 1
+        head, tail = mapping_column.rsplit(":", 1)
+        # The tail is a column selector only when the head is an actual
+        # file: a colon-containing path with NO selector (e.g.
+        # 'dir:with:colon/map.csv') must be used whole — mirrors the
+        # isfile disambiguation in resolve_source_paths. (The
+        # reference's bare split crashes on such paths.)
+        if os.path.isfile(head):
+            mapping_file, column = head, tail
     mapping: dict[str, str] = {}
     with open(mapping_file, newline="") as f:
         reader = csv.reader(f)

@@ -119,9 +119,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
 
+_TWIN_GUARD_OK: set[tuple[str, str, str]] = set()
+
+
+def assert_twin_headroom(df: DataFrame, sf_dir: str, id_col: str = "doc_id") -> None:
+    """Runtime guard for the twin-id eval construction: twin ids live
+    at ``id + TWIN_OFFSET``, which COLLIDES with real ids once the
+    corpus reaches 1e6 rows (sf ≈ 200 for the driver's generator).
+    A collision would silently corrupt recall metrics and pair sets,
+    so a bigger fixture must fail loudly instead. Cost: one max() agg
+    over the id column per (session, sf, column) — memoized, and tiny
+    next to the corpus scan the caller is about to run anyway."""
+    spark = df.sparkSession
+    key = (spark.sparkContext.applicationId, sf_dir, id_col)
+    if key in _TWIN_GUARD_OK:
+        return
+    mx = df.agg(F.max(id_col).alias("mx")).first()["mx"]
+    if mx is not None and mx >= TWIN_OFFSET:
+        raise AssertionError(
+            f"max({id_col}) = {mx} >= TWIN_OFFSET ({TWIN_OFFSET}): twin ids "
+            "would collide with real ids; raise TWIN_OFFSET (and the baked "
+            "oracle constant) or key eval batches by a disjoint namespace"
+        )
+    _TWIN_GUARD_OK.add(key)
+
+
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ uppercased twins (exact dups after normalization)."""
     docs = _docs(spark, sf_dir)
+    assert_twin_headroom(docs, sf_dir)
     twins = docs.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"), F.upper("text").alias("text")
     )
@@ -133,7 +159,9 @@ def _near_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups). Built at the TOKEN level — each text is regex-tokenized
     once and the twin is an array slice, not a re-join + re-split
     (measured ~2× cheaper on the text pipeline)."""
-    toks = _docs(spark, sf_dir).select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
+    docs = _docs(spark, sf_dir)
+    assert_twin_headroom(docs, sf_dir)
+    toks = docs.select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
     twins = toks.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
         F.expr("slice(w, 2, greatest(size(w) - 1, 0))").alias("w"),
@@ -648,6 +676,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink buckets at higher density.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    assert_twin_headroom(emb, sf_dir, "vec_id")
     corpus = _emb_twin_corpus(emb)
     bucket = F.concat(
         *[
@@ -1103,6 +1132,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ceneton_database_tools_spark.operators.similarity import _ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
+    assert_twin_headroom(emb, sf_dir, "vec_id")
     corpus = _emb_twin_corpus(emb).withColumn(
         "nrm", F.expr(T.norm_chain("v", EMB_DIM, one_based=False))
     )

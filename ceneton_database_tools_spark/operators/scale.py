@@ -328,6 +328,24 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# Inner-plan Exchange counts of the plan-self-checking operators,
+# recorded at execution time: their registry-visible return value is a
+# driver-side snapshot (LocalRelation), so the plan-drift baseline
+# cannot read the interesting plan the way it does for every other
+# query. regen_plan_baseline.py pins these counts and test_plan_lint.py
+# re-executes + re-checks them (same Exchange regex as the baseline:
+# ReusedExchange and BroadcastExchange excluded).
+INNER_PLAN_EXCHANGES: dict[str, int] = {}
+
+
+def _record_inner_plan(name: str, df: DataFrame) -> None:
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    INNER_PLAN_EXCHANGES[name] = len(re.findall(r"(?<![A-Za-z])Exchange ", plan))
+
+
 @register(
     "scale_bucketed_join",
     oracle="""
@@ -392,6 +410,7 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+        _record_inner_plan("scale_bucketed_join", result)
         # snapshot before the backing tables are dropped
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
@@ -447,6 +466,7 @@ def scale_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_price"),
         )
+        _record_inner_plan("scale_partition_pruned_read", result)
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -519,6 +539,7 @@ def scale_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
+        _record_inner_plan("scale_runtime_bloom_join", result)
         # snapshot before the confs are restored
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:

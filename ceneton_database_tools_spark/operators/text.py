@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
 from ceneton_database_tools_spark.operators import _textutil as T
+from ceneton_database_tools_spark.operators.dedup import assert_twin_headroom
 from ceneton_database_tools_spark.operators.registry import register
 
 TOP_TOKENS = 20
@@ -352,6 +353,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle carries only (fingerprint, doc_id); min/count are partial
     map-side — the same scale shape as dedup_exact."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    assert_twin_headroom(docs, sf_dir)
     twins = docs.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"), F.upper("text").alias("text")
     )
@@ -481,6 +483,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the LSH-bucket shape dedup_minhash_lsh already implements.
     """
     docs = _docs(spark, sf_dir)
+    assert_twin_headroom(docs, sf_dir)
     base = docs.select("doc_id", F.expr(_SPARK_NORM).alias("txt"))
     twins = docs.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),

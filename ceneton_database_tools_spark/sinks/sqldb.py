@@ -211,11 +211,30 @@ def _create_jdbc(
     ``batchsize`` matches the reference's 500-row INSERT batches;
     transactions are per-partition (the scale trade-off)."""
     spark = df.sparkSession
+    # "table absent" must be diagnosed, not assumed: a connectivity /
+    # auth / SELECT-permission failure from the probe would otherwise
+    # silently skip the guard and proceed to the expensive load —
+    # exactly the partial, rerun-blocking state the probe prevents.
+    # Markers cover the ANSI SQLSTATEs (42S02 / 42P01) plus the
+    # table-not-found message shapes of sqlite, Postgres, MySQL,
+    # SQL Server, and Spark's own AnalysisException.
+    not_found_markers = (
+        "no such table",
+        "not found",
+        "does not exist",
+        "doesn't exist",
+        "unknown table",
+        "42s02",
+        "42p01",
+    )
     for t in (table_name, f"{table_name}_metadata"):
         try:
             spark.read.jdbc(db_url, t).schema  # metadata-only probe
-        except Exception:
-            continue  # table absent — the good case
+        except Exception as exc:
+            msg = str(exc).lower()
+            if any(m in msg for m in not_found_markers):
+                continue  # table absent — the good case
+            raise  # connection/auth/permission: fail fast, keep the guard
         raise ValueError(f"Table '{t}' already exists in the database")
     props = {"batchsize": str(batch_size)}
     df.write.mode("errorifexists").options(**props).jdbc(db_url, table_name)

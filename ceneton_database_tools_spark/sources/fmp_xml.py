@@ -857,6 +857,7 @@ class FMPXMLReader(DataSourceReader):
         field_names: list[str],
         repeats,
         double_cols: tuple[int, ...] = (),
+        array_double_cols: tuple[int, ...] = (),
         split_bytes: int | None = None,
         parallelism: int = 0,
         bz2_spool: bool = True,
@@ -869,6 +870,7 @@ class FMPXMLReader(DataSourceReader):
         # ArrayType column indices (repeat_spec_for_fields)
         self._array_cols = repeats if isinstance(repeats, frozenset) else frozenset()
         self._double_cols = frozenset(double_cols)
+        self._array_double_cols = frozenset(array_double_cols)
         # None = auto (size/parallelism, clamped), 0 = never split,
         # >0 = explicit target split size in bytes
         self._split_bytes = split_bytes
@@ -976,7 +978,22 @@ class FMPXMLReader(DataSourceReader):
             arrays = []
             for j in range(n):
                 col = take[j::n]
-                if j in self._array_cols:
+                if j in self._array_double_cols:
+                    # typed array mode: SQL-CAST null semantics per
+                    # ELEMENT (unparseable → null element, list shape
+                    # preserved)
+                    arrays.append(
+                        pa.array(
+                            [
+                                None
+                                if cell is None
+                                else [_to_double(x) for x in cell]
+                                for cell in col
+                            ],
+                            type=pa.list_(pa.float64()),
+                        )
+                    )
+                elif j in self._array_cols:
                     arrays.append(pa.array(col, type=pa.list_(pa.string())))
                 elif j in self._double_cols:
                     arrays.append(
@@ -1374,23 +1391,20 @@ class FMPXMLDataSource(DataSource):
         # attributes here would fail every streaming read. The rich
         # struct (original_name/fmp_type/empty_ok/max_repeat metadata)
         # stays available via parse_fmp_header().to_struct_type().
+        def published(f: SqlT.StructField) -> SqlT.DataType:
+            # typed=true maps NUMBER fields to double with SQL-CAST
+            # null semantics — scalar columns to double, and (with
+            # repeats='array') repeating NUMBER columns to
+            # array<double>, cast per element
+            if typed and f.metadata.get("fmp_type") == "NUMBER":
+                if f.dataType.typeName() == "string":
+                    return SqlT.DoubleType()
+                if f.dataType.typeName() == "array":
+                    return SqlT.ArrayType(SqlT.DoubleType())
+            return f.dataType
+
         return SqlT.StructType(
-            [
-                SqlT.StructField(
-                    f.name,
-                    # typed applies to scalar NUMBER columns only; an
-                    # array-mode repeating NUMBER field stays
-                    # array<string> (a typed-array cast is explicit,
-                    # F.transform(col, x -> cast(x as double)))
-                    SqlT.DoubleType()
-                    if typed
-                    and f.metadata.get("fmp_type") == "NUMBER"
-                    and f.dataType.typeName() == "string"
-                    else f.dataType,
-                    f.nullable,
-                )
-                for f in struct.fields
-            ]
+            [SqlT.StructField(f.name, published(f), f.nullable) for f in struct.fields]
         )
 
     def _split_bytes(self) -> int | None:
@@ -1428,6 +1442,12 @@ class FMPXMLDataSource(DataSource):
                 i
                 for i, f in enumerate(schema.fields)
                 if f.dataType.typeName() == "double"
+            ),
+            array_double_cols=tuple(
+                i
+                for i, f in enumerate(schema.fields)
+                if f.dataType.typeName() == "array"
+                and f.dataType.elementType.typeName() == "double"
             ),
             split_bytes=self._split_bytes(),
             parallelism=os.cpu_count() or 2,

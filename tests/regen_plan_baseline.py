@@ -48,11 +48,19 @@ def build_counts() -> dict[str, int]:
         if "streaming" in spec.tags or name.startswith("streaming"):
             continue
         if name in SELF_CHECKING_PLANS:
-            # these execute real jobs and return LocalRelation
-            # snapshots — their plan shape is asserted inside fn()
             continue
         plan = spec.fn(spark, SF_PLAN)._jdf.queryExecution().executedPlan().toString()
         counts[name] = exchange_count(plan)
+    # The plan-self-checking operators execute real jobs and return
+    # LocalRelation snapshots, so their INNER plan is recorded by the
+    # operator itself at execution time — run each in its sandbox
+    # (table/conf side effects are cleaned up by the operator) and pin
+    # the recorded count.
+    from ceneton_database_tools_spark.operators import scale as scale_ops
+
+    for name in sorted(SELF_CHECKING_PLANS):
+        ops.QUERIES[name].fn(spark, SF_PLAN)
+        counts[name] = scale_ops.INNER_PLAN_EXCHANGES[name]
     spark.stop()
     return counts
 

@@ -1093,3 +1093,83 @@ def test_register_fmp_source_requires_spark4():
 
     with pytest.raises(RuntimeError, match="PySpark >= 4.0"):
         register_fmp_source(_NoRegistry())
+
+
+# -- round-6: typed=true + repeats='array' → array<double> -------------------
+
+
+def _write_typed_array_fixture(path, rows_xml, nrows):
+    path.write_bytes(
+        (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">\n'
+            "<ERRORCODE>0</ERRORCODE>\n"
+            f'<DATABASE DATEFORMAT="D.m.yyyy" LAYOUT="" NAME="Num" RECORDS="{nrows}" '
+            'TIMEFORMAT="k:mm:ss"/>\n'
+            "<METADATA>"
+            '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Naam" TYPE="TEXT"/>'
+            '<FIELD EMPTYOK="YES" MAXREPEAT="3" NAME="Bedrag" TYPE="NUMBER"/>'
+            '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="Prijs" TYPE="NUMBER"/>'
+            "</METADATA>\n"
+            f'<RESULTSET FOUND="{nrows}">\n' + rows_xml + "\n</RESULTSET>\n"
+            "</FMPXMLRESULT>\n"
+        ).encode("utf-8")
+    )
+
+
+def test_datasource_typed_array_mode(spark, tmp_path):
+    """typed=true extends to repeating NUMBER fields under
+    repeats='array': array<double> with SQL-CAST null semantics per
+    ELEMENT (unparseable → null element, list shape preserved), while
+    the scalar NUMBER column still casts to plain double."""
+    path = tmp_path / "num.xml"
+    shapes = [
+        "<COL><DATA>1.5</DATA><DATA>2.25</DATA></COL>",  # multi-DATA
+        "<COL><DATA>7</DATA></COL>",                     # single-DATA fast wrap
+        "<COL/>",                                        # null array
+        "<COL><DATA>oops</DATA><DATA>3</DATA></COL>",    # unparseable element
+        "<COL><DATA/></COL>",                            # empty element
+    ]
+    rows = "\n".join(
+        '<ROW MODID="1" RECORDID="1">'
+        f"<COL><DATA>name {r}</DATA></COL>"
+        f"{shapes[r % len(shapes)]}"
+        f"<COL><DATA>{r}.25</DATA></COL>"
+        "</ROW>"
+        for r in range(5)
+    )
+    _write_typed_array_fixture(path, rows, 5)
+    df = read_fmp_xml_df(spark, str(path), repeats="array", typed=True)
+    assert dict(df.dtypes)["bedrag"] == "array<double>"
+    assert dict(df.dtypes)["prijs"] == "double"
+    out = df.orderBy("naam").collect()
+    assert [r.bedrag for r in out] == [
+        [1.5, 2.25],
+        [7.0],
+        None,
+        [None, 3.0],
+        [None],
+    ]
+    assert [r.prijs for r in out] == [0.25, 1.25, 2.25, 3.25, 4.25]
+    # untyped array mode unchanged
+    df_s = read_fmp_xml_df(spark, str(path), repeats="array", typed=False)
+    assert dict(df_s.dtypes)["bedrag"] == "array<string>"
+
+
+def test_datasource_typed_array_fast_path_region(spark, tmp_path):
+    """All-single-DATA regions take the grammar-scanner FAST path —
+    typed array conversion must produce identical arrays there (the
+    fast-path/slow-path split is this source's recurring bug class)."""
+    path = tmp_path / "numsolo.xml"
+    rows = "\n".join(
+        '<ROW MODID="1" RECORDID="1">'
+        f"<COL><DATA>name {r}</DATA></COL>"
+        f"<COL><DATA>{r}.5</DATA></COL>"
+        f"<COL><DATA>{r}</DATA></COL>"
+        "</ROW>"
+        for r in range(6)
+    )
+    _write_typed_array_fixture(path, rows, 6)
+    df = read_fmp_xml_df(spark, str(path), repeats="array", typed=True)
+    out = df.orderBy("naam").collect()
+    assert [r.bedrag for r in out] == [[r + 0.5] for r in range(6)]

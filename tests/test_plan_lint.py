@@ -106,3 +106,27 @@ def test_plan_has_no_scale_killers(spark, name):
         "If intentional, re-pin with python tests/regen_plan_baseline.py "
         "and justify the diff in the commit."
     )
+
+
+@pytest.mark.parametrize("name", sorted(SELF_CHECKING_PLANS))
+def test_self_checking_plan_exchange_baseline(spark, name):
+    """The plan-self-checking operators return LocalRelation snapshots,
+    so the drift guard reads the INNER plan's Exchange count the
+    operator records at execution time (INNER_PLAN_EXCHANGES) and pins
+    it like every other query. Executing them here costs real (tiny,
+    sf0.001) jobs — the price of not leaving their plans unguarded;
+    their qualitative shape (no Exchange on the bucketed join,
+    PartitionFilters present, might_contain injected) is still
+    asserted inside fn() itself."""
+    from ceneton_database_tools_spark.operators import scale as scale_ops
+
+    ops.QUERIES[name].fn(spark, SF_PLAN)
+    n = scale_ops.INNER_PLAN_EXCHANGES[name]
+    assert name in PLAN_EXCHANGE_BASELINE, (
+        f"{name}: no committed baseline — run python tests/regen_plan_baseline.py"
+    )
+    want = PLAN_EXCHANGE_BASELINE[name]
+    assert n == want, (
+        f"{name}: inner-plan drift — {n} shuffle Exchanges vs committed {want}. "
+        "If intentional, re-pin with python tests/regen_plan_baseline.py."
+    )

@@ -149,3 +149,27 @@ def test_stage_progress_does_not_claim_completion_on_failure(spark):
     with stage_progress(spark, total_records=1000) as bar:
         bar.n = 137
     assert bar.n == 1000
+
+
+# -- TWIN_OFFSET runtime guard ------------------------------------------------
+
+
+def test_twin_headroom_guard_fires_on_oversized_ids(spark, tmp_path):
+    """A corpus whose doc_ids reach TWIN_OFFSET must fail loudly in the
+    twin-corpus builders instead of silently colliding twin ids with
+    real ids (corrupting every recall metric)."""
+    import pytest as _pytest
+
+    from ceneton_database_tools_spark.operators import dedup
+
+    big = spark.createDataFrame(
+        [(1, "alpha beta"), (dedup.TWIN_OFFSET + 5, "gamma delta")],
+        "doc_id long, text string",
+    )
+    sf_key = str(tmp_path / "oversized")
+    with _pytest.raises(AssertionError, match="TWIN_OFFSET"):
+        dedup.assert_twin_headroom(big, sf_key)
+    # ... and the memoized pass path still works for a sane corpus
+    ok = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    dedup.assert_twin_headroom(ok, str(tmp_path / "sane"))
+    dedup.assert_twin_headroom(ok, str(tmp_path / "sane"))  # memo hit

@@ -154,6 +154,19 @@ def test_read_mapping_named_and_default(tmp_path):
     assert _read_mapping(None) is None
 
 
+def test_read_mapping_colon_path_without_selector(tmp_path):
+    """A colon INSIDE the path with no column selector: the tail is a
+    selector only when the head is an existing file, otherwise the
+    whole string is the path."""
+    d = tmp_path / "dir:with:colon"
+    d.mkdir()
+    csv_path = d / "map.csv"
+    csv_path.write_text("original_name,clean_name,english_name\nNummer,nummer,ceneton_id\n")
+    assert _read_mapping(str(csv_path)) == {"nummer": "nummer"}
+    # ... and a selector on the same colon-containing path still works
+    assert _read_mapping(f"{csv_path}:english_name") == {"nummer": "ceneton_id"}
+
+
 # -- CLI ----------------------------------------------------------------------
 
 
