@@ -647,9 +647,11 @@ def _emb_cosine_oracle() -> str:
     return f"""
     WITH corpus AS ({_DUCK_EMB_TWIN_CORPUS}),
     base AS (
-      SELECT vec_id, v, {T.norm_chain("v", EMB_DIM, one_based=True)} AS nrm,
-             {bucket} AS bucket
-      FROM corpus
+      SELECT * FROM (
+        SELECT vec_id, v, {T.norm_chain("v", EMB_DIM, one_based=True)} AS nrm,
+               {bucket} AS bucket
+        FROM corpus
+      ) WHERE nrm > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
@@ -689,7 +691,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.expr(T.norm_chain("v", EMB_DIM, one_based=False)).alias("nrm"),
         bucket.alias("bucket"),
-    )
+        # zero vectors: cosine undefined — excluded on both engines
+    ).filter(F.col("nrm") > 0)
     a = prepped.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
@@ -1069,8 +1072,10 @@ def _semantic_corpus_duck() -> str:
     """corpus-with-twins base CTE body (vec_id, v, nrm) for the
     k-means CTE chain."""
     return f"""
-      SELECT vec_id, v, {T.norm_chain("v", EMB_DIM, one_based=True)} AS nrm
-      FROM ({_DUCK_EMB_TWIN_CORPUS}) c
+      SELECT * FROM (
+        SELECT vec_id, v, {T.norm_chain("v", EMB_DIM, one_based=True)} AS nrm
+        FROM ({_DUCK_EMB_TWIN_CORPUS}) c
+      ) WHERE nrm > 0
     """
 
 
@@ -1133,8 +1138,11 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assert_twin_headroom(emb, sf_dir, "vec_id")
-    corpus = _emb_twin_corpus(emb).withColumn(
-        "nrm", F.expr(T.norm_chain("v", EMB_DIM, one_based=False))
+    corpus = (
+        _emb_twin_corpus(emb)
+        .withColumn("nrm", F.expr(T.norm_chain("v", EMB_DIM, one_based=False)))
+        # zero vectors: cosine undefined — excluded on both engines
+        .filter(F.col("nrm") > 0)
     )
     cents = _ivf_centroids(corpus)
     cos_ce = F.expr(T.dot_chain("cv", "v", EMB_DIM, one_based=False)) / (

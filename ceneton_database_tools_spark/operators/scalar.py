@@ -150,12 +150,18 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_json_extract",
+    # json_valid guard: DuckDB's json functions ERROR on malformed
+    # JSON where Spark's get_json_object returns NULL — a single
+    # corrupt props row must degrade to NULL on both engines, not kill
+    # the oracle.
     oracle="""
     SELECT
       event_id,
       event_type,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+      CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT) AS prop_k,
+      CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT) % 10 AS k_mod10
     FROM events
     """,
     tags=("scalar", "json"),
@@ -260,13 +266,23 @@ def scalar_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # || '}' and schema_of_variant is the constant 'OBJECT<k: BIGINT>'
     # for every row — the oracle thereby VERIFIES Spark infers that
     # schema and canonicalizes that round-trip on every single row.
+    # json_valid guards mirror Spark's try_parse_json: a malformed
+    # props row yields a NULL variant, so every derived column is NULL
+    # (missing_is_null stays TRUE: extracting from NULL is NULL on
+    # both engines). Valid props keep the generator's {"k": N} shape
+    # contract the vschema/vjson reconstruction documents above.
     oracle="""
     SELECT
       event_id,
-      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-      json_extract_string(props, '$.missing') IS NULL   AS missing_is_null,
-      'OBJECT<k: BIGINT>'                               AS vschema,
-      '{"k":' || json_extract_string(props, '$.k') || '}' AS vjson
+      CAST(CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS BIGINT) AS prop_k,
+      CASE WHEN json_valid(props)
+           THEN json_extract_string(props, '$.missing') IS NULL
+           ELSE TRUE END                                 AS missing_is_null,
+      CASE WHEN json_valid(props)
+           THEN 'OBJECT<k: BIGINT>' END                  AS vschema,
+      CASE WHEN json_valid(props)
+           THEN '{"k":' || json_extract_string(props, '$.k') || '}' END AS vjson
     FROM events
     """,
     tags=("scalar", "json", "variant"),
@@ -281,13 +297,16 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unification pass, typed extraction pushed into the scan stage.
     """
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json, not parse_json: one corrupt props row must
+    # degrade to a NULL variant (NULL everything downstream), not
+    # abort the whole scan with MALFORMED_RECORD_IN_PARSING
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("prop_k"),
-        F.expr("variant_get(parse_json(props), '$.missing', 'string') IS NULL").alias(
-            "missing_is_null"
-        ),
+        F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')").alias("prop_k"),
+        F.expr(
+            "variant_get(try_parse_json(props), '$.missing', 'string') IS NULL"
+        ).alias("missing_is_null"),
         F.schema_of_variant(v).alias("vschema"),
         F.to_json(v).alias("vjson"),
     )

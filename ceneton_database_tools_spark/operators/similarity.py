@@ -41,16 +41,29 @@ ANN_SIGN_BITS = 4
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with double-cast vector + precomputed norm."""
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    ).select("vec_id", "v", F.expr(T.norm_chain("v", EMB_DIM, one_based=False)).alias("nrm"))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        .select(
+            "vec_id", "v", F.expr(T.norm_chain("v", EMB_DIM, one_based=False)).alias("nrm")
+        )
+        # cosine similarity is undefined for a zero vector (its norm
+        # divides every score); exclude at the base on BOTH engines —
+        # otherwise the first all-zero embedding a real corpus ships
+        # kills the whole family with DIVIDE_BY_ZERO under ANSI mode
+        .filter(F.col("nrm") > 0)
+    )
 
 
 _DUCK_BASE = f"""
+      SELECT * FROM (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              {T.norm_chain("(embedding::DOUBLE[])", EMB_DIM, one_based=True)} AS nrm
       FROM embeddings
+      ) WHERE nrm > 0
 """
 
 

@@ -46,7 +46,7 @@ def _perturbed_names() -> list[str]:
     names = []
     for name, spec in ops.QUERIES.items():
         o = spec.oracle or ""
-        if "events" in o or "documents" in o:
+        if "events" in o or "documents" in o or "embeddings" in o:
             names.append(name)
     return sorted(names)
 
@@ -77,6 +77,17 @@ def _perturb_events(src: str, dst: str) -> None:
     )
     val = base + delta
     ev["value"] = np.where(idx % 7 == 0, -val, val)
+
+    # -- malformed props: every 17th row's JSON is corrupt (truncated
+    # object, garbage, empty string, truncated array) — must degrade
+    # to NULL on both engines, never error. Clearly-INVALID strings
+    # only: a valid-but-different shape (e.g. JSON 'null') is outside
+    # the generator's documented {"k": N} contract, not dirty data.
+    bad_props = np.array(['{"k": 1, oops', "not json at all", "", "[1, 2"])
+    bad_mask = idx % 17 == 3
+    props = ev["props"].to_numpy(dtype=object).copy()
+    props[bad_mask] = bad_props[idx[bad_mask] % len(bad_props)]
+    ev["props"] = props
 
     # -- duplicate (user_id, ts) ties: copy ts/value/event_type from
     # the previous same-user row, keeping event_id/props distinct, so
@@ -117,6 +128,32 @@ def _perturb_documents(src: str, dst: str) -> None:
     pd.concat([docs, extra], ignore_index=True).to_parquet(dst, index=False)
 
 
+def _perturb_embeddings(src: str, dst: str) -> None:
+    """Append the vectors a real embedding pipeline eventually meets:
+    an all-zero vector (norm 0 — cosine denominators), an EXACT
+    duplicate of an existing vector (perfect-tie ordering), and a
+    constant-positive vector (every sign-LSH bit identical)."""
+    emb = pd.read_parquet(src)
+    next_id = int(emb["vec_id"].max()) + 1
+    dim = len(emb["embedding"].iloc[0])
+    labels = emb["label"].dropna().unique().tolist() or [0]
+    extra = pd.DataFrame(
+        {
+            "vec_id": np.arange(next_id, next_id + 3, dtype="int64"),
+            "embedding": [
+                np.zeros(dim, dtype="float32"),
+                np.asarray(emb["embedding"].iloc[0], dtype="float32"),
+                np.full(dim, 0.125, dtype="float32"),
+            ],
+            "label": np.array(
+                [labels[i % len(labels)] for i in range(3)],
+                dtype=emb["label"].dtype,
+            ),
+        }
+    )
+    pd.concat([emb, extra], ignore_index=True).to_parquet(dst, index=False)
+
+
 @pytest.fixture(scope="session")
 def sf_perturbed(tmp_path_factory) -> str:
     out = str(tmp_path_factory.mktemp("sf_perturbed"))
@@ -127,6 +164,8 @@ def sf_perturbed(tmp_path_factory) -> str:
             _perturb_events(src, dst)
         elif name == "documents":
             _perturb_documents(src, dst)
+        elif name == "embeddings":
+            _perturb_embeddings(src, dst)
         else:
             os.symlink(src, dst)
     return out
