@@ -422,3 +422,100 @@ def text_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "), x -> x.ptext), ' ')"
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repeated-passage removal (MassiveText/C4 repetition scrub)
+# ---------------------------------------------------------------------------
+
+# The corpus-level passage ops above dedup ACROSS documents; this one
+# dedups WITHIN each document — the C4/MassiveText repetition scrub
+# that strips boilerplate a page repeats internally (navigation blocks,
+# chorus lines, crawler echo). Eval corpus: documents ∪ self-repetition
+# twins (token stream doubled), so exactly half of every twin's chunks
+# are drops and the oracle verifies the kept SEQUENCE byte-for-byte.
+_INTRADOC_TWIN_OFFSET = 1_000_000  # same headroom contract as dedup.py
+
+
+@register(
+    "text_intradoc_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{DUCK_TOKENS}} AS w FROM documents
+      UNION ALL
+      SELECT doc_id + {_INTRADOC_TWIN_OFFSET}, list_concat(al, al)
+      FROM (
+        SELECT doc_id,
+               w[1:greatest(len(w) - len(w) % {_PASSAGE},
+                            least(len(w), {_PASSAGE}))] AS al
+        FROM (SELECT doc_id, {{DUCK_TOKENS}} AS w FROM documents)
+      )
+    ),
+    chunked AS (
+      SELECT doc_id, {_DUCK_PASSAGES} AS ph FROM toks
+    ),
+    kept AS (
+      SELECT doc_id, ph,
+             [ph[i] for i in range(1, len(ph) + 1)
+              if list_position(ph[1:i-1], ph[i]) = 0] AS kh
+      FROM chunked
+    )
+    SELECT doc_id,
+           CAST(len(ph) AS BIGINT) AS n_chunks,
+           CAST(len(kh) AS BIGINT) AS n_kept,
+           CAST(floor((len(ph) - len(kh)) * 10000.0 / len(ph) + 0.5) AS DOUBLE)
+             / 10000 AS dup_ratio,
+           md5(array_to_string(kh, '|')) AS kept_md5
+    FROM kept
+    """.replace("{DUCK_TOKENS}", T.DUCK_TOKENS),
+    tags=("text", "dedup", "refine", "llm-pipeline"),
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-passage removal: token stream → disjoint
+    8-token chunks → keep each chunk only at its FIRST occurrence inside
+    the same document, preserving order. ``kept_md5`` hashes the kept
+    chunk sequence so the gate verifies the exact scrub output, not just
+    the counts.
+
+    Scale shape: zero shuffles and zero UDFs — chunking, first-occurrence
+    detection (an indexed ``filter`` probing the chunk prefix), and the
+    output hash are all codegen'd array expressions in the scan stage.
+    The prefix probe is O(chunks²) per document, bounded by document
+    length, never by corpus size — the per-row cost a 1000-executor scan
+    absorbs without a single byte moving.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
+    twins = docs.select(
+        (F.col("doc_id") + _INTRADOC_TWIN_OFFSET).alias("doc_id"),
+        F.expr(
+            # CHUNK-ALIGNED prefix doubled (full chunks only), so every
+            # twin chunk repeats exactly once and dup_ratio is 0.5 by
+            # construction; sub-chunk docs double unaligned
+            # (deterministic, and verified all the same)
+            f"concat(slice(w, 1, greatest(size(w) - size(w) % {_PASSAGE},"
+            f" least(size(w), {_PASSAGE}))),"
+            f" slice(w, 1, greatest(size(w) - size(w) % {_PASSAGE},"
+            f" least(size(w), {_PASSAGE}))))"
+        ).alias("w"),
+    )
+    corpus = docs.unionByName(twins)
+    chunked = corpus.select("doc_id", F.expr(_SPARK_PASSAGES).alias("ph"))
+    kept = chunked.select(
+        "doc_id",
+        "ph",
+        # (c, i): Spark's indexed filter lambda; i is 0-based, so
+        # slice(ph, 1, i) is exactly the chunk prefix before position i
+        F.expr(
+            "filter(ph, (c, i) -> array_position(slice(ph, 1, i), c) = 0)"
+        ).alias("kh"),
+    )
+    return kept.select(
+        "doc_id",
+        F.size("ph").cast("long").alias("n_chunks"),
+        F.size("kh").cast("long").alias("n_kept"),
+        F.expr(
+            "CAST(floor((size(ph) - size(kh)) * 10000.0 / size(ph) + 0.5) AS DOUBLE)"
+            " / 10000"
+        ).alias("dup_ratio"),
+        F.md5(F.array_join("kh", "|")).alias("kept_md5"),
+    )

@@ -327,6 +327,174 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_chained_window_agg",
+    # Two chained stateful aggregations in ONE streaming query (hourly
+    # tumbling windows rolled up into daily windows — Spark's
+    # multiple-stateful-operator support). Append mode: a daily window
+    # emits once the watermark W (max event time − 1h, propagated
+    # through both operators) passes its END; a day that has ended
+    # necessarily contains only ended hours, so every emitted daily
+    # row carries its COMPLETE aggregate — which is why the oracle is
+    # simply the batch daily rollup restricted to ended days.
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('day', ts) AS window_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT a.window_start, a.event_type, a.n_events, a.sum_value
+    FROM agg a, wm
+    WHERE a.window_start + INTERVAL 1 DAY <= wm.w
+    """,
+    tags=("streaming", "window-agg", "chained"),
+)
+def streaming_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour→day chained streaming rollup: the first aggregation keeps
+    per-(hour, type) state, the second re-windows the FIRST's output
+    into days — one query, two stateful operators, one checkpoint.
+    This is the streaming materialized-view cascade (minute→hour→day
+    rollup chains) that previously required two queries wired through
+    an intermediate topic, with double the end-to-end latency.
+
+    Cross-stage exactness: the hourly partial carries the exact
+    DECIMAL(18,6) sum (never a rounded double), so the daily decimal
+    re-sum associates exactly and the one terminal round matches the
+    direct daily aggregation bit-for-bit — mergeable-partial
+    discipline, same as the incremental-MV operator.
+
+    Scale shape: both aggregation states are bounded by open windows ×
+    keys; the second operator's input is the FIRST's finalized rows
+    (one row per hour × type), orders of magnitude smaller than the
+    event stream — the rollup is effectively free."""
+    hourly = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("sum(CAST(value AS DECIMAL(18,6)))").alias("sv"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("window"), "1 day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.expr("CAST(round(sum(sv), 2) AS DOUBLE)").alias("sum_value"),
+        )
+    )
+    return run_stream_to_batch(daily, output_mode="append").select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "streaming_stream_left_outer_join",
+    # Append-mode outer semantics: matched pairs emit as they join;
+    # an UNMATCHED view emits its null-joined row only once the join
+    # state can prove no future purchase can match — i.e. when the
+    # global watermark W (min of the two stream watermarks, each
+    # max(ts) - 1h) passes the view's entire match window:
+    # vts + 2h < W. Views younger than that stay buffered forever in
+    # the run-to-completion harness, exactly like the un-finalized
+    # windows of streaming_multibatch_replay — the oracle reproduces
+    # precisely that emitted set.
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ),
+    pairs AS (
+      SELECT v.event_id AS view_event, p.event_id AS purchase_event,
+             v.user_id,
+             CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+               AS secs_to_purchase
+      FROM v JOIN p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    ),
+    unmatched AS (
+      SELECT v.event_id AS view_event,
+             CAST(NULL AS BIGINT) AS purchase_event,
+             v.user_id,
+             CAST(NULL AS BIGINT) AS secs_to_purchase
+      FROM v, wm
+      WHERE v.ts + INTERVAL 2 HOUR < wm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = v.user_id
+            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+        )
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view joined to
+    the purchases the same user makes within 2 hours, AND — the outer
+    part — a null-joined row for each view provably never converting,
+    emitted exactly once when the watermark passes its match window.
+    This is the attribution-with-abandonment shape (conversion +
+    timeout in one operator); the inner variant above never tells you
+    who did NOT buy.
+
+    Scale shape: identical to the inner join — both sides shuffle on
+    user_id into co-located state stores, and the event-time range in
+    the join condition is what BOUNDS the outer state: a buffered view
+    is evicted (and its null row emitted) as soon as the watermark
+    clears ``vts + 2h``, so state never outlives the match window.
+    """
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    )
+    return run_stream_to_batch(joined, output_mode="append").select(
+        "view_event",
+        "purchase_event",
+        F.col("v_user").alias("user_id"),
+        F.expr("(unix_micros(pts) - unix_micros(vts)) div 1000000")
+        .cast("long")
+        .alias("secs_to_purchase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stream-static enrichment join + streaming dedup
 # ---------------------------------------------------------------------------
