@@ -120,6 +120,17 @@ def _read_mapping(mapping_column: str | None) -> dict[str, str] | None:
         # reference's bare split crashes on such paths.)
         if os.path.isfile(head):
             mapping_file, column = head, tail
+        elif not os.path.isfile(mapping_column):
+            # Neither reading fits an existing file: a typo'd
+            # 'missing.csv:2' must fail naming BOTH interpretations, not
+            # fall through to open('missing.csv:2') (whose error names
+            # the wrong path — or worse, reads a literally-colon-named
+            # file whole, silently dropping the selector).
+            raise FileNotFoundError(
+                f"mapping file not found: neither {head!r} (with column "
+                f"selector {tail!r}) nor the literal path "
+                f"{mapping_column!r} exists"
+            )
     mapping: dict[str, str] = {}
     with open(mapping_file, newline="") as f:
         reader = csv.reader(f)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
 from ceneton_database_tools_spark.operators import _textutil as T
+from ceneton_database_tools_spark.operators.dedup import assert_twin_headroom
 from ceneton_database_tools_spark.operators.registry import register
 
 
@@ -484,7 +485,9 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, never by corpus size — the per-row cost a 1000-executor scan
     absorbs without a single byte moving.
     """
-    docs = _docs(spark, sf_dir).select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
+    base = _docs(spark, sf_dir)
+    assert_twin_headroom(base, sf_dir)
+    docs = base.select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
     twins = docs.select(
         (F.col("doc_id") + _INTRADOC_TWIN_OFFSET).alias("doc_id"),
         F.expr(

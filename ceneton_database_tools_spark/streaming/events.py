@@ -45,6 +45,15 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 # conflicts with a resumed production checkpoint.
 STREAM_SHUFFLE_PARTITIONS = "8"
 
+# Executed micro-batch plan of the most recent run_stream_to_batch
+# call, keyed "plan". Streaming plans only materialize inside the
+# harness (a .explain on the unstarted DataFrame shows the logical
+# template, not the stateful physical operators), so the harness
+# snapshots the last execution's physical plan here and the plan-drift
+# lint (tests/test_plan_lint.py) pins Exchange / stateful-operator
+# counts from it — the same guard every batch query gets.
+LAST_STREAM_PLAN: dict[str, str] = {}
+
 
 def _sum_value_expr(alias: str):
     """Exact money sum: DECIMAL(18,6) hop → one deterministic
@@ -128,6 +137,10 @@ def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFr
             .start()
         )
         query.awaitTermination()
+        # lastExecution's physical plan — the ONLY place the stateful
+        # operators (StateStoreSave, StreamingSymmetricHashJoin, ...)
+        # and the micro-batch shuffles are visible for the drift lint.
+        LAST_STREAM_PLAN["plan"] = query._jsq.explainInternal(False)
         result = spark.table(name)
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
@@ -339,7 +352,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simply the batch daily rollup restricted to ended days.
     oracle="""
     WITH agg AS (
-      SELECT date_trunc('day', ts) AS window_start,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
              event_type,
              CAST(count(*) AS BIGINT) AS n_events,
              CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
@@ -504,8 +517,8 @@ def streaming_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFr
     "streaming_static_enrich",
     oracle="""
     SELECT c_mktsegment,
-           count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     WHERE event_type = 'purchase'
     GROUP BY c_mktsegment
@@ -538,8 +551,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_dedup_watermark",
     oracle="""
     SELECT event_type,
-           count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -908,4 +921,8 @@ def run_replay_pass(spark, schema, indir: str, ckpt: str, outdir: str):
         .start()
     )
     q.awaitTermination()
+    # same drift-lint snapshot as run_stream_to_batch — each pass
+    # overwrites, so after the full replay this holds the LAST pass's
+    # plan (identical shape every pass; the checkpoint fixes it)
+    LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
     return q

@@ -20,9 +20,14 @@ plan shapes that are silent correctness-at-scale killers:
   allowlist ONLY with a comment proving the single partition is
   bounded.
 
-Streaming queries are skipped: their plans materialize inside the
-run-to-completion sink harness, and their scale posture (watermarks,
-state bounds) is documented and tested in tests/test_streaming.py.
+Streaming queries get the same guard via the harness's executed-plan
+snapshot (``streaming.events.LAST_STREAM_PLAN``): each is run to
+completion at sf0.001 and its last micro-batch's physical plan is
+linted for cartesians and pinned on BOTH shuffle-Exchange count and
+stateful-operator count (a lost watermark or a dedup silently
+becoming a plain agg changes the stateful census). Their scale
+posture (watermarks, state bounds) is additionally documented and
+tested in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -34,7 +39,8 @@ import pytest
 
 from ceneton_database_tools_spark import operators as ops
 from tests.regen_plan_baseline import OUT as PLAN_BASELINE_PATH
-from tests.regen_plan_baseline import exchange_count
+from tests.regen_plan_baseline import STREAM_OUT as STREAM_BASELINE_PATH
+from tests.regen_plan_baseline import exchange_count, stateful_count
 
 SF_PLAN = "/root/testdata/sf0.001"  # plans only, never executed
 
@@ -62,6 +68,22 @@ _BATCH_NAMES = sorted(
     and not name.startswith("streaming")
     and name not in SELF_CHECKING_PLANS
 )
+
+_STREAM_NAMES = sorted(
+    name
+    for name, spec in ops.QUERIES.items()
+    if "streaming" in spec.tags or name.startswith("streaming")
+)
+
+# Tolerate absence at import: regen_plan_baseline imports this module
+# (for SELF_CHECKING_PLANS) before it has written the file on a fresh
+# checkout; the per-name assert below turns a missing baseline into a
+# clear test failure instead of a collection error.
+if os.path.exists(STREAM_BASELINE_PATH):
+    with open(STREAM_BASELINE_PATH) as _f:
+        STREAM_STATEFUL_BASELINE: dict[str, int] = json.load(_f)
+else:
+    STREAM_STATEFUL_BASELINE = {}
 
 
 def _unexempt_single_partition_exchanges(plan: str) -> list[str]:
@@ -105,6 +127,37 @@ def test_plan_has_no_scale_killers(spark, name):
         f"{name}: plan drift — {n} shuffle Exchanges vs committed {want}. "
         "If intentional, re-pin with python tests/regen_plan_baseline.py "
         "and justify the diff in the commit."
+    )
+
+
+@pytest.mark.parametrize("name", _STREAM_NAMES)
+def test_streaming_plan_pinned(spark, name):
+    """Streaming drift guard: run the query to completion at sf0.001
+    (streaming physical plans only exist after execution), lint the
+    last micro-batch's executed plan for cartesians, and pin BOTH its
+    shuffle-Exchange count and its stateful-operator census — a
+    watermark silently dropped, a dedup collapsing into a plain agg,
+    or a stream-stream join degrading to nested-loop all change one of
+    the two counts. Re-pin intentionally with
+    python tests/regen_plan_baseline.py."""
+    from ceneton_database_tools_spark.streaming import events as stream_events
+
+    ops.QUERIES[name].fn(spark, SF_PLAN)
+    plan = stream_events.LAST_STREAM_PLAN["plan"]
+    assert "CartesianProduct" not in plan, f"{name}: unconditioned cartesian join"
+    assert name in PLAN_EXCHANGE_BASELINE and name in STREAM_STATEFUL_BASELINE, (
+        f"{name}: no committed streaming plan baseline — run "
+        "python tests/regen_plan_baseline.py and review the diff"
+    )
+    n = exchange_count(plan)
+    assert n == PLAN_EXCHANGE_BASELINE[name], (
+        f"{name}: streaming plan drift — {n} shuffle Exchanges vs committed "
+        f"{PLAN_EXCHANGE_BASELINE[name]}"
+    )
+    s = stateful_count(plan)
+    assert s == STREAM_STATEFUL_BASELINE[name], (
+        f"{name}: stateful-operator census drift — {s} vs committed "
+        f"{STREAM_STATEFUL_BASELINE[name]}"
     )
 
 

@@ -167,6 +167,18 @@ def test_read_mapping_colon_path_without_selector(tmp_path):
     assert _read_mapping(f"{csv_path}:english_name") == {"nummer": "ceneton_id"}
 
 
+def test_read_mapping_missing_file_names_both_interpretations(tmp_path):
+    """A typo'd 'missing.csv:2' must fail with an error naming BOTH the
+    selector reading and the literal-path reading — not open() the
+    whole string (wrong path in the error, and a later-created file
+    literally named 'missing.csv:2' would be read whole)."""
+    bogus = str(tmp_path / "missing.csv") + ":english_name"
+    with pytest.raises(FileNotFoundError) as exc:
+        _read_mapping(bogus)
+    msg = str(exc.value)
+    assert "missing.csv'" in msg and "english_name" in msg and bogus in msg
+
+
 # -- CLI ----------------------------------------------------------------------
 
 
