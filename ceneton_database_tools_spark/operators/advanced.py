@@ -160,7 +160,7 @@ def scalar_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH orders_daily AS (
       SELECT o_custkey, o_orderdate,
              count(*) AS n_orders,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS day_total
       FROM orders GROUP BY o_custkey, o_orderdate
     )
@@ -201,7 +201,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("day_total")
         )
@@ -241,7 +241,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.event_id,
            count(o.o_orderkey)                        AS n_orders_30d,
-           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_30d
+           CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 0), 2)
+                AS DOUBLE) AS total_30d
     FROM events e
     LEFT JOIN orders o
       ON e.user_id = o.o_custkey
@@ -270,7 +271,10 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(
             F.count("o_orderkey").alias("n_orders_30d"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_30d"),
+            F.expr(
+                "CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))), 0), 2)"
+                " AS DOUBLE)"
+            ).alias("total_30d"),
         )
     )
 
@@ -294,7 +298,7 @@ def _net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.S
     oracle="""
     SELECT
       l_returnflag,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2)) * CAST(1 + l_tax AS DECIMAL(5,2))), 2) AS DOUBLE) AS net_revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6)) * CAST(1 + l_tax AS DECIMAL(9,6))), 2) AS DOUBLE) AS net_revenue,
       count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -382,16 +386,21 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_upsert_customers",
     oracle="""
     WITH updates AS (
-      SELECT c_custkey, c_name, round(c_acctbal + 100, 2) AS c_acctbal
+      SELECT c_custkey, c_name,
+             CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 100, 2) AS DOUBLE)
+               AS c_acctbal
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
       SELECT c_custkey + 1000000, concat('NEW#', c_name), 0.0
       FROM customer WHERE c_custkey % 100 = 0
     )
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, TRUE AS from_update
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
+           TRUE AS from_update
     FROM updates
     UNION ALL
-    SELECT t.c_custkey, t.c_name, round(t.c_acctbal, 2), FALSE
+    SELECT t.c_custkey, t.c_name,
+           CAST(round(CAST(t.c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE), FALSE
     FROM customer t
     WHERE t.c_custkey NOT IN (SELECT c_custkey FROM updates)
     """,
@@ -413,7 +422,13 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     updates = (
         target.filter(F.col("c_custkey") % 10 == 0)
-        .select("c_custkey", "c_name", F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.expr(
+                "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 100, 2) AS DOUBLE)"
+            ).alias("c_acctbal"),
+        )
         .unionByName(
             target.filter(F.col("c_custkey") % 100 == 0).select(
                 (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
@@ -427,7 +442,12 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("from_update", F.lit(False))
     )
     return merged.select(
-        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "from_update"
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+        "from_update",
     )
 
 
@@ -444,7 +464,7 @@ WITH seg_orders AS (
   FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
 )
 SELECT c_mktsegment, o_orderkey,
-       round(o_totalprice, 2) AS totalprice,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS totalprice,
        CAST(rn AS BIGINT)     AS rank
 FROM seg_orders
 WHERE rn <= 3
@@ -728,7 +748,7 @@ _MV_CUTOFF = "1999-01-01"
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS total_price
     FROM orders
     GROUP BY o_orderpriority
@@ -759,7 +779,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("price_sum"),
         )
 
     base = partial(orders.where(F.col("o_orderdate") < cutoff))

@@ -43,17 +43,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       l_returnflag,
       l_linestatus,
       round(sum(l_quantity), 2)                                    AS sum_qty,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_disc_price,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * CAST(1 - l_discount AS DECIMAL(5,2))
-                     * CAST(1 + l_tax AS DECIMAL(5,2))), 2) AS DOUBLE) AS sum_charge,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(1 - l_discount AS DECIMAL(9,6))
+                     * CAST(1 + l_tax AS DECIMAL(9,6))), 2) AS DOUBLE) AS sum_charge,
       CAST(floor(CAST(sum(l_quantity) AS BIGINT) * 1000000.0 / count(*) + 0.5)
            AS DOUBLE) / 1000000.0                                 AS avg_qty,
-      CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
                  / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS avg_price,
-      CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)
+      CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE)
                  / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS avg_disc,
       count(*)                                                     AS count_order
     FROM lineitem
@@ -79,9 +79,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Averages divide the exact decimal sum ONCE, as a double, on both
     # engines. avg(l_quantity) stays float: integer-valued doubles sum
     # exactly at any order.
-    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
-    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(5,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(18,6)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(9,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -101,11 +101,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor-quantized at 1e-6: floor of identical doubles — no
             # engine-specific round(double) at half boundaries
             F.expr(
-                "CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+                "CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
                 " / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
             ).alias("avg_price"),
             F.expr(
-                "CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(5,2))) AS DOUBLE)"
+                "CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE)"
                 " / count(*) * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -155,7 +155,7 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(o_orderstatus, '<ALL>')   AS orderstatus,
       coalesce(o_orderpriority, '<ALL>') AS orderpriority,
       count(*)                           AS n_orders,
-      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -168,7 +168,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("total_price"),
         )
@@ -216,7 +216,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(c_mktsegment, '<ALL>') AS mktsegment,
       coalesce(n_name, '<ALL>')       AS nation,
       count(*)                        AS n_customers,
-      CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
     """,
@@ -234,7 +234,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           coalesce(c_mktsegment, '<ALL>') AS mktsegment,
           coalesce(n_name, '<ALL>')       AS nation,
           count(*)                        AS n_customers,
-          CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+          CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_acctbal
         FROM _gs_cust_nat
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name))
         """
@@ -315,7 +315,7 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_orderkey,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -354,7 +354,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -369,7 +369,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n_name AS nation,
-      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
     JOIN lineitem ON l_orderkey  = o_orderkey
@@ -415,7 +415,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -427,7 +427,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer",
     oracle="""
     SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-           CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+           CAST(round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))),
                                0.00), 2) AS DOUBLE) AS spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -445,8 +445,8 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.round(
                 F.coalesce(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
-                    F.lit(0).cast("decimal(18,2)"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+                    F.lit(0).cast("decimal(18,6)"),
                 ),
                 2,
             )
@@ -564,9 +564,9 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_scalar",
     oracle="""
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    SELECT c_custkey, c_name, CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
     FROM customer
-    WHERE round(c_acctbal, 2) > (SELECT CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS DOUBLE) / 100.0 FROM customer)
+    WHERE CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) > (SELECT CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS DOUBLE) / 100.0 FROM customer)
     """,
     tags=("subquery", "filter"),
 )
@@ -589,8 +589,8 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.round("c_acctbal", 2) > F.col("_avg_bal"))
-        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .filter(F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)") > F.col("_avg_bal"))
+        .select("c_custkey", "c_name", F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("acctbal"))
     )
 
 
@@ -606,7 +606,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         c_mktsegment,
         c_custkey,
-        round(c_acctbal, 2) AS acctbal,
+        CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
         row_number() OVER (
           PARTITION BY c_mktsegment
           ORDER BY c_acctbal DESC, c_custkey
@@ -628,7 +628,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "c_custkey",
-            F.round("c_acctbal", 2).alias("acctbal"),
+            F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("acctbal"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
@@ -758,7 +758,8 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     LEFT JOIN (
       SELECT o_custkey, min(o_orderkey) AS o_orderkey,
-             round(min(o_totalprice), 2) AS o_totalprice
+             CAST(round(CAST(min(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)
+               AS o_totalprice
       FROM orders GROUP BY o_custkey
     ) o ON c.c_custkey = o.o_custkey
     """,
@@ -777,7 +778,9 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.min("o_orderkey").alias("o_orderkey"),
-            F.round(F.min("o_totalprice"), 2).alias("o_totalprice"),
+            F.expr(
+                "CAST(round(CAST(min(o_totalprice) AS DECIMAL(18,6)), 2) AS DOUBLE)"
+            ).alias("o_totalprice"),
         )
     )
     joined = cust.join(first_order, cust.c_custkey == first_order.o_custkey, "left")
@@ -830,7 +833,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sort_limit_topk",
     oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderdate
+    SELECT o_orderkey, CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS totalprice, o_orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25
@@ -843,7 +846,7 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(25)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "o_orderdate")
+        .select("o_orderkey", F.expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("totalprice"), "o_orderdate")
     )
 
 
@@ -988,7 +991,7 @@ def pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, 'size' AS metric, round(CAST(p_size AS DOUBLE), 2) AS value
     FROM part
     UNION ALL
-    SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
+    SELECT p_partkey, 'retailprice' AS metric, CAST(round(CAST(p_retailprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS value
     FROM part
     """,
     tags=("unpivot",),
@@ -1003,14 +1006,20 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("retailprice"),
         )
         .unpivot("p_partkey", ["size", "retailprice"], "metric", "_v")
-        .select("p_partkey", "metric", F.round("_v", 2).alias("value"))
+        .select(
+            "p_partkey",
+            "metric",
+            F.expr("CAST(round(CAST(_v AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+                "value"
+            ),
+        )
     )
 
 
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1036,7 +1045,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(5,2)")), 2).cast("double").alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * F.col("l_discount").cast("decimal(9,6)")), 2).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -1046,10 +1055,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(floor(
              100.0 * CAST(sum(CASE WHEN p_type LIKE 'STANDARD%'
-                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                                   * CAST(1 - l_discount AS DECIMAL(5,2))
+                              THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                                   * CAST(1 - l_discount AS DECIMAL(9,6))
                               ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6))) AS DOUBLE)
              * 10000 + 0.5) AS DOUBLE) / 10000.0 AS promo_share,
            count(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1067,9 +1076,9 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
         F.lit(1) - F.col("l_discount")
-    ).cast("decimal(5,2)")
+    ).cast("decimal(9,6)")
     promo = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(
         F.lit(0).cast("decimal(24,4)")
     )
@@ -1093,7 +1102,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE)
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE)
              AS avg_yearly, count(*) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -1120,7 +1129,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2)
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2)
             .cast("double")
             .alias("avg_yearly"),
             F.count("*").alias("n"),
@@ -1131,7 +1140,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 10 AND l_quantity <= 30)
@@ -1157,7 +1166,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(1, 15))
     )
     return j.filter(c).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")), 2).cast("double").alias(
             "revenue"
         ),
         F.count("*").alias("n"),
@@ -1169,9 +1178,9 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*)                 AS n_custs,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
     FROM customer c
-    WHERE round(c_acctbal, 2) > (SELECT CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS DOUBLE) / 100.0 FROM customer
+    WHERE CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) > (SELECT CAST(floor(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) AS DOUBLE) / 100.0 FROM customer
                                  WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1196,12 +1205,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.round("c_acctbal", 2) > F.col("_avg"))
+        .filter(F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)") > F.col("_avg"))
         .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("total_bal"),
         )

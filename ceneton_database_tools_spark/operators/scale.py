@@ -286,7 +286,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -322,7 +322,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")), 2).cast("double").alias(
             "revenue"
         ),
     )
@@ -351,8 +351,8 @@ def _record_inner_plan(name: str, df: DataFrame) -> None:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -402,8 +402,8 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_items"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
                 ),
                 2,
             )
@@ -424,7 +424,7 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT)          AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
              AS total_price
     FROM orders
     WHERE o_orderstatus = 'O'
@@ -462,7 +462,7 @@ def scale_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         result = pruned.groupBy("o_orderpriority").agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("total_price"),
         )
@@ -477,8 +477,8 @@ def scale_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
@@ -531,8 +531,8 @@ def scale_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_items"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
                 ),
                 2,
             )
@@ -548,3 +548,91 @@ def scale_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "scale_small_file_compaction",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * l_linenumber) AS BIGINT) AS checksum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("scale", "layout", "compaction"),
+)
+def scale_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every 100 TB
+    lake needs: a fragmented table (here: lineitem deliberately written
+    as 64 tiny files, the streaming-ingest / over-parallel-writer
+    failure mode) is rewritten into size-targeted files WITHOUT a
+    shuffle (``coalesce`` merges input splits per task; ``repartition``
+    would pay a full exchange to achieve the same byte layout). Target
+    file count = ceil(input bytes / target size); the operator
+    SELF-CHECKS that (a) the compacted directory holds exactly that
+    many parquet files, (b) compaction reduced the file count, and
+    (c) the rewrite plan contains ZERO shuffle exchanges. Content
+    preservation is what the oracle verifies: exact integer-cent sums
+    and an order-independent per-row checksum must survive the rewrite
+    byte-for-byte.
+
+    At production scale the same job runs per partition with
+    ``spark.sql.files.maxRecordsPerFile`` bounding the upper end; the
+    reference has no table-maintenance surface at all (its only sink
+    is a single JDBC load, ``sql.py``).
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ceneton_compact_")
+    frag = os.path.join(work, "fragmented")
+    compact = os.path.join(work, "compacted")
+    target_bytes = 8 * 1024 * 1024  # test-scale stand-in for 128MB-1GB
+    try:
+        _t(spark, sf_dir, "lineitem").repartition(64).write.parquet(frag)
+        n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+        frag_bytes = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        n_target = max(1, math.ceil(frag_bytes / target_bytes))
+        if n_target >= n_frag:
+            raise AssertionError(
+                f"fixture not fragmented enough to demonstrate compaction: "
+                f"{n_frag} files for {frag_bytes}B at target {target_bytes}B"
+            )
+        compacted = spark.read.parquet(frag).coalesce(n_target)
+        plan = compacted._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        if re.search(r"(?<![A-Za-z])Exchange ", plan):
+            raise AssertionError(
+                "compaction must be shuffle-free (coalesce, not repartition); "
+                "got:\n" + plan[:2000]
+            )
+        compacted.write.parquet(compact)
+        n_out = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+        if n_out != n_target:
+            raise AssertionError(
+                f"compacted file count {n_out} != target {n_target}"
+            )
+        cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        result = (
+            spark.read.parquet(compact)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(cents).cast("long").alias("price_cents"),
+                F.sum(cents * F.col("l_linenumber")).cast("long").alias("checksum"),
+            )
+        )
+        _record_inner_plan("scale_small_file_compaction", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -88,7 +88,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2)) AS volume
+             CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6)) AS volume
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey  = c_custkey
@@ -138,7 +138,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")), 2
             ).cast("double").alias("revenue")
         )
     )
@@ -155,7 +155,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000.0 AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2)) AS volume,
+             CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6)) AS volume,
              n2.n_name AS nation
       FROM lineitem
       JOIN part     ON l_partkey  = p_partkey
@@ -196,9 +196,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+    volume = F.col("l_extendedprice").cast("decimal(18,6)") * (
         F.lit(1) - F.col("l_discount")
-    ).cast("decimal(5,2)")
+    ).cast("decimal(9,6)")
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -226,8 +226,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS revenue,
-           round(c_acctbal, 2) AS acctbal,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS revenue,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal,
            n_name AS nation
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -263,14 +263,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")), 2
             ).cast("double").alias("revenue")
         )
         .select(
             "c_custkey",
             "c_name",
             "revenue",
-            F.round("c_acctbal", 2).alias("acctbal"),
+            F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("acctbal"),
             F.col("n_name").alias("nation"),
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -359,7 +359,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))), 2) AS DOUBLE) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(9,6))), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -383,7 +383,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _TS("1997-04-01 00:00:00"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")), 2).cast("double").alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)") * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")), 2).cast("double").alias(
             "total_revenue"
         )
     )
@@ -400,7 +400,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-           round(o_totalprice, 2) AS totalprice,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS totalprice,
            CAST(sum(l_quantity) AS DOUBLE) AS total_qty
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
@@ -440,7 +440,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round("o_totalprice", 2).alias("totalprice"),
+            F.expr("CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("totalprice"),
             "total_qty",
         )
     )
@@ -561,7 +561,7 @@ def _derived_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ps AS ({_DERIVED_PS}),
     eu AS (
-      SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+      SELECT s_suppkey, s_name, CAST(round(CAST(s_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS s_acctbal, n_name
       FROM supplier
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -598,7 +598,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+        .select("s_suppkey", "s_name", F.expr("CAST(round(CAST(s_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("s_acctbal"), "n_name")
     )
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
@@ -623,10 +623,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT n_name AS nation,
              year(o_orderdate) AS o_year,
-             CAST(l_extendedprice AS DECIMAL(18,2))
-               * CAST(1 - l_discount AS DECIMAL(5,2))
+             CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST(1 - l_discount AS DECIMAL(9,6))
                - CAST(0.1 AS DECIMAL(2,1))
-                 * CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(p_retailprice AS DECIMAL(18,6))
                  * CAST(l_quantity AS DECIMAL(12,0)) AS amount
       FROM lineitem
       JOIN part     ON l_partkey  = p_partkey
@@ -654,11 +654,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     nat = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+    amount = F.col("l_extendedprice").cast("decimal(18,6)") * (
         F.lit(1) - F.col("l_discount")
-    ).cast("decimal(5,2)") - F.lit(0.1).cast("decimal(2,1)") * F.col(
+    ).cast("decimal(9,6)") - F.lit(0.1).cast("decimal(2,1)") * F.col(
         "p_retailprice"
-    ).cast("decimal(18,2)") * F.col("l_quantity").cast("decimal(12,0)")
+    ).cast("decimal(18,6)") * F.col("l_quantity").cast("decimal(12,0)")
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Round-boundary self-check: run exactly what the driver runs and
+print ONE line — ``GATE PASS`` or ``GATE FAIL (legs...)`` — exiting
+non-zero on any failure. "Green when I left it" is a command, not a
+belief (round 6 shipped 3 red tests in its final snapshot commit;
+this is the guard against a repeat).
+
+Legs, in the driver's order:
+  1. contract — __spark_entry__.entry() smoke + every queries() entry
+     vs its oracle_sql() on DuckDB at sf0.01 (row-set string compare,
+     the driver's canonicalization is strictly weaker than this);
+  2. bench — python bench.py at sf0.01 must emit one parseable JSON
+     line with a positive suite wall;
+  3. pytest — the full suite, including oracle/perturbed parity and
+     the plan-drift lints.
+
+Usage:  python gate.py [--skip-pytest]   (or: make gate)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def leg_contract() -> str | None:
+    import importlib
+
+    import duckdb
+
+    mod = importlib.import_module("__spark_entry__")
+    from ceneton_database_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="gate-contract", cpus=8)
+    try:
+        if len(mod.entry(spark).collect()) <= 0:
+            return "entry() returned 0 rows"
+        qs, osql = mod.queries(), mod.oracle_sql()
+        if not set(osql) <= set(qs):
+            return f"oracle_sql keys not in queries(): {sorted(set(osql) - set(qs))}"
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+            )
+        bad = []
+        for name, fn in qs.items():
+            try:
+                if name not in osql:
+                    fn(spark, "/root/testdata/sf0.01").count()
+                    continue
+                srows = sorted(
+                    tuple(map(str, r))
+                    for r in fn(spark, "/root/testdata/sf0.01").collect()
+                )
+                drows = sorted(
+                    tuple(map(str, r)) for r in con.sql(osql[name]).fetchall()
+                )
+                if srows != drows:
+                    bad.append(name)
+            except Exception as exc:  # a raising query is a failing query
+                bad.append(f"{name}!{type(exc).__name__}")
+        if bad:
+            return f"oracle mismatches: {bad}"
+        return None
+    finally:
+        spark.stop()
+
+
+def leg_bench() -> str | None:
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        env={**__import__("os").environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01"},
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        return f"bench.py exit {proc.returncode}"
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        return "bench.py printed no JSON line"
+    try:
+        out = json.loads(lines[-1])
+    except json.JSONDecodeError:
+        return "bench.py JSON line unparseable"
+    if not (isinstance(out.get("value"), (int, float)) and out["value"] > 0):
+        return f"bench suite wall not positive: {out.get('value')!r}"
+    return None
+
+
+def leg_pytest() -> str | None:
+    proc = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q", "-x"])
+    return None if proc.returncode == 0 else f"pytest exit {proc.returncode}"
+
+
+def main() -> int:
+    skip_pytest = "--skip-pytest" in sys.argv[1:]
+    failures: list[str] = []
+    for name, leg in (
+        ("contract", leg_contract),
+        ("bench", leg_bench),
+        *(() if skip_pytest else (("pytest", leg_pytest),)),
+    ):
+        print(f"gate: running {name} ...", file=sys.stderr, flush=True)
+        err = leg()
+        if err:
+            failures.append(f"{name}: {err}")
+    if failures:
+        print("GATE FAIL (" + "; ".join(failures) + ")")
+        return 1
+    print("GATE PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

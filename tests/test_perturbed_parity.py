@@ -23,7 +23,25 @@ in the failure modes a future generator could emit:
   — kills UTF-16-unit char walking and shingles-shorter-than-text
   assumptions.
 
-Every query whose oracle touches events or documents runs here
+Round 7 extends the same treatment to the TPC-H star schema (the
+other ~60 queries ran only on pristine generator output for six
+rounds):
+
+* ``lineitem``/``orders``/``customer``/``part``/``supplier`` money
+  columns re-gridded to 3 decimals sitting exactly ON scale-2 half
+  boundaries (x.005) — kills any engine-side ``round(double, 2)``
+  divergence in pricing aggregates;
+* value-identical neighbor rows (ship dates, quantities, prices,
+  order dates copied from the previous same-key row while primary
+  keys stay distinct) — kills window orderings without a unique
+  tie-break;
+* ``l_shipdate`` partially collapsed onto a single day (every 3rd
+  row) — the one-hot-partition skew shape;
+* NULLs in non-key attributes (``o_orderpriority``,
+  ``c_mktsegment``) — kills null-blind grouping/ordering;
+* negative ``c_acctbal``/``s_acctbal`` (allowed by TPC-H).
+
+Every query whose oracle touches a perturbed table runs here
 (selected dynamically, so new operators are gated automatically).
 """
 
@@ -42,11 +60,23 @@ from tests.oracle_harness import compare, compare_driver_canon, duck_con
 SRC_SF = "/root/testdata/sf0.01"
 
 
+_PERTURBED_TABLES = (
+    "events",
+    "documents",
+    "embeddings",
+    "lineitem",
+    "orders",
+    "customer",
+    "part",
+    "supplier",
+)
+
+
 def _perturbed_names() -> list[str]:
     names = []
     for name, spec in ops.QUERIES.items():
         o = spec.oracle or ""
-        if "events" in o or "documents" in o or "embeddings" in o:
+        if any(t in o for t in _PERTURBED_TABLES):
             names.append(name)
     return sorted(names)
 
@@ -99,6 +129,89 @@ def _perturb_events(src: str, dst: str) -> None:
         ev.loc[mask, col] = ev[col].shift()[mask]
 
     ev.to_parquet(dst, index=False)
+
+
+def _regrid_money(vals: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """2-decimal base + {±0.005, 0.001} — 3-decimal values exactly on
+    scale-2 half boundaries, the grid where Spark's shortest-repr
+    round() and DuckDB's binary-double round() disagree."""
+    base = np.floor(vals * 100 + 0.5) / 100
+    delta = np.select(
+        [idx % 5 == 0, idx % 5 == 1, idx % 5 == 2], [0.005, -0.005, 0.001], 0.0
+    )
+    return base + delta
+
+
+def _copy_prev_within(df: pd.DataFrame, key: str, cols: tuple[str, ...], mod: int,
+                      rem: int) -> pd.DataFrame:
+    """Copy ``cols`` from the previous same-``key`` row on a periodic
+    mask — value-identical neighbors with distinct primary keys, the
+    shape that breaks any window ORDER BY lacking a unique tie-break."""
+    df = df.sort_values([key], kind="mergesort").reset_index(drop=True)
+    same = df[key].eq(df[key].shift())
+    mask = (same & (np.arange(len(df)) % mod == rem)).to_numpy()
+    for col in cols:
+        df.loc[mask, col] = df[col].shift()[mask]
+    return df
+
+
+def _perturb_lineitem(src: str, dst: str) -> None:
+    li = pd.read_parquet(src)
+    idx = np.arange(len(li))
+    li["l_extendedprice"] = _regrid_money(li["l_extendedprice"].to_numpy(), idx)
+    # discounts snapped to the 0.005 grid INSIDE [0, 0.10] — lands rows
+    # exactly on q6's BETWEEN 0.05 AND 0.07 edges
+    disc = np.floor(li["l_discount"].to_numpy() * 100 + 0.5) / 100
+    li["l_discount"] = np.where(idx % 4 == 0, np.clip(disc + 0.005, 0.0, 0.10), disc)
+    # one-day collapse: every 3rd row ships on the corpus max date
+    # (one-hot partition skew); exact integer view keeps the physical type
+    arr = li["l_shipdate"].to_numpy()
+    t = arr.view("int64").copy()
+    t[idx % 3 == 0] = int(t.max())
+    li["l_shipdate"] = t.view(arr.dtype)
+    li = _copy_prev_within(
+        li, "l_orderkey", ("l_shipdate", "l_quantity", "l_extendedprice"), 7, 2
+    )
+    li.to_parquet(dst, index=False)
+
+
+def _perturb_orders(src: str, dst: str) -> None:
+    od = pd.read_parquet(src)
+    idx = np.arange(len(od))
+    od["o_totalprice"] = _regrid_money(od["o_totalprice"].to_numpy(), idx)
+    # NULL priority every 41st row — null-blind grouping/ordering check
+    pr = od["o_orderpriority"].to_numpy(dtype=object).copy()
+    pr[idx % 41 == 5] = None
+    od["o_orderpriority"] = pr
+    od = _copy_prev_within(od, "o_custkey", ("o_orderdate", "o_totalprice"), 5, 1)
+    od.to_parquet(dst, index=False)
+
+
+def _perturb_customer(src: str, dst: str) -> None:
+    cu = pd.read_parquet(src)
+    idx = np.arange(len(cu))
+    bal = _regrid_money(cu["c_acctbal"].to_numpy(), idx)
+    cu["c_acctbal"] = np.where(idx % 9 == 4, -np.abs(bal), bal)  # TPC-H allows < 0
+    seg = cu["c_mktsegment"].to_numpy(dtype=object).copy()
+    seg[idx % 37 == 11] = None
+    cu["c_mktsegment"] = seg
+    cu.to_parquet(dst, index=False)
+
+
+def _perturb_part(src: str, dst: str) -> None:
+    pt = pd.read_parquet(src)
+    idx = np.arange(len(pt))
+    pt["p_retailprice"] = _regrid_money(pt["p_retailprice"].to_numpy(), idx)
+    pt = _copy_prev_within(pt, "p_brand", ("p_retailprice", "p_size"), 6, 3)
+    pt.to_parquet(dst, index=False)
+
+
+def _perturb_supplier(src: str, dst: str) -> None:
+    su = pd.read_parquet(src)
+    idx = np.arange(len(su))
+    bal = _regrid_money(su["s_acctbal"].to_numpy(), idx)
+    su["s_acctbal"] = np.where(idx % 9 == 4, -np.abs(bal), bal)
+    su.to_parquet(dst, index=False)
 
 
 def _perturb_documents(src: str, dst: str) -> None:
@@ -166,6 +279,16 @@ def sf_perturbed(tmp_path_factory) -> str:
             _perturb_documents(src, dst)
         elif name == "embeddings":
             _perturb_embeddings(src, dst)
+        elif name == "lineitem":
+            _perturb_lineitem(src, dst)
+        elif name == "orders":
+            _perturb_orders(src, dst)
+        elif name == "customer":
+            _perturb_customer(src, dst)
+        elif name == "part":
+            _perturb_part(src, dst)
+        elif name == "supplier":
+            _perturb_supplier(src, dst)
         else:
             os.symlink(src, dst)
     return out

@@ -55,7 +55,12 @@ SINGLE_PARTITION_ALLOWLIST: set[str] = set()
 # INSIDE the operator (raising on regression), so the gate still
 # catches drift — through the parity tests that execute them.
 SELF_CHECKING_PLANS: frozenset[str] = frozenset(
-    {"scale_bucketed_join", "scale_partition_pruned_read", "scale_runtime_bloom_join"}
+    {
+        "scale_bucketed_join",
+        "scale_partition_pruned_read",
+        "scale_runtime_bloom_join",
+        "scale_small_file_compaction",
+    }
 )
 
 with open(PLAN_BASELINE_PATH) as _f:
