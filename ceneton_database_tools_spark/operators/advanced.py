@@ -286,11 +286,24 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # return type passed as a DataType object: a DDL string would need an
 # active SparkContext to parse at import time
-@F.pandas_udf(SqlT.DoubleType())
-def _net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
-    """Vectorized net price: one Arrow batch per call, pure pandas
-    arithmetic inside — the 10-100× faster shape vs a row UDF."""
-    return extended * (1.0 - discount) * (1.0 + tax)
+@F.pandas_udf(SqlT.LongType())
+def _net_price_nano(
+    extended: pd.Series, discount: pd.Series, tax: pd.Series
+) -> pd.Series:
+    """Vectorized net price in exact integer NANO-units (1e-9): one
+    Arrow batch per call, pure numpy arithmetic inside — the 10-100×
+    faster shape vs a row UDF. Inputs are quantized to their exact
+    milli-unit grids FIRST (the doubles are within ~1e-10 of 3-decimal
+    values, so scale-0 rounding recovers the exact integers), then the
+    product is computed in int64 — a float product would carry ~1e-6
+    absolute error at 1e5-scale prices, the same order as the output
+    quantum, and its per-row rounding drifts from the oracle's exact
+    DECIMAL product on half-boundary grids (the hostile-data gate's
+    x.005 case). Max per-row value ≈ 1e5·1e3·1e3·1e3 = 1e14 ≪ 2^63."""
+    ext_m = (extended * 1000).round().astype("int64")
+    disc_m = (discount * 1000).round().astype("int64")
+    tax_m = (tax * 1000).round().astype("int64")
+    return ext_m * (1000 - disc_m) * (1000 + tax_m)
 
 
 @register(
@@ -313,14 +326,16 @@ def udf_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL expression does.)"""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.withColumn("net", _net_price("l_extendedprice", "l_discount", "l_tax"))
-        # the UDF's float net is quantized to exact integer micro-units
-        # per row (the float is within ~1e-10 of the exact 1e-6-precision
-        # value, so floor(x*1e6 + 0.5) recovers the exact integer on any
-        # engine), summed exactly, and cent-rounded in integers
+        li.withColumn(
+            "net_nano", _net_price_nano("l_extendedprice", "l_discount", "l_tax")
+        )
+        # the UDF's nano-unit integers are EXACT (see _net_price_nano);
+        # summed in DECIMAL(38,0) — a bigint sum would overflow at
+        # ~6e4 rows of 1e14-scale values — then cent-rounded in exact
+        # integer arithmetic
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.expr("CAST(floor(net * 1000000 + 0.5) AS BIGINT)")).alias("_s"),
+            F.sum(F.col("net_nano").cast("decimal(38,0)")).alias("_s"),
             F.count("*").alias("n"),
         )
         .select(
@@ -330,7 +345,7 @@ def udf_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             # every net price > 0), so truncate == floor and the half-up
             # idiom is exact. A signed variant would need the abs/sign
             # split used in events_ohlc_downsample.
-            F.expr("CAST((_s + 5000) div 10000 AS DOUBLE) / 100.0").alias(
+            F.expr("CAST((_s + 5000000) div 10000000 AS DOUBLE) / 100.0").alias(
                 "net_revenue"
             ),
             "n",
@@ -449,6 +464,102 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "from_update",
     )
+
+
+@register(
+    "txn_merge_upsert_customers",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name,
+             CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 100, 2) AS DOUBLE)
+               AS acctbal,
+             TRUE AS from_update
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, concat('NEW#', c_name), 0.0, TRUE
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT c_custkey, c_name, acctbal, from_update FROM updates
+    UNION ALL
+    SELECT t.c_custkey, t.c_name,
+           CAST(round(CAST(t.c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE),
+           FALSE
+    FROM customer t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM updates)
+    """,
+    tags=("merge", "upsert", "txn", "acid"),
+)
+def txn_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MERGE semantics as ``merge_upsert_customers`` — but
+    executed through :class:`~..sinks.txnlog.TxnTable`, the versioned-
+    manifest transactional layer: the target is seeded as commit v0,
+    the merge rewrites and atomically commits v1, and the result is the
+    committed snapshot read BACK off the log (not the in-flight plan),
+    so the oracle gates what a concurrent reader would actually see
+    after the transaction.
+
+    SELF-CHECKS the transactional properties the batch emulation
+    can't offer: (a) exactly two committed versions exist; (b) TIME
+    TRAVEL — the pre-merge snapshot v0 still reads back with the
+    original row count and no update rows while v1 is live (MVCC
+    isolation); (c) VACUUM to 1 retained version removes v0's
+    manifest+data and v1 remains fully readable. Raises on any
+    violation."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    raw = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base = raw.select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+        F.lit(False).alias("from_update"),
+    )
+    # updates round ONCE, after the +100, from the RAW balance — the
+    # oracle's order. Rounding the base first diverges on negative
+    # half-boundary balances: HALF_UP is away-from-zero, and +100 flips
+    # the sign (round(-27.565)+100 = 72.43 vs round(-27.565+100) = 72.44).
+    updates = raw.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 100, 2) AS DOUBLE)"
+        ).alias("acctbal"),
+        F.lit(True).alias("from_update"),
+    ).unionByName(
+        raw.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.concat(F.lit("NEW#"), F.col("c_name")).alias("c_name"),
+            F.lit(0.0).alias("acctbal"),
+            F.lit(True).alias("from_update"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_")
+    try:
+        table = TxnTable(work)
+        v0 = table.write(base, mode="overwrite")
+        n_before = table.read(spark, v0).count()
+        v1 = table.merge(spark, updates, key="c_custkey")
+        if (v0, v1) != (0, 1) or table.latest_version() != 1:
+            raise AssertionError(f"expected versions (0, 1); got ({v0}, {v1})")
+        # MVCC time travel: v0 is byte-identical to the pre-merge state
+        old = table.read(spark, 0)
+        if old.count() != n_before or old.filter("from_update").count() != 0:
+            raise AssertionError("time-travel snapshot v0 was disturbed by merge")
+        removed = table.vacuum(retain_versions=1)
+        if not removed:
+            raise AssertionError("vacuum removed nothing; v0 data leaked")
+        result = table.read(spark)  # still fully readable post-vacuum
+        from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+
+        _record_inner_plan("txn_merge_upsert_customers", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

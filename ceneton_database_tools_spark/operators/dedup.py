@@ -119,26 +119,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
 
-_TWIN_GUARD_OK: set[tuple[str, str, str]] = set()
+_TWIN_GUARD_OK: set[tuple[str, str, str, int]] = set()
 
 
-def assert_twin_headroom(df: DataFrame, sf_dir: str, id_col: str = "doc_id") -> None:
+def assert_twin_headroom(
+    df: DataFrame, sf_dir: str, id_col: str = "doc_id", offset: int = TWIN_OFFSET
+) -> None:
     """Runtime guard for the twin-id eval construction: twin ids live
-    at ``id + TWIN_OFFSET``, which COLLIDES with real ids once the
-    corpus reaches 1e6 rows (sf ≈ 200 for the driver's generator).
+    at ``id + offset`` (the CALLER's offset — a module with its own
+    twin constant must pass it, or the guard only works while the
+    constants coincide), which COLLIDES with real ids once the corpus
+    reaches ``offset`` rows (1e6 ≈ sf 200 for the driver's generator).
     A collision would silently corrupt recall metrics and pair sets,
     so a bigger fixture must fail loudly instead. Cost: one max() agg
-    over the id column per (session, sf, column) — memoized, and tiny
-    next to the corpus scan the caller is about to run anyway."""
+    over the id column per (session, sf, column, offset) — memoized,
+    and tiny next to the corpus scan the caller is about to run
+    anyway."""
     spark = df.sparkSession
-    key = (spark.sparkContext.applicationId, sf_dir, id_col)
+    key = (spark.sparkContext.applicationId, sf_dir, id_col, offset)
     if key in _TWIN_GUARD_OK:
         return
     mx = df.agg(F.max(id_col).alias("mx")).first()["mx"]
-    if mx is not None and mx >= TWIN_OFFSET:
+    if mx is not None and mx >= offset:
         raise AssertionError(
-            f"max({id_col}) = {mx} >= TWIN_OFFSET ({TWIN_OFFSET}): twin ids "
-            "would collide with real ids; raise TWIN_OFFSET (and the baked "
+            f"max({id_col}) = {mx} >= twin offset ({offset}): twin ids "
+            "would collide with real ids; raise the offset (and the baked "
             "oracle constant) or key eval batches by a disjoint namespace"
         )
     _TWIN_GUARD_OK.add(key)

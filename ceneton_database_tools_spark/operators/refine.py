@@ -486,7 +486,7 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs without a single byte moving.
     """
     base = _docs(spark, sf_dir)
-    assert_twin_headroom(base, sf_dir)
+    assert_twin_headroom(base, sf_dir, offset=_INTRADOC_TWIN_OFFSET)
     docs = base.select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
     twins = docs.select(
         (F.col("doc_id") + _INTRADOC_TWIN_OFFSET).alias("doc_id"),

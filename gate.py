@@ -27,10 +27,10 @@ import sys
 def leg_contract() -> str | None:
     import importlib
 
-    import duckdb
-
     mod = importlib.import_module("__spark_entry__")
+    from ceneton_database_tools_spark.operators.registry import DRIVER_SF_DIR
     from ceneton_database_tools_spark.session import get_spark
+    from tests.oracle_harness import duck_con
 
     spark = get_spark(app_name="gate-contract", cpus=8)
     try:
@@ -39,22 +39,20 @@ def leg_contract() -> str | None:
         qs, osql = mod.queries(), mod.oracle_sql()
         if not set(osql) <= set(qs):
             return f"oracle_sql keys not in queries(): {sorted(set(osql) - set(qs))}"
-        con = duckdb.connect()
-        for t in ("region", "nation", "customer", "supplier", "part", "orders",
-                  "lineitem", "events", "documents", "embeddings"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
-            )
+        # view set + sf dir come from the same catalog the test harness
+        # uses — a hand-copied table tuple here would silently miss the
+        # next table added to the catalog and fail every oracle that
+        # references it
+        con = duck_con(DRIVER_SF_DIR)
         bad = []
         for name, fn in qs.items():
             try:
                 if name not in osql:
-                    fn(spark, "/root/testdata/sf0.01").count()
+                    fn(spark, DRIVER_SF_DIR).count()
                     continue
                 srows = sorted(
                     tuple(map(str, r))
-                    for r in fn(spark, "/root/testdata/sf0.01").collect()
+                    for r in fn(spark, DRIVER_SF_DIR).collect()
                 )
                 drows = sorted(
                     tuple(map(str, r)) for r in con.sql(osql[name]).fetchall()

@@ -73,10 +73,17 @@ _PERTURBED_TABLES = (
 
 
 def _perturbed_names() -> list[str]:
+    import re
+
+    # Word-boundary match: a bare substring test would select on alias
+    # hits like n_orders / n_customers (underscore is a word char, so
+    # \borders\b does NOT match those), pulling unrelated queries into
+    # the hostile sweep.
+    pats = [re.compile(rf"\b{t}\b") for t in _PERTURBED_TABLES]
     names = []
     for name, spec in ops.QUERIES.items():
         o = spec.oracle or ""
-        if any(t in o for t in _PERTURBED_TABLES):
+        if any(p.search(o) for p in pats):
             names.append(name)
     return sorted(names)
 

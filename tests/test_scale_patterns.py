@@ -167,8 +167,12 @@ def test_twin_headroom_guard_fires_on_oversized_ids(spark, tmp_path):
         "doc_id long, text string",
     )
     sf_key = str(tmp_path / "oversized")
-    with _pytest.raises(AssertionError, match="TWIN_OFFSET"):
+    with _pytest.raises(AssertionError, match="twin offset"):
         dedup.assert_twin_headroom(big, sf_key)
+    # a caller-supplied offset (refine.py's intradoc constant) is used
+    # as the threshold — the guard must not silently check the default
+    with _pytest.raises(AssertionError, match="twin offset \\(100\\)"):
+        dedup.assert_twin_headroom(big, str(tmp_path / "custom"), offset=100)
     # ... and the memoized pass path still works for a sane corpus
     ok = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
     dedup.assert_twin_headroom(ok, str(tmp_path / "sane"))

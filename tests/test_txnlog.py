@@ -1,0 +1,133 @@
+"""Transactional-table log (sinks/txnlog.py): the ACID properties the
+manifest protocol claims, exercised directly.
+
+The gated query surface (txn_merge_upsert_customers) proves the merge
+RESULT against the DuckDB oracle; these tests prove the PROTOCOL —
+atomic version claims under a race, rebase-on-conflict appends,
+MVCC snapshot isolation, crash debris tolerance, and vacuum GC —
+which no row-level oracle can see."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ceneton_database_tools_spark.sinks.txnlog import CommitConflict, TxnTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_versioning_append_overwrite_read(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    assert t.latest_version() is None
+    v0 = t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    v1 = t.write(_df(spark, [(2, "b")]), mode="append")
+    assert (v0, v1) == (0, 1)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # overwrite replaces the whole snapshot
+    v2 = t.write(_df(spark, [(9, "z")]), mode="overwrite")
+    assert v2 == 2
+    assert [r.id for r in t.read(spark).collect()] == [9]
+    # ... but every historical version still reads (time travel)
+    assert [r.id for r in t.read(spark, 0).collect()] == [1]
+    assert sorted(r.id for r in t.read(spark, 1).collect()) == [1, 2]
+
+
+def test_mvcc_snapshot_isolation(spark, tmp_path):
+    """A DataFrame resolved before a later commit keeps reading the old
+    snapshot: manifests are resolved at read() time, files are
+    immutable."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    reader = t.read(spark)  # resolves v0's file list NOW
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    assert [r.id for r in reader.collect()] == [1]  # still v0
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_commit_race_rebases_append(spark, tmp_path):
+    """Losing a version race must REBASE, not drop data: steal the next
+    version out from under an append and check both writers' rows land."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+
+    real_try_commit = t._try_commit
+    stolen = {"done": False}
+
+    def stealing_try_commit(version, manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            # a concurrent writer claims this version first
+            other = TxnTable(t.path)
+            staged = other.write(_df(spark, [(2, "race")]), mode="append")
+            assert staged == version
+        return real_try_commit(version, manifest)
+
+    t._try_commit = stealing_try_commit
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    ids = sorted(r.id for r in t.read(spark).collect())
+    assert ids == [1, 2, 3], "rebased append must keep the racing writer's rows"
+    assert t.latest_version() == 2
+
+
+def test_commit_conflict_raises_after_retries(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    t._try_commit = lambda version, manifest: False  # always loses
+    with pytest.raises(CommitConflict):
+        t.write(_df(spark, [(2, "b")]), mode="append", max_retries=3)
+
+
+def test_crash_debris_is_invisible(spark, tmp_path):
+    """Partial tmp manifests and orphaned data dirs (a writer died
+    mid-stage) must not corrupt reads or version resolution."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # torn tmp manifest in the log dir
+    with open(os.path.join(t.log_dir, "_tmp_dead.json"), "w") as f:
+        f.write('{"version": 99, "files": [')
+    # orphaned (never-committed) staged data
+    os.makedirs(os.path.join(t.data_dir, "deadbeef"))
+    assert t.latest_version() == 0
+    assert [r.id for r in t.read(spark).collect()] == [1]
+    # vacuum clears the orphan too (it is referenced by no manifest)
+    assert "data/deadbeef" in t.vacuum()
+
+
+def test_merge_upserts_and_preserves(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "old"), (2, "keep")]), mode="overwrite")
+    v = t.merge(spark, _df(spark, [(1, "new"), (3, "ins")]), key="id")
+    assert v == 1
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+    # pre-merge snapshot intact
+    assert {r.id: r.v for r in t.read(spark, 0).collect()} == {1: "old", 2: "keep"}
+
+
+def test_vacuum_bounds_history(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.write(_df(spark, [(i, "x")]), mode="overwrite")
+    removed = t.vacuum(retain_versions=2)
+    assert removed, "older overwrite snapshots should be GC'd"
+    # retained versions still read; dropped manifest is gone
+    assert [r.id for r in t.read(spark, 3).collect()] == [3]
+    assert [r.id for r in t.read(spark, 2).collect()] == [2]
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(0)
+    # manifest files on disk match the retention contract
+    kept = sorted(f for f in os.listdir(t.log_dir) if f.endswith(".json"))
+    assert [int(f[:-5]) for f in kept] == [2, 3]
+
+
+def test_manifest_content_shape(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    m = json.load(open(t._manifest_path(0)))
+    assert m["version"] == 0 and m["op"] == "overwrite" and len(m["files"]) == 1
+    assert m["files"][0].startswith("data/")
