@@ -111,6 +111,57 @@ def norm_chain(v: str, dim: int, one_based: bool) -> str:
     return f"sqrt({dot_chain(v, v, dim, one_based)})"
 
 
+def quantize(expr: str, scale: int) -> str:
+    """Sign-safe floor quantization of a double to ``scale`` decimals —
+    the cross-engine replacement for ``round(x, scale)`` on DERIVED
+    doubles (ratios, cosines, z-scores): Spark round() is HALF_UP on
+    the shortest decimal repr while DuckDB rounds the raw binary
+    double, so they disagree whenever the value's shortest repr lands
+    on a half boundary one digit past ``scale``. ``floor`` of the
+    bit-identical double is identical on both engines; the sign split
+    keeps half-ties away-from-zero (matching round()'s direction) for
+    negatives. Valid as the SAME string in Spark SQL and DuckDB."""
+    f = 10**scale
+    # the divisor must force DOUBLE division: a bare `{f}.0` literal
+    # parses as DECIMAL in Spark SQL (decimal literals are exact) and
+    # the quotient silently becomes DECIMAL(·, scale+3)
+    return (
+        f"CAST(CASE WHEN ({expr}) < 0"
+        f" THEN -floor(-({expr}) * {f} + 0.5)"
+        f" ELSE  floor( ({expr}) * {f} + 0.5) END AS DOUBLE) / {f}"
+    )
+
+
+# -- exact money sum (shared by batch events, streaming events, and all
+# their oracle twins — parity depends on these strings staying literally
+# identical, so there is exactly ONE rendering) ------------------------------
+MONEY_SUM_VALUE = "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
+def money_sum(col: str) -> str:
+    """Exact money sum of a double column: DECIMAL(18,6) hop → exact,
+    order-independent decimal addition → ONE decimal-domain HALF_UP
+    round → one deterministic decimal→double conversion. A raw
+    ``round(sum(double), 2)`` diverges between Spark's shortest-repr
+    rounding and DuckDB's binary-double rounding as soon as values
+    leave the 2-decimal grid. Valid as the same string in Spark SQL
+    and DuckDB."""
+    return f"CAST(round(sum(CAST({col} AS DECIMAL(18,6))), 2) AS DOUBLE)"
+
+
+def quantize_col(col, scale: int):
+    """Column-expression form of :func:`quantize` for Spark-side code
+    that already holds a ``Column`` (floor of the bit-identical double
+    — never engine round())."""
+    from pyspark.sql import functions as F
+
+    f = 10**scale
+    return (
+        F.when(col < 0, -F.floor(-col * f + 0.5)).otherwise(F.floor(col * f + 0.5))
+        / float(f)
+    )
+
+
 # -- distinct word-trigram count over a token array column `w` --------------
 # (shared by the repetition-ratio operator and the curation quality gate —
 # the 30%-distinct threshold only means the same thing in both if the

@@ -304,7 +304,7 @@ def _minhash_oracle() -> str:
     SELECT
       c.doc_a,
       c.doc_b,
-      round({_DUCK_PAIR_JACCARD}, 6) AS jaccard
+      {T.quantize(_DUCK_PAIR_JACCARD, 6)} AS jaccard
     FROM cand c
     JOIN based sa ON sa.doc_id = c.doc_a
     JOIN based sb ON sb.doc_id = c.doc_b
@@ -365,7 +365,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", T.quantize_col(jac, 6).alias("jaccard"))
     )
 
 
@@ -523,8 +523,7 @@ def _ngram_jaccard_oracle() -> str:
     SELECT
       c.doc_a,
       c.doc_b,
-      round(len(list_intersect(sa.ba, sb.ba))::DOUBLE /
-            (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba))), 6) AS jaccard
+      CASE WHEN (len(list_intersect(sa.ba, sb.ba))::DOUBLE / (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba)))) < 0 THEN -floor(-(len(list_intersect(sa.ba, sb.ba))::DOUBLE / (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba)))) * 1000000 + 0.5) ELSE  floor( (len(list_intersect(sa.ba, sb.ba))::DOUBLE / (len(sa.ba) + len(sb.ba) - len(list_intersect(sa.ba, sb.ba)))) * 1000000 + 0.5) END / 1000000.0 AS jaccard
     FROM cand c
     JOIN based sa ON sa.doc_id = c.doc_a
     JOIN based sb ON sb.doc_id = c.doc_b
@@ -598,7 +597,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", T.quantize_col(jac, 6).alias("jaccard"))
     )
 
 
@@ -659,7 +658,7 @@ def _emb_cosine_oracle() -> str:
       ) WHERE nrm > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(({dot}) / (a.nrm * b.nrm), 6) AS cosine
+           {T.quantize(f'({dot}) / (a.nrm * b.nrm)', 6)} AS cosine
     FROM base a JOIN base b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ({dot}) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
@@ -717,7 +716,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .select("vec_a", "vec_b", T.quantize_col(cos, 6).alias("cosine"))
     )
 
 
@@ -835,8 +834,7 @@ def _lsh_recall_oracle() -> str:
     )
     SELECT CAST((SELECT count(*) FROM expected) AS BIGINT) AS n_expected,
            CAST((SELECT count(*) FROM caught) AS BIGINT)   AS n_caught,
-           round((SELECT count(*) FROM caught) * 1.0
-                 / (SELECT count(*) FROM expected), 4)     AS recall,
+           CASE WHEN ((SELECT count(*) FROM caught) * 1.0 / (SELECT count(*) FROM expected)) < 0 THEN -floor(-((SELECT count(*) FROM caught) * 1.0 / (SELECT count(*) FROM expected)) * 10000 + 0.5) ELSE  floor( ((SELECT count(*) FROM caught) * 1.0 / (SELECT count(*) FROM expected)) * 10000 + 0.5) END / 10000.0 AS recall,
            CAST((SELECT count(*) FROM found) AS BIGINT)    AS n_found
     """
 
@@ -885,7 +883,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_expected",
             "n_caught",
-            F.round(F.col("n_caught") * 1.0 / F.col("n_expected"), 4).alias("recall"),
+            T.quantize_col(F.col("n_caught") * 1.0 / F.col("n_expected"), 4).alias("recall"),
             "n_found",
         )
     )
@@ -985,7 +983,7 @@ def _incremental_oracle() -> str:
     )
     SELECT m.new_doc_id,
            min(m.idx_doc_id) AS matched_doc_id,
-           round(b.bj, 6)    AS best_jaccard,
+           CASE WHEN (b.bj) < 0 THEN -floor(-(b.bj) * 1000000 + 0.5) ELSE  floor( (b.bj) * 1000000 + 0.5) END / 1000000.0 AS best_jaccard,
            b.n_matches
     FROM matches m
     JOIN best b ON m.new_doc_id = b.new_doc_id AND m.j = b.bj
@@ -1062,7 +1060,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "new_doc_id",
             "matched_doc_id",
-            F.round("bj", 6).alias("best_jaccard"),
+            T.quantize_col(F.col("bj"), 6).alias("best_jaccard"),
             "n_matches",
         )
     )
@@ -1086,6 +1084,9 @@ def _semantic_corpus_duck() -> str:
 
 def _semantic_kmeans_oracle() -> str:
     from ceneton_database_tools_spark.operators.similarity import _kmeans_ctes
+    from ceneton_database_tools_spark.operators.similarity import (
+        _cos_vs_centroid as _sim_cos_vs_centroid,
+    )
 
     dot_ce = T.dot_chain("c.cv", "e.v", EMB_DIM, one_based=True)
     dot_ab = T.dot_chain("a.v", "b.v", EMB_DIM, one_based=True)
@@ -1096,7 +1097,8 @@ def _semantic_kmeans_oracle() -> str:
       SELECT e.vec_id, e.v, e.nrm, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY ({dot_ce}) / (c.cnrm * e.nrm) DESC, c.cid) AS rn
+               ORDER BY {_sim_cos_vs_centroid(dot_ce, "e.nrm", "c.cnrm")} DESC,
+                        c.cid) AS rn
       FROM base e CROSS JOIN cents c
     ),
     members AS MATERIALIZED (SELECT vec_id, v, nrm, cid FROM cassign WHERE rn = 1),
@@ -1149,9 +1151,13 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero vectors: cosine undefined — excluded on both engines
         .filter(F.col("nrm") > 0)
     )
+    from ceneton_database_tools_spark.operators.similarity import _cos_vs_centroid
+
     cents = _ivf_centroids(corpus)
-    cos_ce = F.expr(T.dot_chain("cv", "v", EMB_DIM, one_based=False)) / (
-        F.col("cnrm") * F.col("nrm")
+    cos_ce = F.expr(
+        _cos_vs_centroid(
+            T.dot_chain("cv", "v", EMB_DIM, one_based=False), "nrm", "cnrm"
+        )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
     members = (

@@ -269,12 +269,14 @@ def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
-           CAST(floor((SELECT count(*) FROM c) * 10000.0
-                      / (SELECT count(*) FROM v) + 0.5) AS DOUBLE) / 100
-             AS view_to_click_pct,
-           CAST(floor((SELECT count(*) FROM p) * 10000.0
-                      / (SELECT count(*) FROM c) + 0.5) AS DOUBLE) / 100
-             AS click_to_purchase_pct
+           CASE WHEN (SELECT count(*) FROM v) = 0 THEN NULL ELSE
+             CAST(floor((SELECT count(*) FROM c) * 10000.0
+                        / (SELECT count(*) FROM v) + 0.5) AS DOUBLE) / 100
+           END AS view_to_click_pct,
+           CASE WHEN (SELECT count(*) FROM c) = 0 THEN NULL ELSE
+             CAST(floor((SELECT count(*) FROM p) * 10000.0
+                        / (SELECT count(*) FROM c) + 0.5) AS DOUBLE) / 100
+           END AS click_to_purchase_pct
     """,
     tags=("events", "funnel"),
 )
@@ -314,11 +316,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click",
         "n_purchase",
+        # empty funnel steps produce NULL pcts, not a DIVIDE_BY_ZERO
+        # crash: Spark 4 runs ANSI mode by default, DuckDB returns NULL
+        # for x/0 — the CASE makes both engines take the same branch
         F.expr(
-            "CAST(floor(n_click * 10000.0 / n_view + 0.5) AS DOUBLE) / 100"
+            "CASE WHEN n_view = 0 THEN NULL ELSE"
+            " CAST(floor(n_click * 10000.0 / n_view + 0.5) AS DOUBLE) / 100 END"
         ).alias("view_to_click_pct"),
         F.expr(
-            "CAST(floor(n_purchase * 10000.0 / n_click + 0.5) AS DOUBLE) / 100"
+            "CASE WHEN n_click = 0 THEN NULL ELSE"
+            " CAST(floor(n_purchase * 10000.0 / n_click + 0.5) AS DOUBLE) / 100 END"
         ).alias("click_to_purchase_pct"),
     )
 
@@ -477,7 +484,14 @@ ANOMALY_Z = 3.0
       FROM w WHERE n >= {ANOMALY_MIN_N}
     )
     SELECT event_id, user_id, ts, value,
-           round(dev / sqrt(var), 4) AS z
+           -- sign-safe floor quantization: engine round(double) is the
+           -- documented Spark-shortest-repr vs DuckDB-binary divergence
+           -- class; floor of identical doubles is identical, and the
+           -- sign split keeps half-ties away-from-zero on both sides
+           CAST(CASE WHEN dev < 0
+                THEN -floor(-(dev / sqrt(var)) * 10000 + 0.5)
+                ELSE  floor( (dev / sqrt(var)) * 10000 + 0.5) END AS DOUBLE)
+             / 10000 AS z
     FROM scored
     WHERE var > 0 AND abs(dev / sqrt(var)) >= {ANOMALY_Z}
     """,
@@ -529,7 +543,14 @@ def events_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value", var.alias("var"), dev.alias("dev")
     )
     z = F.col("dev") / F.sqrt("var")
+    # sign-safe floor quantization (see the oracle comment): never
+    # engine round() on a raw double
+    zq = F.expr(
+        "CAST(CASE WHEN dev < 0"
+        " THEN -floor(-(dev / sqrt(var)) * 10000 + 0.5)"
+        " ELSE  floor( (dev / sqrt(var)) * 10000 + 0.5) END AS DOUBLE) / 10000"
+    )
     return (
         scored.where((F.col("var") > 0) & (F.abs(z) >= ANOMALY_Z))
-        .select("event_id", "user_id", "ts", "value", F.round(z, 4).alias("z"))
+        .select("event_id", "user_id", "ts", "value", zq.alias("z"))
     )

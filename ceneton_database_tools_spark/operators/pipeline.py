@@ -201,7 +201,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok WHERE len(w) >= 3
     )
     SELECT doc_id, lang, n_tri, n_distinct,
-           round(1.0 - n_distinct::DOUBLE / n_tri, 4) AS rep_ratio
+           CAST(CASE WHEN (1.0 - n_distinct::DOUBLE / n_tri) < 0 THEN -floor(-(1.0 - n_distinct::DOUBLE / n_tri) * 10000 + 0.5) ELSE  floor( (1.0 - n_distinct::DOUBLE / n_tri) * 10000 + 0.5) END AS DOUBLE) / 10000 AS rep_ratio
     FROM tri
     ORDER BY n_distinct::DOUBLE / n_tri ASC, doc_id ASC
     LIMIT {REPETITION_TOPK}
@@ -237,7 +237,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_tri",
             "n_distinct",
-            F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_tri"), 4).alias(
+            T.quantize_col(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tri"), 4).alias(
                 "rep_ratio"
             ),
         )
@@ -738,7 +738,7 @@ def docs_lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT vec_id, label,
-           round(nrm, 6) AS norm,
+           CAST(CASE WHEN (nrm) < 0 THEN -floor(-(nrm) * 1000000 + 0.5) ELSE  floor( (nrm) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS norm,
            array_to_string(
              list_transform(v, x -> CAST(CAST(floor(x / nrm * 127 + 0.5) AS BIGINT) AS VARCHAR)),
              ',') AS q8
@@ -774,7 +774,7 @@ def embeddings_normalize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normed.filter(F.col("nrm") > 0).select(
         "vec_id",
         "label",
-        F.round("nrm", 6).alias("norm"),
+        T.quantize_col(F.col("nrm"), 6).alias("norm"),
         q8.alias("q8"),
     )
 

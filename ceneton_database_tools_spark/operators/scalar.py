@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
+from ceneton_database_tools_spark.operators import _textutil as T
 from ceneton_database_tools_spark.operators.registry import register
 
 
@@ -105,13 +106,13 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_orderkey,
       l_linenumber,
-      round(abs(l_discount - 0.05), 6)             AS disc_dev,
+      CAST(CASE WHEN (abs(l_discount - 0.05)) < 0 THEN -floor(-(abs(l_discount - 0.05)) * 1000000 + 0.5) ELSE  floor( (abs(l_discount - 0.05)) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS disc_dev,
       CAST(ceil(l_quantity / 10.0) AS BIGINT)      AS qty_bucket,
       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
       l_linenumber % 3                             AS line_mod,
-      round(sqrt(l_extendedprice), 6)              AS price_sqrt,
-      round(ln(l_extendedprice), 6)                AS price_ln,
-      round(power(1 + l_tax, 2), 6)                AS tax_sq,
+      CAST(CASE WHEN (sqrt(l_extendedprice)) < 0 THEN -floor(-(sqrt(l_extendedprice)) * 1000000 + 0.5) ELSE  floor( (sqrt(l_extendedprice)) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS price_sqrt,
+      CAST(CASE WHEN (ln(l_extendedprice)) < 0 THEN -floor(-(ln(l_extendedprice)) * 1000000 + 0.5) ELSE  floor( (ln(l_extendedprice)) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS price_ln,
+      CAST(CASE WHEN (power(1 + l_tax, 2)) < 0 THEN -floor(-(power(1 + l_tax, 2)) * 1000000 + 0.5) ELSE  floor( (power(1 + l_tax, 2)) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS tax_sq,
       CASE
         WHEN l_quantity >= 40 THEN 'bulk'
         WHEN l_quantity >= 10 THEN 'mid'
@@ -131,13 +132,13 @@ def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        T.quantize_col(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
         F.ceil(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_bucket"),
         F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_kbucket"),
         (F.col("l_linenumber") % 3).alias("line_mod"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
-        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        T.quantize_col(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        T.quantize_col(F.log("l_extendedprice"), 6).alias("price_ln"),
+        T.quantize_col(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
         F.when(F.col("l_quantity") >= 40, "bulk")
         .when(F.col("l_quantity") >= 10, "mid")
         .otherwise("small")

@@ -96,7 +96,10 @@ def _score_rank(cands: DataFrame, k: int, with_cosine: bool = True) -> DataFrame
     )
     if with_cosine:
         return ranked.select(
-            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine")
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.expr(T.quantize("cos", 6)).alias("cosine"),
         )
     return ranked.select("query_id", "neighbor_id")
 
@@ -114,7 +117,7 @@ def _score_rank(cands: DataFrame, k: int, with_cosine: bool = True) -> DataFrame
     SELECT query_id, neighbor_id,
            CAST(row_number() OVER (
              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-           round(cos, 6) AS cosine
+           CAST(CASE WHEN (cos) < 0 THEN -floor(-(cos) * 1000000 + 0.5) ELSE  floor( (cos) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS cosine
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= {TOP_K}
     """,
@@ -157,7 +160,7 @@ def _ann_bucket_duck() -> str:
     SELECT query_id, neighbor_id,
            CAST(row_number() OVER (
              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
-           round(cos, 6) AS cosine
+           CAST(CASE WHEN (cos) < 0 THEN -floor(-(cos) * 1000000 + 0.5) ELSE  floor( (cos) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS cosine
     FROM scored
     QUALIFY row_number() OVER (
       PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= {ANN_TOP_K}
@@ -209,6 +212,22 @@ _QUANT_SPARK = "transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
 _QUANT_DUCK = "list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
 
 
+def _cos_vs_centroid(dot: str, vec_nrm: str, cent_nrm: str) -> str:
+    """Centroid-side cosine, total on BOTH engines: a centroid can be
+    zero-norm even though base excludes zero vectors (a sub-quantum
+    vector quantizes to all-zero init coordinates; integer cluster
+    sums can cancel exactly), and x/0 on doubles is where the engines
+    part ways — Spark follows IEEE (NaN/Inf, and NaN sorts FIRST under
+    DESC) while DuckDB yields NULL (sorts LAST). The sentinel -2 is
+    below any real cosine, so a degenerate centroid deterministically
+    loses every assignment/probe on both engines. Valid as the same
+    string in Spark SQL and DuckDB."""
+    return (
+        f"CASE WHEN {cent_nrm} = 0 THEN -2.0"
+        f" ELSE ({dot}) / ({vec_nrm} * {cent_nrm}) END"
+    )
+
+
 def _ivf_centroids(base: DataFrame) -> DataFrame:
     """Seeded spherical k-means: deterministic init (the first ``nlist``
     vectors by id, coordinates derived from the same integer
@@ -232,8 +251,10 @@ def _ivf_centroids(base: DataFrame) -> DataFrame:
         )
         .withColumn("cnrm", F.expr(T.norm_chain("cv", EMB_DIM, one_based=False)))
     )
-    cos = F.expr(T.dot_chain("v", "cv", EMB_DIM, one_based=False)) / (
-        F.col("nrm") * F.col("cnrm")
+    cos = F.expr(
+        _cos_vs_centroid(
+            T.dot_chain("v", "cv", EMB_DIM, one_based=False), "nrm", "cnrm"
+        )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("acos_").desc(), F.col("cid"))
     for _ in range(IVF_KMEANS_ITERS):
@@ -299,7 +320,7 @@ def _kmeans_ctes() -> str:
             f"""assign{it} AS MATERIALIZED (
       SELECT p.vq, c.cid,
              row_number() OVER (PARTITION BY p.vec_id
-               ORDER BY ({dot}) / (p.nrm * {cnrm}) DESC, c.cid) AS rn
+               ORDER BY {_cos_vs_centroid(dot, "p.nrm", cnrm)} DESC, c.cid) AS rn
       FROM pts p CROSS JOIN {prev} c)"""
         )
         ctes.append(
@@ -330,7 +351,7 @@ def _ivf_ctes() -> str:
       SELECT e.vec_id, e.v, e.nrm, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY ({dot_cv}) / (c.cnrm * e.nrm) DESC, c.cid) AS rn
+               ORDER BY {_cos_vs_centroid(dot_cv, "e.nrm", "c.cnrm")} DESC, c.cid) AS rn
       FROM base e CROSS JOIN cents c
     ),
     lists AS MATERIALIZED (SELECT vec_id, v, nrm, cid FROM assigned WHERE rn = 1),
@@ -339,7 +360,7 @@ def _ivf_ctes() -> str:
       SELECT q.query_id, q.v, q.nrm, c.cid,
              row_number() OVER (
                PARTITION BY q.query_id
-               ORDER BY ({dot_qc}) / (q.nrm * c.cnrm) DESC, c.cid) AS prn
+               ORDER BY {_cos_vs_centroid(dot_qc, "q.nrm", "c.cnrm")} DESC, c.cid) AS prn
       FROM queries q CROSS JOIN cents c
     ),
     cand AS MATERIALIZED (
@@ -365,7 +386,7 @@ def _ivf_oracle() -> str:
     return f"""
     WITH base AS MATERIALIZED ({_DUCK_BASE}),
     {_ivf_ctes()}
-    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine FROM ivf
+    SELECT query_id, neighbor_id, rank, CAST(CASE WHEN (cos) < 0 THEN -floor(-(cos) * 1000000 + 0.5) ELSE  floor( (cos) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS cosine FROM ivf
     """
 
 
@@ -391,8 +412,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the stored index."""
     base = _base(spark, sf_dir)
     centroids = _ivf_centroids(base)
-    cos_ce = F.expr(T.dot_chain("cv", "v", EMB_DIM, one_based=False)) / (
-        F.col("cnrm") * F.col("nrm")
+    cos_ce = F.expr(
+        _cos_vs_centroid(
+            T.dot_chain("cv", "v", EMB_DIM, one_based=False), "nrm", "cnrm"
+        )
     )
     w_assign = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
     lists = (
@@ -403,8 +426,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "nrm", "cid")
     )
     queries = _query_set(base, IVF_N_QUERIES)
-    cos_qc = F.expr(T.dot_chain("qv", "cv", EMB_DIM, one_based=False)) / (
-        F.col("qnrm") * F.col("cnrm")
+    cos_qc = F.expr(
+        _cos_vs_centroid(
+            T.dot_chain("qv", "cv", EMB_DIM, one_based=False), "qnrm", "cnrm"
+        )
     )
     w_probe = W.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cid"))
     probed = (
@@ -433,8 +458,7 @@ def _ivf_recall_oracle() -> str:
     SELECT CAST({IVF_N_QUERIES} AS BIGINT) AS n_queries,
            CAST({IVF_TOP_K} AS BIGINT)     AS k,
            CAST(count(*) AS BIGINT)        AS hits,
-           round(CAST(count(*) AS DOUBLE)
-                 / ({IVF_N_QUERIES} * {IVF_TOP_K}), 4) AS recall_at_k
+           CAST(CASE WHEN (CAST(count(*) AS DOUBLE) / ({IVF_N_QUERIES} * {IVF_TOP_K})) < 0 THEN -floor(-(CAST(count(*) AS DOUBLE) / ({IVF_N_QUERIES} * {IVF_TOP_K})) * 10000 + 0.5) ELSE  floor( (CAST(count(*) AS DOUBLE) / ({IVF_N_QUERIES} * {IVF_TOP_K})) * 10000 + 0.5) END AS DOUBLE) / 10000 AS recall_at_k
     FROM exact e JOIN ivf i
       ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
     """
@@ -471,7 +495,7 @@ def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(IVF_N_QUERIES).cast("long").alias("n_queries"),
             F.lit(IVF_TOP_K).cast("long").alias("k"),
             F.col("hits").cast("long").alias("hits"),
-            F.round(
+            T.quantize_col(
                 F.col("hits").cast("double") / (IVF_N_QUERIES * IVF_TOP_K), 4
             ).alias("recall_at_k"),
         )

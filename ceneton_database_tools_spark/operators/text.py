@@ -120,7 +120,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
                 - len(list_filter(bpe, x -> regexp_matches(x, '^[A-Za-z]+$')))
                 - len(list_filter(bpe, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT)
              AS n_punct,
-           round(len(bpe)::DOUBLE / len(w), 4) AS bpe_per_ws
+           CAST(CASE WHEN (len(bpe)::DOUBLE / len(w)) < 0 THEN -floor(-(len(bpe)::DOUBLE / len(w)) * 10000 + 0.5) ELSE  floor( (len(bpe)::DOUBLE / len(w)) * 10000 + 0.5) END AS DOUBLE) / 10000 AS bpe_per_ws
     FROM t
     """,
     tags=("text", "tokens", "llm-pipeline"),
@@ -147,7 +147,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_word.cast("long").alias("n_word"),
             n_number.cast("long").alias("n_number"),
             (F.size("bpe") - n_word - n_number).cast("long").alias("n_punct"),
-            F.round(F.size("bpe").cast("double") / F.size("w"), 4).alias("bpe_per_ws"),
+            T.quantize_col(F.size("bpe").cast("double") / F.size("w"), 4).alias("bpe_per_ws"),
         )
     )
 
@@ -168,8 +168,8 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id, lang,
         CAST(len(w) AS BIGINT)                  AS n_tokens,
         CAST(len(list_distinct(w)) AS BIGINT)   AS n_types,
-        round(len(list_distinct(w)) / len(w), 4) AS type_token_ratio,
-        round(list_sum(list_transform(w, x -> len(x))) / len(w), 4) AS avg_token_len
+        CAST(CASE WHEN (len(list_distinct(w)) / len(w)) < 0 THEN -floor(-(len(list_distinct(w)) / len(w)) * 10000 + 0.5) ELSE  floor( (len(list_distinct(w)) / len(w)) * 10000 + 0.5) END AS DOUBLE) / 10000 AS type_token_ratio,
+        CAST(CASE WHEN (list_sum(list_transform(w, x -> len(x))) / len(w)) < 0 THEN -floor(-(list_sum(list_transform(w, x -> len(x))) / len(w)) * 10000 + 0.5) ELSE  floor( (list_sum(list_transform(w, x -> len(x))) / len(w)) * 10000 + 0.5) END AS DOUBLE) / 10000 AS avg_token_len
       FROM toks
     )
     SELECT *,
@@ -188,9 +188,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _with_tokens(_docs(spark, sf_dir)).select("doc_id", "lang", "w")
     n_tokens = F.size("w").cast("long")
     n_types = F.size(F.array_distinct("w")).cast("long")
-    ttr = F.round(n_types / n_tokens, 4)
+    ttr = T.quantize_col(n_types / n_tokens, 4)
     sum_len = F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-    atl = F.round(sum_len / n_tokens, 4)
+    atl = T.quantize_col(sum_len / n_tokens, 4)
     feat = toks.select(
         "doc_id",
         "lang",
@@ -459,7 +459,7 @@ _ASTRAL = "[\\x{10000}-\\x{10FFFF}]"
     SELECT doc_id,
            CAST(n_fp AS BIGINT)      AS n_fp,
            CAST(n_fp_twin AS BIGINT) AS n_fp_twin,
-           round(j, 6)               AS fp_jaccard
+           CAST(CASE WHEN (j) < 0 THEN -floor(-(j) * 1000000 + 0.5) ELSE  floor( (j) * 1000000 + 0.5) END AS DOUBLE) / 1000000 AS fp_jaccard
     FROM paired
     WHERE j >= 0.5
     """,
@@ -550,6 +550,6 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("na").cast("long").alias("n_fp"),
             F.col("nb").cast("long").alias("n_fp_twin"),
-            F.round("j", 6).alias("fp_jaccard"),
+            T.quantize_col(F.col("j"), 6).alias("fp_jaccard"),
         )
     )

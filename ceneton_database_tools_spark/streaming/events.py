@@ -56,14 +56,16 @@ LAST_STREAM_PLAN: dict[str, str] = {}
 
 
 def _sum_value_expr(alias: str):
-    """Exact money sum: DECIMAL(18,6) hop → one deterministic
-    decimal→double conversion (the repo's float-discipline idiom; a raw
-    ``round(sum(double), 2)`` diverges between Spark's shortest-repr
-    rounding and DuckDB's binary-double rounding as soon as the events
-    generator leaves the 2-decimal grid)."""
-    return F.expr(
-        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)"
-    ).alias(alias)
+    """Exact money sum — the ONE shared rendering (_textutil.money_sum;
+    a raw ``round(sum(double), 2)`` diverges between Spark's
+    shortest-repr rounding and DuckDB's binary-double rounding as soon
+    as the events generator leaves the 2-decimal grid). The oracle
+    twins carry the same literal string; tests/test_plan_lint.py pins
+    every copy to the canonical one so a precision tweak can't drift
+    one side."""
+    from ceneton_database_tools_spark.operators import _textutil as T
+
+    return F.expr(T.MONEY_SUM_VALUE).alias(alias)
 
 
 def _as_stream_dir(path: str) -> str:

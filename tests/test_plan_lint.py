@@ -189,3 +189,29 @@ def test_self_checking_plan_exchange_baseline(spark, name):
         f"{name}: inner-plan drift — {n} shuffle Exchanges vs committed {want}. "
         "If intentional, re-pin with python tests/regen_plan_baseline.py."
     )
+
+
+def test_money_sum_idiom_has_one_rendering():
+    """The exact-money-sum string is copy-pasted across batch events,
+    streaming events, and every oracle twin; parity depends on the
+    copies being literally identical (a precision tweak applied to
+    some copies silently breaks batch/streaming/oracle equivalence).
+    Pin every occurrence to the canonical _textutil.MONEY_SUM_VALUE."""
+    import re
+    from pathlib import Path
+
+    from ceneton_database_tools_spark.operators import _textutil as T
+
+    pkg = Path(__file__).resolve().parent.parent / "ceneton_database_tools_spark"
+    pat = re.compile(r"CAST\(round\(sum\(CAST\(value[^\n]*")
+    bad = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            for m in pat.finditer(line):
+                hit = m.group(0)
+                # the windowed variant (OVER w) is its own documented shape
+                if "OVER w" in hit:
+                    continue
+                if not hit.startswith(T.MONEY_SUM_VALUE):
+                    bad.append(f"{py.name}:{i}: {hit[:90]}")
+    assert not bad, "money-sum copies drifted from MONEY_SUM_VALUE:\n" + "\n".join(bad)
