@@ -114,17 +114,76 @@ class TxnTable:
         df.write.parquet(os.path.join(self.path, staged))
         for _ in range(max_retries):
             current = self.latest_version()
-            if mode == "append" and current is not None:
-                files = list(self.snapshot(current)["files"]) + [staged]
+            txns: dict[str, int] = {}
+            if current is not None:
+                snap = self.snapshot(current)
+                # writer watermarks survive every commit (see
+                # write_idempotent) — dropping them would let a replayed
+                # micro-batch double-land after an unrelated write
+                txns.update(snap.get("txns", {}))
+                files = list(snap["files"]) + [staged] if mode == "append" else [staged]
             else:
                 files = [staged]
             version = 0 if current is None else current + 1
             if self._try_commit(
-                version, {"version": version, "op": mode, "files": files}
+                version,
+                {"version": version, "op": mode, "files": files, "txns": txns},
             ):
                 return version
         raise CommitConflict(
             f"lost {max_retries} commit races on {self.path} ({mode})"
+        )
+
+    # -- idempotent append (the exactly-once streaming-sink protocol) ------
+
+    def write_idempotent(
+        self, df: DataFrame, app_id: str, txn_version: int, max_retries: int = 10
+    ) -> int | None:
+        """Append exactly once per ``(app_id, txn_version)`` — Delta's
+        idempotent-``foreachBatch`` contract (txnAppId/txnVersion): the
+        manifest carries a ``txns`` watermark map ``{app_id: highest
+        committed txn_version}``, merged forward on every commit, and a
+        write whose version is ≤ the watermark is a NO-OP. A streaming
+        micro-batch replayed after a checkpoint loss (or a duplicate
+        delivery) therefore lands zero rows the second time — the sink
+        stays exactly-once even though the source re-sent the batch.
+        Returns the committed version, or None if skipped as a dup.
+
+        Scale note: the watermark map is O(distinct writers), not
+        O(batches) — one entry per streaming query, exactly like
+        Delta's txn actions."""
+        current = self.latest_version()
+        if current is not None:
+            seen = self.snapshot(current).get("txns", {}).get(app_id)
+            if seen is not None and txn_version <= seen:
+                return None
+        staged = f"data/{uuid.uuid4().hex}"
+        df.write.parquet(os.path.join(self.path, staged))
+        for _ in range(max_retries):
+            current = self.latest_version()
+            txns: dict[str, int] = {}
+            files: list[str] = []
+            if current is not None:
+                snap = self.snapshot(current)
+                txns.update(snap.get("txns", {}))
+                files = list(snap["files"])
+                seen = txns.get(app_id)
+                if seen is not None and txn_version <= seen:
+                    return None  # a racing replay of the same batch won
+            txns[app_id] = txn_version
+            version = 0 if current is None else current + 1
+            if self._try_commit(
+                version,
+                {
+                    "version": version,
+                    "op": "append",
+                    "files": files + [staged],
+                    "txns": txns,
+                },
+            ):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} idempotent-commit races on {self.path}"
         )
 
     # -- read path ---------------------------------------------------------
@@ -163,8 +222,12 @@ class TxnTable:
             staged = f"data/{uuid.uuid4().hex}"
             merged.write.parquet(os.path.join(self.path, staged))
             version = (0 if current is None else current + 1)
+            txns = {} if current is None else dict(
+                self.snapshot(current).get("txns", {})
+            )
             if self._try_commit(
-                version, {"version": version, "op": "merge", "files": [staged]}
+                version,
+                {"version": version, "op": "merge", "files": [staged], "txns": txns},
             ):
                 return version
         raise CommitConflict(f"lost {max_retries} merge races on {self.path}")

@@ -928,3 +928,98 @@ def run_replay_pass(spark, schema, indir: str, ckpt: str, outdir: str):
     # plan (identical shape every pass; the checkpoint fixes it)
     LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
     return q
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming sink through the transactional log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_txn_exactly_once",
+    # The oracle aggregates the ORIGINAL events exactly once. The
+    # streamed pipeline ingests the events TWICE (second pass with a
+    # fresh checkpoint, so every micro-batch is re-delivered); equality
+    # holds only if the idempotent sink dropped every replayed batch —
+    # the oracle IS the exactly-once check.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "txn", "sink", "acid"),
+)
+def streaming_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming delivery into the transactional table:
+    ``foreachBatch`` appends each micro-batch via
+    ``TxnTable.write_idempotent`` keyed by (queryId, batch_id) — the
+    Delta txnAppId/txnVersion contract. The stream is then re-run from
+    a FRESH checkpoint (the checkpoint-loss failure mode: Spark
+    re-delivers every batch with the same batch ids), and the sink's
+    watermark map turns every replayed commit into a no-op. The
+    returned aggregate over the sink table must equal the batch oracle
+    — any duplicate landing doubles a count and fails the gate.
+
+    Scale shape: the sink is append-only immutable parquet + an O(1)
+    manifest commit per batch; the watermark map is O(streaming
+    queries), not O(batches). This is the production posture for
+    file-sink streaming without Delta jars.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    work = tempfile.mkdtemp(prefix="ceneton_stream_txn_")
+    table = TxnTable(os.path.join(work, "sink"))
+    stream = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # stable writer identity ACROSS passes — a fresh checkpoint changes
+    # the runId, so the contract keys on a caller-chosen app id (exactly
+    # Delta's txnAppId), not on Spark's per-run identifiers
+    app_id = "gate-events-ingest"
+
+    def _sink(batch_df, batch_id: int) -> None:
+        table.write_idempotent(batch_df, app_id, batch_id)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        for attempt in range(2):  # pass 2 = full replay, fresh checkpoint
+            q = (
+                stream.writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", os.path.join(work, f"ckpt{attempt}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
+        versions_after = table.latest_version()
+        result = (
+            table.read(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                _sum_value_expr("sum_value"),
+            )
+        )
+        out = spark.createDataFrame(result.collect(), schema=result.schema)
+        # replay landed nothing: same committed version count as pass 1
+        replay_rows = out.agg(F.sum("n_events")).first()[0]
+        source_rows = spark.read.parquet(
+            _as_stream_dir(table_path(sf_dir, "events"))
+        ).count()
+        if replay_rows != source_rows:
+            raise AssertionError(
+                f"exactly-once violated: sink holds {replay_rows} rows for "
+                f"{source_rows} source rows after replay "
+                f"(latest version {versions_after})"
+            )
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

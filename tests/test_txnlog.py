@@ -131,3 +131,43 @@ def test_manifest_content_shape(spark, tmp_path):
     m = json.load(open(t._manifest_path(0)))
     assert m["version"] == 0 and m["op"] == "overwrite" and len(m["files"]) == 1
     assert m["files"][0].startswith("data/")
+
+
+def test_write_idempotent_skips_replayed_batch(spark, tmp_path):
+    """The exactly-once contract: a (app_id, txn_version) pair commits
+    once; replays are no-ops, and the watermark survives unrelated
+    commits in between."""
+    t = TxnTable(str(tmp_path / "t"))
+    assert t.write_idempotent(_df(spark, [(1, "a")]), "app", 0) == 0
+    assert t.write_idempotent(_df(spark, [(2, "b")]), "app", 1) == 1
+    # replayed batches (checkpoint loss re-delivers 0 and 1): no-ops
+    assert t.write_idempotent(_df(spark, [(1, "dup")]), "app", 0) is None
+    assert t.write_idempotent(_df(spark, [(2, "dup")]), "app", 1) is None
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # an unrelated append must not erase the watermark
+    t.write(_df(spark, [(9, "x")]), mode="append")
+    assert t.write_idempotent(_df(spark, [(1, "dup")]), "app", 1) is None
+    # ... while a SECOND writer's version counter is independent
+    assert t.write_idempotent(_df(spark, [(3, "c")]), "other", 0) is not None
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3, 9]
+
+
+def test_write_idempotent_race_detected_at_commit(spark, tmp_path):
+    """Two writers replaying the SAME batch race the commit: the loser
+    must detect the winner's watermark during rebase and back off."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    real_try_commit = t._try_commit
+    stolen = {"done": False}
+
+    def stealing(version, manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            other = TxnTable(t.path)
+            assert other.write_idempotent(_df(spark, [(2, "b")]), "app", 0) == version
+        return real_try_commit(version, manifest)
+
+    t._try_commit = stealing
+    assert t.write_idempotent(_df(spark, [(2, "b-dup")]), "app", 0) is None
+    vals = sorted(r.v for r in t.read(spark).collect())
+    assert vals == ["a", "b"], "the losing duplicate batch must not land"
