@@ -141,6 +141,34 @@ def _read_mapping(mapping_column: str | None) -> dict[str, str] | None:
     return mapping
 
 
+def _spooled_bz2_sha256(path: str, split: str) -> str | None:
+    """If the batch reader's planner would spool-then-split this .bz2
+    (mirrors FMPXMLReader._spoolable: splitting on, and either an
+    explicit split size or a spool-worthy file), spool it here and
+    return the sidecar's streamed sha256; else None (stream-hash)."""
+    import os
+
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        _BZ2_SPOOL_MIN,
+        spool_bz2,
+    )
+
+    if not path.endswith(".bz2") or split == "never":
+        return None
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return None
+    if split == "auto" and size < _BZ2_SPOOL_MIN:
+        return None
+    spool = spool_bz2(path)
+    try:
+        with open(spool + ".sha256") as f:
+            return f.read().strip() or None
+    except OSError:  # pre-sidecar spool cache entry
+        return None
+
+
 def cmd_create_db(args: argparse.Namespace) -> int:
     """FMP export → SQL database (+ metadata KV table)."""
     from ceneton_database_tools_spark.session import get_spark
@@ -158,13 +186,21 @@ def cmd_create_db(args: argparse.Namespace) -> int:
 
     # sha256 over the DECOMPRESSED bytes + absolute source path
     # (reference: _cli.py:146-150) — streamed, never fully buffered.
+    # A .bz2 the reader is about to spool-then-split would otherwise
+    # be decompressed TWICE (once here for the hash, once in
+    # spool_bz2): spool it NOW and take the hash from the streamed
+    # .sha256 sidecar; the reader's own spool_bz2 call then hits the
+    # cache, so the flagship large-.bz2 input decompresses exactly once.
     resolved = resolve_input_path(args.file_path)
-    digest = hashlib.sha256()
-    with open_xml_stream(resolved) as stream:
-        for chunk in iter(lambda: stream.read(1 << 20), b""):
-            digest.update(chunk)
+    digest_hex = _spooled_bz2_sha256(str(resolved), args.split)
+    if digest_hex is None:
+        digest = hashlib.sha256()
+        with open_xml_stream(resolved) as stream:
+            for chunk in iter(lambda: stream.read(1 << 20), b""):
+                digest.update(chunk)
+        digest_hex = digest.hexdigest()
     metadata["source_url"] = Path(resolved).absolute().resolve().as_posix()
-    metadata["source_sha256"] = digest.hexdigest()
+    metadata["source_sha256"] = digest_hex
 
     schema = _parse_header(args.file_path)
     table_name = args.table_name or sanitize_name(schema.name)

@@ -126,6 +126,10 @@ def create_db_from_df(
     distributed path (requires the matching JDBC driver jar on the
     cluster).
     """
+    if apply_as not in ("comment", "rename"):
+        raise ValueError(
+            f"apply_as must be 'comment' or 'rename', got {apply_as!r}"
+        )
     if apply_as == "rename" and mapping:
         df = df.withColumnsRenamed({k: v for k, v in mapping.items() if k in df.columns})
         mapping = None
@@ -232,7 +236,13 @@ def _create_jdbc(
             spark.read.jdbc(db_url, t).schema  # metadata-only probe
         except Exception as exc:
             msg = str(exc).lower()
-            if any(m in msg for m in not_found_markers):
+            # the markers alone also match DATABASE-level failures
+            # ('database "x" does not exist' from a bad URL) — require
+            # the message to name the probed table, as every covered
+            # engine's table-not-found shape does; a marker WITHOUT the
+            # table name is a connection-level error wearing similar
+            # words, so it re-raises like any other probe failure
+            if any(m in msg for m in not_found_markers) and t.lower() in msg:
                 continue  # table absent — the good case
             raise  # connection/auth/permission: fail fast, keep the guard
         raise ValueError(f"Table '{t}' already exists in the database")

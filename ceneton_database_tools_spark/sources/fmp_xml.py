@@ -295,19 +295,60 @@ class FMPFastPathError(Exception):
     """Input deviates from the rigid FMP grammar; use the ET parser."""
 
 
+# The fast scanners decode UTF-8 unconditionally and count on
+# UnicodeDecodeError to reach the encoding-honoring ET fallback — but a
+# file DECLARED as e.g. ISO-8859-1 whose bytes happen to be valid UTF-8
+# (the common mislabeled-export case) decodes cleanly and would silently
+# yield different text than a spec-correct parse. Any declared encoding
+# outside the UTF-8/ASCII aliases therefore raises for the ET path
+# (whole-file scan) and disables byte-range splitting (planning probe).
+_XML_DECL_ENC_RE = re.compile(r"""<\?xml[^>]*?encoding\s*=\s*["']([^"']+)["']""")
+_XML_DECL_ENC_RE_B = re.compile(rb"""<\?xml[^>]*?encoding\s*=\s*["']([^"']+)["']""")
+_UTF8_COMPAT_ENCODINGS = frozenset({"utf-8", "utf8", "utf_8", "us-ascii", "ascii"})
+
+
+def _check_declared_encoding(prefix: str) -> None:
+    m = _XML_DECL_ENC_RE.match(prefix.lstrip("\ufeff \t\r\n"))
+    if m and m.group(1).strip().lower() not in _UTF8_COMPAT_ENCODINGS:
+        raise FMPFastPathError(
+            f"declared encoding {m.group(1)!r} is not UTF-8; ET honors it"
+        )
+
+
 def _unescape(s: str) -> str:
     if "&" not in s:
         return s
+    n_matched = 0
 
     def sub(m: re.Match) -> str:
+        nonlocal n_matched
+        n_matched += 1
         t = m.group(1)
         if t in _ENTITIES:
             return _ENTITIES[t]
-        if t.startswith("#x"):
-            return chr(int(t[2:], 16))
-        return chr(int(t[1:]))
+        cp = int(t[2:], 16) if t.startswith("#x") else int(t[1:])
+        # XML 1.0 §2.2 Char production: a reference outside it (&#0;,
+        # surrogates, > U+10FFFF) is not well-formed — ET rejects the
+        # document, so the fast path must not silently emit the char
+        # (chr() would even raise a bare ValueError past U+10FFFF and
+        # skip the ET fallback entirely).
+        if not (
+            cp in (0x9, 0xA, 0xD)
+            or 0x20 <= cp <= 0xD7FF
+            or 0xE000 <= cp <= 0xFFFD
+            or 0x10000 <= cp <= 0x10FFFF
+        ):
+            raise FMPFastPathError(f"illegal character reference &#{cp};")
+        return chr(cp)
 
-    return _ENTITY_RE.sub(sub, s)
+    out = _ENTITY_RE.sub(sub, s)
+    if n_matched != s.count("&"):
+        # an '&' that did not start a recognized reference: either a
+        # bare ampersand (not well-formed) or an entity outside the
+        # XML-predefined five (&nbsp; — undefined without a DTD, ET
+        # raises 'undefined entity'). Never pass it through as text.
+        raise FMPFastPathError("bare '&' or undefined entity in DATA text")
+    return out
 
 
 def _norm_text(s: str) -> str | None:
@@ -370,6 +411,14 @@ def _parse_row_chunk_slow(chunk: str, n_fields: int, repeats) -> tuple:
                 f"COL body contains non-DATA markup: {leftover.strip()[:60]!r}"
             )
         datas = _DATA_RE.findall(body)
+        # _DATA_RE's non-greedy span swallows markup NESTED inside a
+        # DATA element (<DATA>a<!--x-->b</DATA> captures 'a<!--x-->b'),
+        # which the between-DATA leftover guard above cannot see. Raw
+        # '<' is never legal in XML character data, so its presence in
+        # captured text always means comments/CDATA/child elements —
+        # let ET parse them properly instead of emitting raw markup.
+        if any("<" in d for d in datas):
+            raise FMPFastPathError("markup nested inside DATA text")
         if is_array:
             values.append([_norm_text(d) for d in datas] if datas else None)
         elif len(datas) == 1:
@@ -415,6 +464,9 @@ class _ScanBuffer:
         return bool(piece)
 
     def seek_resultset(self) -> None:
+        if not self.buf:
+            self.fill()
+            _check_declared_encoding(self.buf[:256])
         while True:
             idx = self.buf.find("<RESULTSET", self.pos)
             if idx >= 0:
@@ -774,17 +826,24 @@ _BZ2_SPOOL_MIN = 1 << 20
 
 def _probe_literal_row(path: str, limit: int = 1 << 20) -> bool:
     """Driver-side split-safety probe: True iff the file's first
-    ``limit`` bytes contain a literal ``b'<ROW'``. The byte-range
-    scanner keys on that exact byte sequence, so an export without it
-    (namespace prefixes, exotic layouts) must NOT be split — the probe
-    costs one bounded read per large file at planning time. A false
-    negative (>1 MiB of pre-row header) only costs parallelism, never
-    correctness."""
+    ``limit`` bytes contain a literal ``b'<ROW'`` AND the XML
+    declaration does not name a non-UTF-8 encoding. The byte-range
+    scanner keys on that exact byte sequence and decodes regions as
+    UTF-8, so an export without the literal (namespace prefixes,
+    exotic layouts) or with a declared legacy encoding must NOT be
+    split — only the whole-file partition carries the prolog the
+    encoding-honoring ET fallback needs. The probe costs one bounded
+    read per large file at planning time. A false negative (>1 MiB of
+    pre-row header) only costs parallelism, never correctness."""
     try:
         with open(path, "rb") as fh:
-            return b"<ROW" in fh.read(limit)
+            head = fh.read(limit)
     except OSError:
         return False
+    m = _XML_DECL_ENC_RE_B.match(head.lstrip(b"\xef\xbb\xbf \t\r\n"))
+    if m and m.group(1).strip().lower().decode("ascii", "replace") not in _UTF8_COMPAT_ENCODINGS:
+        return False
+    return b"<ROW" in head
 
 
 def spool_bz2(path: str, spool_dir: str | None = None) -> str:
@@ -1123,11 +1182,14 @@ def _to_double(v: str | None) -> float | None:
     """SQL-CAST-style string→double: plain decimal / scientific
     notation and the Inf/NaN special literals; unparseable → null.
     Python float() accepts PEP 515 underscore separators ('1_000')
-    which Spark's CAST rejects — gated out below. (The reverse
-    residue is accepted as a documented simplification: Java-only
-    forms a Spark CAST would take — trailing 'd'/'f', hex-float —
-    come back null here; no FMP export emits them.)"""
-    if v is None or "_" in v:
+    and non-ASCII numerals/whitespace (fullwidth '１２３',
+    Arabic-Indic '١٢٣', NBSP padding) which Java's Double.parseDouble
+    — Spark's CAST — rejects; both are gated out below so typed=true
+    matches a CAST oracle. (The reverse residue is accepted as a
+    documented simplification: Java-only forms a Spark CAST would
+    take — trailing 'd'/'f', hex-float — come back null here; no FMP
+    export emits them.)"""
+    if v is None or "_" in v or not v.isascii():
         return None
     try:
         return float(v)
@@ -1239,50 +1301,78 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         import os
 
-        seen = set(start.get("seen", []))
+        # Offset entries carry the file's IDENTITY — [path, size,
+        # mtime_ns] — not just its name: a snapshot atomically renamed
+        # OVER an existing name (a rolling 'latest.xml', the documented
+        # atomic-rename arrival contract) changes identity but not
+        # name, and a name-only offset would skip it forever — silent
+        # data loss. Plain-string entries from pre-identity checkpoints
+        # are honored as name-only (no mass re-ingest on upgrade).
+        seen_entries = start.get("seen", [])
+        legacy_names = {e for e in seen_entries if isinstance(e, str)}
+        seen = {tuple(e) for e in seen_entries if not isinstance(e, str)}
         listed = self._list()
-        new = [p for p in listed if p not in seen]
+
         # In-flight-copy guard: a file listed while still being written
         # (non-atomic arrival) must not be ingested-and-marked-seen on
         # its truncated prefix — rows appended after that read would be
         # silently lost forever. Stat before AND after parsing; a file
-        # whose size changed mid-read (or vanished) is excluded from
-        # both the batch and the offset, so the next microbatch retries
-        # it once it is stable. The contract-level fix remains staging +
-        # atomic rename into the watch directory (the standard Spark
-        # file-source contract) — this guard only narrows the window.
-        def _size(p: str) -> int | None:
+        # whose size or mtime changed mid-read (or vanished) is
+        # excluded from both the batch and the offset, so the next
+        # microbatch retries it once it is stable.
+        def _stat(p: str) -> tuple[int, int] | None:
             try:
-                return os.stat(p).st_size
+                st = os.stat(p)
+                return (st.st_size, st.st_mtime_ns)
             except OSError:
                 return None
 
-        sizes0 = {p: _size(p) for p in new}
-        stable: list[str] = []
+        stats0 = {p: _stat(p) for p in listed}
+        new = [
+            p
+            for p in listed
+            if p not in legacy_names
+            and stats0[p] is not None
+            and (p, *stats0[p]) not in seen
+        ]
+        stable: list[tuple[str, int, int]] = []
         rows: list[tuple] = []
         for p in new:
-            if sizes0[p] is None:
-                continue
             try:
                 batch = list(self._rows([p]))
             except Exception:
                 # mid-copy XML is typically truncated → parse error;
                 # leave the file out of `seen` so it retries next batch
-                if _size(p) != sizes0[p]:
+                if _stat(p) != stats0[p]:
                     continue
                 raise
-            if _size(p) != sizes0[p]:
+            if _stat(p) != stats0[p]:
                 continue
-            stable.append(p)
+            stable.append((p, *stats0[p]))
             rows.extend(batch)
         # trim to present ∪ newly-ingested: archived files age out of
-        # the offset; unstable files stay pending
-        end = {"seen": sorted((seen & set(listed)) | set(stable))}
+        # the offset; an entry whose identity no longer matches the
+        # file on disk is dropped, so the overwriting snapshot ingests
+        # as new next microbatch; unstable files stay pending
+        kept = {e for e in seen if stats0.get(e[0]) == e[1:]}
+        end = {
+            "seen": sorted(legacy_names & set(listed))
+            + [list(e) for e in sorted(kept | set(stable))]
+        }
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        seen = set(start.get("seen", []))
-        return self._rows([p for p in end.get("seen", []) if p not in seen])
+        def _key(e):
+            return e if isinstance(e, str) else tuple(e)
+
+        seen = {_key(e) for e in start.get("seen", [])}
+        return self._rows(
+            [
+                e if isinstance(e, str) else e[0]
+                for e in end.get("seen", [])
+                if _key(e) not in seen
+            ]
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing external to ack
@@ -1425,6 +1515,11 @@ class FMPXMLDataSource(DataSource):
                 "fmpxml streaming is all-string (reference-sink parity); "
                 "typed=true is a batch-reader mode"
             )
+        # unlike the batch reader, a user-supplied schema() bypasses
+        # _paths(), so validate here: Path("") normalizes to '.' and a
+        # missing path would silently watch the driver's cwd
+        if not self.options.get("path"):
+            raise ValueError("fmpxml source requires a path")
         return FMPXMLSimpleStreamReader(
             path=self.options.get("path", ""),
             field_names=[f.name for f in schema.fields],

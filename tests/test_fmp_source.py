@@ -426,12 +426,12 @@ def test_streaming_offsets_trim_archived_files(tmp_path):
     reader = FMPXMLSimpleStreamReader(str(src), ["nummer", "titel"], "error")
     rows1, off1 = reader.read(reader.initialOffset())
     assert [r[0] for r in rows1] == ["1"]
-    assert off1 == {"seen": [str(a)]}
+    assert [e[0] for e in off1["seen"]] == [str(a)]
     a.unlink()  # archive after (simulated) commit
     _write_stream_shard(b, ["2"])
     rows2, off2 = reader.read(off1)
     assert [r[0] for r in rows2] == ["2"]
-    assert off2 == {"seen": [str(b)]}  # archived a.xml aged out
+    assert [e[0] for e in off2["seen"]] == [str(b)]  # archived a.xml aged out
 
 
 def test_streaming_empty_dir_schema_error_guides(spark, tmp_path):
@@ -1173,3 +1173,202 @@ def test_datasource_typed_array_fast_path_region(spark, tmp_path):
     df = read_fmp_xml_df(spark, str(path), repeats="array", typed=True)
     out = df.orderBy("naam").collect()
     assert [r.bedrag for r in out] == [[r + 0.5] for r in range(6)]
+
+
+# -- round-7 review hardening: fast-path well-formedness parity with ET,
+#    CAST-exact typed mode, identity-keyed streaming offsets ---------------
+
+
+def _one_field_doc(data_markup: str) -> bytes:
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">'
+        '<ERRORCODE>0</ERRORCODE><DATABASE RECORDS="1"/><METADATA>'
+        '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="A" TYPE="TEXT"/></METADATA>'
+        '<RESULTSET FOUND="1">'
+        f'<ROW MODID="1" RECORDID="1"><COL>{data_markup}</COL></ROW>'
+        "</RESULTSET></FMPXMLRESULT>"
+    ).encode()
+
+
+def _pipeline_rows(tmp_path, doc: bytes):
+    path = tmp_path / "doc.xml"
+    path.write_bytes(doc)
+    with open_xml_stream(str(path)) as stream:
+        return list(iter_fmp_rows(stream, 1))
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        "<DATA>x&nbsp;y</DATA>",  # undefined entity (no DTD)
+        "<DATA>a&#0;b</DATA>",  # illegal XML char reference
+        "<DATA>a&#xD800;b</DATA>",  # surrogate code point
+        "<DATA>a&#1114112;b</DATA>",  # > U+10FFFF (bare chr() ValueError)
+        "<DATA>a & b</DATA>",  # bare ampersand
+    ],
+)
+def test_fastpath_rejects_undefined_entities_like_et(tmp_path, payload):
+    """Round-7 review: the fast path used to silently pass these
+    through as cell text while ET (and the reference) reject the
+    document. 'Any structural surprise raises, never a silent wrong
+    answer' now holds for entity errors too: the fast path defers to
+    ET, whose ParseError propagates."""
+    from xml.etree.ElementTree import ParseError
+
+    with pytest.raises(ParseError):
+        _pipeline_rows(tmp_path, _one_field_doc(payload))
+
+
+def test_fastpath_valid_character_references_still_decode(tmp_path):
+    assert _pipeline_rows(
+        tmp_path, _one_field_doc("<DATA>caf&#233; &#x1F600; &amp;</DATA>")
+    ) == [("café \U0001f600 &",)]
+
+
+@pytest.mark.parametrize(
+    ("payload", "expected"),
+    [
+        ("<DATA>a<!--x-->b</DATA>", "ab"),  # comment inside DATA
+        ("<DATA>a<![CDATA[b]]></DATA>", "ab"),  # CDATA inside DATA
+    ],
+)
+def test_fastpath_defers_markup_nested_inside_data_to_et(
+    tmp_path, payload, expected
+):
+    """Round-7 review: _DATA_RE's non-greedy span used to capture
+    nested markup as raw cell text ('a<!--x-->b'); now the fast path
+    raises and ET produces the spec-correct merged text."""
+    assert _pipeline_rows(tmp_path, _one_field_doc(payload)) == [(expected,)]
+
+
+def test_to_double_rejects_non_ascii_numerals():
+    """Round-7 review: Python float() takes fullwidth/Arabic-Indic
+    digits and Unicode whitespace that Java's Double.parseDouble
+    (Spark CAST) rejects — typed=true must match a CAST oracle."""
+    from ceneton_database_tools_spark.sources.fmp_xml import _to_double
+
+    assert _to_double("１２３") is None  # fullwidth digits
+    assert _to_double("١٢٣") is None  # Arabic-Indic digits
+    assert _to_double("\xa01\xa0") is None  # NBSP padding
+    assert _to_double(" 1.5 ") == 1.5  # ASCII whitespace still trims
+
+
+def test_mislabeled_encoding_takes_et_path_not_silent_utf8(tmp_path):
+    """Round-7 review: a file DECLARED ISO-8859-1 whose bytes happen to
+    be valid UTF-8 used to decode cleanly on the fast path, yielding
+    different text than a spec-correct parse. The declared-encoding
+    guard now routes it to ET, which honors the prolog: the UTF-8
+    bytes 0xC3 0xA9 come back as the two latin-1 chars 'Ã©' — exactly
+    what the reference's parser would produce."""
+    doc = (
+        '<?xml version="1.0" encoding="ISO-8859-1"?>'
+        '<FMPXMLRESULT xmlns="http://www.filemaker.com/fmp/1/result">'
+        '<ERRORCODE>0</ERRORCODE><DATABASE RECORDS="1"/><METADATA>'
+        '<FIELD EMPTYOK="YES" MAXREPEAT="1" NAME="A" TYPE="TEXT"/></METADATA>'
+        '<RESULTSET FOUND="1">'
+        '<ROW MODID="1" RECORDID="1"><COL><DATA>cafÃ©</DATA></COL></ROW>'
+        "</RESULTSET></FMPXMLRESULT>"
+    ).encode("latin-1")  # bytes 0xC3 0xA9 — valid UTF-8 for 'é'
+    path = tmp_path / "mislabeled.xml"
+    path.write_bytes(doc)
+    with open_xml_stream(str(path)) as stream:
+        rows = list(iter_fmp_rows(stream, 1))
+    assert rows == [("cafÃ©",)]
+
+
+def test_probe_refuses_split_for_declared_legacy_encoding(tmp_path):
+    """Byte-range splits decode UTF-8 with no whole-document fallback;
+    the planning probe must keep declared-legacy-encoding exports on
+    the whole-file partition."""
+    from ceneton_database_tools_spark.sources.fmp_xml import _probe_literal_row
+
+    utf8 = tmp_path / "ok.xml"
+    utf8.write_bytes(b'<?xml version="1.0" encoding="UTF-8"?><R><ROW/></R>')
+    assert _probe_literal_row(str(utf8))
+    latin = tmp_path / "legacy.xml"
+    latin.write_bytes(b'<?xml version="1.0" encoding="ISO-8859-1"?><R><ROW/></R>')
+    assert not _probe_literal_row(str(latin))
+    nodecl = tmp_path / "nodecl.xml"
+    nodecl.write_bytes(b"<R><ROW/></R>")
+    assert _probe_literal_row(str(nodecl))
+
+
+def test_streaming_offset_reingests_overwritten_snapshot(tmp_path):
+    """Round-7 review: offsets keyed by NAME alone skipped a snapshot
+    atomically renamed OVER an existing name (rolling 'latest.xml') —
+    silent data loss. Identity-keyed offsets re-ingest it."""
+    import os
+
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        FMPXMLSimpleStreamReader,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    latest = src / "latest.xml"
+    _write_stream_shard(latest, ["1", "2"])
+    reader = FMPXMLSimpleStreamReader(str(src), ["nummer", "titel"], "error")
+    rows1, off1 = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows1] == ["1", "2"]
+    # same listing, same identity: nothing new
+    rows1b, off1b = reader.read(off1)
+    assert list(rows1b) == [] and off1b == off1
+    # atomic rename OVER the same name (force a distinct mtime_ns for
+    # filesystems with coarse timestamps)
+    staged = src / ".staged.tmp"
+    _write_stream_shard(staged, ["3"])
+    st = os.stat(latest)
+    os.replace(staged, latest)
+    os.utime(latest, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    rows2, off2 = reader.read(off1)
+    assert [r[0] for r in rows2] == ["3"]
+    # the stale identity entry aged out; only the new snapshot remains
+    assert [e[0] for e in off2["seen"]] == [str(latest)]
+    assert off2["seen"][0][1:] != list(off1["seen"][0][1:])
+
+
+def test_streaming_offset_legacy_name_entries_still_honored(tmp_path):
+    """A checkpoint written before identity-keyed offsets holds plain
+    path strings; they must keep suppressing re-ingest (no mass replay
+    on upgrade) and replay correctly through readBetweenOffsets."""
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        FMPXMLSimpleStreamReader,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    a, b = src / "a.xml", src / "b.xml"
+    _write_stream_shard(a, ["1"])
+    _write_stream_shard(b, ["2"])
+    reader = FMPXMLSimpleStreamReader(str(src), ["nummer", "titel"], "error")
+    rows, off = reader.read({"seen": [str(a)]})  # legacy offset
+    assert [r[0] for r in rows] == ["2"]  # a.xml stays suppressed
+    assert str(a) in off["seen"]  # legacy entry carried forward as-is
+    replay = list(reader.readBetweenOffsets({"seen": [str(a)]}, off))
+    assert [r[0] for r in replay] == ["2"]
+
+
+def test_stream_reader_requires_path_option(spark, tmp_path):
+    """A missing path must raise, not silently watch the driver's cwd
+    (Path('') normalizes to '.')."""
+    from ceneton_database_tools_spark.sources.fmp_xml import register_fmp_source
+
+    register_fmp_source(spark)
+    sdf = spark.readStream.schema("nummer string, titel string").format(
+        "fmpxml"
+    ).load()
+    q = None
+    with pytest.raises(Exception, match="requires a path"):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("no_path_stream")
+            .option(
+                "checkpointLocation", str(tmp_path / "ck_nopath")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if q is not None:
+        q.stop()

@@ -326,3 +326,50 @@ def test_write_partitioned_overwrite_keeps_untouched_partitions(spark, tmp_path)
     write_partitioned(patch, out, ["k"], mode="overwrite")
     rows = {(r.k, r.v) for r in read_partitioned(spark, out).collect()}
     assert rows == {("a", 1), ("b", 99)}, rows
+
+
+def test_create_db_rejects_unknown_apply_as(spark, tmp_path):
+    """Round-7 review: a typo'd apply_as ('Rename') used to silently
+    fall through to comment mode — unrenamed columns, no error."""
+    df = read_fmp_xml_df(spark, BASIC)
+    with pytest.raises(ValueError, match="apply_as must be"):
+        create_db_from_df(
+            df,
+            db_url=f"sqlite:///{tmp_path}/x.db",
+            table_name="t",
+            schema_name="s",
+            record_count=4,
+            mapping={"Nummer": "nr"},
+            apply_as="Rename",
+        )
+
+
+def test_cli_bz2_hash_reuses_spool_sidecar(spark, tmp_path, monkeypatch):
+    """Round-7 review: create_db on a spool-worthy .bz2 used to
+    decompress twice (stream-hash, then spool). The hash now comes
+    from the spool's streamed .sha256 sidecar — one decompression —
+    and matches the direct stream hash exactly."""
+    import bz2
+
+    from ceneton_database_tools_spark.cli import _spooled_bz2_sha256
+
+    raw = open(BASIC, "rb").read()
+    src = tmp_path / "export.xml.bz2"
+    src.write_bytes(bz2.compress(raw))
+    (tmp_path / "spools").mkdir()  # gettempdir ignores missing candidates
+    monkeypatch.setenv("TMPDIR", str(tmp_path / "spools"))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        # explicit split size => spool regardless of size
+        got = _spooled_bz2_sha256(str(src), "4096")
+        assert got == hashlib.sha256(raw).hexdigest()
+        spools = glob.glob(str(tmp_path / "spools" / "fmpspool_*.xml"))
+        assert len(spools) == 1  # cached for the reader's own call
+        # split=never → no spool, stream-hash path
+        assert _spooled_bz2_sha256(str(src), "never") is None
+        # tiny file on auto → no spool
+        assert _spooled_bz2_sha256(str(src), "auto") is None
+    finally:
+        tempfile.tempdir = None
