@@ -83,6 +83,16 @@ class TxnTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    def _discard_staged(self, staged: str) -> None:
+        """Remove a staged-but-never-committed data directory. Called
+        on every losing exit (duplicate-replay no-op, lost merge race,
+        CommitConflict) — without it each lost race permanently orphans
+        a full parquet copy of the batch that only an explicit vacuum
+        of referenced-set history could never reclaim."""
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, staged), ignore_errors=True)
+
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``version``. The manifest is fully written
         to a tmp name first; link(2) then publishes complete content or
@@ -130,6 +140,7 @@ class TxnTable:
                 {"version": version, "op": mode, "files": files, "txns": txns},
             ):
                 return version
+        self._discard_staged(staged)
         raise CommitConflict(
             f"lost {max_retries} commit races on {self.path} ({mode})"
         )
@@ -169,7 +180,10 @@ class TxnTable:
                 files = list(snap["files"])
                 seen = txns.get(app_id)
                 if seen is not None and txn_version <= seen:
-                    return None  # a racing replay of the same batch won
+                    # a racing replay of the same batch won the commit:
+                    # drop the loser's staged copy before backing off
+                    self._discard_staged(staged)
+                    return None
             txns[app_id] = txn_version
             version = 0 if current is None else current + 1
             if self._try_commit(
@@ -182,6 +196,7 @@ class TxnTable:
                 },
             ):
                 return version
+        self._discard_staged(staged)
         raise CommitConflict(
             f"lost {max_retries} idempotent-commit races on {self.path}"
         )
@@ -215,21 +230,30 @@ class TxnTable:
         next version — serializable merge, not lost-update."""
         for _ in range(max_retries):
             current = self.latest_version()
-            target = self.read(spark, current)
-            merged = target.join(
-                updates.select(key), key, "left_anti"
-            ).unionByName(updates)
+            if current is None:
+                # empty table: MERGE degenerates to insert-only (every
+                # update row is unmatched) — commit updates as v0
+                merged, txns = updates, {}
+            else:
+                snap = self.snapshot(current)
+                target = spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in snap["files"]]
+                )
+                merged = target.join(
+                    updates.select(key), key, "left_anti"
+                ).unionByName(updates)
+                txns = dict(snap.get("txns", {}))
             staged = f"data/{uuid.uuid4().hex}"
             merged.write.parquet(os.path.join(self.path, staged))
-            version = (0 if current is None else current + 1)
-            txns = {} if current is None else dict(
-                self.snapshot(current).get("txns", {})
-            )
+            version = 0 if current is None else current + 1
             if self._try_commit(
                 version,
                 {"version": version, "op": "merge", "files": [staged], "txns": txns},
             ):
                 return version
+            # lost the race: this staged rewrite was computed against a
+            # stale snapshot — discard it before rebasing
+            self._discard_staged(staged)
         raise CommitConflict(f"lost {max_retries} merge races on {self.path}")
 
     # -- maintenance -------------------------------------------------------

@@ -996,8 +996,14 @@ def streaming_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination()
-            LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
+            try:
+                q.awaitTermination()
+                LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
+            finally:
+                # an interrupt inside awaitTermination must not leave a
+                # live query whose checkpoint/sink the outer finally is
+                # about to rmtree (no-op once terminated)
+                q.stop()
         versions_after = table.latest_version()
         result = (
             table.read(spark)

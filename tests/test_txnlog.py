@@ -171,3 +171,75 @@ def test_write_idempotent_race_detected_at_commit(spark, tmp_path):
     assert t.write_idempotent(_df(spark, [(2, "b-dup")]), "app", 0) is None
     vals = sorted(r.v for r in t.read(spark).collect())
     assert vals == ["a", "b"], "the losing duplicate batch must not land"
+
+
+def test_merge_on_empty_table_inserts(spark, tmp_path):
+    """Round-7 review: merge() on a never-written table used to crash
+    in snapshot(None) before its own current-is-None arms could run.
+    MERGE on an empty target degenerates to insert-only."""
+    t = TxnTable(str(tmp_path / "t"))
+    assert t.merge(spark, _df(spark, [(1, "a"), (2, "b")]), key="id") == 0
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # and a second merge updates in place as usual
+    t.merge(spark, _df(spark, [(2, "B"), (3, "c")]), key="id")
+    assert {(r.id, r.v) for r in t.read(spark).collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    }
+
+
+def _data_dirs(t: TxnTable) -> set:
+    return {d for d in os.listdir(t.data_dir)}
+
+
+def _referenced(t: TxnTable) -> set:
+    refs = set()
+    v = t.latest_version()
+    for ver in range(v + 1):
+        refs.update(f.split("/", 1)[1] for f in t.snapshot(ver)["files"])
+    return refs
+
+
+def test_losing_writers_leave_no_orphaned_staged_data(spark, tmp_path):
+    """Round-7 review: a writer that loses (duplicate replay, lost
+    merge race) used to orphan its staged parquet directory forever —
+    unreferenced by any manifest, invisible to vacuum. Every losing
+    exit now discards its staging."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_idempotent(_df(spark, [(1, "a")]), "app", 0)
+    # pre-check dup: staged nothing, nothing to leak
+    assert t.write_idempotent(_df(spark, [(1, "dup")]), "app", 0) is None
+    assert _data_dirs(t) == _referenced(t)
+    # commit-race dup: the loser stages, then must clean up
+    real_try_commit = t._try_commit
+    stolen = {"done": False}
+
+    def stealing(version, manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            TxnTable(t.path).write_idempotent(_df(spark, [(2, "b")]), "app", 1)
+        return real_try_commit(version, manifest)
+
+    t._try_commit = stealing
+    assert t.write_idempotent(_df(spark, [(2, "b-dup")]), "app", 1) is None
+    t._try_commit = real_try_commit
+    assert _data_dirs(t) == _referenced(t)
+    # lost merge race: the stale rewrite is discarded, the rebased one lands
+    stolen["done"] = False
+
+    def stealing_merge(version, manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            TxnTable(t.path).write(_df(spark, [(9, "x")]), mode="append")
+        return real_try_commit(version, manifest)
+
+    t._try_commit = stealing_merge
+    t.merge(spark, _df(spark, [(1, "A")]), key="id")
+    t._try_commit = real_try_commit
+    assert _data_dirs(t) == _referenced(t)
+    assert {(r.id, r.v) for r in t.read(spark).collect()} == {
+        (1, "A"),
+        (2, "b"),
+        (9, "x"),
+    }
