@@ -562,6 +562,133 @@ def txn_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "txn_table_changes",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name,
+             CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS bal,
+             c_acctbal AS raw
+      FROM customer
+    )
+    SELECT c_custkey, c_name, bal AS acctbal,
+           'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version
+    FROM base WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, bal, 'delete', CAST(2 AS BIGINT)
+    FROM base WHERE c_custkey % 14 = 0
+    UNION ALL
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(raw AS DECIMAL(18,6)) + 100, 2) AS DOUBLE),
+           'insert', CAST(3 AS BIGINT)
+    FROM base WHERE c_custkey % 70 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, bal, 'update_preimage', CAST(3 AS BIGINT)
+    FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 70 <> 0
+    UNION ALL
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(raw AS DECIMAL(18,6)) + 100, 2) AS DOUBLE),
+           'update_postimage', CAST(3 AS BIGINT)
+    FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 70 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000, concat('NEW#', c_name), 0.0,
+           'insert', CAST(3 AS BIGINT)
+    FROM base WHERE c_custkey % 100 = 0
+    """,
+    tags=("txn", "cdf", "changelog", "acid"),
+)
+def txn_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the transactional table: build a 4-commit
+    history on ``customer`` (v0 overwrite of the odd keys, v1 append of
+    the even keys, v2 copy-on-write DELETE of ``c_custkey % 14 = 0``,
+    v3 MERGE of the standard update batch), then derive the row-level
+    changelog ``changes(0, 3)`` from the manifests. The oracle states
+    the expected feed in closed form — inserts at cv1, deletes at cv2,
+    update pre/post images plus re-inserts of previously-deleted keys
+    at cv3 — derived independently of the snapshot-diff machinery.
+
+    SELF-CHECKS the storage-level properties the oracle can't see:
+    (a) COPY-ON-WRITE — the delete's predicate only hits even keys, so
+    v2's manifest must still reference v0's (odd-key) data directory
+    byte-untouched; (b) the pure-append diff (v0→v1) plans ZERO joins
+    (the added directory IS the insert set); (c) a no-match delete is
+    a no-op returning None, committing nothing; (d) time travel — v1
+    still holds the deleted keys while v3 is live; (e) the feed
+    reconciles: inserts − deletes == count(v3) − count(v0)."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    raw = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base = raw.select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    updates = raw.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 100, 2) AS DOUBLE)"
+        ).alias("acctbal"),
+    ).unionByName(
+        raw.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.concat(F.lit("NEW#"), F.col("c_name")).alias("c_name"),
+            F.lit(0.0).alias("acctbal"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_cdf_")
+    try:
+        table = TxnTable(work)
+        v0 = table.write(base.filter(F.col("c_custkey") % 2 == 1), mode="overwrite")
+        v1 = table.write(base.filter(F.col("c_custkey") % 2 == 0), mode="append")
+        v2 = table.delete(spark, "c_custkey % 14 = 0")
+        v3 = table.merge(spark, updates, key="c_custkey")
+        if (v0, v1, v2, v3) != (0, 1, 2, 3):
+            raise AssertionError(f"unexpected versions {(v0, v1, v2, v3)}")
+        # (a) copy-on-write: the odd-key directory from v0 survives the
+        # delete BY REFERENCE (the predicate only hits even keys)
+        if not set(table.snapshot(0)["files"]) <= set(table.snapshot(2)["files"]):
+            raise AssertionError("delete rewrote an untouched directory")
+        # (b) pure-append diff must plan zero joins
+        append_plan = (
+            table.changes(spark, "c_custkey", 0, 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "Join" in append_plan:
+            raise AssertionError("append-commit diff planned a join")
+        # (c) a no-match delete commits nothing
+        if table.delete(spark, "c_custkey IS NULL") is not None:
+            raise AssertionError("no-match delete produced a commit")
+        if table.latest_version() != 3:
+            raise AssertionError("no-op delete advanced the version")
+        # (d) time travel: the deleted keys are still visible at v1
+        if table.read(spark, 1).where("c_custkey % 14 = 0").count() == 0:
+            raise AssertionError("time-travel snapshot lost deleted keys")
+        feed = table.changes(spark, "c_custkey", 0, 3)
+        rows = feed.collect()
+        # (e) the feed reconciles with the snapshot row counts
+        n_ins = sum(1 for r in rows if r.change_type == "insert")
+        n_del = sum(1 for r in rows if r.change_type == "delete")
+        delta = table.read(spark, 3).count() - table.read(spark, 0).count()
+        if n_ins - n_del != delta:
+            raise AssertionError(
+                f"changelog does not reconcile: {n_ins}-{n_del} != {delta}"
+            )
+        from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+
+        _record_inner_plan("txn_table_changes", feed)
+        return spark.createDataFrame(rows, schema=feed.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface (spark.sql over registered views)
 # ---------------------------------------------------------------------------

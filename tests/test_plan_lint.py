@@ -61,6 +61,7 @@ SELF_CHECKING_PLANS: frozenset[str] = frozenset(
         "scale_runtime_bloom_join",
         "scale_small_file_compaction",
         "txn_merge_upsert_customers",
+        "txn_table_changes",
     }
 )
 

@@ -243,3 +243,67 @@ def test_losing_writers_leave_no_orphaned_staged_data(spark, tmp_path):
         (2, "b"),
         (9, "x"),
     }
+
+
+def test_delete_copy_on_write_keeps_untouched_dirs(spark, tmp_path):
+    """delete() rewrites ONLY directories containing victims; a dir
+    with zero matches survives by reference, byte-untouched."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (3, "c")]), mode="overwrite")   # odd dir
+    t.write(_df(spark, [(2, "b"), (4, "d")]), mode="append")      # even dir
+    v = t.delete(spark, "id % 2 = 0 AND id >= 4")
+    assert v == 2
+    # the odd-key dir from v0 is still referenced verbatim
+    assert set(t.snapshot(0)["files"]) <= set(t.snapshot(2)["files"])
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    # time travel: pre-delete snapshot intact
+    assert sorted(r.id for r in t.read(spark, 1).collect()) == [1, 2, 3, 4]
+    # no-match delete is a no-op with no commit
+    assert t.delete(spark, "id > 100") is None
+    assert t.latest_version() == 2
+    # delete on an empty table is a no-op too
+    t2 = TxnTable(str(tmp_path / "t2"))
+    assert t2.delete(spark, "id = 1") is None
+    # NULL-predicate rows are NOT deleted (SQL DELETE semantics)
+    t3 = TxnTable(str(tmp_path / "t3"))
+    t3.write(
+        spark.createDataFrame([(1, None), (2, 5)], "id long, n long"),
+        mode="overwrite",
+    )
+    t3.delete(spark, "n > 3")
+    assert sorted(r.id for r in t3.read(spark).collect()) == [1]
+
+
+def test_changes_classifies_full_history(spark, tmp_path):
+    """The derived CDF: append→insert (no join), delete→delete,
+    merge→pre/post images; rewritten-but-identical rows are silent."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    t.delete(spark, "id = 2")
+    t.merge(spark, _df(spark, [(1, "A"), (9, "z")]), key="id")
+    feed = t.changes(spark, "id", 0, 3)
+    got = {(r.id, r.v, r.change_type, r.commit_version) for r in feed.collect()}
+    assert got == {
+        (3, "c", "insert", 1),
+        (2, "b", "delete", 2),
+        (1, "a", "update_preimage", 3),
+        (1, "A", "update_postimage", 3),
+        (9, "z", "insert", 3),
+    }, got
+    # sub-ranges slice the same feed
+    sub = {(r.id, r.change_type) for r in t.changes(spark, "id", 2, 3).collect()}
+    assert sub == {(1, "update_preimage"), (1, "update_postimage"), (9, "insert")}
+    # the pure-append pair plans zero joins
+    plan = (
+        t.changes(spark, "id", 0, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    # invalid ranges raise
+    with pytest.raises(ValueError):
+        t.changes(spark, "id", 2, 2)
+    with pytest.raises(ValueError):
+        t.changes(spark, "id", 0, 99)
