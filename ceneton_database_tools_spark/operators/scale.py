@@ -649,3 +649,165 @@ def scale_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "scale_zorder_layout",
+    oracle="""
+    WITH b AS (
+      SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+             min(l_partkey)  AS mnp, max(l_partkey)  AS mxp
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS price_cents
+    FROM lineitem, b
+    WHERE l_orderkey >= mno + ((mxo - mno + 1) * 4) // 16
+      AND l_orderkey <  mno + ((mxo - mno + 1) * 5) // 16
+      AND l_partkey  >= mnp + ((mxp - mnp + 1) * 4) // 16
+      AND l_partkey  <  mnp + ((mxp - mnp + 1) * 5) // 16
+    GROUP BY l_returnflag
+    """,
+    tags=("scale", "layout", "zorder", "data-skipping"),
+)
+def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering — multi-dimensional data skipping, the layout
+    job behind ``OPTIMIZE ... ZORDER BY`` (Delta) / ``sort_order``
+    (Iceberg): interleave the bits of two key columns into a Morton
+    code, range-partition + sort the table on that code, and every
+    written file's (min,max) bounding box becomes a tight RECTANGLE in
+    key space instead of a stripe — so a query constrained on BOTH
+    dimensions prunes to the few files whose box intersects its
+    rectangle, where a linear sort on either key alone prunes on that
+    key only. The whole pipeline is codegen'd bit arithmetic
+    (shiftleft/AND/OR bucket spreading — no UDF) plus ONE range
+    exchange, exactly what the rewrite costs at 100 TB.
+
+    SELF-CHECKS the skipping claim with the file-stats model the real
+    lakes use (per-file min/max, kept in the txn log at scale; probed
+    here by aggregation): for a centered 1/16-per-dim rectangle, the
+    count of z-ordered files whose bounding box intersects the
+    rectangle must be STRICTLY SMALLER than under a linear
+    ``repartitionByRange(l_orderkey)`` layout of the same file count.
+    Also asserts the rewrite plan holds exactly one shuffle (the range
+    exchange) and that the rectangle scan's predicate reaches the
+    parquet reader (PushedFilters).
+
+    The oracle gates content + filter correctness in closed form: the
+    rectangle aggregate off the z-ordered rewrite must equal the same
+    aggregate DuckDB computes straight off ``lineitem`` (bounds via
+    exact integer arithmetic on both engines)."""
+    import os
+    import shutil
+    import tempfile
+
+    n_files = 128
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    # bounded collect: 4 scalars (the trained-artifact pattern)
+    mno, mxo, mnp, mxp = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    span_o, span_p = mxo - mno + 1, mxp - mnp + 1
+
+    def _bucket(col: str, mn: int, span: int):
+        # exact integer 16-bit bucket, identical on any engine
+        return (
+            (F.col(col).cast("long") - F.lit(mn)) * F.lit(65536) / F.lit(span)
+        ).cast("long")
+
+    def _spread(x):
+        # interleave-ready bit spread: 16 data bits -> 32 bits
+        # (bitwiseOR/AND: `|`/`&` on Columns are the BOOLEAN operators)
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    zval = _spread(_bucket("l_orderkey", mno, span_o)).bitwiseOR(
+        F.shiftleft(_spread(_bucket("l_partkey", mnp, span_p)), 1)
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_zorder_")
+    zdir = os.path.join(work, "zorder")
+    ldir = os.path.join(work, "linear")
+    try:
+        zdf = (
+            li.withColumn("_z", zval)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        plan = zdf._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        n_ex = len(re.findall(r"(?<![A-Za-z])Exchange ", plan))
+        if n_ex != 1:
+            raise AssertionError(f"z-order rewrite must shuffle once, saw {n_ex}")
+        zdf.write.parquet(zdir)
+        (
+            li.repartitionByRange(n_files, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.parquet(ldir)
+        )
+        # rectangle: [4/16, 5/16) of each key span — inside one quadrant
+        lo_o = mno + (span_o * 4) // 16
+        hi_o = mno + (span_o * 5) // 16
+        lo_p = mnp + (span_p * 4) // 16
+        hi_p = mnp + (span_p * 5) // 16
+
+        def _touched(path: str) -> int:
+            """File-stats skipping model: files whose (min,max) box
+            intersects the query rectangle (at scale these stats come
+            from the commit log / parquet footers, not a scan)."""
+            stats = (
+                spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    F.min("l_orderkey").alias("mno"), F.max("l_orderkey").alias("mxo"),
+                    F.min("l_partkey").alias("mnp"), F.max("l_partkey").alias("mxp"),
+                )
+            )
+            return stats.where(
+                (F.col("mxo") >= lo_o) & (F.col("mno") < hi_o)
+                & (F.col("mxp") >= lo_p) & (F.col("mnp") < hi_p)
+            ).count()
+
+        z_touched, lin_touched = _touched(zdir), _touched(ldir)
+        if not z_touched < lin_touched:
+            raise AssertionError(
+                f"z-order did not improve 2-D skipping: {z_touched} files "
+                f"touched vs linear {lin_touched}"
+            )
+        rect = (
+            (F.col("l_orderkey") >= lo_o) & (F.col("l_orderkey") < hi_o)
+            & (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") < hi_p)
+        )
+        cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        result = (
+            spark.read.parquet(zdir)
+            .where(rect)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(cents).cast("long").alias("price_cents"),
+            )
+        )
+        rplan = result._jdf.queryExecution().executedPlan().toString()
+        pushed = (
+            rplan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+            if "PushedFilters: [" in rplan
+            else ""
+        )
+        if "GreaterThanOrEqual(l_orderkey" not in pushed:
+            raise AssertionError(
+                f"rectangle predicate not pushed to parquet scan: [{pushed}]"
+            )
+        _record_inner_plan("scale_zorder_layout", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -60,6 +60,7 @@ SELF_CHECKING_PLANS: frozenset[str] = frozenset(
         "scale_partition_pruned_read",
         "scale_runtime_bloom_join",
         "scale_small_file_compaction",
+        "scale_zorder_layout",
         "txn_merge_upsert_customers",
         "txn_table_changes",
     }
