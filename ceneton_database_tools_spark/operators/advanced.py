@@ -397,6 +397,26 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SYNTH_KEY_OFFSET = 1_000_000
+
+
+def _assert_key_headroom(df: DataFrame, key: str) -> None:
+    """The upsert/CDF ops fabricate insert keys at ``key + 1_000_000``;
+    at sf >= 7 real c_custkey values cross that offset and the
+    fabricated keys would COLLIDE with genuine rows (duplicate keys in
+    the update batch -> fan-out in the CDF join, silent oracle
+    divergence). Same runtime-guard discipline as
+    ``dedup.assert_twin_headroom``: fail loudly at the boundary instead
+    of corrupting results past it (bounded 1-scalar aggregate)."""
+    mx = df.agg(F.max(key)).collect()[0][0]
+    if mx is not None and mx >= _SYNTH_KEY_OFFSET:
+        raise AssertionError(
+            f"synthetic-key offset exhausted: max({key}) = {mx} >= "
+            f"{_SYNTH_KEY_OFFSET}; raise _SYNTH_KEY_OFFSET for this scale"
+        )
+
+
+
 @register(
     "merge_upsert_customers",
     oracle="""
@@ -435,6 +455,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     when those jars are on the classpath.
     """
     target = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    _assert_key_headroom(target, "c_custkey")
     updates = (
         target.filter(F.col("c_custkey") % 10 == 0)
         .select(
@@ -511,6 +532,7 @@ def txn_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
     raw = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    _assert_key_headroom(raw, "c_custkey")
     base = raw.select(
         "c_custkey",
         "c_name",
@@ -621,6 +643,7 @@ def txn_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
     raw = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    _assert_key_headroom(raw, "c_custkey")
     base = raw.select(
         "c_custkey",
         "c_name",
@@ -672,6 +695,9 @@ def txn_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         if table.read(spark, 1).where("c_custkey % 14 = 0").count() == 0:
             raise AssertionError("time-travel snapshot lost deleted keys")
         feed = table.changes(spark, "c_custkey", 0, 3)
+        from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+
+        _record_inner_plan("txn_table_changes", feed)
         rows = feed.collect()
         # (e) the feed reconciles with the snapshot row counts
         n_ins = sum(1 for r in rows if r.change_type == "insert")
@@ -681,9 +707,6 @@ def txn_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 f"changelog does not reconcile: {n_ins}-{n_del} != {delta}"
             )
-        from ceneton_database_tools_spark.operators.scale import _record_inner_plan
-
-        _record_inner_plan("txn_table_changes", feed)
         return spark.createDataFrame(rows, schema=feed.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

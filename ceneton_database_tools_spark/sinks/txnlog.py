@@ -273,24 +273,41 @@ class TxnTable:
         to the survivors, and staged as one new directory. At 100 TB
         this is the difference between rewriting the table and
         rewriting the handful of commits a retention predicate hits
-        (the probe is a pushed-down parquet scan that stops at the
-        first match per directory).
+        (the probe is ONE pushed-down scan over the whole table that
+        returns just the distinct directories containing victims).
 
         Returns the committed version, or ``None`` when no row matches
         (no empty commit is written). Rebases on conflict like
         ``merge``."""
+        from pyspark.sql import functions as F
+
         for _ in range(max_retries):
             current = self.latest_version()
             if current is None:
                 return None
             snap = self.snapshot(current)
-            kept, touched = [], []
-            for rel in snap["files"]:
-                d = os.path.join(self.path, rel)
-                hit = (
-                    spark.read.parquet(d).where(predicate).limit(1).count() > 0
+            # ONE probe job over all directories (not one per commit):
+            # push the predicate into a single scan and aggregate the
+            # distinct "data/<uuid>" parents of matching files — result
+            # size is O(directories with victims), never O(rows)
+            hit_dirs = {
+                r.d
+                for r in (
+                    spark.read.parquet(
+                        *[os.path.join(self.path, rel) for rel in snap["files"]]
+                    )
+                    .where(predicate)
+                    .select(
+                        F.regexp_extract(
+                            F.input_file_name(), r".*/(data/[^/]+)/[^/]+$", 1
+                        ).alias("d")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                (touched if hit else kept).append(rel)
+            }
+            kept = [rel for rel in snap["files"] if rel not in hit_dirs]
+            touched = [rel for rel in snap["files"] if rel in hit_dirs]
             if not touched:
                 return None
             survivors = (
