@@ -572,7 +572,9 @@ def txn_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         old = table.read(spark, 0)
         if old.count() != n_before or old.filter("from_update").count() != 0:
             raise AssertionError("time-travel snapshot v0 was disturbed by merge")
-        removed = table.vacuum(retain_versions=1)
+        # retain_hours=0: single-writer context (no concurrent stager
+        # to protect), and the just-written v0 data is seconds old
+        removed = table.vacuum(retain_versions=1, retain_hours=0.0)
         if not removed:
             raise AssertionError("vacuum removed nothing; v0 data leaked")
         result = table.read(spark)  # still fully readable post-vacuum

@@ -32,8 +32,13 @@ overwrite works directly.
 Scale shape: a manifest lists DIRECTORIES (one per commit), not
 individual files, so the log stays O(commits); readers hand the list
 to ``spark.read.parquet(*dirs)`` and planning/pruning is ordinary
-parquet scan work. Checkpoint-compaction of a long log (Delta's
-``_last_checkpoint``) is a straightforward extension left out here.
+parquet scan work. Long logs (the exactly-once streaming sink commits
+one manifest per micro-batch) are bounded two ways: every manifest is
+self-contained, so ``truncate_log`` IS the checkpoint compaction
+(Delta needs a separate ``_last_checkpoint`` only because its log is
+a delta-encoded action stream that must be replayed); and
+``latest_version`` resolves through a best-effort ``_latest.hint``
+plus forward exists()-probing, so the hot path never lists the log.
 
 The reference has no table format at all — its single sink is one
 JDBC load (``sql.py:17-37``).
@@ -68,6 +73,26 @@ class TxnTable:
         return os.path.join(self.log_dir, f"{version:011d}.json")
 
     def latest_version(self) -> int | None:
+        """Resolve the newest committed version. Fast path: read the
+        best-effort ``_latest.hint`` left by the last committer and
+        probe FORWARD with exists() — versions are contiguous (every
+        commit claims current+1), so the first missing manifest bounds
+        the log. O(commits since the hint was written), usually O(1),
+        instead of listdir over the whole log — the difference between
+        a constant and O(micro-batches ever) for a long-running
+        streaming sink. A stale, missing, or truncated-away hint falls
+        back to the listdir scan."""
+        hint_path = os.path.join(self.log_dir, "_latest.hint")
+        try:
+            with open(hint_path) as f:
+                hint = int(f.read().strip())
+        except (OSError, ValueError):
+            hint = None
+        if hint is not None and os.path.exists(self._manifest_path(hint)):
+            v = hint
+            while os.path.exists(self._manifest_path(v + 1)):
+                v += 1
+            return v
         versions = [
             int(f[:-5])
             for f in os.listdir(self.log_dir)
@@ -104,11 +129,20 @@ class TxnTable:
             os.fsync(f.fileno())
         try:
             os.link(tmp, self._manifest_path(version))
-            return True
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        # best-effort latest-version hint (atomic replace, last-writer-
+        # wins): stale-low just costs forward probes; never load-bearing
+        hint_tmp = os.path.join(self.log_dir, f"_hint_{uuid.uuid4().hex}")
+        try:
+            with open(hint_tmp, "w") as f:
+                f.write(str(version))
+            os.replace(hint_tmp, os.path.join(self.log_dir, "_latest.hint"))
+        except OSError:
+            pass
+        return True
 
     # -- write path --------------------------------------------------------
 
@@ -221,34 +255,79 @@ class TxnTable:
         key: str,
         max_retries: int = 10,
     ) -> int:
-        """Upsert ``updates`` by ``key``: unmatched target rows survive
-        via LEFT ANTI, update rows win — the anti-join ∪ updates plan
-        the batch emulation uses (operators/advanced.py), but committed
-        through the log so the rewrite is atomic and the pre-merge
-        snapshot stays readable. Rebases on conflict: each attempt
-        re-reads the then-latest snapshot, recomputes, and tries the
-        next version — serializable merge, not lost-update."""
+        """Upsert ``updates`` by ``key`` with Delta-style COPY-ON-WRITE
+        at directory granularity (the same shape as :meth:`delete`):
+        ONE pushed-down semi-join probe finds the data directories that
+        contain a matched key; directories with zero matches survive
+        into the new manifest BY REFERENCE — untouched bytes, no
+        rewrite. Only the touched directories are re-read, their
+        unmatched rows (LEFT ANTI on the update keys) are kept, and
+        those survivors plus all ``updates`` rows are staged as one new
+        directory. At 100 TB a merge touching 0.1% of keys rewrites the
+        handful of commits those keys live in, not the table — and the
+        derived change feed stays cheap, because ``changes()`` diffs
+        only the replaced directories, not snapshot-vs-snapshot.
+
+        Rebases on conflict: each attempt re-probes the then-latest
+        snapshot, recomputes, and tries the next version — serializable
+        merge, not lost-update."""
+        from pyspark.sql import functions as F
+
+        keys = updates.select(key).distinct()
         for _ in range(max_retries):
             current = self.latest_version()
             if current is None:
                 # empty table: MERGE degenerates to insert-only (every
                 # update row is unmatched) — commit updates as v0
-                merged, txns = updates, {}
+                merged, kept, txns = updates, [], {}
             else:
                 snap = self.snapshot(current)
                 target = spark.read.parquet(
                     *[os.path.join(self.path, f) for f in snap["files"]]
                 )
-                merged = target.join(
-                    updates.select(key), key, "left_anti"
-                ).unionByName(updates)
+                # ONE probe job: semi-join the scan against the distinct
+                # update keys (AQE broadcasts the small side at runtime)
+                # and aggregate the distinct "data/<uuid>" parents of
+                # matching files — O(directories with matches) rows back.
+                # input_file_name() must be projected AT SCAN TIME: after
+                # a shuffle (sort-merge join) it evaluates to "".
+                hit_dirs = {
+                    r.d
+                    for r in (
+                        target.select(
+                            key,
+                            F.regexp_extract(
+                                F.input_file_name(), r".*/(data/[^/]+)/[^/]+$", 1
+                            ).alias("d"),
+                        )
+                        .join(keys, key, "semi")
+                        .select("d")
+                        .distinct()
+                        .collect()
+                    )
+                }
+                kept = [rel for rel in snap["files"] if rel not in hit_dirs]
+                touched = [rel for rel in snap["files"] if rel in hit_dirs]
+                if touched:
+                    survivors = spark.read.parquet(
+                        *[os.path.join(self.path, rel) for rel in touched]
+                    ).join(keys, key, "left_anti")
+                    merged = survivors.unionByName(updates)
+                else:
+                    # insert-only merge: nothing rewritten, pure append
+                    merged = updates
                 txns = dict(snap.get("txns", {}))
             staged = f"data/{uuid.uuid4().hex}"
             merged.write.parquet(os.path.join(self.path, staged))
             version = 0 if current is None else current + 1
             if self._try_commit(
                 version,
-                {"version": version, "op": "merge", "files": [staged], "txns": txns},
+                {
+                    "version": version,
+                    "op": "merge",
+                    "files": kept + [staged],
+                    "txns": txns,
+                },
             ):
                 return version
             # lost the race: this staged rewrite was computed against a
@@ -455,27 +534,81 @@ class TxnTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
-        """Delete data directories unreferenced by the newest
-        ``retain_versions`` manifests (and drop older manifests):
-        the GC step that bounds storage once history is no longer
-        needed. Returns the removed directory names."""
-        import shutil
-
+    def truncate_log(self, retain_versions: int = 1) -> list[int]:
+        """Manifest-only log compaction: drop every manifest STRICTLY
+        BELOW the newest ``retain_versions`` — never at or above, so a
+        commit landing concurrently (at latest+1) can never be
+        unlinked. Because every manifest is self-contained (full file
+        list + writer watermarks), truncation needs no checkpoint file:
+        the retained manifests ARE the checkpoint. This is the bound
+        for the exactly-once streaming sink, which commits one manifest
+        per micro-batch — run this periodically and the log stays
+        O(retain_versions) instead of O(batches ever). Data directories
+        are untouched (older snapshots merely stop being time-
+        travelable); reclaim bytes with :meth:`vacuum`. Returns the
+        removed version numbers."""
+        if retain_versions < 1:
+            raise ValueError(
+                f"retain_versions must be >= 1, got {retain_versions}"
+            )
         latest = self.latest_version()
         if latest is None:
             return []
-        keep_versions = range(max(0, latest - retain_versions + 1), latest + 1)
+        keep_start = max(0, latest - retain_versions + 1)
+        removed = []
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) < keep_start:
+                os.unlink(os.path.join(self.log_dir, f))
+                removed.append(int(f[:-5]))
+        return sorted(removed)
+
+    def vacuum(
+        self, retain_versions: int = 1, retain_hours: float = 168.0
+    ) -> list[str]:
+        """Delete data directories unreferenced by the newest
+        ``retain_versions`` manifests (and truncate older manifests):
+        the GC step that bounds storage once history is no longer
+        needed. Returns the removed directory names.
+
+        ``retain_hours`` is the safety window against the write
+        protocol itself (Delta's vacuum retention rule): writers stage
+        their parquet BEFORE winning a commit, so an unreferenced
+        directory younger than the window may belong to an in-flight
+        commit and is NOT removed. The default (7 days) is safe against
+        any realistic stage→commit gap; pass ``0`` only when no writer
+        can be concurrent (tests, single-writer maintenance)."""
+        import shutil
+        import time
+
+        if retain_versions < 1:
+            raise ValueError(
+                f"retain_versions must be >= 1, got {retain_versions}"
+            )
+        latest = self.latest_version()
+        if latest is None:
+            return []
+        keep_start = max(0, latest - retain_versions + 1)
+        # build the live set from every manifest at/above keep_start
+        # CURRENTLY on disk — including commits that landed after
+        # latest_version() above — so a racing commit's references win
         live: set[str] = set()
-        for v in keep_versions:
-            live.update(self.snapshot(v)["files"])
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) >= keep_start:
+                with open(os.path.join(self.log_dir, f)) as fh:
+                    live.update(json.load(fh)["files"])
+        cutoff = time.time() - retain_hours * 3600.0
         removed = []
         for d in os.listdir(self.data_dir):
             rel = f"data/{d}"
-            if rel not in live:
-                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
-                removed.append(rel)
-        for f in os.listdir(self.log_dir):
-            if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) not in keep_versions:
-                os.unlink(os.path.join(self.log_dir, f))
+            if rel in live:
+                continue
+            full = os.path.join(self.data_dir, d)
+            try:
+                if os.stat(full).st_mtime > cutoff:
+                    continue  # possibly staged by an in-flight writer
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(rel)
+        self.truncate_log(retain_versions)
         return removed

@@ -94,8 +94,9 @@ def test_crash_debris_is_invisible(spark, tmp_path):
     os.makedirs(os.path.join(t.data_dir, "deadbeef"))
     assert t.latest_version() == 0
     assert [r.id for r in t.read(spark).collect()] == [1]
-    # vacuum clears the orphan too (it is referenced by no manifest)
-    assert "data/deadbeef" in t.vacuum()
+    # vacuum clears the orphan too (it is referenced by no manifest) —
+    # retain_hours=0 because the debris is brand-new in this test
+    assert "data/deadbeef" in t.vacuum(retain_hours=0.0)
 
 
 def test_merge_upserts_and_preserves(spark, tmp_path):
@@ -113,7 +114,7 @@ def test_vacuum_bounds_history(spark, tmp_path):
     t = TxnTable(str(tmp_path / "t"))
     for i in range(4):
         t.write(_df(spark, [(i, "x")]), mode="overwrite")
-    removed = t.vacuum(retain_versions=2)
+    removed = t.vacuum(retain_versions=2, retain_hours=0.0)
     assert removed, "older overwrite snapshots should be GC'd"
     # retained versions still read; dropped manifest is gone
     assert [r.id for r in t.read(spark, 3).collect()] == [3]
@@ -272,6 +273,106 @@ def test_delete_copy_on_write_keeps_untouched_dirs(spark, tmp_path):
     )
     t3.delete(spark, "n > 3")
     assert sorted(r.id for r in t3.read(spark).collect()) == [1]
+
+
+def test_merge_copy_on_write_keeps_untouched_dirs(spark, tmp_path):
+    """Round-8 (VERDICT r7 #1): merge() rewrites ONLY the directories
+    that contain a matched key; unmatched directories survive into the
+    new manifest by reference, and an insert-only merge rewrites
+    nothing at all (pure append shape)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (3, "c")]), mode="overwrite")   # odd dir
+    t.write(_df(spark, [(2, "b"), (4, "d")]), mode="append")      # even dir
+    # merge touching only even keys: the odd dir must survive verbatim
+    v = t.merge(spark, _df(spark, [(2, "B"), (6, "f")]), key="id")
+    assert v == 2
+    assert set(t.snapshot(0)["files"]) <= set(t.snapshot(2)["files"])
+    even_dir = set(t.snapshot(1)["files"]) - set(t.snapshot(0)["files"])
+    assert even_dir and even_dir.isdisjoint(set(t.snapshot(2)["files"]))
+    assert {(r.id, r.v) for r in t.read(spark).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d"), (6, "f"),
+    }
+    # insert-only merge: EVERY prior dir survives; exactly one dir added
+    v = t.merge(spark, _df(spark, [(9, "z")]), key="id")
+    assert set(t.snapshot(2)["files"]) <= set(t.snapshot(3)["files"])
+    assert len(t.snapshot(3)["files"]) == len(t.snapshot(2)["files"]) + 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3, 4, 6, 9]
+
+
+def test_vacuum_spares_inflight_staging(spark, tmp_path):
+    """Round-8 (ADVICE): a writer stages parquet BEFORE winning its
+    commit — vacuum's retention window must not GC the staged-but-
+    uncommitted directory, or the just-published manifest references
+    deleted files. Simulates the stage → vacuum → commit interleaving."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # a concurrent writer has staged but not yet committed
+    staged = "data/feedface"
+    _df(spark, [(2, "b")]).write.parquet(os.path.join(t.path, staged))
+    # maintenance vacuum runs in the stage→commit window (default window)
+    removed = t.vacuum()
+    assert staged not in removed, "in-flight staging must survive vacuum"
+    # the writer now publishes its manifest referencing the staged dir
+    assert t._try_commit(
+        1, {"version": 1, "op": "append",
+            "files": t.snapshot(0)["files"] + [staged], "txns": {}}
+    )
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_vacuum_and_truncate_validate_retention(spark, tmp_path):
+    """Round-8 (ADVICE): retain_versions < 1 used to silently delete
+    the whole table; now it raises."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    with pytest.raises(ValueError):
+        t.vacuum(retain_versions=0)
+    with pytest.raises(ValueError):
+        t.truncate_log(retain_versions=-1)
+    assert t.latest_version() == 0  # nothing was deleted
+
+
+def test_truncate_log_bounds_manifests_keeps_data(spark, tmp_path):
+    """truncate_log is the streaming sink's checkpoint compaction:
+    manifests below the keep range go, data directories stay, and the
+    newest snapshots still read."""
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.write(_df(spark, [(i, "x")]), mode="append")
+    n_dirs = len(os.listdir(t.data_dir))
+    assert t.truncate_log(retain_versions=2) == [0, 1, 2]
+    assert len(os.listdir(t.data_dir)) == n_dirs, "data is never touched"
+    assert t.latest_version() == 4
+    assert sorted(r.id for r in t.read(spark, 4).collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r.id for r in t.read(spark, 3).collect()) == [0, 1, 2, 3]
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+
+
+def test_latest_version_hint_fast_path(spark, tmp_path):
+    """latest_version resolves through _latest.hint + forward probing;
+    a stale, corrupt, or missing hint falls back to the listdir scan."""
+    t = TxnTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.write(_df(spark, [(i, "x")]), mode="append")
+    hint = os.path.join(t.log_dir, "_latest.hint")
+    assert int(open(hint).read()) == 2
+    # stale-low hint: forward probe still finds the true latest
+    with open(hint, "w") as f:
+        f.write("0")
+    assert t.latest_version() == 2
+    # corrupt hint: fallback
+    with open(hint, "w") as f:
+        f.write("garbage")
+    assert t.latest_version() == 2
+    # missing hint: fallback
+    os.unlink(hint)
+    assert t.latest_version() == 2
+    # hint pointing at a truncated-away manifest: fallback
+    t.truncate_log(retain_versions=1)
+    with open(hint, "w") as f:
+        f.write("0")
+    assert t.latest_version() == 2
 
 
 def test_changes_classifies_full_history(spark, tmp_path):
