@@ -142,24 +142,24 @@ def _read_mapping(mapping_column: str | None) -> dict[str, str] | None:
 
 
 def _spooled_bz2_sha256(path: str, split: str) -> str | None:
-    """If the batch reader's planner would spool-then-split this .bz2
-    (mirrors FMPXMLReader._spoolable: splitting on, and either an
-    explicit split size or a spool-worthy file), spool it here and
-    return the sidecar's streamed sha256; else None (stream-hash)."""
+    """If the batch reader's planner would spool-then-split this .bz2,
+    spool it here and return the sidecar's streamed sha256; else None
+    (stream-hash). The decision is the reader's own ``would_spool`` —
+    one rule, two callers — so the CLI can never re-decompress a file
+    the reader won't spool (or miss one it will) as the rule evolves."""
     import os
 
     from ceneton_database_tools_spark.sources.fmp_xml import (
-        _BZ2_SPOOL_MIN,
+        parse_split_option,
         spool_bz2,
+        would_spool,
     )
 
-    if not path.endswith(".bz2") or split == "never":
-        return None
     try:
-        size = os.path.getsize(path)
+        size: int | None = os.path.getsize(path)
     except OSError:
-        return None
-    if split == "auto" and size < _BZ2_SPOOL_MIN:
+        size = None
+    if not would_spool(path, size, parse_split_option(split)):
         return None
     spool = spool_bz2(path)
     try:

@@ -824,6 +824,41 @@ _SPLIT_EXPLICIT_MIN = 4096
 _BZ2_SPOOL_MIN = 1 << 20
 
 
+def parse_split_option(raw: object) -> int | None:
+    """Normalize the user-facing ``split`` option — ``auto`` /
+    ``never`` / a byte count — to the internal encoding: ``None`` =
+    auto, ``0`` = never, ``>0`` = explicit target split size. The one
+    place the option's spelling is interpreted; the reader and the CLI
+    both go through it."""
+    s = str(raw).strip().lower()
+    if s in ("never", "false", "0"):
+        return 0
+    if s in ("auto", "true", ""):
+        return None
+    return int(s)
+
+
+def would_spool(
+    path: str, size: int | None, split_bytes: int | None, bz2_spool: bool = True
+) -> bool:
+    """THE spool-then-split decision, shared by the reader's planner
+    (``FMPXMLReader._spoolable``) and the CLI's hash fast path
+    (``cli._spooled_bz2_sha256``): spool a ``.bz2`` when spooling is
+    enabled, splitting is on (``split_bytes`` ≠ 0), and either an
+    explicit split size was given (an instruction to parallelize;
+    tests use tiny ones) or the file clears the auto threshold.
+    Keeping both callers on one helper is what guarantees the CLI
+    never re-decompresses a file the reader won't spool (or vice
+    versa) after a future tweak to this rule."""
+    if not (bz2_spool and path.endswith(".bz2")):
+        return False
+    if split_bytes == 0 or size is None:
+        return False
+    if split_bytes is not None:  # explicit split size
+        return True
+    return size >= _BZ2_SPOOL_MIN
+
+
 def _probe_literal_row(path: str, limit: int = 1 << 20) -> bool:
     """Driver-side split-safety probe: True iff the file's first
     ``limit`` bytes contain a literal ``b'<ROW'`` AND the XML
@@ -977,15 +1012,9 @@ class FMPXMLReader(DataSourceReader):
 
     def _spoolable(self, path: str, size: int | None) -> bool:
         """Spool-then-split a .bz2 when splitting is on and the input
-        is big enough to benefit (any explicit split size counts as an
-        instruction to parallelize; tests use tiny ones)."""
-        if not (self._bz2_spool and path.endswith(".bz2")):
-            return False
-        if self._split_bytes == 0 or size is None:
-            return False
-        if self._split_bytes is not None:  # explicit split size
-            return True
-        return size >= _BZ2_SPOOL_MIN
+        is big enough to benefit — the shared :func:`would_spool`
+        rule, parameterized by this reader's options."""
+        return would_spool(path, size, self._split_bytes, self._bz2_spool)
 
     def partitions(self) -> list[InputPartition]:
         import os
@@ -1362,17 +1391,47 @@ class FMPXMLSimpleStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Deterministic replay of a committed batch. The offset range
+        pins each file's IDENTITY — (path, size, mtime_ns) — not just
+        its name, so the replay must verify the file on disk is STILL
+        the committed snapshot: if ``latest.xml`` was atomically
+        overwritten between the commit and a crash-recovery replay,
+        re-reading the current bytes under the old offset would
+        silently hand the recovered batch DIFFERENT rows than the ones
+        originally committed. That is corruption, not staleness — fail
+        loudly rather than guess. Legacy name-only entries (pre-
+        identity checkpoints) carry nothing to verify and replay by
+        name as before."""
+        import os
+
         def _key(e):
             return e if isinstance(e, str) else tuple(e)
 
         seen = {_key(e) for e in start.get("seen", [])}
-        return self._rows(
-            [
-                e if isinstance(e, str) else e[0]
-                for e in end.get("seen", [])
-                if _key(e) not in seen
-            ]
-        )
+        paths: list[str] = []
+        for e in end.get("seen", []):
+            if _key(e) in seen:
+                continue
+            if isinstance(e, str):
+                paths.append(e)
+                continue
+            path, size, mtime_ns = e
+            try:
+                st = os.stat(path)
+                current: tuple[int, int] | None = (st.st_size, st.st_mtime_ns)
+            except OSError:
+                current = None
+            if current != (size, mtime_ns):
+                raise RuntimeError(
+                    f"cannot replay committed batch: {path!r} is "
+                    f"{'gone' if current is None else 'no longer the committed snapshot'}"
+                    f" (committed identity (size={size}, mtime_ns={mtime_ns}),"
+                    f" on disk {current}); the original bytes are "
+                    "unrecoverable — restart the query from a fresh "
+                    "checkpoint instead of silently reading different data"
+                )
+            paths.append(path)
+        return self._rows(paths)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-contained; nothing external to ack
@@ -1498,12 +1557,7 @@ class FMPXMLDataSource(DataSource):
         )
 
     def _split_bytes(self) -> int | None:
-        raw = str(self.options.get("split", "auto")).strip().lower()
-        if raw in ("never", "false", "0"):
-            return 0
-        if raw in ("auto", "true", ""):
-            return None
-        return int(raw)
+        return parse_split_option(self.options.get("split", "auto"))
 
     def simpleStreamReader(self, schema: SqlT.StructType) -> FMPXMLSimpleStreamReader:
         """``spark.readStream.format("fmpxml").option("multi", "true")

@@ -94,18 +94,25 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, **reader_options: str
+) -> DataFrame:
     """events.parquet replayed as a file stream with the same
     timestamp normalization as the batch loader (catalog._load_events):
     NANOS → bigint div 1000 → micros; MICROS-NTZ → cast to LTZ
     (watermarks require TIMESTAMP, and the session tz is pinned UTC so
-    wall-clock values match DuckDB's naive read)."""
+    wall-clock values match DuckDB's naive read). ``reader_options``
+    pass through to the file-stream reader (e.g. ``maxFilesPerTrigger``
+    to pin the micro-batch layout)."""
     from ceneton_database_tools_spark.catalog import ensure_nanos_conf, normalize_events_ts
 
     path = _as_stream_dir(table_path(sf_dir, "events"))
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(path).schema  # one driver-side footer read
-    return normalize_events_ts(spark.readStream.schema(schema).parquet(path))
+    reader = spark.readStream.schema(schema)
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    return normalize_events_ts(reader.parquet(path))
 
 
 def run_stream_to_batch(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
@@ -975,7 +982,14 @@ def streaming_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="ceneton_stream_txn_")
     table = TxnTable(os.path.join(work, "sink"))
-    stream = events_stream(spark, sf_dir).select(
+    # PIN the micro-batch layout to one file per batch: the idempotent
+    # skip compares (app_id, batch_id) across PASSES, which is only
+    # sound if pass 2 re-delivers the same rows under the same batch
+    # ids. Default availableNow grouping may batch files differently
+    # across runs; maxFilesPerTrigger=1 makes batch_id ↔ file a
+    # deterministic bijection (file-stream order is stable for a
+    # static directory), so a replayed id always carries the same rows.
+    stream = events_stream(spark, sf_dir, maxFilesPerTrigger="1").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     # stable writer identity ACROSS passes — a fresh checkpoint changes

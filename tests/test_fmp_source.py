@@ -1349,6 +1349,42 @@ def test_streaming_offset_legacy_name_entries_still_honored(tmp_path):
     assert [r[0] for r in replay] == ["2"]
 
 
+def test_replay_verifies_committed_identity(tmp_path):
+    """Round-8 (ADVICE): a crash-recovery replay of a committed batch
+    must verify the on-disk file still IS the committed snapshot —
+    re-reading an atomically-overwritten file under the old offset
+    would silently hand the recovered batch different rows. Matching
+    identity replays; changed or vanished identity fails loudly."""
+    import os
+
+    from ceneton_database_tools_spark.sources.fmp_xml import (
+        FMPXMLSimpleStreamReader,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    latest = src / "latest.xml"
+    _write_stream_shard(latest, ["1", "2"])
+    reader = FMPXMLSimpleStreamReader(str(src), ["nummer", "titel"], "error")
+    rows, off = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows] == ["1", "2"]
+    # untouched file: replay reproduces the committed rows
+    replay = list(reader.readBetweenOffsets({"seen": []}, off))
+    assert [r[0] for r in replay] == ["1", "2"]
+    # snapshot atomically overwritten since the commit: replay refuses
+    staged = src / ".staged.tmp"
+    _write_stream_shard(staged, ["9"])
+    st = os.stat(latest)
+    os.replace(staged, latest)
+    os.utime(latest, ns=(st.st_mtime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    with pytest.raises(RuntimeError, match="no longer the committed snapshot"):
+        list(reader.readBetweenOffsets({"seen": []}, off))
+    # file vanished since the commit: refuse too
+    os.unlink(latest)
+    with pytest.raises(RuntimeError, match="is gone"):
+        list(reader.readBetweenOffsets({"seen": []}, off))
+
+
 def test_stream_reader_requires_path_option(spark, tmp_path):
     """A missing path must raise, not silently watch the driver's cwd
     (Path('') normalizes to '.')."""
