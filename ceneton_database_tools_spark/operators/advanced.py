@@ -714,6 +714,207 @@ def txn_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "txn_optimize_stats_pruning",
+    # The oracle is the plain filtered projection — equality holds only
+    # if (a) OPTIMIZE preserved every row while collapsing directories
+    # and (b) manifest-stats pruning never dropped a matching row. The
+    # probe key is derived the same way on both engines: the start of
+    # the top quartile of the key range.
+    oracle="""
+    WITH b AS (
+      SELECT min(c_custkey) AS lo, max(c_custkey) AS hi FROM customer
+    )
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
+    FROM customer, b
+    WHERE c_custkey >= lo + 3 * ((hi - lo + 1) // 4)
+    """,
+    tags=("txn", "optimize", "stats", "pruning", "acid"),
+)
+def txn_optimize_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-LEVEL DATA SKIPPING + OPTIMIZE through the txn log:
+    ``customer`` is committed as four key-range chunks (the natural
+    clustered-append layout), the top chunk deliberately fragmented
+    into four small commits; ``optimize(small_bytes=...)`` collapses
+    the fragments into one directory AS A COMMIT; a top-quartile key
+    predicate is then answered through ``read_pruned``, which drops
+    the three lower-range directories from the plan before Spark ever
+    lists their files. The oracle is the plain filtered projection —
+    it gates both row preservation and pruning soundness.
+
+    SELF-CHECKS the storage-level behavior the oracle can't see:
+    (a) optimize compacted 7 directories to 4 and the big chunks
+    survived BY REFERENCE; (b) the change feed across the optimize
+    commit is EMPTY (row-identical rewrite); (c) pruning skipped
+    exactly the 3 disjoint directories; (d) the pre-optimize layout
+    still time-travels. At 100 TB this is the difference between a
+    point query scanning every commit ever and scanning the one
+    commit whose key range matches."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    raw = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    b = raw.agg(F.min("c_custkey"), F.max("c_custkey")).first()  # 2 scalars
+    lo, hi = int(b[0]), int(b[1])
+    quart = (hi - lo + 1) // 4
+    edges = [lo, lo + quart, lo + 2 * quart, lo + 3 * quart, hi + 1]
+    work = tempfile.mkdtemp(prefix="ceneton_txn_opt_")
+    try:
+        table = TxnTable(os.path.join(work, "t"), stats_cols=("c_custkey",))
+        key = F.col("c_custkey")
+        for i in range(3):  # three big range chunks
+            table.write(
+                raw.filter((key >= edges[i]) & (key < edges[i + 1])),
+                mode="append",
+            )
+        top_lo, top_hi = edges[3], edges[4]
+        sixteenth = max(1, (top_hi - top_lo) // 4)
+        for j in range(4):  # the top chunk, fragmented small
+            s_lo = top_lo + j * sixteenth
+            s_hi = top_hi if j == 3 else top_lo + (j + 1) * sixteenth
+            table.write(
+                raw.filter((key >= s_lo) & (key < s_hi)), mode="append"
+            )
+        n_before = table.read(spark).count()
+        sizes = table.dir_sizes()
+        big = table.snapshot(2)["files"]  # the three big chunks
+        threshold = min(sizes[d] for d in big)
+        v_opt = table.optimize(spark, small_bytes=threshold)
+        if v_opt != 7 or len(table.snapshot(v_opt)["files"]) != 4:
+            raise AssertionError(
+                f"optimize should commit v7 with 4 dirs; got v{v_opt} "
+                f"{len(table.snapshot(table.latest_version())['files'])} dirs"
+            )
+        # (a) the big chunks survive by reference
+        if not set(big) <= set(table.snapshot(v_opt)["files"]):
+            raise AssertionError("optimize rewrote an untouched directory")
+        # (b) row-identical rewrite: empty change feed, same count
+        if table.changes(spark, "c_custkey", v_opt - 1, v_opt).count() != 0:
+            raise AssertionError("optimize commit changed row content")
+        if table.read(spark).count() != n_before:
+            raise AssertionError("optimize changed the row count")
+        # (d) pre-optimize fragmentation still time-travels
+        if len(table.snapshot(v_opt - 1)["files"]) != 7:
+            raise AssertionError("pre-optimize layout lost")
+        probe = edges[3]
+        kept, skipped = table.prune([("c_custkey", ">=", probe)])
+        # (c) exactly the three lower-range directories are skipped
+        if len(skipped) != 3 or set(skipped) != set(big):
+            raise AssertionError(
+                f"stats pruning skipped {skipped}; expected the 3 big chunks"
+            )
+        result = table.read_pruned(spark, [("c_custkey", ">=", probe)]).where(
+            key >= probe
+        )
+        _record_inner_plan("txn_optimize_stats_pruning", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "txn_clustered_load_pruning",
+    # Equality vs the plain filtered projection gates: the clustered
+    # bulk load preserved every row, and within-commit range pruning
+    # never dropped a matching one. Probe = start of the top decile of
+    # the key range, derived identically on both engines.
+    oracle="""
+    WITH b AS (
+      SELECT min(c_custkey) AS lo, max(c_custkey) AS hi FROM customer
+    )
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
+    FROM customer, b
+    WHERE c_custkey >= lo + 9 * ((hi - lo + 1) // 10)
+    """,
+    tags=("txn", "clustered", "stats", "pruning", "acid"),
+)
+def txn_clustered_load_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERED BULK LOAD: one ``write_clustered`` commit stages
+    ``customer`` as 8 range-disjoint directories (repartitionByRange →
+    partitionBy on the materialized partition id — one shuffle, one
+    job), each with its own manifest [min, max], so a top-decile key
+    predicate prunes WITHIN the single commit. This is the 100 TB
+    loading posture: the initial bulk load of a key-clustered table
+    lands prunable immediately, without one commit per range.
+
+    SELF-CHECKS: (a) exactly ONE committed version holds all 8 range
+    entries under one staged root; (b) the ranges are pairwise
+    disjoint in the manifest stats; (c) the layout column never leaks
+    into the schema; (d) pruning skips at least 6 of 8 directories
+    for the top-decile probe; (e) a COW delete probes THROUGH the
+    range layout — exactly one range directory is rewritten, seven
+    survive by reference."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    raw = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    b = raw.agg(F.min("c_custkey"), F.max("c_custkey")).first()  # 2 scalars
+    lo, hi = int(b[0]), int(b[1])
+    probe = lo + 9 * ((hi - lo + 1) // 10)
+    work = tempfile.mkdtemp(prefix="ceneton_txn_clu_")
+    try:
+        table = TxnTable(os.path.join(work, "t"), stats_cols=("c_custkey",))
+        v = table.write_clustered(raw, "c_custkey", buckets=8, mode="overwrite")
+        m = table.snapshot(v)
+        # (a) one commit, 8 range entries, one root
+        roots = {f.split("/_range_bucket=")[0] for f in m["files"]}
+        if v != 0 or len(m["files"]) != 8 or len(roots) != 1:
+            raise AssertionError(
+                f"expected one commit with 8 range entries; got v{v}, "
+                f"{len(m['files'])} entries, {len(roots)} roots"
+            )
+        # (b) pairwise-disjoint ranges
+        spans = sorted(tuple(m["stats"][f]["c_custkey"]) for f in m["files"])
+        for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+            if not h1 < l2:
+                raise AssertionError(f"overlapping range stats: {spans}")
+        # (c) the layout column is not part of the table
+        if table.read(spark).columns != ["c_custkey", "c_name", "acctbal"]:
+            raise AssertionError("_range_bucket leaked into the schema")
+        # (d) within-commit pruning
+        kept, skipped = table.prune([("c_custkey", ">=", probe)])
+        if len(skipped) < 6:
+            raise AssertionError(
+                f"top-decile probe should skip >= 6 of 8 ranges; "
+                f"skipped {len(skipped)}"
+            )
+        result = table.read_pruned(spark, [("c_custkey", ">=", probe)]).where(
+            F.col("c_custkey") >= probe
+        )
+        _record_inner_plan("txn_clustered_load_pruning", result)
+        rows = result.collect()
+        # (e) COW delete through the range layout: one range rewritten
+        table.delete(spark, f"c_custkey = {lo}")
+        m1 = table.snapshot(1)
+        if len(set(m["files"]) & set(m1["files"])) != 7:
+            raise AssertionError("delete rewrote more than the hit range")
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface (spark.sql over registered views)
 # ---------------------------------------------------------------------------

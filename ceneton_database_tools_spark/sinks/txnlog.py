@@ -29,10 +29,14 @@ service (DynamoDB LogStore) there — the protocol is unchanged, only
 the atomic-claim primitive is swapped. HDFS/ABFS/GCS rename-without-
 overwrite works directly.
 
-Scale shape: a manifest lists DIRECTORIES (one per commit), not
+Scale shape: a manifest lists DIRECTORIES (one per commit — or N
+range-disjoint ones for a ``write_clustered`` bulk load), not
 individual files, so the log stays O(commits); readers hand the list
 to ``spark.read.parquet(*dirs)`` and planning/pruning is ordinary
-parquet scan work. Long logs (the exactly-once streaming sink commits
+parquet scan work — except that tables with ``stats_cols`` prune
+whole directories from the manifest's [min, max] entries before the
+scan is even planned (``read_pruned``), and ``optimize`` re-clusters
+small commits as just another optimistic commit. Long logs (the exactly-once streaming sink commits
 one manifest per micro-batch) are bounded two ways: every manifest is
 self-contained, so ``truncate_log`` IS the checkpoint compaction
 (Delta needs a separate ``_last_checkpoint`` only because its log is
@@ -58,10 +62,22 @@ class CommitConflict(RuntimeError):
 
 
 class TxnTable:
-    """A versioned parquet table rooted at ``path``."""
+    """A versioned parquet table rooted at ``path``.
 
-    def __init__(self, path: str):
+    ``stats_cols`` opts the table into MANIFEST-LEVEL DATA SKIPPING
+    (Delta's per-file min/max stats, at this layer's directory
+    granularity): every write path records ``{dir: {col: [min, max]}}``
+    for the named columns in the manifest, and :meth:`read_pruned`
+    drops whole directories whose range cannot satisfy a predicate
+    BEFORE Spark ever plans the scan. At 100 TB with time- or
+    key-clustered commits (the natural layout for append streams),
+    that turns a point/range query from a full-table scan into a
+    read of the handful of matching commits — pruning the parquet
+    footer can't do, because it happens before file listing."""
+
+    def __init__(self, path: str, stats_cols: tuple[str, ...] = ()):
         self.path = path
+        self.stats_cols = tuple(stats_cols)
         self.log_dir = os.path.join(path, "_txnlog")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -118,6 +134,59 @@ class TxnTable:
 
         shutil.rmtree(os.path.join(self.path, staged), ignore_errors=True)
 
+    # -- per-directory column stats (manifest-level data skipping) ---------
+
+    @staticmethod
+    def _json_stat(v):
+        """JSON-safe stat value, order-preserving under the comparison
+        used at prune time: numbers stay numeric (numeric compare);
+        everything else (strings, dates, timestamps, Decimals) goes
+        through str(), whose lexicographic order matches the value
+        order for ISO-formatted temporals."""
+        if v is None or isinstance(v, (int, float)):
+            return v
+        return str(v)
+
+    def _collect_dir_stats(self, spark: SparkSession, rel: str) -> dict:
+        """min/max of each stats column over one staged directory —
+        ONE columnar agg job returning 2×|stats_cols| scalars (the
+        bounded-collect pattern), read back from the staged parquet so
+        the recorded range is exactly what is on disk."""
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(self.path, rel))
+        cols = [c for c in self.stats_cols if c in df.columns]
+        if not cols:
+            return {}
+        row = df.agg(
+            *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+        ).first()
+        return {
+            c: [self._json_stat(row[f"__lo_{i}"]), self._json_stat(row[f"__hi_{i}"])]
+            for i, c in enumerate(cols)
+        }
+
+    def _commit_stats(
+        self,
+        spark: SparkSession,
+        prior: dict | None,
+        files: list[str],
+        new_dirs: list[str],
+    ) -> dict:
+        """Stats map for a new manifest: surviving directories carry
+        their recorded stats forward verbatim (immutable data, immutable
+        stats); newly staged directories are measured iff the table has
+        stats columns. Directories with no entry simply never prune."""
+        carried = (prior or {}).get("stats", {})
+        stats = {d: carried[d] for d in files if d in carried}
+        if self.stats_cols:
+            for d in new_dirs:
+                s = self._collect_dir_stats(spark, d)
+                if s:
+                    stats[d] = s
+        return stats
+
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``version``. The manifest is fully written
         to a tmp name first; link(2) then publishes complete content or
@@ -156,9 +225,15 @@ class TxnTable:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         staged = f"data/{uuid.uuid4().hex}"
         df.write.parquet(os.path.join(self.path, staged))
+        staged_stats = (
+            self._collect_dir_stats(df.sparkSession, staged)
+            if self.stats_cols
+            else {}
+        )
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
+            snap: dict | None = None
             if current is not None:
                 snap = self.snapshot(current)
                 # writer watermarks survive every commit (see
@@ -169,14 +244,116 @@ class TxnTable:
             else:
                 files = [staged]
             version = 0 if current is None else current + 1
-            if self._try_commit(
-                version,
-                {"version": version, "op": mode, "files": files, "txns": txns},
-            ):
+            manifest = {"version": version, "op": mode, "files": files, "txns": txns}
+            carried = (snap or {}).get("stats", {})
+            stats = {d: carried[d] for d in files if d in carried}
+            if staged_stats:
+                stats[staged] = staged_stats
+            if stats:
+                manifest["stats"] = stats
+            if self._try_commit(version, manifest):
                 return version
         self._discard_staged(staged)
         raise CommitConflict(
             f"lost {max_retries} commit races on {self.path} ({mode})"
+        )
+
+    def write_clustered(
+        self,
+        df: DataFrame,
+        cluster_by: str,
+        buckets: int = 16,
+        mode: str = "append",
+        max_retries: int = 10,
+    ) -> int:
+        """:meth:`write`, but staged as ``buckets`` RANGE-DISJOINT
+        directories in ONE commit — each becomes its own manifest entry
+        with its own [min, max] stats, so :meth:`read_pruned` skips
+        WITHIN the commit, not just between commits. One Spark job:
+        ``repartitionByRange(buckets, cluster_by)`` assigns each row a
+        contiguous key range, and ``partitionBy`` on the materialized
+        partition id splits the write into per-range subdirectories
+        (zero extra shuffle — the data is already laid out that way).
+        This is the 100 TB loading posture: a single bulk load of a
+        key-clustered table lands prunable, without needing one commit
+        per range."""
+        from pyspark.sql import functions as F
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if buckets < 1:
+            raise ValueError(f"buckets must be >= 1, got {buckets}")
+        spark = df.sparkSession
+        staged = f"data/{uuid.uuid4().hex}"
+        (
+            df.repartitionByRange(buckets, cluster_by)
+            .withColumn("_range_bucket", F.spark_partition_id())
+            .write.partitionBy("_range_bucket")
+            .parquet(os.path.join(self.path, staged))
+        )
+        # every populated range subdir is its own manifest entry; the
+        # partition column is a write-layout artifact and is NOT part
+        # of the schema (readers open the subdirs directly, so Spark
+        # never infers it back)
+        staged_dirs = sorted(
+            f"{staged}/{d}"
+            for d in os.listdir(os.path.join(self.path, staged))
+            if d.startswith("_range_bucket=")
+        )
+        if not staged_dirs:  # empty input: stage root only
+            staged_dirs = [staged]
+        staged_stats: dict[str, dict] = {}
+        if self.stats_cols and staged_dirs != [staged]:
+            # ONE grouped agg over the staged root (partition inference
+            # resurrects _range_bucket there) — ≤ buckets rows back,
+            # instead of one scan job per range directory
+            sdf = spark.read.parquet(os.path.join(self.path, staged))
+            cols = [c for c in self.stats_cols if c in sdf.columns]
+            if cols:
+                rows = (
+                    sdf.groupBy("_range_bucket")
+                    .agg(
+                        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+                        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+                    )
+                    .collect()
+                )
+                for r in rows:
+                    staged_stats[f"{staged}/_range_bucket={r['_range_bucket']}"] = {
+                        c: [
+                            self._json_stat(r[f"__lo_{i}"]),
+                            self._json_stat(r[f"__hi_{i}"]),
+                        ]
+                        for i, c in enumerate(cols)
+                    }
+        for _ in range(max_retries):
+            current = self.latest_version()
+            txns: dict[str, int] = {}
+            snap: dict | None = None
+            if current is not None:
+                snap = self.snapshot(current)
+                txns.update(snap.get("txns", {}))
+                files = (
+                    list(snap["files"]) + staged_dirs
+                    if mode == "append"
+                    else list(staged_dirs)
+                )
+            else:
+                files = list(staged_dirs)
+            version = 0 if current is None else current + 1
+            manifest = {"version": version, "op": mode, "files": files, "txns": txns}
+            carried = (snap or {}).get("stats", {})
+            stats = {d: carried[d] for d in files if d in carried}
+            for d, s in staged_stats.items():
+                if s:
+                    stats[d] = s
+            if stats:
+                manifest["stats"] = stats
+            if self._try_commit(version, manifest):
+                return version
+        self._discard_staged(staged)
+        raise CommitConflict(
+            f"lost {max_retries} clustered-commit races on {self.path}"
         )
 
     # -- idempotent append (the exactly-once streaming-sink protocol) ------
@@ -204,10 +381,16 @@ class TxnTable:
                 return None
         staged = f"data/{uuid.uuid4().hex}"
         df.write.parquet(os.path.join(self.path, staged))
+        staged_stats = (
+            self._collect_dir_stats(df.sparkSession, staged)
+            if self.stats_cols
+            else {}
+        )
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
             files: list[str] = []
+            snap: dict | None = None
             if current is not None:
                 snap = self.snapshot(current)
                 txns.update(snap.get("txns", {}))
@@ -220,15 +403,19 @@ class TxnTable:
                     return None
             txns[app_id] = txn_version
             version = 0 if current is None else current + 1
-            if self._try_commit(
-                version,
-                {
-                    "version": version,
-                    "op": "append",
-                    "files": files + [staged],
-                    "txns": txns,
-                },
-            ):
+            manifest = {
+                "version": version,
+                "op": "append",
+                "files": files + [staged],
+                "txns": txns,
+            }
+            carried = (snap or {}).get("stats", {})
+            stats = {d: carried[d] for d in files if d in carried}
+            if staged_stats:
+                stats[staged] = staged_stats
+            if stats:
+                manifest["stats"] = stats
+            if self._try_commit(version, manifest):
                 return version
         self._discard_staged(staged)
         raise CommitConflict(
@@ -245,6 +432,93 @@ class TxnTable:
         manifest = self.snapshot(version)
         dirs = [os.path.join(self.path, f) for f in manifest["files"]]
         return spark.read.parquet(*dirs)
+
+    # -- manifest-level data skipping --------------------------------------
+
+    _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+    def prune(
+        self,
+        predicates: list[tuple[str, str, object]],
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Split a snapshot's directories into (kept, skipped) under a
+        conjunction of simple comparisons ``(col, op, value)`` with op
+        in ``= < <= > >=``. A directory is skipped only when its
+        recorded [min, max] PROVES no row can satisfy some predicate:
+
+        * a directory with no stats entry (stats_cols added later, or
+          a column the writer never measured) always survives —
+          pruning is a proof, never a guess;
+        * null bounds mean the column has no non-null values in that
+          directory, and a SQL comparison is never true on NULL, so
+          such a directory is safely skippable;
+        * numeric stats compare numerically and demand a numeric
+          probe value (a type mismatch keeps the directory — again,
+          no proof, no skip); everything else compares as strings,
+          which is order-correct for ISO-formatted temporals.
+
+        The guarantee is one-sided: kept ⊇ matching. Callers re-apply
+        the real predicate on the scan; pruning only shrinks it."""
+        for col, op, _ in predicates:
+            if op not in self._PRUNE_OPS:
+                raise ValueError(f"unsupported prune op {op!r} on {col!r}")
+        manifest = self.snapshot(version)
+        stats = manifest.get("stats", {})
+        kept: list[str] = []
+        skipped: list[str] = []
+        for rel in manifest["files"]:
+            if self._dir_may_match(stats.get(rel), predicates):
+                kept.append(rel)
+            else:
+                skipped.append(rel)
+        return kept, skipped
+
+    @classmethod
+    def _dir_may_match(
+        cls, dir_stats: dict | None, predicates: list[tuple[str, str, object]]
+    ) -> bool:
+        if dir_stats is None:
+            return True
+        for col, op, value in predicates:
+            bounds = dir_stats.get(col)
+            if bounds is None:
+                continue  # unmeasured column: no proof, keep
+            lo, hi = bounds
+            if lo is None and hi is None:
+                return False  # no non-null values: comparisons all false
+            numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            if numeric:
+                if not (isinstance(value, (int, float)) and not isinstance(value, bool)):
+                    continue  # type mismatch: no proof, keep
+            else:
+                lo, hi, value = str(lo), str(hi), str(value)
+            if (
+                (op == "=" and not (lo <= value <= hi))
+                or (op == "<" and not (lo < value))
+                or (op == "<=" and not (lo <= value))
+                or (op == ">" and not (hi > value))
+                or (op == ">=" and not (hi >= value))
+            ):
+                return False
+        return True
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple[str, str, object]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """:meth:`read`, minus every directory the manifest stats prove
+        irrelevant. The caller still applies the actual filter — the
+        returned scan is a superset of the matching rows, just planned
+        over the surviving directories only."""
+        kept, _ = self.prune(predicates, version)
+        if not kept:
+            from pyspark.sql import functions as F
+
+            return self.read(spark, version).where(F.lit(False))
+        return spark.read.parquet(*[os.path.join(self.path, f) for f in kept])
 
     # -- merge (the MERGE INTO shape, now with a real commit) --------------
 
@@ -276,6 +550,7 @@ class TxnTable:
         keys = updates.select(key).distinct()
         for _ in range(max_retries):
             current = self.latest_version()
+            snap: dict | None = None
             if current is None:
                 # empty table: MERGE degenerates to insert-only (every
                 # update row is unmatched) — commit updates as v0
@@ -297,7 +572,7 @@ class TxnTable:
                         target.select(
                             key,
                             F.regexp_extract(
-                                F.input_file_name(), r".*/(data/[^/]+)/[^/]+$", 1
+                                F.input_file_name(), r".*/(data/.+)/[^/]+$", 1
                             ).alias("d"),
                         )
                         .join(keys, key, "semi")
@@ -320,15 +595,16 @@ class TxnTable:
             staged = f"data/{uuid.uuid4().hex}"
             merged.write.parquet(os.path.join(self.path, staged))
             version = 0 if current is None else current + 1
-            if self._try_commit(
-                version,
-                {
-                    "version": version,
-                    "op": "merge",
-                    "files": kept + [staged],
-                    "txns": txns,
-                },
-            ):
+            manifest = {
+                "version": version,
+                "op": "merge",
+                "files": kept + [staged],
+                "txns": txns,
+            }
+            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+            if stats:
+                manifest["stats"] = stats
+            if self._try_commit(version, manifest):
                 return version
             # lost the race: this staged rewrite was computed against a
             # stale snapshot — discard it before rebasing
@@ -378,7 +654,7 @@ class TxnTable:
                     .where(predicate)
                     .select(
                         F.regexp_extract(
-                            F.input_file_name(), r".*/(data/[^/]+)/[^/]+$", 1
+                            F.input_file_name(), r".*/(data/.+)/[^/]+$", 1
                         ).alias("d")
                     )
                     .distinct()
@@ -398,15 +674,16 @@ class TxnTable:
             staged = f"data/{uuid.uuid4().hex}"
             survivors.write.parquet(os.path.join(self.path, staged))
             version = current + 1
-            if self._try_commit(
-                version,
-                {
-                    "version": version,
-                    "op": "delete",
-                    "files": kept + [staged],
-                    "txns": dict(snap.get("txns", {})),
-                },
-            ):
+            manifest = {
+                "version": version,
+                "op": "delete",
+                "files": kept + [staged],
+                "txns": dict(snap.get("txns", {})),
+            }
+            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+            if stats:
+                manifest["stats"] = stats
+            if self._try_commit(version, manifest):
                 return version
             self._discard_staged(staged)
         raise CommitConflict(f"lost {max_retries} delete races on {self.path}")
@@ -534,6 +811,79 @@ class TxnTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def dir_sizes(self, version: int | None = None) -> dict[str, int]:
+        """On-disk bytes per data directory of a snapshot — the input
+        to an OPTIMIZE small-file policy."""
+        out: dict[str, int] = {}
+        for rel in self.snapshot(version)["files"]:
+            total = 0
+            for root, _, names in os.walk(os.path.join(self.path, rel)):
+                for n in names:
+                    try:
+                        total += os.path.getsize(os.path.join(root, n))
+                    except OSError:
+                        pass
+            out[rel] = total
+        return out
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        small_bytes: int | None = None,
+        max_retries: int = 10,
+    ) -> int | None:
+        """Compaction THROUGH the log: rewrite many small data
+        directories (every directory under ``small_bytes``; all of
+        them when ``None``) into one, committed as a new version whose
+        row content is IDENTICAL to its predecessor — concurrent
+        readers keep their snapshots, the change feed over the
+        optimize commit is empty, and time travel still reaches the
+        un-compacted layout. This is what the standalone compaction
+        operator (operators/scale.py) cannot offer: there, compaction
+        is a path swap the caller must fence; here it is just another
+        optimistic commit.
+
+        Rebase rule: each attempt re-picks its inputs from the
+        then-latest snapshot, so losing a race to a delete/merge that
+        rewrote a picked directory can never resurrect rows — the
+        retry simply never sees the replaced directory again. Returns
+        the committed version, or None when fewer than two directories
+        qualify (nothing to compact)."""
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                return None
+            snap = self.snapshot(current)
+            sizes = self.dir_sizes(current)
+            picked = [
+                rel
+                for rel in snap["files"]
+                if small_bytes is None or sizes.get(rel, 0) < small_bytes
+            ]
+            if len(picked) < 2:
+                return None
+            kept = [rel for rel in snap["files"] if rel not in picked]
+            staged = f"data/{uuid.uuid4().hex}"
+            spark.read.parquet(
+                *[os.path.join(self.path, rel) for rel in picked]
+            ).write.parquet(os.path.join(self.path, staged))
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "optimize",
+                "files": kept + [staged],
+                "txns": dict(snap.get("txns", {})),
+            }
+            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+            if stats:
+                manifest["stats"] = stats
+            if self._try_commit(version, manifest):
+                return version
+            self._discard_staged(staged)
+        raise CommitConflict(
+            f"lost {max_retries} optimize races on {self.path}"
+        )
+
     def truncate_log(self, retain_versions: int = 1) -> list[int]:
         """Manifest-only log compaction: drop every manifest STRICTLY
         BELOW the newest ``retain_versions`` — never at or above, so a
@@ -600,7 +950,12 @@ class TxnTable:
         removed = []
         for d in os.listdir(self.data_dir):
             rel = f"data/{d}"
-            if rel in live:
+            # a clustered commit's manifest entries are SUBdirectories
+            # of one staged root (data/<uuid>/_range_bucket=k) — the
+            # root must survive while any subdirectory is live; GC is
+            # top-level-granular, so dead subdirs are reclaimed only
+            # when their whole root dies
+            if rel in live or any(e.startswith(rel + "/") for e in live):
                 continue
             full = os.path.join(self.data_dir, d)
             try:

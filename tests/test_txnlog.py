@@ -375,6 +375,157 @@ def test_latest_version_hint_fast_path(spark, tmp_path):
     assert t.latest_version() == 2
 
 
+def test_manifest_stats_recorded_and_carried(spark, tmp_path):
+    """stats_cols tables record per-directory [min, max] at every
+    commit; surviving directories carry their stats forward verbatim
+    and rewritten directories are re-measured."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id", "v"))
+    t.write(_df(spark, [(1, "a"), (5, "e")]), mode="overwrite")
+    t.write(_df(spark, [(10, "j"), (19, "s")]), mode="append")
+    m = t.snapshot(1)
+    d0, d1 = m["files"]
+    assert m["stats"][d0]["id"] == [1, 5] and m["stats"][d0]["v"] == ["a", "e"]
+    assert m["stats"][d1]["id"] == [10, 19]
+    # delete rewrites only dir1; dir0's stats carry forward, the
+    # survivor directory is measured fresh
+    t.delete(spark, "id = 19")
+    m2 = t.snapshot(2)
+    assert m2["stats"][d0]["id"] == [1, 5]
+    new_dir = next(f for f in m2["files"] if f not in (d0, d1))
+    assert m2["stats"][new_dir]["id"] == [10, 10]
+    # a stats-less table writes no stats key at all
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a")]), mode="overwrite")
+    assert "stats" not in t2.snapshot(0)
+
+
+def test_read_pruned_skips_disjoint_dirs(spark, tmp_path):
+    """Manifest-level data skipping: directories whose [min, max]
+    cannot satisfy the predicate are dropped BEFORE the scan is
+    planned; kept ⊇ matching always holds."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id", "v"))
+    t.write(_df(spark, [(0, "a"), (9, "b")]), mode="overwrite")
+    t.write(_df(spark, [(10, "c"), (19, "d")]), mode="append")
+    t.write(_df(spark, [(20, "e"), (29, "f")]), mode="append")
+    kept, skipped = t.prune([("id", ">=", 20)])
+    assert len(kept) == 1 and len(skipped) == 2
+    kept, skipped = t.prune([("id", "=", 12)])
+    assert len(kept) == 1 and len(skipped) == 2
+    kept, skipped = t.prune([("id", ">", 9), ("id", "<", 20)])
+    assert len(kept) == 1 and len(skipped) == 2
+    # pruned read + real filter == full read + real filter
+    got = sorted(
+        r.id for r in t.read_pruned(spark, [("id", ">=", 20)]).where("id >= 20").collect()
+    )
+    assert got == [20, 29]
+    # every-directory-pruned: empty result, schema intact
+    empty = t.read_pruned(spark, [("id", ">", 999)])
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # string stats prune lexicographically
+    kept, skipped = t.prune([("v", ">=", "e")])
+    assert len(skipped) == 2
+    # a type-mismatched probe value proves nothing: keep everything
+    kept, skipped = t.prune([("id", "=", "not-a-number")])
+    assert skipped == []
+    # unsupported op raises
+    with pytest.raises(ValueError):
+        t.prune([("id", "!=", 3)])
+    # stats-less table never prunes
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a")]), mode="overwrite")
+    assert t2.prune([("id", "=", 999)])[1] == []
+    # an all-null column dir is provably unmatchable by any comparison
+    t3 = TxnTable(str(tmp_path / "t3"), stats_cols=("n",))
+    t3.write(
+        spark.createDataFrame([(1, None), (2, None)], "id long, n long"),
+        mode="overwrite",
+    )
+    assert len(t3.prune([("n", ">=", 0)])[1]) == 1
+
+
+def test_optimize_compacts_through_the_log(spark, tmp_path):
+    """OPTIMIZE is a commit: small dirs collapse into one, big dirs
+    survive by reference, content is row-identical (empty change
+    feed), and the pre-optimize layout stays time-travelable."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write(_df(spark, [(i, "big") for i in range(100)]), mode="overwrite")
+    for i in range(3):
+        t.write(_df(spark, [(1000 + i, "s")]), mode="append")
+    big_dir = t.snapshot(0)["files"][0]
+    threshold = t.dir_sizes()[big_dir]
+    v = t.optimize(spark, small_bytes=threshold)
+    assert v == 4
+    m = t.snapshot(4)
+    assert big_dir in m["files"] and len(m["files"]) == 2
+    # content identical: the optimize commit contributes zero changes
+    assert t.changes(spark, "id", 3, 4).count() == 0
+    assert t.read(spark).count() == 103
+    # the compacted dir re-measured: stats cover the three small rows
+    new_dir = next(f for f in m["files"] if f != big_dir)
+    assert m["stats"][new_dir]["id"] == [1000, 1002]
+    # pre-optimize layout still readable
+    assert t.read(spark, 3).count() == 103
+    # nothing left to compact under the same threshold
+    assert t.optimize(spark, small_bytes=threshold) is None
+    # full optimize collapses everything into one directory
+    assert t.optimize(spark) == 5
+    assert len(t.snapshot(5)["files"]) == 1
+    assert t.read(spark).count() == 103
+    # empty table: no-op
+    assert TxnTable(str(tmp_path / "t2")).optimize(spark) is None
+
+
+def test_write_clustered_prunes_within_commit(spark, tmp_path):
+    """One bulk load staged as range-disjoint directories in ONE
+    commit: each range is its own manifest entry with its own stats,
+    so pruning skips inside the commit; the layout column never leaks
+    into the schema; COW delete/merge rewrite only the hit range; and
+    vacuum keeps a clustered root alive while any range in it is."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    rows = [(i, f"r{i}") for i in range(100)]
+    v = t.write_clustered(_df(spark, rows), "id", buckets=4, mode="overwrite")
+    assert v == 0
+    m = t.snapshot(0)
+    assert len(m["files"]) == 4
+    roots = {f.split("/_range_bucket=")[0] for f in m["files"]}
+    assert len(roots) == 1, "one staged root, four range entries"
+    # ranges are disjoint and every entry has stats
+    spans = sorted(tuple(m["stats"][f]["id"]) for f in m["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # the layout column is not part of the table schema
+    full = t.read(spark)
+    assert full.columns == ["id", "v"] and full.count() == 100
+    # pruning works within the single commit
+    kept, skipped = t.prune([("id", ">=", 90)])
+    assert len(skipped) >= 2 and len(kept) + len(skipped) == 4
+    got = sorted(
+        r.id for r in t.read_pruned(spark, [("id", ">=", 90)]).where("id >= 90").collect()
+    )
+    assert got == list(range(90, 100))
+    # COW delete probes THROUGH the range layout: one range rewritten,
+    # the other three survive by reference
+    t.delete(spark, "id = 5")
+    m1 = t.snapshot(1)
+    assert len(set(m["files"]) & set(m1["files"])) == 3
+    assert t.read(spark).count() == 99
+    # directory-granular merge: update one low key + insert one high key
+    t.merge(spark, _df(spark, [(6, "SIX"), (500, "new")]), key="id")
+    m2 = t.snapshot(2)
+    assert len(set(m1["files"]) & set(m2["files"])) == 3, "only the hit range rewritten"
+    assert {r.v for r in t.read(spark).where("id IN (6, 500)").collect()} == {
+        "SIX",
+        "new",
+    }
+    # vacuum: the clustered root still holds live ranges and survives;
+    # the table stays fully readable after GC
+    t.vacuum(retain_versions=1, retain_hours=0.0)
+    assert t.read(spark).count() == 100  # 99 survivors + 1 insert
+    assert sorted(r.id for r in t.read_pruned(spark, [("id", "<", 10)]).where("id < 10").collect()) == [
+        0, 1, 2, 3, 4, 6, 7, 8, 9,
+    ]
+
+
 def test_changes_classifies_full_history(spark, tmp_path):
     """The derived CDF: append→insert (no join), delete→delete,
     merge→pre/post images; rewritten-but-identical rows are silent."""
