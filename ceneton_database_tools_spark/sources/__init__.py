@@ -1,5 +1,10 @@
-"""Input sources: FMP-XML DataSource + path/compression resolution."""
+"""Input sources: FMP-XML DataSource, txn-table streaming source,
+path/compression resolution."""
 
+from ceneton_database_tools_spark.sources.txn_stream import (  # noqa: F401
+    TxnTableDataSource,
+    register_txn_source,
+)
 from ceneton_database_tools_spark.sources.fmp_xml import (  # noqa: F401
     FMPXMLDataSource,
     parse_fmp_header,

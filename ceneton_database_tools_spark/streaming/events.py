@@ -938,6 +938,86 @@ def run_replay_pass(spark, schema, indir: str, ckpt: str, outdir: str):
 
 
 # ---------------------------------------------------------------------------
+# Streaming SOURCE over the transactional log (the table streams OUT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_txn_source_rollup",
+    # The oracle aggregates the original events once; equality holds
+    # only if the txntable stream delivered every committed row exactly
+    # once — the initial snapshot plus nothing invented, nothing lost.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "txn", "source", "acid"),
+)
+def streaming_txn_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional table as a STREAMING SOURCE: events land in
+    the table as three append commits, then
+    ``spark.readStream.format("txntable")`` streams the snapshot back
+    out — versions are the offsets, manifest diffs name the new
+    directories, and executors read the parquet as Arrow batches
+    (sources/txn_stream.py) — into a streaming aggregation. Closes the
+    loop the exactly-once SINK opened: with ``write_idempotent`` in
+    and this source out, the table is a full streaming hub, which is
+    how a 100 TB pipeline chains stages without re-scanning tables.
+
+    SELF-CHECKS: the three commits are all appends (the insert-only
+    contract this source enforces), and the streamed row count equals
+    the table's batch count. Incremental restarts, rewrite rejection,
+    ignoreChanges, and clustered commits are protocol-tested in
+    tests/test_txn_stream.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
+
+    register_txn_source(spark)
+    # the batch-side seed: same normalization as the batch loader
+    from ceneton_database_tools_spark.catalog import load_table
+
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_src_")
+    try:
+        table = TxnTable(os.path.join(work, "t"))
+        for k in range(3):  # three append commits
+            table.write(src.filter(F.col("event_id") % 3 == k), mode="append")
+        if any(
+            table.snapshot(v)["op"] != "append" for v in range(3)
+        ) or table.latest_version() != 2:
+            raise AssertionError("expected exactly three append commits")
+        stream = (
+            spark.readStream.format("txntable")
+            .schema(src.schema)
+            .load(table.path)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            _sum_value_expr("sum_value"),
+        )
+        out = run_stream_to_batch(agg, output_mode="complete")
+        streamed = out.agg(F.sum("n_events")).first()[0]
+        expected = table.read(spark).count()
+        if streamed != expected:
+            raise AssertionError(
+                f"txntable stream delivered {streamed} rows for a "
+                f"{expected}-row snapshot"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Exactly-once streaming sink through the transactional log
 # ---------------------------------------------------------------------------
 
