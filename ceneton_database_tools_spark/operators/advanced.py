@@ -915,6 +915,97 @@ def txn_clustered_load_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "txn_schema_evolution",
+    # Closed-form statement of the post-restore snapshot: the narrow v0
+    # rows (evens) read the evolved column as NULL; the evolved append
+    # (odds) carries real balances; the intervening delete was rolled
+    # back by RESTORE, so every customer appears exactly once.
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    tags=("txn", "schema-evolution", "restore", "acid"),
+)
+def txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION + RESTORE through the txn log: ``customer`` is
+    committed narrow (v0: key+name, the even keys), then an append with
+    an extra ``acctbal`` column lands as a ``merge_schema=True``
+    EVOLUTION commit (v1: the odd keys) — old directories read the new
+    column as NULL by name, never by position. A delete (v2) then
+    simulates a mistake, and ``restore(1)`` rolls the table back AS A
+    COMMIT (v3, O(manifest), zero bytes copied). The oracle states the
+    post-restore snapshot in closed form, gating the whole ladder:
+    evolution fill-in, per-version schema, and restore fidelity.
+
+    SELF-CHECKS what the oracle can't see: (a) an append that RETYPES
+    a column fails loudly (SchemaMismatch) and commits nothing; (b)
+    the pre-evolution snapshot v0 still reads under its own NARROW
+    schema; (c) restore republishes v1's directories BY REFERENCE;
+    (d) the undone delete stays time-travelable at v2; (e) history()
+    reports the op ladder newest-first."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import SchemaMismatch, TxnTable
+
+    raw = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    narrow = raw.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    wide = raw.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_evo_")
+    try:
+        table = TxnTable(work)
+        v0 = table.write(narrow, mode="overwrite")
+        v1 = table.write(wide, mode="append", merge_schema=True)
+        # (a) a retyping append fails loudly and commits nothing
+        try:
+            table.write(
+                narrow.withColumn("c_name", F.lit(0)), mode="append",
+                merge_schema=True,
+            )
+            raise AssertionError("retyping append did not raise")
+        except SchemaMismatch:
+            pass
+        if (v0, v1, table.latest_version()) != (0, 1, 1):
+            raise AssertionError("schema guard committed a version")
+        # (b) v0 keeps its narrow schema under time travel
+        if table.read(spark, 0).columns != ["c_custkey", "c_name"]:
+            raise AssertionError("pre-evolution snapshot schema widened")
+        n_evolved = table.read(spark).count()
+        v2 = table.delete(spark, "c_custkey % 3 = 0")
+        v3 = table.restore(1)
+        if (v2, v3) != (2, 3):
+            raise AssertionError(f"unexpected versions {(v2, v3)}")
+        # (c) restore is by-reference: v3 IS v1's file list
+        if table.snapshot(3)["files"] != table.snapshot(1)["files"]:
+            raise AssertionError("restore copied or altered directories")
+        # (d) the undone delete still time-travels
+        if table.read(spark, 2).where("c_custkey % 3 = 0").count() != 0:
+            raise AssertionError("v2 lost the delete")
+        if table.read(spark).count() != n_evolved:
+            raise AssertionError("restore did not roll the delete back")
+        # (e) the op ladder reads newest-first
+        ops_ = [h["op"] for h in table.history()]
+        if ops_ != ["restore", "delete", "append", "overwrite"]:
+            raise AssertionError(f"unexpected history {ops_}")
+        result = table.read(spark)
+        _record_inner_plan("txn_schema_evolution", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface (spark.sql over registered views)
 # ---------------------------------------------------------------------------

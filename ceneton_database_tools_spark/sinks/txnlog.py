@@ -44,6 +44,15 @@ a delta-encoded action stream that must be replayed); and
 ``latest_version`` resolves through a best-effort ``_latest.hint``
 plus forward exists()-probing, so the hot path never lists the log.
 
+Every manifest also records the table SCHEMA: appends are validated
+against it (loud ``SchemaMismatch``, never Spark's silent
+union-by-position), ``merge_schema=True`` commits a Delta-style
+evolution (new nullable columns appended; old directories read them
+as NULL by name), and every historical version time-travels under
+its own schema. ``history()`` exposes the log as data and
+``restore(v)`` rolls back AS A COMMIT — O(manifest), no data copied,
+the mistake stays time-travelable.
+
 The reference has no table format at all — its single sink is one
 JDBC load (``sql.py:17-37``).
 """
@@ -59,6 +68,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitConflict(RuntimeError):
     """Raised when the optimistic commit loses ``max_retries`` races."""
+
+
+class SchemaMismatch(ValueError):
+    """Raised when an append's schema is incompatible with the table's
+    committed schema and schema evolution was not requested — the loud
+    failure that replaces Spark's silent union-by-position surprise
+    when mismatched parquet files share one scan."""
 
 
 class TxnTable:
@@ -123,6 +139,71 @@ class TxnTable:
                 raise FileNotFoundError(f"no committed version in {self.log_dir}")
         with open(self._manifest_path(version)) as f:
             return json.load(f)
+
+    # -- schema (recorded in the manifest, validated on append) ------------
+
+    @staticmethod
+    def _schema_of(df: DataFrame) -> dict:
+        return json.loads(df.schema.json())
+
+    @staticmethod
+    def _evolve_schema(
+        prior: dict | None, new: dict, merge_schema: bool
+    ) -> dict:
+        """The schema the next manifest commits. Exact-match appends
+        carry the PRIOR schema forward (canonical field order); any
+        difference without ``merge_schema`` raises :class:`SchemaMismatch`
+        LOUDLY — never Spark's silent merge-by-position union. With
+        ``merge_schema`` the evolution rule is Delta's: common fields
+        must keep their exact type (no silent coercion), new fields are
+        APPENDED as nullable (old directories read them as NULL), and a
+        writer may omit existing fields (its directory reads them as
+        NULL). Dropping or retyping a column is never an evolution —
+        that's an ``overwrite``."""
+        if prior is None:
+            return new
+        p_types = {f["name"]: f["type"] for f in prior["fields"]}
+        n_types = {f["name"]: f["type"] for f in new["fields"]}
+        if p_types == n_types:
+            return prior
+        retyped = sorted(
+            n for n in p_types if n in n_types and p_types[n] != n_types[n]
+        )
+        added = sorted(set(n_types) - set(p_types))
+        missing = sorted(set(p_types) - set(n_types))
+        if not merge_schema:
+            raise SchemaMismatch(
+                "append schema differs from the committed table schema "
+                f"(retyped: {retyped}, new: {added}, missing: {missing}); "
+                "pass merge_schema=True to evolve, or mode='overwrite' "
+                "to replace"
+            )
+        if retyped:
+            raise SchemaMismatch(
+                f"merge_schema cannot retype columns {retyped} "
+                f"({[(n, p_types[n], n_types[n]) for n in retyped]}); "
+                "rewrite the table with mode='overwrite'"
+            )
+        new_by_name = {f["name"]: f for f in new["fields"]}
+        evolved = list(prior["fields"]) + [
+            {**new_by_name[n], "nullable": True} for n in added
+        ]
+        return {**prior, "fields": evolved}
+
+    def _read_dirs(
+        self, spark: SparkSession, rels: list[str], schema: dict | None
+    ) -> DataFrame:
+        """Scan manifest directories under the manifest's recorded
+        schema: parquet columns resolve BY NAME against an explicit
+        schema, so a directory written before an evolution reads its
+        missing columns as NULL — by-position surprises are impossible.
+        Legacy manifests (no recorded schema) scan as before."""
+        reader = spark.read
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema))
+        return reader.parquet(*[os.path.join(self.path, r) for r in rels])
 
     def _discard_staged(self, staged: str) -> None:
         """Remove a staged-but-never-committed data directory. Called
@@ -215,14 +296,25 @@ class TxnTable:
 
     # -- write path --------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append", max_retries: int = 10) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        merge_schema: bool = False,
+        max_retries: int = 10,
+    ) -> int:
         """Stage ``df`` as immutable parquet, then commit the next
         version. ``append`` rebases onto whatever snapshot is latest at
         each attempt; ``overwrite`` replaces it (last-writer-wins, but
         never torn: a reader sees the old file set or the new one,
-        nothing in between). Returns the committed version."""
+        nothing in between). Every manifest records the table SCHEMA:
+        an append whose schema differs raises :class:`SchemaMismatch`
+        unless ``merge_schema=True`` commits an evolution (new nullable
+        columns appended; see :meth:`_evolve_schema`). Returns the
+        committed version."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        new_schema = self._schema_of(df)
         staged = f"data/{uuid.uuid4().hex}"
         df.write.parquet(os.path.join(self.path, staged))
         staged_stats = (
@@ -234,17 +326,34 @@ class TxnTable:
             current = self.latest_version()
             txns: dict[str, int] = {}
             snap: dict | None = None
+            schema = new_schema
             if current is not None:
                 snap = self.snapshot(current)
                 # writer watermarks survive every commit (see
                 # write_idempotent) — dropping them would let a replayed
                 # micro-batch double-land after an unrelated write
                 txns.update(snap.get("txns", {}))
-                files = list(snap["files"]) + [staged] if mode == "append" else [staged]
+                if mode == "append":
+                    files = list(snap["files"]) + [staged]
+                    try:
+                        schema = self._evolve_schema(
+                            snap.get("schema"), new_schema, merge_schema
+                        )
+                    except SchemaMismatch:
+                        self._discard_staged(staged)
+                        raise
+                else:
+                    files = [staged]
             else:
                 files = [staged]
             version = 0 if current is None else current + 1
-            manifest = {"version": version, "op": mode, "files": files, "txns": txns}
+            manifest = {
+                "version": version,
+                "op": mode,
+                "files": files,
+                "txns": txns,
+                "schema": schema,
+            }
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             if staged_stats:
@@ -284,6 +393,7 @@ class TxnTable:
         if buckets < 1:
             raise ValueError(f"buckets must be >= 1, got {buckets}")
         spark = df.sparkSession
+        new_schema = self._schema_of(df)
         staged = f"data/{uuid.uuid4().hex}"
         (
             df.repartitionByRange(buckets, cluster_by)
@@ -330,18 +440,31 @@ class TxnTable:
             current = self.latest_version()
             txns: dict[str, int] = {}
             snap: dict | None = None
+            schema = new_schema
             if current is not None:
                 snap = self.snapshot(current)
                 txns.update(snap.get("txns", {}))
-                files = (
-                    list(snap["files"]) + staged_dirs
-                    if mode == "append"
-                    else list(staged_dirs)
-                )
+                if mode == "append":
+                    files = list(snap["files"]) + staged_dirs
+                    try:
+                        schema = self._evolve_schema(
+                            snap.get("schema"), new_schema, False
+                        )
+                    except SchemaMismatch:
+                        self._discard_staged(staged)
+                        raise
+                else:
+                    files = list(staged_dirs)
             else:
                 files = list(staged_dirs)
             version = 0 if current is None else current + 1
-            manifest = {"version": version, "op": mode, "files": files, "txns": txns}
+            manifest = {
+                "version": version,
+                "op": mode,
+                "files": files,
+                "txns": txns,
+                "schema": schema,
+            }
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             for d, s in staged_stats.items():
@@ -379,6 +502,7 @@ class TxnTable:
             seen = self.snapshot(current).get("txns", {}).get(app_id)
             if seen is not None and txn_version <= seen:
                 return None
+        new_schema = self._schema_of(df)
         staged = f"data/{uuid.uuid4().hex}"
         df.write.parquet(os.path.join(self.path, staged))
         staged_stats = (
@@ -391,6 +515,7 @@ class TxnTable:
             txns: dict[str, int] = {}
             files: list[str] = []
             snap: dict | None = None
+            schema = new_schema
             if current is not None:
                 snap = self.snapshot(current)
                 txns.update(snap.get("txns", {}))
@@ -401,6 +526,13 @@ class TxnTable:
                     # drop the loser's staged copy before backing off
                     self._discard_staged(staged)
                     return None
+                try:
+                    schema = self._evolve_schema(
+                        snap.get("schema"), new_schema, False
+                    )
+                except SchemaMismatch:
+                    self._discard_staged(staged)
+                    raise
             txns[app_id] = txn_version
             version = 0 if current is None else current + 1
             manifest = {
@@ -408,6 +540,7 @@ class TxnTable:
                 "op": "append",
                 "files": files + [staged],
                 "txns": txns,
+                "schema": schema,
             }
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
@@ -428,10 +561,12 @@ class TxnTable:
         """A consistent MVCC snapshot: the manifest is resolved ONCE,
         here, and the returned DataFrame reads exactly those files —
         commits that land later are invisible to it. ``version`` time-
-        travels to any unvacuumed historical snapshot."""
+        travels to any unvacuumed historical snapshot, each read under
+        ITS OWN manifest schema (a pre-evolution snapshot keeps its
+        narrow schema; post-evolution snapshots fill old directories'
+        missing columns with NULL by name)."""
         manifest = self.snapshot(version)
-        dirs = [os.path.join(self.path, f) for f in manifest["files"]]
-        return spark.read.parquet(*dirs)
+        return self._read_dirs(spark, manifest["files"], manifest.get("schema"))
 
     # -- manifest-level data skipping --------------------------------------
 
@@ -518,7 +653,9 @@ class TxnTable:
             from pyspark.sql import functions as F
 
             return self.read(spark, version).where(F.lit(False))
-        return spark.read.parquet(*[os.path.join(self.path, f) for f in kept])
+        return self._read_dirs(
+            spark, kept, self.snapshot(version).get("schema")
+        )
 
     # -- merge (the MERGE INTO shape, now with a real commit) --------------
 
@@ -544,21 +681,46 @@ class TxnTable:
 
         Rebases on conflict: each attempt re-probes the then-latest
         snapshot, recomputes, and tries the next version — serializable
-        merge, not lost-update."""
+        merge, not lost-update.
+
+        Guards (both fail LOUDLY, before anything is staged): an empty
+        ``updates`` is a no-op returning ``None`` (no empty commit),
+        and DUPLICATE update keys raise ``ValueError`` — landing them
+        would break the key-unique-per-snapshot invariant ``changes()``
+        depends on, silently, one ambiguous upsert at a time. One
+        bounded agg job (2 scalars) checks both."""
         from pyspark.sql import functions as F
 
+        n_rows, n_keys = updates.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col(key))
+        ).first()
+        if n_rows == 0:
+            return None
+        if n_keys != n_rows:
+            raise ValueError(
+                f"updates carry duplicate {key!r} values "
+                f"({n_rows} rows, {n_keys} distinct keys): an upsert with "
+                "two rows per key is ambiguous and would break the "
+                "key-unique snapshot invariant — pre-aggregate the updates"
+            )
+        upd_schema = self._schema_of(updates)
         keys = updates.select(key).distinct()
         for _ in range(max_retries):
             current = self.latest_version()
             snap: dict | None = None
+            schema = upd_schema
             if current is None:
                 # empty table: MERGE degenerates to insert-only (every
                 # update row is unmatched) — commit updates as v0
                 merged, kept, txns = updates, [], {}
             else:
                 snap = self.snapshot(current)
-                target = spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in snap["files"]]
+                schema = snap.get("schema") or upd_schema
+                # loud up-front check, same rule as append: a MERGE
+                # never evolves the schema
+                self._evolve_schema(snap.get("schema"), upd_schema, False)
+                target = self._read_dirs(
+                    spark, snap["files"], snap.get("schema")
                 )
                 # ONE probe job: semi-join the scan against the distinct
                 # update keys (AQE broadcasts the small side at runtime)
@@ -584,8 +746,8 @@ class TxnTable:
                 kept = [rel for rel in snap["files"] if rel not in hit_dirs]
                 touched = [rel for rel in snap["files"] if rel in hit_dirs]
                 if touched:
-                    survivors = spark.read.parquet(
-                        *[os.path.join(self.path, rel) for rel in touched]
+                    survivors = self._read_dirs(
+                        spark, touched, snap.get("schema")
                     ).join(keys, key, "left_anti")
                     merged = survivors.unionByName(updates)
                 else:
@@ -600,6 +762,7 @@ class TxnTable:
                 "op": "merge",
                 "files": kept + [staged],
                 "txns": txns,
+                "schema": schema,
             }
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
@@ -648,9 +811,7 @@ class TxnTable:
             hit_dirs = {
                 r.d
                 for r in (
-                    spark.read.parquet(
-                        *[os.path.join(self.path, rel) for rel in snap["files"]]
-                    )
+                    self._read_dirs(spark, snap["files"], snap.get("schema"))
                     .where(predicate)
                     .select(
                         F.regexp_extract(
@@ -666,9 +827,7 @@ class TxnTable:
             if not touched:
                 return None
             survivors = (
-                spark.read.parquet(
-                    *[os.path.join(self.path, rel) for rel in touched]
-                )
+                self._read_dirs(spark, touched, snap.get("schema"))
                 .where(f"NOT coalesce(({predicate}), FALSE)")
             )
             staged = f"data/{uuid.uuid4().hex}"
@@ -680,6 +839,8 @@ class TxnTable:
                 "files": kept + [staged],
                 "txns": dict(snap.get("txns", {})),
             }
+            if snap.get("schema") is not None:
+                manifest["schema"] = snap["schema"]
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats
@@ -730,24 +891,20 @@ class TxnTable:
         out: DataFrame | None = None
         for v in range(v_from, v_to):
             prev_files = set(self.snapshot(v)["files"])
-            new_files = set(self.snapshot(v + 1)["files"])
+            to_snap = self.snapshot(v + 1)
+            new_files = set(to_snap["files"])
             removed = sorted(prev_files - new_files)
             added = sorted(new_files - prev_files)
             commit = F.lit(v + 1).cast("bigint").alias("commit_version")
             if not removed and not added:
                 continue
-            if removed:
-                pre = spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in removed]
-                )
-            else:
-                pre = None
-            if added:
-                new = spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in added]
-                )
-            else:
-                new = None
+            # both sides read under the TO-version schema, so a commit
+            # that straddles an evolution diffs over aligned columns
+            # (the pre-image's missing columns are NULL, and a row
+            # whose only "change" is the NULL fill-in compares equal)
+            to_schema = to_snap.get("schema")
+            pre = self._read_dirs(spark, removed, to_schema) if removed else None
+            new = self._read_dirs(spark, added, to_schema) if added else None
             if pre is None:
                 # pure append: the added directories ARE the inserts
                 piece = new.select(
@@ -809,6 +966,81 @@ class TxnTable:
             raise ValueError("no change directories in range")
         return out
 
+    # -- history / restore -------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """The commit log as data, newest first (Delta's DESCRIBE
+        HISTORY): one row per manifest still on disk with its version,
+        operation, directory count, and the directory delta vs its
+        predecessor (when the predecessor manifest survives
+        truncation). Driver-side metadata only — no Spark job."""
+        versions = sorted(
+            (
+                int(f[:-5])
+                for f in os.listdir(self.log_dir)
+                if f.endswith(".json") and f[:-5].isdigit()
+            ),
+            reverse=True,
+        )
+        manifests = {v: self.snapshot(v) for v in versions}
+        out = []
+        for v in versions:
+            m = manifests[v]
+            row = {
+                "version": v,
+                "op": m.get("op"),
+                "num_dirs": len(m["files"]),
+            }
+            prev = manifests.get(v - 1)
+            if prev is not None:
+                row["dirs_added"] = len(set(m["files"]) - set(prev["files"]))
+                row["dirs_removed"] = len(set(prev["files"]) - set(m["files"]))
+            out.append(row)
+        return out
+
+    def restore(self, version: int, max_retries: int = 10) -> int | None:
+        """Roll the table BACK to ``version`` — as a new commit, never
+        by rewinding the log (Delta's RESTORE): the restored snapshot's
+        file list, schema, and stats are republished at latest+1, so
+        the mistake being undone stays time-travelable and concurrent
+        readers are never torn. Writer watermarks (``txns``) carry
+        forward from the LATEST version, not the restored one —
+        rolling data back must not let an already-landed micro-batch
+        replay itself. No data is copied or rewritten: the commit is
+        O(manifest). Returns the new version, or ``None`` when the
+        restore target is already the latest state (no empty commit).
+
+        Fails loudly if the target's data was vacuumed away — a
+        restore must republish directories that still exist."""
+        target = self.snapshot(version)  # raises if truncated away
+        missing = [
+            rel
+            for rel in target["files"]
+            if not os.path.isdir(os.path.join(self.path, rel))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: data vacuumed {missing}"
+            )
+        for _ in range(max_retries):
+            current = self.latest_version()
+            snap = self.snapshot(current)
+            if snap["files"] == target["files"]:
+                return None
+            new_version = current + 1
+            manifest = {
+                "version": new_version,
+                "op": "restore",
+                "files": list(target["files"]),
+                "txns": dict(snap.get("txns", {})),
+            }
+            for k in ("schema", "stats"):
+                if target.get(k) is not None:
+                    manifest[k] = target[k]
+            if self._try_commit(new_version, manifest):
+                return new_version
+        raise CommitConflict(f"lost {max_retries} restore races on {self.path}")
+
     # -- maintenance -------------------------------------------------------
 
     def dir_sizes(self, version: int | None = None) -> dict[str, int]:
@@ -864,9 +1096,12 @@ class TxnTable:
                 return None
             kept = [rel for rel in snap["files"] if rel not in picked]
             staged = f"data/{uuid.uuid4().hex}"
-            spark.read.parquet(
-                *[os.path.join(self.path, rel) for rel in picked]
-            ).write.parquet(os.path.join(self.path, staged))
+            # rewrite under the snapshot schema: compacting directories
+            # that straddle an evolution materializes the evolved
+            # (NULL-filled) columns into the new directory
+            self._read_dirs(spark, picked, snap.get("schema")).write.parquet(
+                os.path.join(self.path, staged)
+            )
             version = current + 1
             manifest = {
                 "version": version,
@@ -874,6 +1109,8 @@ class TxnTable:
                 "files": kept + [staged],
                 "txns": dict(snap.get("txns", {})),
             }
+            if snap.get("schema") is not None:
+                manifest["schema"] = snap["schema"]
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats

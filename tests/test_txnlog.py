@@ -14,7 +14,11 @@ import os
 
 import pytest
 
-from ceneton_database_tools_spark.sinks.txnlog import CommitConflict, TxnTable
+from ceneton_database_tools_spark.sinks.txnlog import (
+    CommitConflict,
+    SchemaMismatch,
+    TxnTable,
+)
 
 
 def _df(spark, rows):
@@ -559,3 +563,139 @@ def test_changes_classifies_full_history(spark, tmp_path):
         t.changes(spark, "id", 2, 2)
     with pytest.raises(ValueError):
         t.changes(spark, "id", 0, 99)
+
+
+# -- schema evolution (round 8) ---------------------------------------------
+
+
+def test_append_schema_mismatch_fails_loudly(spark, tmp_path):
+    """An append whose schema differs from the committed one must raise
+    SchemaMismatch BEFORE committing — never Spark's silent
+    union-by-position read over mismatched parquet."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    with pytest.raises(SchemaMismatch, match="retyped"):
+        t.write(
+            spark.createDataFrame([(2, 2.5)], "id long, v double"),
+            mode="append",
+        )
+    with pytest.raises(SchemaMismatch, match="merge_schema=True"):
+        t.write(
+            spark.createDataFrame([(2, "b", 7)], "id long, v string, w long"),
+            mode="append",
+        )
+    # nothing committed, nothing leaked
+    assert t.latest_version() == 0
+    assert _data_dirs(t) == _referenced(t)
+    # merge_schema can evolve (add), but never retype
+    with pytest.raises(SchemaMismatch, match="retype"):
+        t.write(
+            spark.createDataFrame([(2, 2.5)], "id long, v double"),
+            mode="append",
+            merge_schema=True,
+        )
+    # idempotent appends share the same loud rule
+    with pytest.raises(SchemaMismatch):
+        t.write_idempotent(
+            spark.createDataFrame([(2, 2.5)], "id long, v double"), "app", 0
+        )
+    assert _data_dirs(t) == _referenced(t)
+
+
+def test_merge_schema_evolution_time_travels(spark, tmp_path):
+    """merge_schema=True appends a new nullable column; old directories
+    read it as NULL BY NAME; every historical version keeps ITS OWN
+    schema; optimize materializes the evolved schema; the change feed
+    across the evolution commit sees only the new rows."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    wide = spark.createDataFrame([(3, "c", 7)], "id long, v string, w long")
+    v1 = t.write(wide, mode="append", merge_schema=True)
+    assert v1 == 1
+    cur = t.read(spark)
+    assert cur.columns == ["id", "v", "w"]
+    assert {(r.id, r.w) for r in cur.collect()} == {(1, None), (2, None), (3, 7)}
+    # the pre-evolution snapshot still reads under its NARROW schema
+    assert t.read(spark, 0).columns == ["id", "v"]
+    # a post-evolution writer may OMIT existing columns (reads as NULL)
+    t.write(_df(spark, [(4, "d")]), mode="append", merge_schema=True)
+    assert {(r.id, r.w) for r in t.read(spark).collect()} == {
+        (1, None), (2, None), (3, 7), (4, None),
+    }
+    # the evolution commit's change feed is pure inserts of the new rows
+    feed = t.changes(spark, "id", 0, 1).collect()
+    assert {(r.id, r.change_type) for r in feed} == {(3, "insert")}
+    # a merge whose updates lack the evolved column fails loudly
+    with pytest.raises(SchemaMismatch):
+        t.merge(spark, _df(spark, [(1, "A")]), key="id")
+    # ... and with the full schema it lands, preserving NULL w elsewhere
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, "A", 9)], "id long, v string, w long"),
+        key="id",
+    )
+    assert {(r.id, r.v, r.w) for r in t.read(spark).collect()} == {
+        (1, "A", 9), (2, "b", None), (3, "c", 7), (4, "d", None),
+    }
+    # optimize straddling the evolution materializes NULL-filled columns
+    v_opt = t.optimize(spark)
+    assert t.changes(spark, "id", v_opt - 1, v_opt).count() == 0
+    assert {(r.id, r.w) for r in t.read(spark).collect()} == {
+        (1, 9), (2, None), (3, 7), (4, None),
+    }
+
+
+def test_merge_guards_duplicate_keys_and_empty_updates(spark, tmp_path):
+    """Round-8 hardening: duplicate update keys fail loudly (they would
+    silently break the key-unique invariant changes() relies on); an
+    empty update set is a no-op, not an empty commit."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    assert (
+        t.merge(spark, spark.createDataFrame([], "id long, v string"), key="id")
+        is None
+    )
+    assert t.latest_version() == 0
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(spark, _df(spark, [(1, "x"), (1, "y")]), key="id")
+    assert t.latest_version() == 0
+    assert _data_dirs(t) == _referenced(t)
+
+
+# -- history / restore (round 8) --------------------------------------------
+
+
+def test_history_and_restore(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    t.delete(spark, "id = 2")
+    # restore v0 as a NEW commit: data rolls back, history rolls forward
+    assert t.restore(0) == 3
+    assert {(r.id, r.v) for r in t.read(spark).collect()} == {(1, "a"), (2, "b")}
+    # the undone states stay time-travelable
+    assert sorted(r.id for r in t.read(spark, 2).collect()) == [1, 3]
+    # restoring the current state is a no-op
+    assert t.restore(0) is None
+    assert t.latest_version() == 3
+    hist = t.history()
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    assert [h["op"] for h in hist] == ["restore", "delete", "append", "overwrite"]
+    assert hist[1]["dirs_added"] == 1  # delete staged one rewrite dir
+    # restore is O(manifest): v3 references v0's directory, no copy
+    assert t.snapshot(3)["files"] == t.snapshot(0)["files"]
+
+
+def test_restore_carries_watermarks_and_fails_after_vacuum(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_idempotent(_df(spark, [(1, "a")]), "app", 1)
+    t.write(_df(spark, [(9, "z")]), mode="overwrite")
+    assert t.restore(0) == 2
+    # the watermark carries from LATEST: a replayed batch stays a no-op
+    # even though the data was rolled back
+    assert t.write_idempotent(_df(spark, [(1, "dup")]), "app", 1) is None
+    # vacuumed history cannot be restored — loudly
+    t.write(_df(spark, [(7, "q")]), mode="overwrite")
+    t.vacuum(retain_versions=1, retain_hours=0.0)
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
