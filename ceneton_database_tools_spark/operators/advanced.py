@@ -607,13 +607,19 @@ def txn_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            'insert', CAST(3 AS BIGINT)
     FROM base WHERE c_custkey % 70 = 0
     UNION ALL
+    -- raw IS NOT NULL: a NULL balance updates to NULL + 100 = NULL, a
+    -- value-identical rewrite — the snapshot-diff-derived feed
+    -- (correctly) cannot and does not distinguish it from an untouched
+    -- row carried through the directory rewrite, so no pre/post image
     SELECT c_custkey, c_name, bal, 'update_preimage', CAST(3 AS BIGINT)
-    FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 70 <> 0
+    FROM base
+    WHERE c_custkey % 10 = 0 AND c_custkey % 70 <> 0 AND raw IS NOT NULL
     UNION ALL
     SELECT c_custkey, c_name,
            CAST(round(CAST(raw AS DECIMAL(18,6)) + 100, 2) AS DOUBLE),
            'update_postimage', CAST(3 AS BIGINT)
-    FROM base WHERE c_custkey % 10 = 0 AND c_custkey % 70 <> 0
+    FROM base
+    WHERE c_custkey % 10 = 0 AND c_custkey % 70 <> 0 AND raw IS NOT NULL
     UNION ALL
     SELECT c_custkey + 1000000, concat('NEW#', c_name), 0.0,
            'insert', CAST(3 AS BIGINT)

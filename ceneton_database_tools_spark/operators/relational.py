@@ -1288,15 +1288,22 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6)    AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
     tags=("window", "rank"),
 )
 def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative-rank window functions (percent_rank, cume_dist) over a
     UNIQUE ordering tuple — (rank-1)/(n-1) on identical integer inputs
-    is the same double on both engines."""
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    is the same double on both engines. The null placement is PINNED
+    explicitly on both sides: Spark's ASC default is NULLS FIRST,
+    DuckDB's is NULLS LAST, so a nullable ordering key silently shifts
+    every relative rank in its partition otherwise (caught by the
+    round-8 NULL-c_acctbal perturbation)."""
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_first("c_acctbal"), "c_custkey"
+    )
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",

@@ -198,7 +198,12 @@ def _perturb_customer(src: str, dst: str) -> None:
     cu = pd.read_parquet(src)
     idx = np.arange(len(cu))
     bal = _regrid_money(cu["c_acctbal"].to_numpy(), idx)
-    cu["c_acctbal"] = np.where(idx % 9 == 4, -np.abs(bal), bal)  # TPC-H allows < 0
+    bal = np.where(idx % 9 == 4, -np.abs(bal), bal)  # TPC-H allows < 0
+    # NULL c_acctbal every 43rd row (round 8): the txn-table queries
+    # (merge/CDF/schema-evolution) carry the balance through staged
+    # parquet and change-feed diffs — a null-blind comparison or an
+    # aggregate that assumes non-null balances diverges here
+    cu["c_acctbal"] = np.where(idx % 43 == 7, np.nan, bal)
     seg = cu["c_mktsegment"].to_numpy(dtype=object).copy()
     seg[idx % 37 == 11] = None
     cu["c_mktsegment"] = seg
