@@ -721,6 +721,116 @@ def txn_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_partitioned_table",
+    # Closed-form statement of the final snapshot: two partitioned
+    # appends land the full table, then two O(manifest) partition drops
+    # remove '1-URGENT' and the NULL-priority partition (the latter a
+    # no-op on data without NULL priorities) — so the survivors are
+    # exactly the non-null, non-urgent rows.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS totalprice
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> '1-URGENT'
+    """,
+    tags=("txn", "partition", "pruning", "acid"),
+)
+def txn_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED transactional table: ``orders`` lands in two
+    partition-aligned appends (one directory per ``o_orderpriority``
+    value per commit, exact values in the manifest), then
+    ``drop_partitions`` removes the '1-URGENT' partition and the NULL
+    partition as pure METADATA commits — zero bytes read or written,
+    Delta's partition-delete fast path. The oracle states the surviving
+    rows in closed form, gating layout fidelity (no row lost or
+    duplicated across the per-partition staging), drop exactness, and
+    NULL-partition semantics (a comparison never matches NULL; dropping
+    it takes an explicit is_null).
+
+    SELF-CHECKS what the oracle can't see: (a) both drops leave the
+    data directory listing byte-identical — O(manifest), not
+    copy-on-write; (b) equality pruning keeps exactly the two '5-LOW'
+    directories (one per append) and the pruned read equals the
+    filtered read; (c) the dropped partition still time-travels; (d)
+    the change feed across the drop commit is pure deletes of that
+    partition; (e) a plain append into the partitioned layout fails
+    loudly. At 100 TB a retention delete on a partitioned fact table
+    is this manifest edit, not a table rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("totalprice"),
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_part_")
+    try:
+        table = TxnTable(work)
+        v0 = table.write_partitioned(
+            base.filter(F.col("o_orderkey") % 2 == 0),
+            ("o_orderpriority",),
+            mode="overwrite",
+        )
+        v1 = table.write_partitioned(
+            base.filter(F.col("o_orderkey") % 2 == 1), ("o_orderpriority",)
+        )
+        if (v0, v1) != (0, 1):
+            raise AssertionError(f"unexpected versions {(v0, v1)}")
+        # (b) exact pruning: '5-LOW' keeps one directory per append
+        kept, _ = table.prune([("o_orderpriority", "=", "5-LOW")])
+        if len(kept) != 2:
+            raise AssertionError(f"expected 2 pruned-in dirs, got {kept}")
+        pruned = table.read_pruned(
+            spark, [("o_orderpriority", "=", "5-LOW")]
+        ).where("o_orderpriority = '5-LOW'")
+        if pruned.count() != table.read(spark).where(
+            "o_orderpriority = '5-LOW'"
+        ).count():
+            raise AssertionError("pruned read lost rows")
+        # (a) partition drops are metadata-only
+        disk_before = sorted(os.listdir(table.data_dir))
+        v2 = table.drop_partitions([("o_orderpriority", "=", "1-URGENT")])
+        if v2 is None:
+            raise AssertionError("1-URGENT partition missing from input")
+        # NULL priorities exist only in the hostile fixture; the drop
+        # is a documented no-op (None) without them
+        table.drop_partitions([("o_orderpriority", "is_null", None)])
+        if sorted(os.listdir(table.data_dir)) != disk_before:
+            raise AssertionError("drop_partitions staged or removed data")
+        # (c) the dropped partition still time-travels
+        if table.read(spark, v1).where(
+            "o_orderpriority = '1-URGENT'"
+        ).count() == 0:
+            raise AssertionError("time travel lost the dropped partition")
+        # (d) the drop's change feed is pure deletes of that partition
+        feed = table.changes(spark, "o_orderkey", v1, v2).collect()
+        if {r.change_type for r in feed} != {"delete"} or any(
+            r.o_orderpriority != "1-URGENT" for r in feed
+        ):
+            raise AssertionError("drop feed is not pure 1-URGENT deletes")
+        # (e) the layout is protected against unaligned appends
+        try:
+            table.write(base.limit(1), mode="append")
+            raise AssertionError("plain append into partitioned layout")
+        except ValueError:
+            pass
+        result = table.read(spark)
+        _record_inner_plan("txn_partitioned_table", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_optimize_stats_pruning",
     # The oracle is the plain filtered projection — equality holds only
     # if (a) OPTIMIZE preserved every row while collapsing directories

@@ -44,6 +44,13 @@ a delta-encoded action stream that must be replayed); and
 ``latest_version`` resolves through a best-effort ``_latest.hint``
 plus forward exists()-probing, so the hot path never lists the log.
 
+Tables can be PARTITIONED (``write_partitioned``): one directory per
+distinct partition tuple, the manifest carrying each directory's EXACT
+partition values — equality-proof pruning through the ordinary stats
+path, and ``drop_partitions`` turns a partition-aligned DELETE into an
+O(manifest) metadata commit with zero bytes read (Delta's
+partition-delete fast path).
+
 Every manifest also records the table SCHEMA: appends are validated
 against it (loud ``SchemaMismatch``, never Spark's silent
 union-by-position), ``merge_schema=True`` commits a Delta-style
@@ -268,6 +275,20 @@ class TxnTable:
                     stats[d] = s
         return stats
 
+    def _carry_layout(self, snap: dict, manifest: dict, files: list[str]) -> None:
+        """Carry partition metadata onto a rewrite commit (merge /
+        delete / optimize): the spec is a table property and survives;
+        each surviving directory keeps its exact partition values
+        (immutable data, immutable values); a freshly staged rewrite
+        directory gets none — :meth:`drop_partitions` raises loudly
+        where that costs it a proof."""
+        if snap.get("partition_by"):
+            manifest["partition_by"] = list(snap["partition_by"])
+        parts = snap.get("parts", {})
+        kept = {d: parts[d] for d in files if d in parts}
+        if kept:
+            manifest["parts"] = kept
+
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``version``. The manifest is fully written
         to a tmp name first; link(2) then publishes complete content or
@@ -334,6 +355,13 @@ class TxnTable:
                 # micro-batch double-land after an unrelated write
                 txns.update(snap.get("txns", {}))
                 if mode == "append":
+                    if snap.get("partition_by"):
+                        self._discard_staged(staged)
+                        raise ValueError(
+                            "table is partitioned by "
+                            f"{tuple(snap['partition_by'])}; append through "
+                            "write_partitioned (or overwrite to re-layout)"
+                        )
                     files = list(snap["files"]) + [staged]
                     try:
                         schema = self._evolve_schema(
@@ -445,6 +473,13 @@ class TxnTable:
                 snap = self.snapshot(current)
                 txns.update(snap.get("txns", {}))
                 if mode == "append":
+                    if snap.get("partition_by"):
+                        self._discard_staged(staged)
+                        raise ValueError(
+                            "table is partitioned by "
+                            f"{tuple(snap['partition_by'])}; append through "
+                            "write_partitioned (or overwrite to re-layout)"
+                        )
                     files = list(snap["files"]) + staged_dirs
                     try:
                         schema = self._evolve_schema(
@@ -478,6 +513,351 @@ class TxnTable:
         raise CommitConflict(
             f"lost {max_retries} clustered-commit races on {self.path}"
         )
+
+    # -- partitioned writes (exact per-directory partition values) ---------
+
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+    @staticmethod
+    def _parse_part_value(raw: str, sql_type: str):
+        """Decode one hive directory segment value (Spark URL-escapes
+        special characters and spells NULL as the hive sentinel) back
+        into the manifest representation: ints for integral columns,
+        None for NULL, str() for everything else — the same convention
+        as :meth:`_json_stat`, so partition entries and stats entries
+        compare identically at prune time."""
+        from urllib.parse import unquote
+
+        if raw == TxnTable._HIVE_NULL:
+            return None
+        raw = unquote(raw)
+        if sql_type in ("long", "integer", "short", "byte"):
+            return int(raw)
+        return raw
+
+    def partition_spec(self, version: int | None = None) -> tuple[str, ...]:
+        """The partition columns of a snapshot (empty for unpartitioned
+        tables or legacy manifests)."""
+        return tuple(self.snapshot(version).get("partition_by", ()))
+
+    def write_partitioned(
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...],
+        mode: str = "append",
+        max_retries: int = 10,
+    ) -> int:
+        """:meth:`write`, but staged as one directory PER DISTINCT
+        PARTITION TUPLE, each its own manifest entry carrying its EXACT
+        partition values (manifest key ``parts``) — Delta's partition
+        columns at this layer's directory granularity. What that buys
+        at 100 TB:
+
+        * exact pruning — the partition values also land in ``stats``
+          as degenerate [v, v] ranges, so :meth:`read_pruned` skips
+          non-matching partitions with an equality proof, not a range
+          guess;
+        * :meth:`drop_partitions` — deleting a whole partition becomes
+          an O(manifest) metadata commit, zero bytes read or written
+          (Delta's partition-delete fast path);
+        * appends stay partition-aligned — each append adds one new
+          directory per partition it touches, never rewrites.
+
+        Mechanics: the partition columns are DUPLICATED into throwaway
+        hive keys (``__p_i``) for the write, so the data files keep the
+        real columns — readers open the leaf directories directly under
+        the recorded schema and never depend on Spark re-inferring
+        partition values from paths. One Spark job stages the layout
+        (a hash shuffle on the partition tuple keeps it one file per
+        leaf at this scale; at 100 TB drop the repartition and let AQE
+        size the files), one grouped agg measures per-leaf stats.
+
+        Floating-point partition columns are rejected (their dir-name
+        round-trip is not exact); partition by ints, strings, or
+        ISO-formatted temporals. Appends must use the SAME partition
+        spec as the table (loud ``ValueError`` otherwise); ``overwrite``
+        may change it. Low-cardinality partition columns only — the
+        manifest is O(partitions)."""
+        from pyspark.sql import functions as F
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        pcols = list(partition_by)
+        if not pcols:
+            raise ValueError("partition_by must name at least one column")
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in DataFrame: {missing}")
+        new_schema = self._schema_of(df)
+        type_of = {f["name"]: f["type"] for f in new_schema["fields"]}
+        floaty = [c for c in pcols if type_of[c] in ("double", "float")]
+        if floaty:
+            raise ValueError(
+                f"floating-point partition columns {floaty} are not "
+                "supported (dir-name round-trip is inexact); cast to "
+                "string or decimal first"
+            )
+        spark = df.sparkSession
+        staged = f"data/{uuid.uuid4().hex}"
+        hive = {c: f"__p_{i}" for i, c in enumerate(pcols)}
+        tmp = df
+        for c, h in hive.items():
+            tmp = tmp.withColumn(h, F.col(c))
+        (
+            tmp.repartition(*[F.col(h) for h in hive.values()])
+            .write.partitionBy(*hive.values())
+            .parquet(os.path.join(self.path, staged))
+        )
+        # enumerate the staged leaves driver-side: O(partitions) listdir
+        new_parts: dict[str, dict] = {}
+        root = os.path.join(self.path, staged)
+        leaves = [("", {})]
+        for c in pcols:
+            nxt = []
+            for rel, vals in leaves:
+                for seg in os.listdir(os.path.join(root, rel) if rel else root):
+                    if not seg.startswith(f"{hive[c]}="):
+                        continue
+                    v = self._parse_part_value(
+                        seg[len(hive[c]) + 1 :], type_of[c]
+                    )
+                    nxt.append((f"{rel}/{seg}" if rel else seg, {**vals, c: v}))
+            leaves = nxt
+        for rel, vals in leaves:
+            new_parts[f"{staged}/{rel}"] = vals
+        staged_dirs = sorted(new_parts)
+        if not staged_dirs:  # empty input: keep the bare root
+            staged_dirs = [staged]
+            new_parts = {}
+        # per-leaf stats in ONE grouped agg (stats columns + the exact
+        # [v, v] partition entries), keyed back to the leaf by the
+        # str()-normalized partition tuple — never one scan per leaf
+        staged_stats: dict[str, dict] = {}
+        scols = [c for c in self.stats_cols if c in df.columns and c not in pcols]
+        if new_parts:
+            by_tuple = {
+                tuple(
+                    str(v) if v is not None else None
+                    for v in (vals[c] for c in pcols)
+                ): rel
+                for rel, vals in new_parts.items()
+            }
+            rows = (
+                df.groupBy(*pcols).agg(
+                    *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(scols)],
+                    *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(scols)],
+                )
+            ).collect() if scols else []
+            for rel, vals in new_parts.items():
+                staged_stats[rel] = {
+                    c: [self._json_stat(v), self._json_stat(v)]
+                    for c, v in vals.items()
+                }
+            for r in rows:
+                key = tuple(
+                    str(r[c]) if r[c] is not None else None for c in pcols
+                )
+                rel = by_tuple.get(key)
+                if rel is None:  # dir-name round-trip failure: loud
+                    raise RuntimeError(
+                        f"partition tuple {key} has no staged directory "
+                        f"(candidates: {sorted(by_tuple)})"
+                    )
+                for i, c in enumerate(scols):
+                    staged_stats[rel][c] = [
+                        self._json_stat(r[f"__lo_{i}"]),
+                        self._json_stat(r[f"__hi_{i}"]),
+                    ]
+        for _ in range(max_retries):
+            current = self.latest_version()
+            txns: dict[str, int] = {}
+            snap: dict | None = None
+            schema = new_schema
+            parts = dict(new_parts)
+            if current is not None:
+                snap = self.snapshot(current)
+                txns.update(snap.get("txns", {}))
+                if mode == "append":
+                    prior_spec = tuple(snap.get("partition_by", ()))
+                    if prior_spec != tuple(pcols):
+                        self._discard_staged(staged)
+                        raise ValueError(
+                            f"table is partitioned by {prior_spec or None}; "
+                            f"append with {tuple(pcols)} must match (or "
+                            "overwrite to re-layout)"
+                        )
+                    files = list(snap["files"]) + staged_dirs
+                    try:
+                        schema = self._evolve_schema(
+                            snap.get("schema"), new_schema, False
+                        )
+                    except SchemaMismatch:
+                        self._discard_staged(staged)
+                        raise
+                    carried_parts = snap.get("parts", {})
+                    parts = {
+                        d: carried_parts[d] for d in files if d in carried_parts
+                    }
+                    parts.update(new_parts)
+                else:
+                    files = list(staged_dirs)
+            else:
+                files = list(staged_dirs)
+            version = 0 if current is None else current + 1
+            manifest = {
+                "version": version,
+                "op": mode,
+                "files": files,
+                "txns": txns,
+                "schema": schema,
+                "partition_by": list(pcols),
+            }
+            if parts:
+                manifest["parts"] = parts
+            carried = (snap or {}).get("stats", {})
+            stats = {d: carried[d] for d in files if d in carried}
+            for d, s in staged_stats.items():
+                if s:
+                    stats[d] = s
+            if stats:
+                manifest["stats"] = stats
+            if self._try_commit(version, manifest):
+                return version
+        self._discard_staged(staged)
+        raise CommitConflict(
+            f"lost {max_retries} partitioned-commit races on {self.path}"
+        )
+
+    def drop_partitions(
+        self,
+        predicates: list[tuple[str, str, object]],
+        max_retries: int = 10,
+    ) -> int | None:
+        """Drop every directory whose EXACT partition values satisfy all
+        ``(col, op, value)`` conjuncts — a pure MANIFEST commit: zero
+        Spark jobs, zero bytes read or rewritten, the 100 TB fast path
+        for retention deletes on a partitioned table (Delta's
+        ``DELETE WHERE part = x`` metadata-only case).
+
+        Unlike :meth:`prune` (one-sided, keep ⊇ matching), a DELETE
+        needs a two-sided proof: a directory is dropped only when its
+        recorded partition values PROVE every row matches, and a
+        directory that MIGHT contain matching rows but carries no
+        partition metadata for a predicate column (e.g. a rewrite
+        staged by a prior ``merge``/``delete``/``optimize``) raises
+        loudly — use the row-level :meth:`delete` there instead. NULL
+        partition values never satisfy a comparison (SQL semantics):
+        dropping the null partition takes an explicit
+        ``("col", "is_null", None)`` conjunct.
+
+        Returns the committed version, or ``None`` when no directory
+        matches (no empty commit)."""
+        ops = self._PRUNE_OPS + ("is_null",)
+        for col, op, _ in predicates:
+            if op not in ops:
+                raise ValueError(f"unsupported drop op {op!r} on {col!r}")
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                return None
+            snap = self.snapshot(current)
+            spec = tuple(snap.get("partition_by", ()))
+            if not spec:
+                raise ValueError(
+                    "drop_partitions requires a partitioned table "
+                    "(write with write_partitioned)"
+                )
+            unknown = [c for c, _, _ in predicates if c not in spec]
+            if unknown:
+                raise ValueError(
+                    f"predicate columns {unknown} are not partition "
+                    f"columns {spec}; use delete() for row-level predicates"
+                )
+            parts = snap.get("parts", {})
+            stats = snap.get("stats", {})
+            dropped, kept = [], []
+            for rel in snap["files"]:
+                vals = parts.get(rel)
+                if vals is not None and all(c in vals for c, _, _ in predicates):
+                    if self._part_matches(vals, predicates):
+                        dropped.append(rel)
+                    else:
+                        kept.append(rel)
+                    continue
+                # no exact partition metadata: only a stats-based
+                # no-match proof may keep it silently
+                range_preds = [p for p in predicates if p[1] != "is_null"]
+                if range_preds and not self._dir_may_match(
+                    stats.get(rel), range_preds
+                ):
+                    kept.append(rel)
+                    continue
+                raise ValueError(
+                    f"directory {rel!r} has no partition metadata and its "
+                    "stats cannot prove it unaffected — it may hold "
+                    "matching rows (staged by merge/delete/optimize?); "
+                    "use delete() for a row-level rewrite"
+                )
+            if not dropped:
+                return None
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "drop_partitions",
+                "files": kept,
+                "txns": dict(snap.get("txns", {})),
+                "partition_by": list(spec),
+            }
+            if snap.get("schema") is not None:
+                manifest["schema"] = snap["schema"]
+            kept_parts = {d: parts[d] for d in kept if d in parts}
+            if kept_parts:
+                manifest["parts"] = kept_parts
+            kept_stats = {d: stats[d] for d in kept if d in stats}
+            if kept_stats:
+                manifest["stats"] = kept_stats
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} drop-partition races on {self.path}"
+        )
+
+    @staticmethod
+    def _part_matches(
+        vals: dict, predicates: list[tuple[str, str, object]]
+    ) -> bool:
+        """Exact predicate evaluation over one directory's partition
+        values (SQL comparison semantics: NULL satisfies only is_null).
+        Type-mismatched probes raise — a silent keep would leave rows
+        the caller asked to drop."""
+        for col, op, value in predicates:
+            v = vals[col]
+            if op == "is_null":
+                if v is not None:
+                    return False
+                continue
+            if v is None:
+                return False
+            numeric = isinstance(v, (int, float)) and not isinstance(v, bool)
+            if numeric:
+                if not (
+                    isinstance(value, (int, float)) and not isinstance(value, bool)
+                ):
+                    raise ValueError(
+                        f"numeric partition column {col!r} compared against "
+                        f"non-numeric probe {value!r}"
+                    )
+            else:
+                v, value = str(v), str(value)
+            if (
+                (op == "=" and v != value)
+                or (op == "<" and not v < value)
+                or (op == "<=" and not v <= value)
+                or (op == ">" and not v > value)
+                or (op == ">=" and not v >= value)
+            ):
+                return False
+        return True
 
     # -- idempotent append (the exactly-once streaming-sink protocol) ------
 
@@ -526,6 +906,16 @@ class TxnTable:
                     # drop the loser's staged copy before backing off
                     self._discard_staged(staged)
                     return None
+                if snap.get("partition_by"):
+                    self._discard_staged(staged)
+                    raise ValueError(
+                        "table is partitioned by "
+                        f"{tuple(snap['partition_by'])}; the idempotent "
+                        "streaming sink stages unpartitioned directories "
+                        "and would break drop_partitions' proof — use an "
+                        "unpartitioned table for the stream, or compact "
+                        "into the partitioned table in batch"
+                    )
                 try:
                     schema = self._evolve_schema(
                         snap.get("schema"), new_schema, False
@@ -764,6 +1154,8 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
+            if snap is not None:
+                self._carry_layout(snap, manifest, kept)
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats
@@ -841,6 +1233,7 @@ class TxnTable:
             }
             if snap.get("schema") is not None:
                 manifest["schema"] = snap["schema"]
+            self._carry_layout(snap, manifest, kept)
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats
@@ -1034,7 +1427,7 @@ class TxnTable:
                 "files": list(target["files"]),
                 "txns": dict(snap.get("txns", {})),
             }
-            for k in ("schema", "stats"):
+            for k in ("schema", "stats", "partition_by", "parts"):
                 if target.get(k) is not None:
                     manifest[k] = target[k]
             if self._try_commit(new_version, manifest):
@@ -1111,6 +1504,7 @@ class TxnTable:
             }
             if snap.get("schema") is not None:
                 manifest["schema"] = snap["schema"]
+            self._carry_layout(snap, manifest, kept)
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats

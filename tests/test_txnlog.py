@@ -699,3 +699,181 @@ def test_restore_carries_watermarks_and_fails_after_vacuum(spark, tmp_path):
     t.vacuum(retain_versions=1, retain_hours=0.0)
     with pytest.raises(FileNotFoundError):
         t.restore(0)
+
+
+# -- partitioned tables (round 8) --------------------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, seg string, v string")
+
+
+_PROWS = [(i, ["A", "B", None][i % 3], f"r{i}") for i in range(30)]
+
+
+def test_partitioned_write_records_exact_values_and_prunes(spark, tmp_path):
+    """One directory per partition tuple; the manifest carries EXACT
+    values (parts) plus degenerate [v, v] stats, so equality pruning is
+    a proof; data files keep the real partition column."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    snap = t.snapshot()
+    assert snap["partition_by"] == ["seg"]
+    assert len(snap["files"]) == 3
+    assert sorted(snap["parts"].values(), key=str) == [
+        {"seg": "A"}, {"seg": "B"}, {"seg": None},
+    ]
+    # partition value folded into stats as [v, v]; stats col measured
+    for rel, vals in snap["parts"].items():
+        s = snap["stats"][rel]
+        assert s["seg"] == [vals["seg"], vals["seg"]]
+        assert "id" in s and s["id"][0] <= s["id"][1]
+    # the partition column survives in the data (not path-inferred)
+    cur = t.read(spark)
+    assert cur.columns == ["id", "seg", "v"]
+    assert {r.seg for r in cur.select("seg").distinct().collect()} == {
+        "A", "B", None,
+    }
+    # exact pruning: = keeps one directory, reads only its rows
+    kept, skipped = t.prune([("seg", "=", "A")])
+    assert (len(kept), len(skipped)) == (1, 2)
+    assert t.read_pruned(spark, [("seg", "=", "A")]).count() == 10
+    # appends stack per-partition directories under the same spec
+    t.write_partitioned(
+        _pdf(spark, [(100, "A", "x"), (101, "B", "y")]), ("seg",)
+    )
+    assert len(t.snapshot()["files"]) == 5
+    kept, _ = t.prune([("seg", "=", "A")])
+    assert len(kept) == 2
+
+
+def test_drop_partitions_is_metadata_only(spark, tmp_path):
+    """Dropping a partition commits a new manifest and touches NO data:
+    no new directory staged, the dropped bytes stay on disk for time
+    travel, and the change feed classifies the commit as pure deletes."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    before = set(os.listdir(t.data_dir))
+    v1 = t.drop_partitions([("seg", "=", "B")])
+    assert v1 == 1
+    assert set(os.listdir(t.data_dir)) == before  # zero bytes moved
+    assert t.read(spark).where("seg = 'B'").count() == 0
+    assert t.read(spark).count() == 20
+    # time travel still reaches the dropped partition
+    assert t.read(spark, 0).where("seg = 'B'").count() == 10
+    # the feed across the drop is pure deletes of that partition
+    feed = t.changes(spark, "id", 0, 1).collect()
+    assert {r.change_type for r in feed} == {"delete"}
+    assert len(feed) == 10 and all(r.seg == "B" for r in feed)
+    # no match -> no empty commit
+    assert t.drop_partitions([("seg", "=", "ZZZ")]) is None
+    assert t.latest_version() == 1
+    # NULL partitions never satisfy a comparison; is_null drops them
+    assert t.drop_partitions([("seg", "<=", "zzz")]) == 2
+    assert t.read(spark).count() == 10  # the null partition survived
+    assert t.drop_partitions([("seg", "is_null", None)]) == 3
+    assert t.read(spark).count() == 0
+    # history reads back the ladder; restore revives the partitions
+    assert [h["op"] for h in t.history()][:2] == [
+        "drop_partitions", "drop_partitions",
+    ]
+    t.restore(0)
+    assert t.read(spark).count() == 30
+    assert t.partition_spec() == ("seg",)
+    assert len(t.snapshot()["parts"]) == 3
+
+
+def test_partitioned_guards(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    # plain / clustered / idempotent appends must not break the layout
+    with pytest.raises(ValueError, match="write_partitioned"):
+        t.write(_pdf(spark, _PROWS), mode="append")
+    with pytest.raises(ValueError, match="write_partitioned"):
+        t.write_clustered(_pdf(spark, _PROWS), "id", buckets=2)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        t.write_idempotent(_pdf(spark, _PROWS), "app", 0)
+    # appends must match the committed spec
+    with pytest.raises(ValueError, match="must match"):
+        t.write_partitioned(_pdf(spark, _PROWS), ("v",))
+    # schema discipline is unchanged on the partitioned path
+    with pytest.raises(SchemaMismatch):
+        t.write_partitioned(
+            spark.createDataFrame([(1, "A", 2.0)], "id long, seg string, v double"),
+            ("seg",),
+        )
+    # float partition columns are rejected (inexact dir-name round-trip)
+    with pytest.raises(ValueError, match="floating-point"):
+        t.write_partitioned(
+            spark.createDataFrame([(1.5, "x")], "f double, v string"),
+            ("f",),
+            mode="overwrite",
+        )
+    # predicates over non-partition columns / unknown ops are loud
+    with pytest.raises(ValueError, match="not partition columns"):
+        t.drop_partitions([("id", "=", 1)])
+    with pytest.raises(ValueError, match="unsupported drop op"):
+        t.drop_partitions([("seg", "!=", "A")])
+    # an overwrite may re-layout
+    t.write_partitioned(_pdf(spark, _PROWS), ("v",), mode="overwrite")
+    assert t.partition_spec() == ("v",)
+    # ... and an unpartitioned overwrite clears the spec
+    t.write(_pdf(spark, _PROWS), mode="overwrite")
+    assert t.partition_spec() == ()
+    # losing/raising writers never leak staged directories
+    assert _data_dirs(t) >= {f.split("/")[1] for f in t.snapshot()["files"]}
+
+
+def test_drop_partitions_refuses_unprovable_rewrites(spark, tmp_path):
+    """A merge/delete stages an unpartitioned rewrite directory; a later
+    drop_partitions must NOT silently keep rows it was asked to drop —
+    it either proves the rewrite unaffected from stats or raises."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    t.merge(spark, _pdf(spark, [(0, "A", "merged")]), key="id")
+    snap = t.snapshot()
+    assert snap["partition_by"] == ["seg"]  # spec survives the merge
+    assert len(snap.get("parts", {})) == len(snap["files"]) - 1
+    with pytest.raises(ValueError, match="no partition metadata"):
+        t.drop_partitions([("seg", "=", "A")])
+    # row-level delete still works as the documented fallback
+    t.delete(spark, "seg = 'A'")
+    assert t.read(spark).where("seg = 'A'").count() == 0
+
+
+def test_drop_partitions_uses_stats_proof_for_rewrites(spark, tmp_path):
+    """With the partition column in stats_cols, a rewrite directory's
+    measured [min, max] can PROVE it holds no victim rows, letting the
+    metadata drop proceed around it."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("seg",))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    # rewrite only partition A (merge touches key 0 in dir A)
+    t.merge(spark, _pdf(spark, [(0, "A", "merged")]), key="id")
+    v = t.drop_partitions([("seg", "=", "B")])
+    assert v is not None
+    assert t.read(spark).where("seg = 'B'").count() == 0
+    assert t.read(spark).count() == 20
+
+
+def test_partitioned_int_keys_and_empty_write(spark, tmp_path):
+    """Integral partition values parse back as ints (numeric pruning);
+    an empty write stages a readable empty directory."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(12)], "id long, bucket long, v string"
+    )
+    t.write_partitioned(df, ("bucket",), mode="overwrite")
+    parts = t.snapshot()["parts"]
+    assert sorted(v["bucket"] for v in parts.values()) == [0, 1, 2]
+    kept, skipped = t.prune([("bucket", ">=", 2)])
+    assert (len(kept), len(skipped)) == (1, 2)
+    assert t.drop_partitions([("bucket", "<", 1)]) == 1
+    assert sorted(
+        r.bucket for r in t.read(spark).select("bucket").distinct().collect()
+    ) == [1, 2]
+    # numeric column vs string probe is a loud mismatch, not a guess
+    with pytest.raises(ValueError, match="non-numeric probe"):
+        t.drop_partitions([("bucket", "=", "1")])
+    # empty append: no-op on the file list shape, still readable
+    t.write_partitioned(df.where("id < 0"), ("bucket",))
+    assert t.read(spark).count() == 8
