@@ -540,6 +540,91 @@ class TxnTable:
         tables or legacy manifests)."""
         return tuple(self.snapshot(version).get("partition_by", ()))
 
+    def _stage_partitioned(
+        self, df: DataFrame, pcols: list[str], type_of: dict
+    ) -> tuple[str, list[str], dict, dict]:
+        """Stage ``df`` as one leaf directory per distinct partition
+        tuple and return ``(staged_root, staged_dirs, parts, stats)``.
+        ONE Spark job writes the layout (partition columns duplicated
+        into throwaway ``__p_i`` hive keys so the data files keep the
+        real columns), an O(partitions) driver-side walk enumerates the
+        leaves and decodes their exact values, and ONE grouped agg
+        measures per-leaf stats — never a scan per partition. Shared by
+        :meth:`write_partitioned` and the partition-preserving
+        :meth:`optimize` path."""
+        from pyspark.sql import functions as F
+
+        staged = f"data/{uuid.uuid4().hex}"
+        hive = {c: f"__p_{i}" for i, c in enumerate(pcols)}
+        tmp = df
+        for c, h in hive.items():
+            tmp = tmp.withColumn(h, F.col(c))
+        (
+            tmp.repartition(*[F.col(h) for h in hive.values()])
+            .write.partitionBy(*hive.values())
+            .parquet(os.path.join(self.path, staged))
+        )
+        new_parts: dict[str, dict] = {}
+        root = os.path.join(self.path, staged)
+        leaves = [("", {})]
+        for c in pcols:
+            nxt = []
+            for rel, vals in leaves:
+                for seg in os.listdir(os.path.join(root, rel) if rel else root):
+                    if not seg.startswith(f"{hive[c]}="):
+                        continue
+                    v = self._parse_part_value(
+                        seg[len(hive[c]) + 1 :], type_of[c]
+                    )
+                    nxt.append((f"{rel}/{seg}" if rel else seg, {**vals, c: v}))
+            leaves = nxt
+        for rel, vals in leaves:
+            new_parts[f"{staged}/{rel}"] = vals
+        staged_dirs = sorted(new_parts)
+        if not staged_dirs:  # empty input: keep the bare root
+            staged_dirs = [staged]
+            new_parts = {}
+        # per-leaf stats: the exact [v, v] partition entries, plus one
+        # grouped agg for the stats columns, keyed back to the leaf by
+        # the str()-normalized partition tuple
+        staged_stats: dict[str, dict] = {}
+        scols = [c for c in self.stats_cols if c in df.columns and c not in pcols]
+        if new_parts:
+            by_tuple = {
+                tuple(
+                    str(v) if v is not None else None
+                    for v in (vals[c] for c in pcols)
+                ): rel
+                for rel, vals in new_parts.items()
+            }
+            rows = (
+                df.groupBy(*pcols).agg(
+                    *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(scols)],
+                    *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(scols)],
+                )
+            ).collect() if scols else []
+            for rel, vals in new_parts.items():
+                staged_stats[rel] = {
+                    c: [self._json_stat(v), self._json_stat(v)]
+                    for c, v in vals.items()
+                }
+            for r in rows:
+                key = tuple(
+                    str(r[c]) if r[c] is not None else None for c in pcols
+                )
+                rel = by_tuple.get(key)
+                if rel is None:  # dir-name round-trip failure: loud
+                    raise RuntimeError(
+                        f"partition tuple {key} has no staged directory "
+                        f"(candidates: {sorted(by_tuple)})"
+                    )
+                for i, c in enumerate(scols):
+                    staged_stats[rel][c] = [
+                        self._json_stat(r[f"__lo_{i}"]),
+                        self._json_stat(r[f"__hi_{i}"]),
+                    ]
+        return staged, staged_dirs, new_parts, staged_stats
+
     def write_partitioned(
         self,
         df: DataFrame,
@@ -597,77 +682,9 @@ class TxnTable:
                 "supported (dir-name round-trip is inexact); cast to "
                 "string or decimal first"
             )
-        spark = df.sparkSession
-        staged = f"data/{uuid.uuid4().hex}"
-        hive = {c: f"__p_{i}" for i, c in enumerate(pcols)}
-        tmp = df
-        for c, h in hive.items():
-            tmp = tmp.withColumn(h, F.col(c))
-        (
-            tmp.repartition(*[F.col(h) for h in hive.values()])
-            .write.partitionBy(*hive.values())
-            .parquet(os.path.join(self.path, staged))
+        staged, staged_dirs, new_parts, staged_stats = self._stage_partitioned(
+            df, pcols, type_of
         )
-        # enumerate the staged leaves driver-side: O(partitions) listdir
-        new_parts: dict[str, dict] = {}
-        root = os.path.join(self.path, staged)
-        leaves = [("", {})]
-        for c in pcols:
-            nxt = []
-            for rel, vals in leaves:
-                for seg in os.listdir(os.path.join(root, rel) if rel else root):
-                    if not seg.startswith(f"{hive[c]}="):
-                        continue
-                    v = self._parse_part_value(
-                        seg[len(hive[c]) + 1 :], type_of[c]
-                    )
-                    nxt.append((f"{rel}/{seg}" if rel else seg, {**vals, c: v}))
-            leaves = nxt
-        for rel, vals in leaves:
-            new_parts[f"{staged}/{rel}"] = vals
-        staged_dirs = sorted(new_parts)
-        if not staged_dirs:  # empty input: keep the bare root
-            staged_dirs = [staged]
-            new_parts = {}
-        # per-leaf stats in ONE grouped agg (stats columns + the exact
-        # [v, v] partition entries), keyed back to the leaf by the
-        # str()-normalized partition tuple — never one scan per leaf
-        staged_stats: dict[str, dict] = {}
-        scols = [c for c in self.stats_cols if c in df.columns and c not in pcols]
-        if new_parts:
-            by_tuple = {
-                tuple(
-                    str(v) if v is not None else None
-                    for v in (vals[c] for c in pcols)
-                ): rel
-                for rel, vals in new_parts.items()
-            }
-            rows = (
-                df.groupBy(*pcols).agg(
-                    *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(scols)],
-                    *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(scols)],
-                )
-            ).collect() if scols else []
-            for rel, vals in new_parts.items():
-                staged_stats[rel] = {
-                    c: [self._json_stat(v), self._json_stat(v)]
-                    for c, v in vals.items()
-                }
-            for r in rows:
-                key = tuple(
-                    str(r[c]) if r[c] is not None else None for c in pcols
-                )
-                rel = by_tuple.get(key)
-                if rel is None:  # dir-name round-trip failure: loud
-                    raise RuntimeError(
-                        f"partition tuple {key} has no staged directory "
-                        f"(candidates: {sorted(by_tuple)})"
-                    )
-                for i, c in enumerate(scols):
-                    staged_stats[rel][c] = [
-                        self._json_stat(r[f"__lo_{i}"]),
-                        self._json_stat(r[f"__hi_{i}"]),
-                    ]
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -1473,7 +1490,16 @@ class TxnTable:
         rewrote a picked directory can never resurrect rows — the
         retry simply never sees the replaced directory again. Returns
         the committed version, or None when fewer than two directories
-        qualify (nothing to compact)."""
+        qualify (nothing to compact).
+
+        On a PARTITIONED table the compaction is partition-preserving:
+        picked rows are restaged one directory per partition tuple with
+        exact manifest values — and since the partition columns live in
+        the data, this also re-derives values for rewrite directories a
+        prior merge/delete staged without them, REPAIRING the metadata
+        needed by :meth:`drop_partitions`. OPTIMIZE is thus the
+        documented recovery path after row-level rewrites on a
+        partitioned table."""
         for _ in range(max_retries):
             current = self.latest_version()
             if current is None:
@@ -1488,24 +1514,47 @@ class TxnTable:
             if len(picked) < 2:
                 return None
             kept = [rel for rel in snap["files"] if rel not in picked]
-            staged = f"data/{uuid.uuid4().hex}"
             # rewrite under the snapshot schema: compacting directories
             # that straddle an evolution materializes the evolved
             # (NULL-filled) columns into the new directory
-            self._read_dirs(spark, picked, snap.get("schema")).write.parquet(
-                os.path.join(self.path, staged)
-            )
+            picked_df = self._read_dirs(spark, picked, snap.get("schema"))
+            spec = list(snap.get("partition_by", ()))
+            if spec:
+                # PARTITION-PRESERVING compaction: restage the picked
+                # rows as one directory per partition tuple, each with
+                # exact values — because the partition columns live in
+                # the DATA (not only the paths), this also re-derives
+                # values for rewrite directories a merge/delete staged
+                # without them, REPAIRING drop_partitions' proof.
+                schema = snap.get("schema") or self._schema_of(picked_df)
+                type_of = {f["name"]: f["type"] for f in schema["fields"]}
+                staged, staged_dirs, new_parts, staged_stats = (
+                    self._stage_partitioned(picked_df, spec, type_of)
+                )
+            else:
+                staged = f"data/{uuid.uuid4().hex}"
+                picked_df.write.parquet(os.path.join(self.path, staged))
+                staged_dirs, new_parts, staged_stats = [staged], {}, {}
             version = current + 1
             manifest = {
                 "version": version,
                 "op": "optimize",
-                "files": kept + [staged],
+                "files": kept + staged_dirs,
                 "txns": dict(snap.get("txns", {})),
             }
             if snap.get("schema") is not None:
                 manifest["schema"] = snap["schema"]
             self._carry_layout(snap, manifest, kept)
-            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+            if new_parts:
+                manifest["parts"] = {**manifest.get("parts", {}), **new_parts}
+            if spec:
+                carried = snap.get("stats", {})
+                stats = {d: carried[d] for d in kept if d in carried}
+                stats.update({d: s for d, s in staged_stats.items() if s})
+            else:
+                stats = self._commit_stats(
+                    spark, snap, kept + staged_dirs, staged_dirs
+                )
             if stats:
                 manifest["stats"] = stats
             if self._try_commit(version, manifest):

@@ -877,3 +877,37 @@ def test_partitioned_int_keys_and_empty_write(spark, tmp_path):
     # empty append: no-op on the file list shape, still readable
     t.write_partitioned(df.where("id < 0"), ("bucket",))
     assert t.read(spark).count() == 8
+
+
+def test_optimize_preserves_and_repairs_partition_layout(spark, tmp_path):
+    """OPTIMIZE on a partitioned table compacts per partition tuple
+    (exact values restaged into the manifest) and — because partition
+    columns live in the data — re-derives values for a merge's
+    unpartitioned rewrite directory, repairing drop_partitions."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    t.write_partitioned(
+        _pdf(spark, [(100, "A", "x"), (101, "B", "y")]), ("seg",)
+    )
+    # a merge stages an unpartitioned rewrite: the fast path is broken
+    t.merge(spark, _pdf(spark, [(0, "A", "merged")]), key="id")
+    with pytest.raises(ValueError, match="no partition metadata"):
+        t.drop_partitions([("seg", "=", "B")])
+    n_before = t.read(spark).count()
+    v = t.optimize(spark)
+    assert v is not None
+    snap = t.snapshot()
+    # one directory per partition tuple, every one carrying exact values
+    assert snap["partition_by"] == ["seg"]
+    assert len(snap["files"]) == 3
+    assert set(snap["parts"]) == set(snap["files"])
+    assert sorted(snap["parts"].values(), key=str) == [
+        {"seg": "A"}, {"seg": "B"}, {"seg": None},
+    ]
+    # row-identical rewrite: empty change feed, counts preserved
+    assert t.changes(spark, "id", v - 1, v).count() == 0
+    assert t.read(spark).count() == n_before
+    assert t.read(spark).where("v = 'merged'").count() == 1
+    # the metadata fast path works again
+    assert t.drop_partitions([("seg", "=", "B")]) == v + 1
+    assert t.read(spark).where("seg = 'B'").count() == 0
