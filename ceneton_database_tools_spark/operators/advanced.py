@@ -831,6 +831,98 @@ def txn_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_bloom_point_lookup",
+    # Closed-form point lookup: whatever directories the bloom pruned,
+    # the surviving scan must return exactly the probed row. The probe
+    # key is derived identically on both engines (max key — guaranteed
+    # to exist whatever the generator produced this round).
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_custkey = (SELECT max(c_custkey) FROM customer)
+    """,
+    tags=("txn", "bloom", "pruning", "point-lookup"),
+)
+def txn_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIRECTORY BLOOM FILTERS on the txn table: ``customer`` lands
+    as four appends interleaved on ``c_custkey % 4``, so every
+    directory spans the ENTIRE key range and [min, max] stats can prove
+    nothing — the worst case for range-based skipping and the normal
+    case for a high-cardinality key. Each commit folds its keys into a
+    manifest bloom bitmap (md5 double-hashing, computed JVM-side in the
+    staging scan); an equality probe then skips every directory whose
+    bitmap provably lacks the key BEFORE Spark plans the scan. The
+    oracle is the plain point lookup — it gates the no-false-negative
+    property (the probed row's directory always survives).
+
+    SELF-CHECKS what the oracle can't see: (a) stats-only pruning keeps
+    all 4 directories (ranges fully overlap, by construction); (b) the
+    bloom keeps exactly the one directory holding the probe; (c) a
+    missing key (max+1) prunes everything (≤1 kept at the sized
+    ~5e-7/dir false-positive rate) and the filtered read is empty. At
+    100 TB this is a point lookup reading one commit instead of every
+    commit ever — the case Z-order/stats layouts cannot serve without
+    re-clustering by that exact key."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_bloom_")
+    try:
+        table = TxnTable(work, bloom_cols=("c_custkey",), bloom_bits=32768)
+        for i in range(4):
+            table.write(
+                base.filter(F.col("c_custkey") % 4 == i),
+                mode="append" if i else "overwrite",
+            )
+        probe = base.agg(F.max("c_custkey")).first()[0]  # bounded: 1 scalar
+        snap = table.snapshot()
+        # (a) ranges are useless here: no stats recorded (no stats_cols),
+        # and the layout interleaves the full key range into every dir
+        stats_kept = [
+            rel
+            for rel in snap["files"]
+            if TxnTable._dir_may_match(
+                snap.get("stats", {}).get(rel), [("c_custkey", "=", probe)]
+            )
+        ]
+        if len(stats_kept) != 4:
+            raise AssertionError("stats unexpectedly pruned the interleave")
+        # (b) the bloom keeps exactly the probe's directory
+        kept, skipped = table.prune([("c_custkey", "=", probe)])
+        if (len(kept), len(skipped)) != (1, 3):
+            raise AssertionError(f"bloom kept {kept}, skipped {skipped}")
+        # (c) a missing key prunes everything and reads empty
+        missing_kept, _ = table.prune([("c_custkey", "=", probe + 1)])
+        if len(missing_kept) > 1:
+            raise AssertionError(f"missing-key probe kept {missing_kept}")
+        if (
+            table.read_pruned(spark, [("c_custkey", "=", probe + 1)])
+            .where(F.col("c_custkey") == probe + 1)
+            .count()
+            != 0
+        ):
+            raise AssertionError("missing key returned rows")
+        result = table.read_pruned(spark, [("c_custkey", "=", probe)]).where(
+            F.col("c_custkey") == probe
+        )
+        _record_inner_plan("txn_bloom_point_lookup", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_optimize_stats_pruning",
     # The oracle is the plain filtered projection — equality holds only
     # if (a) OPTIMIZE preserved every row while collapsing directories

@@ -96,11 +96,38 @@ class TxnTable:
     key-clustered commits (the natural layout for append streams),
     that turns a point/range query from a full-table scan into a
     read of the handful of matching commits — pruning the parquet
-    footer can't do, because it happens before file listing."""
+    footer can't do, because it happens before file listing.
 
-    def __init__(self, path: str, stats_cols: tuple[str, ...] = ()):
+    ``bloom_cols`` adds PER-DIRECTORY BLOOM FILTERS (Delta's bloom
+    index at directory granularity) for high-cardinality equality
+    probes where [min, max] proves nothing because every commit spans
+    the whole key range: each write folds the column's values into a
+    ``bloom_bits``-wide, ``bloom_k``-hash bitmap stored (base64) in
+    the manifest, and an ``=`` predicate skips any directory whose
+    bitmap provably lacks the probe (false positives only cost a scan
+    that the row filter then empties; false negatives are impossible
+    for the supported integral/string columns). Sizing rule of thumb:
+    ``bloom_bits ≈ 16 × rows-per-directory`` keeps the false-positive
+    rate well under 1%."""
+
+    def __init__(
+        self,
+        path: str,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int = 8192,
+        bloom_k: int = 5,
+    ):
+        if bloom_cols and (bloom_bits < 8 or bloom_k < 1):
+            raise ValueError(
+                f"bloom_bits >= 8 and bloom_k >= 1 required, got "
+                f"({bloom_bits}, {bloom_k})"
+            )
         self.path = path
         self.stats_cols = tuple(stats_cols)
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
         self.log_dir = os.path.join(path, "_txnlog")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -275,6 +302,133 @@ class TxnTable:
                     stats[d] = s
         return stats
 
+    # -- per-directory bloom filters (point-lookup data skipping) -----------
+
+    _BLOOM_DTYPES = ("bigint", "int", "smallint", "tinyint", "string")
+
+    @staticmethod
+    def _bloom_hashes(text: str) -> tuple[int, int]:
+        """The (h1, h2) double-hash pair shared by both sides of the
+        filter: md5 over the value's canonical string, split into two
+        60-bit halves (15 hex chars each — a 16-char half could
+        overflow a signed BIGINT on the SQL side). The Spark writer
+        computes the identical pair with ``md5(CAST(col AS STRING))``
+        + ``conv`` substrings, so a bit set at write time is found at
+        probe time bit-for-bit."""
+        import hashlib
+
+        h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        return int(h[0:15], 16), int(h[16:31], 16)
+
+    def _bloom_pos_expr(self, col: str) -> str:
+        """SQL producing the k bit positions of one row's value —
+        the exact mirror of :meth:`_bloom_hashes` + double hashing
+        (pos_i = (h1 + i*h2) mod m), kept JVM-side so bloom
+        construction is one codegen'd scan, never a Python UDF."""
+        h = f"md5(CAST(`{col}` AS STRING))"
+        h1 = f"CAST(conv(substring({h}, 1, 15), 16, 10) AS BIGINT)"
+        h2 = f"CAST(conv(substring({h}, 17, 15), 16, 10) AS BIGINT)"
+        return (
+            f"transform(sequence(0, {self.bloom_k - 1}), "
+            f"i -> pmod({h1} + i * {h2}, {self.bloom_bits}))"
+        )
+
+    def _collect_blooms(self, spark: SparkSession, rels: list[str]) -> dict:
+        """Bloom bitmaps for newly staged directories, built in ONE
+        Spark job over all of them: every distinct (dir, col, bit)
+        triple — bounded by dirs × cols × bloom_bits rows, never
+        O(rows) — folded driver-side into base64 bitmaps."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        rels = [
+            r
+            for r in rels
+            if any(
+                n.endswith(".parquet")
+                for _, _, names in os.walk(os.path.join(self.path, r))
+                for n in names
+            )
+        ]
+        if not rels:
+            return {}
+        df = spark.read.parquet(*[os.path.join(self.path, r) for r in rels])
+        types = dict(df.dtypes)
+        cols = [c for c in self.bloom_cols if c in types]
+        if not cols:
+            return {}
+        bad = [c for c in cols if types[c] not in self._BLOOM_DTYPES]
+        if bad:
+            raise ValueError(
+                f"bloom_cols {bad} have non-integral/non-string types "
+                f"({[types[c] for c in bad]}): the canonical-string hash "
+                "is only exact for integrals and strings"
+            )
+        dir_col = F.regexp_extract(
+            F.input_file_name(), r".*/(data/.+)/[^/]+$", 1
+        ).alias("__dir")
+        piece = None
+        for c in cols:
+            p = (
+                df.where(F.col(c).isNotNull())
+                .select(
+                    dir_col,
+                    F.lit(c).alias("__col"),
+                    F.explode(F.expr(self._bloom_pos_expr(c))).alias("__pos"),
+                )
+            )
+            piece = p if piece is None else piece.unionByName(p)
+        acc: dict[tuple[str, str], bytearray] = {}
+        nbytes = (self.bloom_bits + 7) // 8
+        for r in piece.distinct().collect():
+            key = (r["__dir"], r["__col"])
+            bm = acc.get(key)
+            if bm is None:
+                bm = acc[key] = bytearray(nbytes)
+            pos = r["__pos"]
+            bm[pos // 8] |= 1 << (pos % 8)
+        out: dict[str, dict] = {}
+        for (d, c), bm in acc.items():
+            out.setdefault(d, {})[c] = {
+                "b": base64.b64encode(bytes(bm)).decode("ascii"),
+                "m": self.bloom_bits,
+                "k": self.bloom_k,
+            }
+        return out
+
+    def _commit_blooms(
+        self,
+        spark: SparkSession,
+        prior: dict | None,
+        files: list[str],
+        new_dirs: list[str],
+    ) -> dict:
+        """Bloom map for a new manifest — the same carry rule as
+        :meth:`_commit_stats`: surviving directories keep their bitmaps
+        verbatim (immutable data), new directories are measured iff the
+        table has bloom columns; unmeasured directories never skip."""
+        carried = (prior or {}).get("blooms", {})
+        out = {d: carried[d] for d in files if d in carried}
+        if self.bloom_cols:
+            out.update(self._collect_blooms(spark, new_dirs))
+        return out
+
+    @classmethod
+    def _bloom_may_contain(cls, entry: dict, value) -> bool:
+        """Probe one directory's bitmap under ITS OWN recorded (m, k) —
+        the writer's sizing, not this handle's — so readers and writers
+        configured differently still agree bit-for-bit."""
+        import base64
+
+        bm = base64.b64decode(entry["b"])
+        h1, h2 = cls._bloom_hashes(str(value))
+        for i in range(entry["k"]):
+            pos = (h1 + i * h2) % entry["m"]
+            if not (bm[pos // 8] >> (pos % 8)) & 1:
+                return False
+        return True
+
     def _carry_layout(self, snap: dict, manifest: dict, files: list[str]) -> None:
         """Carry partition metadata onto a rewrite commit (merge /
         delete / optimize): the spec is a table property and survives;
@@ -343,6 +497,11 @@ class TxnTable:
             if self.stats_cols
             else {}
         )
+        staged_blooms = (
+            self._collect_blooms(df.sparkSession, [staged])
+            if self.bloom_cols
+            else {}
+        )
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -388,6 +547,11 @@ class TxnTable:
                 stats[staged] = staged_stats
             if stats:
                 manifest["stats"] = stats
+            carried_b = (snap or {}).get("blooms", {})
+            blooms = {d: carried_b[d] for d in files if d in carried_b}
+            blooms.update(staged_blooms)
+            if blooms:
+                manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
         self._discard_staged(staged)
@@ -464,6 +628,9 @@ class TxnTable:
                         ]
                         for i, c in enumerate(cols)
                     }
+        staged_blooms = (
+            self._collect_blooms(spark, staged_dirs) if self.bloom_cols else {}
+        )
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -507,6 +674,11 @@ class TxnTable:
                     stats[d] = s
             if stats:
                 manifest["stats"] = stats
+            carried_b = (snap or {}).get("blooms", {})
+            blooms = {d: carried_b[d] for d in files if d in carried_b}
+            blooms.update(staged_blooms)
+            if blooms:
+                manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
         self._discard_staged(staged)
@@ -685,6 +857,11 @@ class TxnTable:
         staged, staged_dirs, new_parts, staged_stats = self._stage_partitioned(
             df, pcols, type_of
         )
+        staged_blooms = (
+            self._collect_blooms(df.sparkSession, staged_dirs)
+            if self.bloom_cols
+            else {}
+        )
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -738,6 +915,11 @@ class TxnTable:
                     stats[d] = s
             if stats:
                 manifest["stats"] = stats
+            carried_b = (snap or {}).get("blooms", {})
+            blooms = {d: carried_b[d] for d in files if d in carried_b}
+            blooms.update(staged_blooms)
+            if blooms:
+                manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
         self._discard_staged(staged)
@@ -833,6 +1015,10 @@ class TxnTable:
             kept_stats = {d: stats[d] for d in kept if d in stats}
             if kept_stats:
                 manifest["stats"] = kept_stats
+            prior_blooms = snap.get("blooms", {})
+            kept_blooms = {d: prior_blooms[d] for d in kept if d in prior_blooms}
+            if kept_blooms:
+                manifest["blooms"] = kept_blooms
             if self._try_commit(version, manifest):
                 return version
         raise CommitConflict(
@@ -907,6 +1093,11 @@ class TxnTable:
             if self.stats_cols
             else {}
         )
+        staged_blooms = (
+            self._collect_blooms(df.sparkSession, [staged])
+            if self.bloom_cols
+            else {}
+        )
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -955,6 +1146,11 @@ class TxnTable:
                 stats[staged] = staged_stats
             if stats:
                 manifest["stats"] = stats
+            carried_b = (snap or {}).get("blooms", {})
+            blooms = {d: carried_b[d] for d in files if d in carried_b}
+            blooms.update(staged_blooms)
+            if blooms:
+                manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
         self._discard_staged(staged)
@@ -1007,10 +1203,13 @@ class TxnTable:
                 raise ValueError(f"unsupported prune op {op!r} on {col!r}")
         manifest = self.snapshot(version)
         stats = manifest.get("stats", {})
+        blooms = manifest.get("blooms", {})
         kept: list[str] = []
         skipped: list[str] = []
         for rel in manifest["files"]:
-            if self._dir_may_match(stats.get(rel), predicates):
+            if self._dir_may_match(
+                stats.get(rel), predicates, blooms.get(rel)
+            ):
                 kept.append(rel)
             else:
                 skipped.append(rel)
@@ -1018,8 +1217,24 @@ class TxnTable:
 
     @classmethod
     def _dir_may_match(
-        cls, dir_stats: dict | None, predicates: list[tuple[str, str, object]]
+        cls,
+        dir_stats: dict | None,
+        predicates: list[tuple[str, str, object]],
+        dir_blooms: dict | None = None,
     ) -> bool:
+        # bloom proof first: an equality probe whose k bits are not all
+        # set cannot match any row, whatever the [min, max] range says
+        if dir_blooms:
+            for col, op, value in predicates:
+                entry = dir_blooms.get(col)
+                if (
+                    op == "="
+                    and entry is not None
+                    and isinstance(value, (int, str))
+                    and not isinstance(value, bool)
+                    and not cls._bloom_may_contain(entry, value)
+                ):
+                    return False
         if dir_stats is None:
             return True
         for col, op, value in predicates:
@@ -1176,6 +1391,9 @@ class TxnTable:
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats
+            blooms = self._commit_blooms(spark, snap, kept + [staged], [staged])
+            if blooms:
+                manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
             # lost the race: this staged rewrite was computed against a
@@ -1254,6 +1472,9 @@ class TxnTable:
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats
+            blooms = self._commit_blooms(spark, snap, kept + [staged], [staged])
+            if blooms:
+                manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
             self._discard_staged(staged)
@@ -1444,7 +1665,7 @@ class TxnTable:
                 "files": list(target["files"]),
                 "txns": dict(snap.get("txns", {})),
             }
-            for k in ("schema", "stats", "partition_by", "parts"):
+            for k in ("schema", "stats", "partition_by", "parts", "blooms"):
                 if target.get(k) is not None:
                     manifest[k] = target[k]
             if self._try_commit(new_version, manifest):
@@ -1557,6 +1778,11 @@ class TxnTable:
                 )
             if stats:
                 manifest["stats"] = stats
+            blooms = self._commit_blooms(
+                spark, snap, kept + staged_dirs, staged_dirs
+            )
+            if blooms:
+                manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
             self._discard_staged(staged)

@@ -911,3 +911,100 @@ def test_optimize_preserves_and_repairs_partition_layout(spark, tmp_path):
     # the metadata fast path works again
     assert t.drop_partitions([("seg", "=", "B")]) == v + 1
     assert t.read(spark).where("seg = 'B'").count() == 0
+
+
+# -- per-directory bloom filters (round 8) -----------------------------------
+
+
+def test_bloom_skips_dirs_ranges_cannot(spark, tmp_path):
+    """Interleaved appends make every directory span the whole key
+    range — [min, max] proves nothing — yet the bloom skips all but
+    the directory holding the probe, with zero false negatives."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable(
+        str(tmp_path / "t"),
+        stats_cols=("k",),
+        bloom_cols=("k",),
+        bloom_bits=32768,
+        bloom_k=5,
+    )
+    base = spark.range(400).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    for i in range(4):
+        t.write(base.filter(F.col("k") % 4 == i), mode="append" if i else "overwrite")
+    snap = t.snapshot()
+    assert set(snap["blooms"]) == set(snap["files"])
+    for e in (d["k"] for d in snap["blooms"].values()):
+        assert (e["m"], e["k"]) == (32768, 5) and e["b"]
+    # ranges overlap everywhere: stats-only pruning keeps all 4
+    stats_only = [
+        rel
+        for rel in snap["files"]
+        if TxnTable._dir_may_match(snap["stats"].get(rel), [("k", "=", 250)])
+    ]
+    assert len(stats_only) == 4
+    # bloom pruning keeps 1 and the read still finds the row
+    kept, skipped = t.prune([("k", "=", 250)])
+    assert (len(kept), len(skipped)) == (1, 3)
+    assert t.read_pruned(spark, [("k", "=", 250)]).where("k = 250").count() == 1
+    # no false negatives: every existing key's directory survives
+    for key in range(0, 400, 37):
+        assert t.read_pruned(spark, [("k", "=", key)]).where(
+            f"k = {key}"
+        ).count() == 1, key
+    # a missing key prunes everything (fpr ~5e-7 per dir at this sizing)
+    kept, _ = t.prune([("k", "=", 10_000)])
+    assert len(kept) <= 1
+    assert t.read_pruned(spark, [("k", "=", 10_000)]).where("k = 10000").count() == 0
+
+
+def test_bloom_lifecycle_and_guards(spark, tmp_path):
+    """Blooms survive merge/delete (fresh bitmap for the rewrite),
+    drop_partitions and restore (carried verbatim); probes use each
+    entry's RECORDED sizing, not the reader handle's; float columns
+    and string-typed probes of numeric columns stay loud/safe."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable(str(tmp_path / "t"), bloom_cols=("k",), bloom_bits=2048, bloom_k=3)
+    base = spark.range(200).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    t.write(base.filter("k < 100"), mode="overwrite")
+    t.write(base.filter("k >= 100"))
+    # a reader handle with DIFFERENT sizing still probes correctly
+    r = TxnTable(str(tmp_path / "t"))  # default 8192/5
+    kept, skipped = r.prune([("k", "=", 150)])
+    assert (len(kept), len(skipped)) == (1, 1)
+    # merge rewrite: fresh bloom for the staged dir, probe still exact
+    t.merge(spark, spark.createDataFrame([(150, "upd")], "k long, v string"), key="k")
+    kept, _ = t.prune([("k", "=", 150)])
+    assert len(kept) == 1
+    assert t.read_pruned(spark, [("k", "=", 150)]).where("k = 150").first().v == "upd"
+    # delete rewrite keeps blooms consistent (victim gone, rest probed)
+    t.delete(spark, "k = 42")
+    assert t.read_pruned(spark, [("k", "=", 42)]).where("k = 42").count() == 0
+    assert t.read_pruned(spark, [("k", "=", 43)]).where("k = 43").count() == 1
+    # restore carries bitmaps verbatim
+    v = t.latest_version()
+    t.restore(0)
+    assert "blooms" in t.snapshot()
+    assert t.read_pruned(spark, [("k", "=", 42)]).where("k = 42").count() == 1
+    # NULL-valued and non-(int|str) probes never consult the bloom
+    assert TxnTable._dir_may_match(None, [("k", "=", None)], t.snapshot()["blooms"][t.snapshot()["files"][0]])
+    # float bloom columns are rejected loudly at write time
+    t3 = TxnTable(str(tmp_path / "t3"), bloom_cols=("f",))
+    with pytest.raises(ValueError, match="non-integral"):
+        t3.write(spark.createDataFrame([(1.5,)], "f double"), mode="overwrite")
+
+
+def test_bloom_on_partitioned_table(spark, tmp_path):
+    """Partitioned staging measures one bloom per leaf; drop_partitions
+    carries the survivors' bitmaps."""
+    t = TxnTable(str(tmp_path / "t"), bloom_cols=("id",), bloom_bits=2048, bloom_k=3)
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    snap = t.snapshot()
+    assert set(snap["blooms"]) == set(snap["files"])
+    probe = [("id", "=", 3)]  # id 3 -> seg None partition only
+    kept, skipped = t.prune(probe)
+    assert (len(kept), len(skipped)) == (1, 2)
+    assert t.read_pruned(spark, probe).where("id = 3").count() == 1
+    t.drop_partitions([("seg", "=", "B")])
+    assert set(t.snapshot()["blooms"]) == set(t.snapshot()["files"])
