@@ -1856,12 +1856,16 @@ class TxnTable:
         removed = []
         for d in os.listdir(self.data_dir):
             rel = f"data/{d}"
-            # a clustered commit's manifest entries are SUBdirectories
-            # of one staged root (data/<uuid>/_range_bucket=k) — the
-            # root must survive while any subdirectory is live; GC is
-            # top-level-granular, so dead subdirs are reclaimed only
-            # when their whole root dies
-            if rel in live or any(e.startswith(rel + "/") for e in live):
+            # a clustered/partitioned commit's manifest entries are
+            # SUBdirectories of one staged root (data/<uuid>/k=v...) —
+            # the root survives while any subdirectory is live, but its
+            # DEAD leaves are reclaimed individually (without this, a
+            # drop_partitions'd leaf would leak for as long as any
+            # sibling stays referenced — i.e. forever)
+            if rel in live:
+                continue  # root directly referenced: all contents live
+            if any(e.startswith(rel + "/") for e in live):
+                removed += self._vacuum_dead_leaves(rel, live, cutoff)
                 continue
             full = os.path.join(self.data_dir, d)
             try:
@@ -1872,4 +1876,43 @@ class TxnTable:
             shutil.rmtree(full, ignore_errors=True)
             removed.append(rel)
         self.truncate_log(retain_versions)
+        return removed
+
+    def _vacuum_dead_leaves(
+        self, rel_root: str, live: set[str], cutoff: float
+    ) -> list[str]:
+        """Reclaim dead subtrees inside a partially-live staged root.
+        A published root never gains new leaves (every write stages a
+        FRESH uuid root), so any subdirectory that no retained manifest
+        references — and that is not an ancestor of one (multi-column
+        partitions) — is garbage; the mtime cutoff is kept for symmetry
+        with the top-level rule. Loose files at intermediate levels
+        (_SUCCESS markers) are left alone."""
+        import shutil
+
+        removed: list[str] = []
+        stack = [rel_root]
+        while stack:
+            cur = stack.pop()
+            try:
+                names = os.listdir(os.path.join(self.path, cur))
+            except FileNotFoundError:
+                continue
+            for name in names:
+                sub = f"{cur}/{name}"
+                full = os.path.join(self.path, sub)
+                if not os.path.isdir(full):
+                    continue
+                if sub in live:
+                    continue
+                if any(e.startswith(sub + "/") for e in live):
+                    stack.append(sub)
+                    continue
+                try:
+                    if os.stat(full).st_mtime > cutoff:
+                        continue
+                except FileNotFoundError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(sub)
         return removed

@@ -1008,3 +1008,31 @@ def test_bloom_on_partitioned_table(spark, tmp_path):
     assert t.read_pruned(spark, probe).where("id = 3").count() == 1
     t.drop_partitions([("seg", "=", "B")])
     assert set(t.snapshot()["blooms"]) == set(t.snapshot()["files"])
+
+
+def test_vacuum_reclaims_dead_leaves_in_live_roots(spark, tmp_path):
+    """A drop_partitions'd leaf must not leak forever just because a
+    sibling leaf keeps the staged root alive: vacuum reclaims dead
+    subtrees leaf-granularly while live siblings stay readable."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    snap0 = t.snapshot()
+    dropped_rel = next(
+        rel for rel, v in snap0["parts"].items() if v["seg"] == "B"
+    )
+    t.drop_partitions([("seg", "=", "B")])
+    assert os.path.isdir(os.path.join(t.path, dropped_rel))
+    removed = t.vacuum(retain_versions=1, retain_hours=0.0)
+    assert dropped_rel in removed
+    assert not os.path.isdir(os.path.join(t.path, dropped_rel))
+    # live sibling leaves survive and the table still reads
+    for rel in t.snapshot()["files"]:
+        assert os.path.isdir(os.path.join(t.path, rel)), rel
+    assert t.read(spark).count() == 20
+    assert {r.seg for r in t.read(spark).select("seg").distinct().collect()} == {
+        "A", None,
+    }
+    # the retention window protects young leaves the same way
+    t.drop_partitions([("seg", "is_null", None)])
+    assert t.vacuum(retain_versions=1, retain_hours=168.0) == []
+    assert t.read(spark).count() == 10
