@@ -162,3 +162,35 @@ def test_projection_follows_declared_schema_order(spark, tmp_path):
         lambda b, _: got.extend((r.v, r.id) for r in b.collect()),
     )
     assert got == [("g", 7)]
+
+
+def test_streams_partitioned_appends_and_rejects_drops(spark, tmp_path):
+    """Partitioned appends stream like any other commit (one input
+    partition per leaf parquet file; partition columns come from the
+    data, never path inference); a drop_partitions commit removes
+    directories, so the insert-only stream fails loudly without
+    ignoreChanges — a metadata delete is still a delete."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(10)]
+    pdf = spark.createDataFrame(rows, "id long, seg string, v string")
+    t.write_partitioned(pdf.where("id < 6"), ("seg",), mode="overwrite")
+    sdf = (
+        spark.readStream.format("txntable")
+        .schema("id long, seg string, v string")
+        .load(t.path)
+    )
+    ck = str(tmp_path / "ck")
+    got: list = []
+    _drain(sdf, ck, lambda b, _: got.extend((r.id, r.seg) for r in b.collect()))
+    assert sorted(r[0] for r in got) == list(range(6))
+    assert {r[1] for r in got} == {"A", "B"}
+    # incremental partitioned append: only the new leaves stream
+    t.write_partitioned(pdf.where("id >= 6"), ("seg",))
+    got2: list = []
+    _drain(sdf, ck, lambda b, _: got2.extend((r.id, r.seg) for r in b.collect()))
+    assert sorted(r[0] for r in got2) == list(range(6, 10))
+    # a partition drop breaks the insert-only contract, loudly
+    t.drop_partitions([("seg", "=", "B")])
+    with pytest.raises(Exception, match="insert-only stream"):
+        _drain(sdf, ck, lambda b, _: None)
