@@ -1036,3 +1036,66 @@ def test_vacuum_reclaims_dead_leaves_in_live_roots(spark, tmp_path):
     t.drop_partitions([("seg", "is_null", None)])
     assert t.vacuum(retain_versions=1, retain_hours=168.0) == []
     assert t.read(spark).count() == 10
+
+
+def test_multi_column_partitioning(spark, tmp_path):
+    """Two partition levels: exact values for both columns, conjunct
+    drops, leaf-granular vacuum descending THROUGH a live ancestor
+    level, and a racing partitioned append that rebases cleanly."""
+    t = TxnTable(str(tmp_path / "t"))
+    rows = [(i, ["A", "B"][i % 2], i % 3, f"r{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, seg string, bucket long, v string")
+    t.write_partitioned(df, ("seg", "bucket"), mode="overwrite")
+    snap = t.snapshot()
+    assert snap["partition_by"] == ["seg", "bucket"]
+    assert len(snap["files"]) == 6  # 2 segs x 3 buckets
+    assert {(v["seg"], v["bucket"]) for v in snap["parts"].values()} == {
+        (s, b) for s in ("A", "B") for b in (0, 1, 2)
+    }
+    # both columns prune independently and jointly
+    kept, _ = t.prune([("seg", "=", "A")])
+    assert len(kept) == 3
+    kept, _ = t.prune([("seg", "=", "A"), ("bucket", "=", 1)])
+    assert len(kept) == 1
+    # conjunct drop removes exactly one leaf, metadata-only
+    before = set(os.listdir(t.data_dir))
+    v1 = t.drop_partitions([("seg", "=", "A"), ("bucket", "=", 1)])
+    assert v1 == 1 and set(os.listdir(t.data_dir)) == before
+    assert t.read(spark).where("seg = 'A' AND bucket = 1").count() == 0
+    assert t.read(spark).count() == 50
+    # range drop over the second level composes with equality on the first
+    v2 = t.drop_partitions([("seg", "=", "B"), ("bucket", ">=", 1)])
+    assert v2 == 2 and len(t.snapshot()["files"]) == 3
+    # vacuum reclaims the nested dead leaves while their ANCESTOR
+    # level stays alive for the surviving sibling buckets
+    dead = set(t.snapshot(0)["files"]) - set(t.snapshot()["files"])
+    removed = set(t.vacuum(retain_versions=1, retain_hours=0.0))
+    assert dead <= removed
+    for rel in t.snapshot()["files"]:
+        assert os.path.isdir(os.path.join(t.path, rel)), rel
+    assert t.read(spark).count() == 30
+    # racing partitioned appends: the loser rebases, both land
+    real_try_commit = t._try_commit
+    stolen = {"done": False}
+
+    def stealing(version, manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            other = TxnTable(t.path)
+            extra = spark.createDataFrame(
+                [(100, "A", 0, "race")], "id long, seg string, bucket long, v string"
+            )
+            assert other.write_partitioned(extra, ("seg", "bucket")) == version
+        return real_try_commit(version, manifest)
+
+    t._try_commit = stealing
+    mine = spark.createDataFrame(
+        [(101, "B", 0, "mine")], "id long, seg string, bucket long, v string"
+    )
+    t.write_partitioned(mine, ("seg", "bucket"))
+    t._try_commit = real_try_commit
+    got = {r.id for r in t.read(spark).where("id >= 100").collect()}
+    assert got == {100, 101}
+    # both racers' parts landed in the final manifest
+    final = t.snapshot()
+    assert set(final["parts"]) == set(final["files"])
