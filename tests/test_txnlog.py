@@ -1099,3 +1099,26 @@ def test_multi_column_partitioning(spark, tmp_path):
     # both racers' parts landed in the final manifest
     final = t.snapshot()
     assert set(final["parts"]) == set(final["files"])
+
+
+def test_partition_values_roundtrip_hive_escaping(spark, tmp_path):
+    """String partition values containing hive-escaped characters
+    (space, '=', '/', '%', ':', tab, unicode) must round-trip from the
+    dir name back to the exact value — Spark escapes them %XX-style
+    (including '%' itself, so pre-escaped lookalikes cannot collide)
+    and _parse_part_value unquotes."""
+    vals = ["NORTH EAST", "a=b", "x/y", "50%", "a%3Db", "café", "q:r", "t\tb"]
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, seg string"
+    )
+    t.write_partitioned(df, ("seg",), mode="overwrite")
+    snap = t.snapshot()
+    assert sorted(v["seg"] for v in snap["parts"].values()) == sorted(vals)
+    for v in vals:
+        kept, skipped = t.prune([("seg", "=", v)])
+        assert (len(kept), len(skipped)) == (1, len(vals) - 1), v
+    # the lookalike pair stays distinct through a drop
+    assert t.drop_partitions([("seg", "=", "a=b")]) == 1
+    remaining = {r.seg for r in t.read(spark).select("seg").distinct().collect()}
+    assert "a=b" not in remaining and "a%3Db" in remaining
