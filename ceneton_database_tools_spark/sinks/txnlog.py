@@ -58,7 +58,11 @@ evolution (new nullable columns appended; old directories read them
 as NULL by name), and every historical version time-travels under
 its own schema. ``history()`` exposes the log as data and
 ``restore(v)`` rolls back AS A COMMIT — O(manifest), no data copied,
-the mistake stays time-travelable.
+the mistake stays time-travelable. Manifests carry the committer's
+wall clock, so ``read_as_of(ts)`` time-travels by TIMESTAMP, and
+CHECK constraints (``add_constraint``) ride the manifest as table
+policy — every write path validates its incoming rows in one agg job
+and fails loudly (``ConstraintViolation``) before committing.
 
 The reference has no table format at all — its single sink is one
 JDBC load (``sql.py:17-37``).
@@ -82,6 +86,12 @@ class SchemaMismatch(ValueError):
     committed schema and schema evolution was not requested — the loud
     failure that replaces Spark's silent union-by-position surprise
     when mismatched parquet files share one scan."""
+
+
+class ConstraintViolation(ValueError):
+    """Raised when incoming rows (or, for ``add_constraint``, existing
+    rows) violate a CHECK constraint — SQL semantics: only FALSE
+    violates, NULL passes. Nothing is committed."""
 
 
 class TxnTable:
@@ -429,6 +439,143 @@ class TxnTable:
                 return False
         return True
 
+    # -- CHECK constraints (table property, validated on every write) ------
+
+    def _carry_props(self, snap: dict | None, manifest: dict) -> None:
+        """Table-level properties (CHECK constraints) ride every
+        commit, like writer watermarks — a truncated log must still
+        know them, so they can never live outside the manifests."""
+        cons = (snap or {}).get("constraints")
+        if cons:
+            manifest["constraints"] = dict(cons)
+
+    @staticmethod
+    def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+        """ONE agg job counting violations of every pending CHECK over
+        the incoming rows (SQL semantics: only FALSE violates; NULL
+        passes). Raises :class:`ConstraintViolation` naming each
+        violated constraint with its row count — before anything
+        commits."""
+        from pyspark.sql import functions as F
+
+        if not constraints:
+            return
+        names = list(constraints)
+        row = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.expr(f"NOT coalesce(({constraints[n]}), TRUE)"), 1
+                    ).otherwise(0)
+                ).alias(f"__c_{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+        bad = {
+            n: int(row[f"__c_{i}"])
+            for i, n in enumerate(names)
+            if (row[f"__c_{i}"] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolation(
+                "CHECK constraint(s) violated by incoming rows: "
+                + "; ".join(
+                    f"{n}: {bad[n]} rows fail CHECK ({constraints[n]})"
+                    for n in sorted(bad)
+                )
+            )
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str, max_retries: int = 10
+    ) -> int | None:
+        """Add a CHECK constraint AS A COMMIT (Delta's ALTER TABLE ADD
+        CONSTRAINT): the whole current snapshot is validated first (one
+        pushed-down counting scan — existing violations fail loudly,
+        nothing commits), then the constraint lands in the manifest and
+        every subsequent write path validates its incoming rows against
+        it in one agg job before committing. Re-adding an identical
+        constraint is a no-op (``None``); a different expression under
+        the same name must be dropped first. Note ``restore``
+        republishes historical data AS-IS without re-validation
+        (Delta's behavior) — re-add the constraint to re-verify."""
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                raise FileNotFoundError(
+                    "cannot add a constraint to a table with no commits"
+                )
+            snap = self.snapshot(current)
+            cons = dict(snap.get("constraints", {}))
+            if cons.get(name) == expr:
+                return None
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists with a different "
+                    f"expression ({cons[name]!r}); drop_constraint first"
+                )
+            if snap["files"]:
+                n_bad = (
+                    self._read_dirs(spark, snap["files"], snap.get("schema"))
+                    .where(f"NOT coalesce(({expr}), TRUE)")
+                    .count()
+                )
+                if n_bad:
+                    raise ConstraintViolation(
+                        f"cannot add CHECK {name!r}: {n_bad} existing rows "
+                        f"fail ({expr})"
+                    )
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "add_constraint",
+                "files": list(snap["files"]),
+                "txns": dict(snap.get("txns", {})),
+            }
+            for k in ("schema", "stats", "blooms", "partition_by", "parts"):
+                if snap.get(k) is not None:
+                    manifest[k] = snap[k]
+            cons[name] = expr
+            manifest["constraints"] = cons
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} add-constraint races on {self.path}"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 10) -> int | None:
+        """Remove a CHECK constraint as a commit; ``None`` when the
+        name isn't present (no empty commit)."""
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                return None
+            snap = self.snapshot(current)
+            cons = dict(snap.get("constraints", {}))
+            if name not in cons:
+                return None
+            del cons[name]
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "drop_constraint",
+                "files": list(snap["files"]),
+                "txns": dict(snap.get("txns", {})),
+            }
+            for k in ("schema", "stats", "blooms", "partition_by", "parts"):
+                if snap.get(k) is not None:
+                    manifest[k] = snap[k]
+            if cons:
+                manifest["constraints"] = cons
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} drop-constraint races on {self.path}"
+        )
+
+    def constraints(self, version: int | None = None) -> dict:
+        """The CHECK constraints of a snapshot, ``{name: sql_expr}``."""
+        return dict(self.snapshot(version).get("constraints", {}))
+
     def _carry_layout(self, snap: dict, manifest: dict, files: list[str]) -> None:
         """Carry partition metadata onto a rewrite commit (merge /
         delete / optimize): the spec is a table property and survives;
@@ -442,11 +589,18 @@ class TxnTable:
         kept = {d: parts[d] for d in files if d in parts}
         if kept:
             manifest["parts"] = kept
+        self._carry_props(snap, manifest)
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``version``. The manifest is fully written
         to a tmp name first; link(2) then publishes complete content or
-        nothing — EEXIST means another writer won the version."""
+        nothing — EEXIST means another writer won the version. Every
+        manifest is stamped with the committer's wall clock (``ts``) —
+        best-effort across writers (clocks skew), which is why
+        :meth:`version_as_of` resolves conservatively."""
+        import time
+
+        manifest = {**manifest, "ts": time.time()}
         tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -502,6 +656,7 @@ class TxnTable:
             if self.bloom_cols
             else {}
         )
+        validated: set[str] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -513,6 +668,18 @@ class TxnTable:
                 # write_idempotent) — dropping them would let a replayed
                 # micro-batch double-land after an unrelated write
                 txns.update(snap.get("txns", {}))
+                pending = {
+                    k: e
+                    for k, e in snap.get("constraints", {}).items()
+                    if k not in validated
+                }
+                if pending:
+                    try:
+                        self._validate_constraints(df, pending)
+                    except ConstraintViolation:
+                        self._discard_staged(staged)
+                        raise
+                    validated.update(pending)
                 if mode == "append":
                     if snap.get("partition_by"):
                         self._discard_staged(staged)
@@ -541,6 +708,7 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
+            self._carry_props(snap, manifest)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             if staged_stats:
@@ -631,6 +799,7 @@ class TxnTable:
         staged_blooms = (
             self._collect_blooms(spark, staged_dirs) if self.bloom_cols else {}
         )
+        validated: set[str] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -639,6 +808,18 @@ class TxnTable:
             if current is not None:
                 snap = self.snapshot(current)
                 txns.update(snap.get("txns", {}))
+                pending = {
+                    k: e
+                    for k, e in snap.get("constraints", {}).items()
+                    if k not in validated
+                }
+                if pending:
+                    try:
+                        self._validate_constraints(df, pending)
+                    except ConstraintViolation:
+                        self._discard_staged(staged)
+                        raise
+                    validated.update(pending)
                 if mode == "append":
                     if snap.get("partition_by"):
                         self._discard_staged(staged)
@@ -667,6 +848,7 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
+            self._carry_props(snap, manifest)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             for d, s in staged_stats.items():
@@ -862,6 +1044,7 @@ class TxnTable:
             if self.bloom_cols
             else {}
         )
+        validated: set[str] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -871,6 +1054,18 @@ class TxnTable:
             if current is not None:
                 snap = self.snapshot(current)
                 txns.update(snap.get("txns", {}))
+                pending = {
+                    k: e
+                    for k, e in snap.get("constraints", {}).items()
+                    if k not in validated
+                }
+                if pending:
+                    try:
+                        self._validate_constraints(df, pending)
+                    except ConstraintViolation:
+                        self._discard_staged(staged)
+                        raise
+                    validated.update(pending)
                 if mode == "append":
                     prior_spec = tuple(snap.get("partition_by", ()))
                     if prior_spec != tuple(pcols):
@@ -908,6 +1103,7 @@ class TxnTable:
             }
             if parts:
                 manifest["parts"] = parts
+            self._carry_props(snap, manifest)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             for d, s in staged_stats.items():
@@ -1019,6 +1215,7 @@ class TxnTable:
             kept_blooms = {d: prior_blooms[d] for d in kept if d in prior_blooms}
             if kept_blooms:
                 manifest["blooms"] = kept_blooms
+            self._carry_props(snap, manifest)
             if self._try_commit(version, manifest):
                 return version
         raise CommitConflict(
@@ -1098,6 +1295,7 @@ class TxnTable:
             if self.bloom_cols
             else {}
         )
+        validated: set[str] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -1131,6 +1329,18 @@ class TxnTable:
                 except SchemaMismatch:
                     self._discard_staged(staged)
                     raise
+                pending = {
+                    k: e
+                    for k, e in snap.get("constraints", {}).items()
+                    if k not in validated
+                }
+                if pending:
+                    try:
+                        self._validate_constraints(df, pending)
+                    except ConstraintViolation:
+                        self._discard_staged(staged)
+                        raise
+                    validated.update(pending)
             txns[app_id] = txn_version
             version = 0 if current is None else current + 1
             manifest = {
@@ -1140,6 +1350,7 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
+            self._carry_props(snap, manifest)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             if staged_stats:
@@ -1327,6 +1538,7 @@ class TxnTable:
             )
         upd_schema = self._schema_of(updates)
         keys = updates.select(key).distinct()
+        validated: set[str] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             snap: dict | None = None
@@ -1341,6 +1553,16 @@ class TxnTable:
                 # loud up-front check, same rule as append: a MERGE
                 # never evolves the schema
                 self._evolve_schema(snap.get("schema"), upd_schema, False)
+                pending = {
+                    k: e
+                    for k, e in snap.get("constraints", {}).items()
+                    if k not in validated
+                }
+                if pending:
+                    # only the incoming rows need checking: surviving
+                    # target rows were validated when they landed
+                    self._validate_constraints(updates, pending)
+                    validated.update(pending)
                 target = self._read_dirs(
                     spark, snap["files"], snap.get("schema")
                 )
@@ -1622,12 +1844,44 @@ class TxnTable:
                 "op": m.get("op"),
                 "num_dirs": len(m["files"]),
             }
+            if m.get("ts") is not None:
+                row["ts"] = m["ts"]
             prev = manifests.get(v - 1)
             if prev is not None:
                 row["dirs_added"] = len(set(m["files"]) - set(prev["files"]))
                 row["dirs_removed"] = len(set(prev["files"]) - set(m["files"]))
             out.append(row)
         return out
+
+    def version_as_of(self, ts: float) -> int:
+        """The newest version committed AT OR BEFORE wall-clock ``ts``
+        (Delta's TIMESTAMP AS OF). Commit stamps are the committers'
+        clocks, so across skewed writers the mapping is best-effort;
+        resolution is conservative — the LAST version in log order
+        whose stamp is <= ts, so a laggard clock later in the log can
+        only widen, never shrink, what the timestamp sees. Raises if
+        every surviving manifest is newer than ``ts`` (or the history
+        below it was truncated away)."""
+        versions = sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+        pick = None
+        for v in versions:
+            if self.snapshot(v).get("ts", float("inf")) <= ts:
+                pick = v
+        if pick is None:
+            raise ValueError(
+                f"no committed version at or before ts={ts} "
+                f"(oldest surviving manifest is newer, or truncated)"
+            )
+        return pick
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time travel by TIMESTAMP: :meth:`read` at
+        :meth:`version_as_of`."""
+        return self.read(spark, self.version_as_of(ts))
 
     def restore(self, version: int, max_retries: int = 10) -> int | None:
         """Roll the table BACK to ``version`` — as a new commit, never
@@ -1668,6 +1922,10 @@ class TxnTable:
             for k in ("schema", "stats", "partition_by", "parts", "blooms"):
                 if target.get(k) is not None:
                     manifest[k] = target[k]
+            # constraints are CURRENT table policy, not part of the
+            # restored state — they carry from latest (the restored
+            # rows are NOT re-validated; Delta's RESTORE behavior)
+            self._carry_props(snap, manifest)
             if self._try_commit(new_version, manifest):
                 return new_version
         raise CommitConflict(f"lost {max_retries} restore races on {self.path}")

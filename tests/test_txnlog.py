@@ -1122,3 +1122,93 @@ def test_partition_values_roundtrip_hive_escaping(spark, tmp_path):
     assert t.drop_partitions([("seg", "=", "a=b")]) == 1
     remaining = {r.seg for r in t.read(spark).select("seg").distinct().collect()}
     assert "a=b" not in remaining and "a%3Db" in remaining
+
+
+# -- commit timestamps + CHECK constraints (round 8) --------------------------
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    ts0 = t.snapshot(0)["ts"]
+    time.sleep(0.05)
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    ts1 = t.snapshot(1)["ts"]
+    assert ts0 < ts1
+    assert t.version_as_of(ts0) == 0
+    assert t.version_as_of((ts0 + ts1) / 2) == 0
+    assert t.version_as_of(time.time()) == 1
+    assert sorted(r.id for r in t.read_as_of(spark, ts0).collect()) == [1]
+    assert sorted(r.id for r in t.read_as_of(spark, ts1).collect()) == [1, 2]
+    with pytest.raises(ValueError, match="no committed version"):
+        t.version_as_of(ts0 - 10)
+    # history surfaces the stamps, newest first
+    hist = t.history()
+    assert [h["ts"] for h in hist] == [ts1, ts0]
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    from ceneton_database_tools_spark.sinks.txnlog import ConstraintViolation
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    v = t.add_constraint(spark, "pos_id", "id > 0")
+    assert v == 1 and t.constraints() == {"pos_id": "id > 0"}
+    # re-adding identically is a no-op; a different expr is loud
+    assert t.add_constraint(spark, "pos_id", "id > 0") is None
+    with pytest.raises(ValueError, match="different"):
+        t.add_constraint(spark, "pos_id", "id >= 0")
+    # adding a constraint existing rows violate commits NOTHING
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t.add_constraint(spark, "big", "id > 100")
+    assert t.latest_version() == 1
+    # every write path validates incoming rows in one agg job
+    for attempt in (
+        lambda: t.write(_df(spark, [(-1, "x")]), mode="append"),
+        lambda: t.write(_df(spark, [(-1, "x")]), mode="overwrite"),
+        lambda: t.write_clustered(_df(spark, [(-1, "x")]), "id", buckets=2),
+        lambda: t.write_idempotent(_df(spark, [(-1, "x")]), "app", 0),
+        lambda: t.merge(spark, _df(spark, [(-1, "x")]), key="id"),
+    ):
+        with pytest.raises(ConstraintViolation, match="pos_id"):
+            attempt()
+        assert t.latest_version() == 1
+        assert _data_dirs(t) == _referenced(t)  # nothing staged leaked
+    # NULL passes (SQL CHECK semantics); valid rows land
+    t.write(
+        spark.createDataFrame([(None, "n"), (5, "e")], "id long, v string"),
+        mode="append",
+    )
+    assert t.read(spark).count() == 4
+    # the constraint rides rewrites and partition commits
+    t.delete(spark, "id = 2")
+    assert t.constraints() == {"pos_id": "id > 0"}
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark, _df(spark, [(-7, "x")]), key="id")
+    # drop, then the same write succeeds
+    assert t.drop_constraint("pos_id") is not None
+    assert t.drop_constraint("pos_id") is None
+    t.write(_df(spark, [(-1, "ok")]), mode="append")
+    assert t.read(spark).where("id = -1").count() == 1
+
+
+def test_constraints_on_partitioned_table(spark, tmp_path):
+    from ceneton_database_tools_spark.sinks.txnlog import ConstraintViolation
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    t.add_constraint(spark, "vshape", "v LIKE 'r%'")
+    with pytest.raises(ConstraintViolation, match="vshape"):
+        t.write_partitioned(
+            _pdf(spark, [(100, "A", "bad")]), ("seg",)
+        )
+    assert t.latest_version() == 1
+    assert _data_dirs(t) == {f.split("/")[1] for f in t.snapshot()["files"]}
+    t.write_partitioned(_pdf(spark, [(100, "A", "r100")]), ("seg",))
+    # metadata ops carry the policy
+    t.drop_partitions([("seg", "=", "B")])
+    assert t.constraints() == {"vshape": "v LIKE 'r%'"}
+    t.restore(1)
+    assert t.constraints() == {"vshape": "v LIKE 'r%'"}
