@@ -831,6 +831,126 @@ def txn_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_constraints_enforced",
+    # Closed-form statement of the final snapshot: the initial load
+    # plus ONLY the valid merge batch (balances bumped for the top-100
+    # keys); the violating batch must have committed nothing.
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name,
+             CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS bal,
+             c_acctbal AS raw
+      FROM customer
+    ),
+    topk AS (
+      SELECT c_custkey FROM base ORDER BY c_custkey DESC LIMIT 100
+    )
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey IN (SELECT c_custkey FROM topk)
+                THEN CAST(round(CAST(raw AS DECIMAL(18,6)) + 1, 2) AS DOUBLE)
+                ELSE bal END AS acctbal
+    FROM base
+    """,
+    tags=("txn", "constraints", "timestamp-travel", "acid"),
+)
+def txn_constraints_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS + TIMESTAMP TRAVEL through the txn log:
+    ``customer`` lands as v0, ``add_constraint`` commits the policy
+    ``c_custkey >= 0`` (v1) after validating the whole snapshot, a MERGE
+    batch containing a violating row (key -1) must raise and commit
+    NOTHING, and the corrected batch (top-100 keys, balance +1) lands
+    as v2. The oracle states the final snapshot in closed form — it
+    gates that the rejected batch truly left no trace and the valid
+    one fully landed.
+
+    SELF-CHECKS what the oracle can't see: (a) the violating merge
+    raises ``ConstraintViolation`` and leaves the version at v1 with
+    no orphaned staged directory; (b) an ``add_constraint`` that
+    existing rows violate also commits nothing; (c) TIMESTAMP travel —
+    ``read_as_of`` at v0's commit stamp reads the pre-merge balances;
+    (d) the policy survives the merge (``constraints()`` at v2);
+    (e) ``history()`` records the add_constraint op with its stamp."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import (
+        ConstraintViolation,
+        TxnTable,
+    )
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    raw = _t(spark, sf_dir, "customer")
+    topk = (
+        raw.orderBy(F.col("c_custkey").desc())
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.expr(
+                "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 1, 2) AS DOUBLE)"
+            ).alias("acctbal"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_cons_")
+    try:
+        table = TxnTable(work)
+        v0 = table.write(base, mode="overwrite")
+        ts0 = table.snapshot(v0)["ts"]
+        v1 = table.add_constraint(spark, "pos_key", "c_custkey >= 0")
+        if (v0, v1) != (0, 1):
+            raise AssertionError(f"unexpected versions {(v0, v1)}")
+        # (b) a policy existing rows violate commits nothing
+        try:
+            table.add_constraint(spark, "impossible", "c_custkey > 1000000000")
+            raise AssertionError("violated add_constraint did not raise")
+        except ConstraintViolation:
+            pass
+        # (a) a merge with one violating row commits NOTHING
+        bad = topk.unionByName(
+            topk.limit(1).withColumn("c_custkey", F.lit(-1).cast("bigint"))
+        )
+        try:
+            table.merge(spark, bad, key="c_custkey")
+            raise AssertionError("violating merge did not raise")
+        except ConstraintViolation:
+            pass
+        if table.latest_version() != 1:
+            raise AssertionError("rejected batch advanced the version")
+        disk = {d for d in os.listdir(table.data_dir)}
+        refs = {f.split("/")[1] for f in table.snapshot()["files"]}
+        if disk != refs:
+            raise AssertionError("rejected batch leaked a staged directory")
+        v2 = table.merge(spark, topk, key="c_custkey")
+        if v2 != 2:
+            raise AssertionError(f"valid merge landed at {v2}")
+        # (c) timestamp travel reads the pre-merge snapshot
+        n_pre = table.read_as_of(spark, ts0).count()
+        if n_pre != base.count():
+            raise AssertionError("read_as_of lost rows")
+        # (d) + (e): the policy and its history survive the merge
+        if table.constraints() != {"pos_key": "c_custkey >= 0"}:
+            raise AssertionError("policy lost across the merge")
+        hist = table.history()
+        if [h["op"] for h in hist] != ["merge", "add_constraint", "overwrite"]:
+            raise AssertionError(f"unexpected history {[h['op'] for h in hist]}")
+        if any("ts" not in h for h in hist):
+            raise AssertionError("history missing commit stamps")
+        result = table.read(spark)
+        _record_inner_plan("txn_constraints_enforced", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_bloom_point_lookup",
     # Closed-form point lookup: whatever directories the bloom pruned,
     # the surviving scan must return exactly the probed row. The probe
