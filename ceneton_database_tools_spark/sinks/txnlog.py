@@ -676,7 +676,11 @@ class TxnTable:
                 if pending:
                     try:
                         self._validate_constraints(df, pending)
-                    except ConstraintViolation:
+                    except Exception:
+                        # ConstraintViolation, or an AnalysisException
+                        # from a policy referencing columns this batch
+                        # lacks — either way the staged copy must not
+                        # leak on the way out
                         self._discard_staged(staged)
                         raise
                     validated.update(pending)
@@ -816,7 +820,11 @@ class TxnTable:
                 if pending:
                     try:
                         self._validate_constraints(df, pending)
-                    except ConstraintViolation:
+                    except Exception:
+                        # ConstraintViolation, or an AnalysisException
+                        # from a policy referencing columns this batch
+                        # lacks — either way the staged copy must not
+                        # leak on the way out
                         self._discard_staged(staged)
                         raise
                     validated.update(pending)
@@ -1062,7 +1070,11 @@ class TxnTable:
                 if pending:
                     try:
                         self._validate_constraints(df, pending)
-                    except ConstraintViolation:
+                    except Exception:
+                        # ConstraintViolation, or an AnalysisException
+                        # from a policy referencing columns this batch
+                        # lacks — either way the staged copy must not
+                        # leak on the way out
                         self._discard_staged(staged)
                         raise
                     validated.update(pending)
@@ -1337,7 +1349,11 @@ class TxnTable:
                 if pending:
                     try:
                         self._validate_constraints(df, pending)
-                    except ConstraintViolation:
+                    except Exception:
+                        # ConstraintViolation, or an AnalysisException
+                        # from a policy referencing columns this batch
+                        # lacks — either way the staged copy must not
+                        # leak on the way out
                         self._discard_staged(staged)
                         raise
                     validated.update(pending)

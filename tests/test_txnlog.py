@@ -1212,3 +1212,21 @@ def test_constraints_on_partitioned_table(spark, tmp_path):
     assert t.constraints() == {"vshape": "v LIKE 'r%'"}
     t.restore(1)
     assert t.constraints() == {"vshape": "v LIKE 'r%'"}
+
+
+def test_constraint_referencing_missing_column_leaks_nothing(spark, tmp_path):
+    """A policy whose expression a batch cannot analyze (evolved writer
+    omitting the column) must fail the write loudly AND discard the
+    staged copy — any exception on the validation path cleans up, not
+    just ConstraintViolation."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    t.add_constraint(spark, "vshape", "v IS NOT NULL")
+    with pytest.raises(Exception):
+        t.write(
+            spark.createDataFrame([(2,)], "id long"),
+            mode="append",
+            merge_schema=True,
+        )
+    assert t.latest_version() == 1
+    assert _data_dirs(t) == _referenced(t)
