@@ -442,12 +442,50 @@ class TxnTable:
     # -- CHECK constraints (table property, validated on every write) ------
 
     def _carry_props(self, snap: dict | None, manifest: dict) -> None:
-        """Table-level properties (CHECK constraints) ride every
-        commit, like writer watermarks — a truncated log must still
-        know them, so they can never live outside the manifests."""
+        """Table-level properties ride every commit, like writer
+        watermarks — a truncated log must still know them, so they can
+        never live outside the manifests: CHECK constraints verbatim,
+        and per-directory ROW COUNTS (carried for surviving
+        directories, filled from parquet footers — driver-side, zero
+        Spark jobs — for newly staged ones). The counts make
+        :meth:`count` an O(manifest) metadata answer and give the
+        change feed a cheap reconciliation cross-check."""
         cons = (snap or {}).get("constraints")
         if cons:
             manifest["constraints"] = dict(cons)
+        prior_rows = (snap or {}).get("rows", {})
+        rows = {
+            d: prior_rows[d] if d in prior_rows else self._dir_row_count(d)
+            for d in manifest["files"]
+        }
+        if rows:
+            manifest["rows"] = rows
+
+    def _dir_row_count(self, rel: str) -> int:
+        """Exact row count of one immutable data directory from its
+        parquet FOOTERS (the same place Delta's stats come from): no
+        Spark job, no data pages read — O(files) driver-side metadata
+        reads, paid once at commit time."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for dirpath, _, names in os.walk(os.path.join(self.path, rel)):
+            for f in names:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
+        return n
+
+    def count(self, version: int | None = None) -> int | None:
+        """The snapshot's row count straight from the manifest — zero
+        Spark jobs, O(directories). ``None`` for legacy manifests
+        committed before counts were recorded."""
+        m = self.snapshot(version)
+        rows = m.get("rows")
+        if rows is None or any(d not in rows for d in m["files"]):
+            return None
+        return sum(rows[d] for d in m["files"])
 
     @staticmethod
     def _validate_constraints(df: DataFrame, constraints: dict) -> None:
@@ -534,6 +572,7 @@ class TxnTable:
             for k in ("schema", "stats", "blooms", "partition_by", "parts"):
                 if snap.get(k) is not None:
                     manifest[k] = snap[k]
+            self._carry_props(snap, manifest)
             cons[name] = expr
             manifest["constraints"] = cons
             if self._try_commit(version, manifest):
@@ -564,6 +603,8 @@ class TxnTable:
             for k in ("schema", "stats", "blooms", "partition_by", "parts"):
                 if snap.get(k) is not None:
                     manifest[k] = snap[k]
+            self._carry_props(snap, manifest)
+            manifest.pop("constraints", None)
             if cons:
                 manifest["constraints"] = cons
             if self._try_commit(version, manifest):
@@ -1506,6 +1547,33 @@ class TxnTable:
             spark, kept, self.snapshot(version).get("schema")
         )
 
+    _WHERE_OPS = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple[str, str, object]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """:meth:`read_pruned` with the residual row filter applied —
+        the one-call path, so a caller cannot forget that pruning is
+        one-sided (kept ⊇ matching) and serve the superset. The same
+        conjuncts prune directories from the manifest AND filter rows
+        in the surviving scan (where Spark pushes them into the parquet
+        reader)."""
+        from pyspark.sql import functions as F
+
+        df = self.read_pruned(spark, predicates, version)
+        for col, op, value in predicates:
+            df = df.where(self._WHERE_OPS[op](F.col(col), F.lit(value)))
+        return df
+
     # -- merge (the MERGE INTO shape, now with a real commit) --------------
 
     def merge(
@@ -1626,6 +1694,8 @@ class TxnTable:
             }
             if snap is not None:
                 self._carry_layout(snap, manifest, kept)
+            else:
+                self._carry_props(None, manifest)
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats

@@ -1230,3 +1230,109 @@ def test_constraint_referencing_missing_column_leaks_nothing(spark, tmp_path):
         )
     assert t.latest_version() == 1
     assert _data_dirs(t) == _referenced(t)
+
+
+# -- manifest row counts + read_where + cross-process race (round 8) ----------
+
+
+def test_manifest_row_counts_and_count(spark, tmp_path):
+    """Every commit records per-directory row counts from the parquet
+    footers — count() answers from the manifest with zero Spark jobs,
+    through every op shape."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(i, "x") for i in range(7)]), mode="overwrite")
+    assert t.count() == 7
+    t.write(_df(spark, [(10, "y"), (11, "z")]), mode="append")
+    assert t.count() == 9 and t.count(0) == 7
+    t.delete(spark, "id >= 10")
+    assert t.count() == 7
+    t.merge(spark, _df(spark, [(0, "upd"), (100, "ins")]), key="id")
+    assert t.count() == 8
+    t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
+    assert t.count() == 30
+    t.drop_partitions([("seg", "=", "B")])
+    assert t.count() == 20
+    t.optimize(spark)
+    assert t.count() == 20
+    t.restore(t.latest_version() - 2)
+    assert t.count() == 30
+    t.add_constraint(spark, "c", "id IS NOT NULL")
+    assert t.count() == 30
+    # reconciliation invariant: manifest count == actual scan count
+    assert t.count() == t.read(spark).count()
+
+
+def test_read_where_applies_residual_filter(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write_clustered(
+        _df(spark, [(i, f"r{i}") for i in range(100)]), "id", buckets=4
+    )
+    preds = [("id", ">=", 80), ("id", "<", 85)]
+    got = t.read_where(spark, preds)
+    assert sorted(r.id for r in got.collect()) == list(range(80, 85))
+    # strictly tighter than the pruned superset
+    assert t.read_pruned(spark, preds).count() >= got.count()
+    with pytest.raises(ValueError, match="unsupported"):
+        t.read_where(spark, [("id", "!=", 1)])
+
+
+def test_cross_process_commit_race(spark, tmp_path):
+    """The atomic-claim protocol is link(2), so it must hold across OS
+    PROCESSES, not just threads: N workers in separate interpreters
+    race pre-staged appends at the same version; every version is
+    claimed exactly once and every row lands exactly once."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(0, "seed")]), mode="overwrite")
+    # pre-stage one data directory per worker (Spark-free workers):
+    # each worker races the pure COMMIT protocol, which is the part
+    # that must be cross-process atomic
+    import shutil
+
+    src = os.path.join(t.path, t.snapshot(0)["files"][0])
+    staged = []
+    for i in range(6):
+        rel = f"data/worker{i}"
+        shutil.copytree(src, os.path.join(t.path, rel))
+        staged.append(rel)
+    worker = f"""
+import json, os, sys, uuid
+sys.path.insert(0, {_os.getcwd()!r})
+from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+t = TxnTable({t.path!r})
+rel = sys.argv[1]
+for _ in range(50):
+    cur = t.latest_version()
+    snap = t.snapshot(cur)
+    m = {{"version": cur + 1, "op": "append",
+         "files": list(snap["files"]) + [rel],
+         "txns": dict(snap.get("txns", {{}})), "schema": snap.get("schema")}}
+    t._carry_props(snap, m)
+    if t._try_commit(cur + 1, m):
+        print(cur + 1); break
+else:
+    sys.exit(3)
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, rel],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for rel in staged
+    ]
+    versions = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-500:]
+        versions.append(int(out.strip()))
+    # every worker won a DISTINCT version, contiguously after v0
+    assert sorted(versions) == list(range(1, 7))
+    # and the final snapshot carries every worker's directory once
+    final = t.snapshot()["files"]
+    assert len(final) == len(set(final)) == 7
+    assert t.count() == 7  # seed + 6 copies of the 1-row dir
