@@ -1932,6 +1932,9 @@ class TxnTable:
             }
             if m.get("ts") is not None:
                 row["ts"] = m["ts"]
+            rows_map = m.get("rows")
+            if rows_map is not None and all(d in rows_map for d in m["files"]):
+                row["num_rows"] = sum(rows_map[d] for d in m["files"])
             prev = manifests.get(v - 1)
             if prev is not None:
                 row["dirs_added"] = len(set(m["files"]) - set(prev["files"]))

@@ -1336,3 +1336,11 @@ else:
     final = t.snapshot()["files"]
     assert len(final) == len(set(final)) == 7
     assert t.count() == 7  # seed + 6 copies of the 1-row dir
+
+
+def test_history_reports_row_counts(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.delete(spark, "id = 1")
+    hist = t.history()
+    assert [h["num_rows"] for h in hist] == [1, 2]
