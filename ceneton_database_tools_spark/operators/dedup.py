@@ -166,7 +166,13 @@ def _near_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured ~2× cheaper on the text pipeline)."""
     docs = _docs(spark, sf_dir)
     assert_twin_headroom(docs, sf_dir)
-    toks = docs.select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
+    # NULL text never enters near-dup candidacy: a document with no
+    # readable content has no shingles and is a duplicate of nothing —
+    # without this filter the two engines diverge on which degenerate
+    # signature the NULL doc receives (round-8 NULL-text perturbation)
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(T.SPARK_TOKENS).alias("w")
+    )
     twins = toks.select(
         (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
         F.expr("slice(w, 2, greatest(size(w) - 1, 0))").alias("w"),
@@ -182,9 +188,11 @@ _DUCK_EXACT_CORPUS = f"""
 
 _DUCK_NEAR_CORPUS_TOKENS = f"""
     SELECT doc_id, {T.DUCK_TOKENS} AS w FROM documents
+    WHERE text IS NOT NULL
     UNION ALL
     SELECT doc_id + {TWIN_OFFSET}, list_slice({T.DUCK_TOKENS}, 2, len({T.DUCK_TOKENS}))
     FROM documents
+    WHERE text IS NOT NULL
 """
 
 

@@ -215,6 +215,7 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
              hex(encode(text))          AS h,
              octet_length(encode(text)) AS nb
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT
       doc_id,
@@ -236,9 +237,13 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over a binary column via Arrow-batched
     ``mapInPandas`` — the canonical multimodal UDF shape: JVM scan and
     filter first, Python only sees the binary payloads it must decode,
-    one Arrow transfer per batch (never per row)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    one Arrow transfer per batch (never per row). A NULL payload (the
+    missing/corrupt-blob shape) is dropped by a JVM prefilter — the
+    decoder never sees undecodable rows."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .where(F.col("payload").isNotNull())
     )
     return docs.mapInPandas(_extract_batches, schema=FEATURE_SCHEMA)
 
@@ -322,7 +327,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same worker with only the window slicing swapped out. Fan-out is
     bounded (≤4 frames/doc), so downstream partition sizes stay
     predictable at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # JVM prefilter: a NULL payload has no frames to sample — drop
+        # it in the scan so the Python worker never sees it (the
+        # oracle's length(text) > off excludes NULL the same way)
+        .where(F.col("text").isNotNull())
+    )
     return docs.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
 
 

@@ -210,15 +210,21 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_word_len = F.col("mean_word_len").between(2.5, 8.0)
     r_stopwords = F.col("n_stopwords") >= 2
     r_repetition = F.col("distinct_frac") >= 0.2
+
+    # when/otherwise, not a bare cast: a NULL-text document has NULL
+    # metrics, and a quality rule that cannot evaluate has FAILED (0),
+    # never NULL — the filter must make a keep/drop decision for every
+    # document (and the oracle's CASE ... ELSE 0 says the same)
+    def _rule(cond):
+        return F.when(cond, 1).otherwise(0)
+
     return feat.select(
         "*",
-        r_length.cast("int").alias("r_length"),
-        r_word_len.cast("int").alias("r_word_len"),
-        r_stopwords.cast("int").alias("r_stopwords"),
-        r_repetition.cast("int").alias("r_repetition"),
-        (r_length & r_word_len & r_stopwords & r_repetition)
-        .cast("int")
-        .alias("keep"),
+        _rule(r_length).alias("r_length"),
+        _rule(r_word_len).alias("r_word_len"),
+        _rule(r_stopwords).alias("r_stopwords"),
+        _rule(r_repetition).alias("r_repetition"),
+        _rule(r_length & r_word_len & r_stopwords & r_repetition).alias("keep"),
     )
 
 

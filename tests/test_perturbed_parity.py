@@ -240,6 +240,7 @@ def _perturb_documents(src: str, dst: str) -> None:
         ("spam " * 200).strip(),
         "a",
         "café naïve coöperate 中文文本测试",
+        None,  # round 8: NULL text — the shape a failed extraction emits
     ]
     extra = pd.DataFrame(
         {
@@ -247,7 +248,10 @@ def _perturb_documents(src: str, dst: str) -> None:
             "text": extra_texts,
             "lang": [langs[i % len(langs)] for i in range(len(extra_texts))],
             "source": [source] * len(extra_texts),
-            "n_chars": np.array([len(t) for t in extra_texts], dtype="int64"),
+            "n_chars": np.array(
+                [len(t) if t is not None else 0 for t in extra_texts],
+                dtype="int64",
+            ),
         }
     )
     pd.concat([docs, extra], ignore_index=True).to_parquet(dst, index=False)
