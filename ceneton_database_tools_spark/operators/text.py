@@ -222,8 +222,15 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     profiles AS (
+      -- lang IS NOT NULL: an unlabeled document cannot TRAIN a
+      -- profile (no label to learn); it is still scored and predicted.
+      -- Letting the NULL group train creates a NULL plang whose
+      -- tie-break ordering diverges between engines (Spark NULLS
+      -- FIRST vs DuckDB NULLS LAST) and conflates "predicted the
+      -- NULL-labeled language" with "no prediction" at the coalesce.
       SELECT lang AS plang, token
-      FROM (SELECT lang, token, count(*) AS n FROM toks GROUP BY lang, token)
+      FROM (SELECT lang, token, count(*) AS n FROM toks
+            WHERE lang IS NOT NULL GROUP BY lang, token)
       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) <= {PROFILE_SIZE}
     ),
     scores AS (
@@ -255,7 +262,13 @@ def text_langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _with_tokens(docs).select(
         "doc_id", "lang", F.explode(F.array_distinct("w")).alias("token")
     )
-    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    # unlabeled docs never train a profile (see the oracle note) —
+    # they are still scored and predicted below
+    counts = (
+        toks.where(F.col("lang").isNotNull())
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
     w_prof = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
     profiles = (
         counts.withColumn("rn", F.row_number().over(w_prof))

@@ -246,7 +246,12 @@ def _perturb_documents(src: str, dst: str) -> None:
         {
             "doc_id": np.arange(next_id, next_id + len(extra_texts), dtype="int64"),
             "text": extra_texts,
-            "lang": [langs[i % len(langs)] for i in range(len(extra_texts))],
+            # round 8: one NULL lang (the single-char doc) — unlabeled
+            # docs must not train the langid profile, only be predicted
+            "lang": [
+                None if i == 4 else langs[i % len(langs)]
+                for i in range(len(extra_texts))
+            ],
             "source": [source] * len(extra_texts),
             "n_chars": np.array(
                 [len(t) if t is not None else 0 for t in extra_texts],
