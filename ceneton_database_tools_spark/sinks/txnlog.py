@@ -208,8 +208,27 @@ class TxnTable:
             return new
         p_types = {f["name"]: f["type"] for f in prior["fields"]}
         n_types = {f["name"]: f["type"] for f in new["fields"]}
+        new_by_name = {f["name"]: f for f in new["fields"]}
+
+        def _widen(fields: list[dict]) -> list[dict]:
+            # nullability is part of the recorded truth: an incoming
+            # NULLABLE column landing where the prior schema claimed
+            # non-nullable widens the record (the directory may hold
+            # NULLs), and a column this writer OMITS reads as NULL in
+            # its directory, so it must widen too — otherwise the
+            # manifest advertises non-nullable over data that isn't
+            out = []
+            for f in fields:
+                nf = new_by_name.get(f["name"])
+                incoming_nullable = nf is None or nf.get("nullable", True)
+                if incoming_nullable and not f.get("nullable", True):
+                    out.append({**f, "nullable": True})
+                else:
+                    out.append(f)
+            return out
+
         if p_types == n_types:
-            return prior
+            return {**prior, "fields": _widen(prior["fields"])}
         retyped = sorted(
             n for n in p_types if n in n_types and p_types[n] != n_types[n]
         )
@@ -228,8 +247,7 @@ class TxnTable:
                 f"({[(n, p_types[n], n_types[n]) for n in retyped]}); "
                 "rewrite the table with mode='overwrite'"
             )
-        new_by_name = {f["name"]: f for f in new["fields"]}
-        evolved = list(prior["fields"]) + [
+        evolved = _widen(list(prior["fields"])) + [
             {**new_by_name[n], "nullable": True} for n in added
         ]
         return {**prior, "fields": evolved}
@@ -248,6 +266,23 @@ class TxnTable:
 
             reader = reader.schema(StructType.fromJson(schema))
         return reader.parquet(*[os.path.join(self.path, r) for r in rels])
+
+    def _stage_write(self, df: DataFrame) -> tuple[str, int]:
+        """Stage ``df`` as one immutable data directory and return
+        ``(rel, row_count)``. The count is OBSERVED on the staging job
+        itself (``df.observe`` — task-metric accumulation, zero extra
+        jobs), so the commit path never re-derives it with driver-side
+        footer walks: on an object store that walk is O(files)
+        sequential GETs holding up the commit."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        staged = f"data/{uuid.uuid4().hex}"
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(
+            os.path.join(self.path, staged)
+        )
+        return staged, int(obs.get["n"])
 
     def _discard_staged(self, staged: str) -> None:
         """Remove a staged-but-never-committed data directory. Called
@@ -345,9 +380,16 @@ class TxnTable:
 
     def _collect_blooms(self, spark: SparkSession, rels: list[str]) -> dict:
         """Bloom bitmaps for newly staged directories, built in ONE
-        Spark job over all of them: every distinct (dir, col, bit)
-        triple — bounded by dirs × cols × bloom_bits rows, never
-        O(rows) — folded driver-side into base64 bitmaps."""
+        Spark job over all of them and FOLDED ON EXECUTORS: each staged
+        directory's scan is tagged with its literal manifest key (never
+        re-derived from ``input_file_name()``, whose URI encoding
+        mangles hive-escaped names), the distinct (dir, col, bit)
+        triples — bounded by dirs × cols × bloom_bits rows — are
+        grouped per (dir, col), and ``applyInPandas`` emits ONE
+        finished ``bloom_bits/8``-byte bitmap per group. The driver
+        collects only dirs × cols bitmaps, so the build stays bounded
+        even at the docstring's recommended sizing (bloom_bits ≈ 16 ×
+        rows-per-directory), where the bit domain is O(rows)."""
         import base64
 
         from pyspark.sql import functions as F
@@ -363,45 +405,61 @@ class TxnTable:
         ]
         if not rels:
             return {}
-        df = spark.read.parquet(*[os.path.join(self.path, r) for r in rels])
-        types = dict(df.dtypes)
-        cols = [c for c in self.bloom_cols if c in types]
-        if not cols:
-            return {}
-        bad = [c for c in cols if types[c] not in self._BLOOM_DTYPES]
-        if bad:
-            raise ValueError(
-                f"bloom_cols {bad} have non-integral/non-string types "
-                f"({[types[c] for c in bad]}): the canonical-string hash "
-                "is only exact for integrals and strings"
-            )
-        dir_col = F.regexp_extract(
-            F.input_file_name(), r".*/(data/.+)/[^/]+$", 1
-        ).alias("__dir")
         piece = None
-        for c in cols:
-            p = (
-                df.where(F.col(c).isNotNull())
-                .select(
-                    dir_col,
-                    F.lit(c).alias("__col"),
-                    F.explode(F.expr(self._bloom_pos_expr(c))).alias("__pos"),
+        for rel in rels:
+            df = spark.read.parquet(os.path.join(self.path, rel))
+            types = dict(df.dtypes)
+            cols = [c for c in self.bloom_cols if c in types]
+            bad = [c for c in cols if types[c] not in self._BLOOM_DTYPES]
+            if bad:
+                raise ValueError(
+                    f"bloom_cols {bad} have non-integral/non-string types "
+                    f"({[types[c] for c in bad]}): the canonical-string hash "
+                    "is only exact for integrals and strings"
                 )
-            )
-            piece = p if piece is None else piece.unionByName(p)
-        acc: dict[tuple[str, str], bytearray] = {}
+            for c in cols:
+                p = (
+                    df.where(F.col(c).isNotNull())
+                    .select(
+                        F.lit(rel).alias("__dir"),
+                        F.lit(c).alias("__col"),
+                        F.explode(
+                            F.expr(self._bloom_pos_expr(c))
+                        ).alias("__pos"),
+                    )
+                )
+                piece = p if piece is None else piece.unionByName(p)
+        if piece is None:
+            return {}
         nbytes = (self.bloom_bits + 7) // 8
-        for r in piece.distinct().collect():
-            key = (r["__dir"], r["__col"])
-            bm = acc.get(key)
-            if bm is None:
-                bm = acc[key] = bytearray(nbytes)
-            pos = r["__pos"]
-            bm[pos // 8] |= 1 << (pos % 8)
+
+        def _fold(pdf):
+            import numpy as np
+            import pandas as pd
+
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            pos = pdf["__pos"].to_numpy()
+            np.bitwise_or.at(
+                bm, pos // 8, (1 << (pos % 8)).astype(np.uint8)
+            )
+            return pd.DataFrame(
+                {
+                    "__dir": [pdf["__dir"].iloc[0]],
+                    "__col": [pdf["__col"].iloc[0]],
+                    "__bm": [bm.tobytes()],
+                }
+            )
+
+        folded = (
+            piece.distinct()  # bounds each group at bloom_bits rows
+            .groupBy("__dir", "__col")
+            .applyInPandas(_fold, schema="__dir string, __col string, __bm binary")
+            .collect()  # dirs × cols rows, one finished bitmap each
+        )
         out: dict[str, dict] = {}
-        for (d, c), bm in acc.items():
-            out.setdefault(d, {})[c] = {
-                "b": base64.b64encode(bytes(bm)).decode("ascii"),
+        for r in folded:
+            out.setdefault(r["__dir"], {})[r["__col"]] = {
+                "b": base64.b64encode(bytes(r["__bm"])).decode("ascii"),
                 "m": self.bloom_bits,
                 "k": self.bloom_k,
             }
@@ -441,23 +499,38 @@ class TxnTable:
 
     # -- CHECK constraints (table property, validated on every write) ------
 
-    def _carry_props(self, snap: dict | None, manifest: dict) -> None:
+    def _carry_props(
+        self,
+        snap: dict | None,
+        manifest: dict,
+        new_rows: dict[str, int] | None = None,
+    ) -> None:
         """Table-level properties ride every commit, like writer
         watermarks — a truncated log must still know them, so they can
         never live outside the manifests: CHECK constraints verbatim,
-        and per-directory ROW COUNTS (carried for surviving
-        directories, filled from parquet footers — driver-side, zero
-        Spark jobs — for newly staged ones). The counts make
+        and per-directory ROW COUNTS. Surviving directories carry their
+        counts forward; newly staged ones arrive in ``new_rows``,
+        CAPTURED FROM THE STAGING JOB ITSELF (``Observation`` on the
+        write, or the per-leaf grouped agg) — never recounted. The
+        parquet-footer walk remains only as the fallback for legacy
+        directories no retained manifest ever counted: on an object
+        store, O(files) sequential driver-side GETs inside the commit
+        path is exactly the stall this avoids. The counts make
         :meth:`count` an O(manifest) metadata answer and give the
         change feed a cheap reconciliation cross-check."""
         cons = (snap or {}).get("constraints")
         if cons:
             manifest["constraints"] = dict(cons)
         prior_rows = (snap or {}).get("rows", {})
-        rows = {
-            d: prior_rows[d] if d in prior_rows else self._dir_row_count(d)
-            for d in manifest["files"]
-        }
+        new_rows = new_rows or {}
+        rows = {}
+        for d in manifest["files"]:
+            if d in prior_rows:
+                rows[d] = prior_rows[d]
+            elif d in new_rows:
+                rows[d] = int(new_rows[d])
+            else:
+                rows[d] = self._dir_row_count(d)
         if rows:
             manifest["rows"] = rows
 
@@ -617,7 +690,13 @@ class TxnTable:
         """The CHECK constraints of a snapshot, ``{name: sql_expr}``."""
         return dict(self.snapshot(version).get("constraints", {}))
 
-    def _carry_layout(self, snap: dict, manifest: dict, files: list[str]) -> None:
+    def _carry_layout(
+        self,
+        snap: dict,
+        manifest: dict,
+        files: list[str],
+        new_rows: dict[str, int] | None = None,
+    ) -> None:
         """Carry partition metadata onto a rewrite commit (merge /
         delete / optimize): the spec is a table property and survives;
         each surviving directory keeps its exact partition values
@@ -630,7 +709,7 @@ class TxnTable:
         kept = {d: parts[d] for d in files if d in parts}
         if kept:
             manifest["parts"] = kept
-        self._carry_props(snap, manifest)
+        self._carry_props(snap, manifest, new_rows)
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``version``. The manifest is fully written
@@ -685,8 +764,7 @@ class TxnTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         new_schema = self._schema_of(df)
-        staged = f"data/{uuid.uuid4().hex}"
-        df.write.parquet(os.path.join(self.path, staged))
+        staged, staged_n = self._stage_write(df)
         staged_stats = (
             self._collect_dir_stats(df.sparkSession, staged)
             if self.stats_cols
@@ -697,7 +775,7 @@ class TxnTable:
             if self.bloom_cols
             else {}
         )
-        validated: set[str] = set()
+        validated: set[tuple[str, str]] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -712,7 +790,10 @@ class TxnTable:
                 pending = {
                     k: e
                     for k, e in snap.get("constraints", {}).items()
-                    if k not in validated
+                    # keyed by (name, expr): a retry after a concurrent
+                    # drop+re-add under the same name must re-validate
+                    # the NEW expression, not skip it by name
+                    if (k, e) not in validated
                 }
                 if pending:
                     try:
@@ -724,7 +805,7 @@ class TxnTable:
                         # leak on the way out
                         self._discard_staged(staged)
                         raise
-                    validated.update(pending)
+                    validated.update(pending.items())
                 if mode == "append":
                     if snap.get("partition_by"):
                         self._discard_staged(staged)
@@ -753,7 +834,7 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
-            self._carry_props(snap, manifest)
+            self._carry_props(snap, manifest, {staged: staged_n})
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             if staged_stats:
@@ -818,23 +899,30 @@ class TxnTable:
         if not staged_dirs:  # empty input: stage root only
             staged_dirs = [staged]
         staged_stats: dict[str, dict] = {}
-        if self.stats_cols and staged_dirs != [staged]:
+        staged_rows: dict[str, int] = {}
+        if staged_dirs == [staged]:
+            staged_rows[staged] = 0
+        else:
             # ONE grouped agg over the staged root (partition inference
             # resurrects _range_bucket there) — ≤ buckets rows back,
-            # instead of one scan job per range directory
+            # instead of one scan job per range directory. Row counts
+            # always; min/max only when the table has stats columns.
             sdf = spark.read.parquet(os.path.join(self.path, staged))
             cols = [c for c in self.stats_cols if c in sdf.columns]
-            if cols:
-                rows = (
-                    sdf.groupBy("_range_bucket")
-                    .agg(
-                        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
-                        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
-                    )
-                    .collect()
+            rows = (
+                sdf.groupBy("_range_bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+                    *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
                 )
-                for r in rows:
-                    staged_stats[f"{staged}/_range_bucket={r['_range_bucket']}"] = {
+                .collect()
+            )
+            for r in rows:
+                rel = f"{staged}/_range_bucket={r['_range_bucket']}"
+                staged_rows[rel] = int(r["__n"])
+                if cols:
+                    staged_stats[rel] = {
                         c: [
                             self._json_stat(r[f"__lo_{i}"]),
                             self._json_stat(r[f"__hi_{i}"]),
@@ -844,7 +932,7 @@ class TxnTable:
         staged_blooms = (
             self._collect_blooms(spark, staged_dirs) if self.bloom_cols else {}
         )
-        validated: set[str] = set()
+        validated: set[tuple[str, str]] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -856,7 +944,10 @@ class TxnTable:
                 pending = {
                     k: e
                     for k, e in snap.get("constraints", {}).items()
-                    if k not in validated
+                    # keyed by (name, expr): a retry after a concurrent
+                    # drop+re-add under the same name must re-validate
+                    # the NEW expression, not skip it by name
+                    if (k, e) not in validated
                 }
                 if pending:
                     try:
@@ -868,7 +959,7 @@ class TxnTable:
                         # leak on the way out
                         self._discard_staged(staged)
                         raise
-                    validated.update(pending)
+                    validated.update(pending.items())
                 if mode == "append":
                     if snap.get("partition_by"):
                         self._discard_staged(staged)
@@ -897,7 +988,7 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
-            self._carry_props(snap, manifest)
+            self._carry_props(snap, manifest, staged_rows)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             for d, s in staged_stats.items():
@@ -987,10 +1078,12 @@ class TxnTable:
         if not staged_dirs:  # empty input: keep the bare root
             staged_dirs = [staged]
             new_parts = {}
-        # per-leaf stats: the exact [v, v] partition entries, plus one
-        # grouped agg for the stats columns, keyed back to the leaf by
-        # the str()-normalized partition tuple
+        # per-leaf stats: the exact [v, v] partition entries, plus ONE
+        # grouped agg for row counts (always) and the stats columns
+        # (when configured), keyed back to the leaf by the
+        # str()-normalized partition tuple
         staged_stats: dict[str, dict] = {}
+        staged_rows: dict[str, int] = {}
         scols = [c for c in self.stats_cols if c in df.columns and c not in pcols]
         if new_parts:
             by_tuple = {
@@ -1002,10 +1095,11 @@ class TxnTable:
             }
             rows = (
                 df.groupBy(*pcols).agg(
+                    F.count(F.lit(1)).alias("__n"),
                     *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(scols)],
                     *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(scols)],
                 )
-            ).collect() if scols else []
+            ).collect()
             for rel, vals in new_parts.items():
                 staged_stats[rel] = {
                     c: [self._json_stat(v), self._json_stat(v)]
@@ -1021,12 +1115,15 @@ class TxnTable:
                         f"partition tuple {key} has no staged directory "
                         f"(candidates: {sorted(by_tuple)})"
                     )
+                staged_rows[rel] = int(r["__n"])
                 for i, c in enumerate(scols):
                     staged_stats[rel][c] = [
                         self._json_stat(r[f"__lo_{i}"]),
                         self._json_stat(r[f"__hi_{i}"]),
                     ]
-        return staged, staged_dirs, new_parts, staged_stats
+        else:
+            staged_rows = {d: 0 for d in staged_dirs}
+        return staged, staged_dirs, new_parts, staged_stats, staged_rows
 
     def write_partitioned(
         self,
@@ -1085,15 +1182,26 @@ class TxnTable:
                 "supported (dir-name round-trip is inexact); cast to "
                 "string or decimal first"
             )
-        staged, staged_dirs, new_parts, staged_stats = self._stage_partitioned(
-            df, pcols, type_of
+        boolish = [c for c in pcols if type_of[c] == "boolean"]
+        if boolish:
+            # hive spells booleans 'true'/'false' in dir names while a
+            # Python probe stringifies to 'True' — the canonicalization
+            # mismatch would make drop_partitions/read_where probes
+            # silently miss (or falsely prune) the matching directory
+            raise ValueError(
+                f"boolean partition columns {boolish} are not supported "
+                "(hive dir-name spelling 'true'/'false' does not "
+                "round-trip probe values); cast to string or int first"
+            )
+        staged, staged_dirs, new_parts, staged_stats, staged_rows = (
+            self._stage_partitioned(df, pcols, type_of)
         )
         staged_blooms = (
             self._collect_blooms(df.sparkSession, staged_dirs)
             if self.bloom_cols
             else {}
         )
-        validated: set[str] = set()
+        validated: set[tuple[str, str]] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -1106,7 +1214,10 @@ class TxnTable:
                 pending = {
                     k: e
                     for k, e in snap.get("constraints", {}).items()
-                    if k not in validated
+                    # keyed by (name, expr): a retry after a concurrent
+                    # drop+re-add under the same name must re-validate
+                    # the NEW expression, not skip it by name
+                    if (k, e) not in validated
                 }
                 if pending:
                     try:
@@ -1118,7 +1229,7 @@ class TxnTable:
                         # leak on the way out
                         self._discard_staged(staged)
                         raise
-                    validated.update(pending)
+                    validated.update(pending.items())
                 if mode == "append":
                     prior_spec = tuple(snap.get("partition_by", ()))
                     if prior_spec != tuple(pcols):
@@ -1156,7 +1267,7 @@ class TxnTable:
             }
             if parts:
                 manifest["parts"] = parts
-            self._carry_props(snap, manifest)
+            self._carry_props(snap, manifest, staged_rows)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             for d, s in staged_stats.items():
@@ -1336,8 +1447,7 @@ class TxnTable:
             if seen is not None and txn_version <= seen:
                 return None
         new_schema = self._schema_of(df)
-        staged = f"data/{uuid.uuid4().hex}"
-        df.write.parquet(os.path.join(self.path, staged))
+        staged, staged_n = self._stage_write(df)
         staged_stats = (
             self._collect_dir_stats(df.sparkSession, staged)
             if self.stats_cols
@@ -1348,7 +1458,7 @@ class TxnTable:
             if self.bloom_cols
             else {}
         )
-        validated: set[str] = set()
+        validated: set[tuple[str, str]] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -1385,7 +1495,10 @@ class TxnTable:
                 pending = {
                     k: e
                     for k, e in snap.get("constraints", {}).items()
-                    if k not in validated
+                    # keyed by (name, expr): a retry after a concurrent
+                    # drop+re-add under the same name must re-validate
+                    # the NEW expression, not skip it by name
+                    if (k, e) not in validated
                 }
                 if pending:
                     try:
@@ -1397,7 +1510,7 @@ class TxnTable:
                         # leak on the way out
                         self._discard_staged(staged)
                         raise
-                    validated.update(pending)
+                    validated.update(pending.items())
             txns[app_id] = txn_version
             version = 0 if current is None else current + 1
             manifest = {
@@ -1407,7 +1520,7 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
-            self._carry_props(snap, manifest)
+            self._carry_props(snap, manifest, {staged: staged_n})
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             if staged_stats:
@@ -1608,21 +1721,33 @@ class TxnTable:
         bounded agg job (2 scalars) checks both."""
         from pyspark.sql import functions as F
 
-        n_rows, n_keys = updates.agg(
-            F.count(F.lit(1)), F.count_distinct(F.col(key))
+        n_rows, n_nonnull, n_keys = updates.agg(
+            F.count(F.lit(1)),
+            F.count(F.col(key)),
+            F.count_distinct(F.col(key)),
         ).first()
         if n_rows == 0:
             return None
-        if n_keys != n_rows:
+        if n_nonnull != n_rows:
+            # named explicitly: a NULL key never matches the semi/anti
+            # joins, so such a row would silently RE-INSERT on every
+            # merge — the real hazard a count-vs-count_distinct check
+            # would have misreported as "duplicate keys"
+            raise ValueError(
+                f"updates carry {n_rows - n_nonnull} NULL {key!r} "
+                "value(s): a NULL merge key matches nothing and would "
+                "re-insert on every merge — filter or key-fill them first"
+            )
+        if n_keys != n_nonnull:
             raise ValueError(
                 f"updates carry duplicate {key!r} values "
-                f"({n_rows} rows, {n_keys} distinct keys): an upsert with "
-                "two rows per key is ambiguous and would break the "
+                f"({n_nonnull} rows, {n_keys} distinct keys): an upsert "
+                "with two rows per key is ambiguous and would break the "
                 "key-unique snapshot invariant — pre-aggregate the updates"
             )
         upd_schema = self._schema_of(updates)
         keys = updates.select(key).distinct()
-        validated: set[str] = set()
+        validated: set[tuple[str, str]] = set()
         for _ in range(max_retries):
             current = self.latest_version()
             snap: dict | None = None
@@ -1640,13 +1765,16 @@ class TxnTable:
                 pending = {
                     k: e
                     for k, e in snap.get("constraints", {}).items()
-                    if k not in validated
+                    # keyed by (name, expr): a retry after a concurrent
+                    # drop+re-add under the same name must re-validate
+                    # the NEW expression, not skip it by name
+                    if (k, e) not in validated
                 }
                 if pending:
                     # only the incoming rows need checking: surviving
                     # target rows were validated when they landed
                     self._validate_constraints(updates, pending)
-                    validated.update(pending)
+                    validated.update(pending.items())
                 target = self._read_dirs(
                     spark, snap["files"], snap.get("schema")
                 )
@@ -1656,8 +1784,14 @@ class TxnTable:
                 # matching files — O(directories with matches) rows back.
                 # input_file_name() must be projected AT SCAN TIME: after
                 # a shuffle (sort-merge join) it evaluates to "".
+                # input_file_name() is URI-encoded ('%'->'%25' on
+                # hive-escaped names); unquote once to recover the
+                # on-disk manifest key — bounded driver work, the set
+                # is O(directories with matches)
+                from urllib.parse import unquote
+
                 hit_dirs = {
-                    r.d
+                    unquote(r.d)
                     for r in (
                         target.select(
                             key,
@@ -1682,8 +1816,7 @@ class TxnTable:
                     # insert-only merge: nothing rewritten, pure append
                     merged = updates
                 txns = dict(snap.get("txns", {}))
-            staged = f"data/{uuid.uuid4().hex}"
-            merged.write.parquet(os.path.join(self.path, staged))
+            staged, staged_n = self._stage_write(merged)
             version = 0 if current is None else current + 1
             manifest = {
                 "version": version,
@@ -1693,9 +1826,9 @@ class TxnTable:
                 "schema": schema,
             }
             if snap is not None:
-                self._carry_layout(snap, manifest, kept)
+                self._carry_layout(snap, manifest, kept, {staged: staged_n})
             else:
-                self._carry_props(None, manifest)
+                self._carry_props(None, manifest, {staged: staged_n})
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats
@@ -1743,8 +1876,12 @@ class TxnTable:
             # push the predicate into a single scan and aggregate the
             # distinct "data/<uuid>" parents of matching files — result
             # size is O(directories with victims), never O(rows)
+            from urllib.parse import unquote
+
             hit_dirs = {
-                r.d
+                # unquote: input_file_name() is URI-encoded, manifest
+                # keys are on-disk names (hive-escaped dirs differ)
+                unquote(r.d)
                 for r in (
                     self._read_dirs(spark, snap["files"], snap.get("schema"))
                     .where(predicate)
@@ -1765,8 +1902,7 @@ class TxnTable:
                 self._read_dirs(spark, touched, snap.get("schema"))
                 .where(f"NOT coalesce(({predicate}), FALSE)")
             )
-            staged = f"data/{uuid.uuid4().hex}"
-            survivors.write.parquet(os.path.join(self.path, staged))
+            staged, staged_n = self._stage_write(survivors)
             version = current + 1
             manifest = {
                 "version": version,
@@ -1776,7 +1912,7 @@ class TxnTable:
             }
             if snap.get("schema") is not None:
                 manifest["schema"] = snap["schema"]
-            self._carry_layout(snap, manifest, kept)
+            self._carry_layout(snap, manifest, kept, {staged: staged_n})
             stats = self._commit_stats(spark, snap, kept + [staged], [staged])
             if stats:
                 manifest["stats"] = stats
@@ -2096,13 +2232,13 @@ class TxnTable:
                 # without them, REPAIRING drop_partitions' proof.
                 schema = snap.get("schema") or self._schema_of(picked_df)
                 type_of = {f["name"]: f["type"] for f in schema["fields"]}
-                staged, staged_dirs, new_parts, staged_stats = (
+                staged, staged_dirs, new_parts, staged_stats, staged_rows = (
                     self._stage_partitioned(picked_df, spec, type_of)
                 )
             else:
-                staged = f"data/{uuid.uuid4().hex}"
-                picked_df.write.parquet(os.path.join(self.path, staged))
+                staged, staged_n = self._stage_write(picked_df)
                 staged_dirs, new_parts, staged_stats = [staged], {}, {}
+                staged_rows = {staged: staged_n}
             version = current + 1
             manifest = {
                 "version": version,
@@ -2112,7 +2248,7 @@ class TxnTable:
             }
             if snap.get("schema") is not None:
                 manifest["schema"] = snap["schema"]
-            self._carry_layout(snap, manifest, kept)
+            self._carry_layout(snap, manifest, kept, staged_rows)
             if new_parts:
                 manifest["parts"] = {**manifest.get("parts", {}), **new_parts}
             if spec:

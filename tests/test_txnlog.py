@@ -1344,3 +1344,180 @@ def test_history_reports_row_counts(spark, tmp_path):
     t.delete(spark, "id = 1")
     hist = t.history()
     assert [h["num_rows"] for h in hist] == [1, 2]
+
+
+# -- round 9: executor-side blooms, observed counts, edge hardening ------
+
+
+def test_bloom_build_collects_only_bitmaps(spark, tmp_path, monkeypatch):
+    """At the docstring's recommended sizing bloom_bits is O(rows), so
+    the index build must never collect the (dir, col, bit) triples to
+    the driver — only dirs x cols finished bitmaps. Intercept every
+    DataFrame.collect during the commit and bound its row count."""
+    df_cls = type(spark.range(1))  # the concrete (classic) DataFrame
+    sizes = []
+    real_collect = df_cls.collect
+
+    def spy(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(df_cls, "collect", spy)
+    t = TxnTable(str(tmp_path / "t"), bloom_cols=("id",), bloom_bits=1 << 20)
+    df = spark.range(0, 5000).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df, mode="overwrite")
+    # 1 dir x 1 bloom col -> every driver-side collect in the commit
+    # path is bounded by dirs x cols (the fold output), never O(bits)
+    assert sizes, "expected at least the bloom-fold collect"
+    assert max(sizes) <= 1
+    # and the index actually skips: a present key keeps the dir, an
+    # absent key prunes it
+    kept, skipped = t.prune([("id", "=", 4999)])
+    assert (len(kept), len(skipped)) == (1, 0)
+    kept, skipped = t.prune([("id", "=", 10**9)])
+    assert (len(kept), len(skipped)) == (0, 1)
+
+
+def test_commit_row_counts_skip_driver_footer_walk(spark, tmp_path, monkeypatch):
+    """Every first-party write path must record row counts from its own
+    staging job — the parquet-footer walk is a legacy fallback only.
+    Poison it and run the full write/rewrite surface."""
+    monkeypatch.setattr(
+        TxnTable,
+        "_dir_row_count",
+        lambda self, rel: (_ for _ in ()).throw(
+            AssertionError(f"driver-side footer walk on {rel}")
+        ),
+    )
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df, mode="overwrite")
+    assert t.count() == 100
+    t.write(df.where("id < 10"), mode="append")
+    assert t.count() == 110
+    t.delete(spark, "id = 5")  # COW rewrite of both touched dirs
+    assert t.count() == 108
+    t.merge(spark, df.where("id = 5"), key="id")  # re-insert the victim
+    assert t.count() == 109
+    t.optimize(spark)
+    assert t.count() == 109
+
+    t2 = TxnTable(str(tmp_path / "t2"), stats_cols=("id",))
+    t2.write_clustered(df, cluster_by="id", buckets=4, mode="overwrite")
+    assert t2.count() == 100
+
+    t3 = TxnTable(str(tmp_path / "t3"))
+    t3.write_partitioned(
+        df.selectExpr("id", "CAST(id % 3 AS INT) AS p"), ("p",),
+        mode="overwrite",
+    )
+    assert t3.count() == 100
+    t3.drop_partitions([("p", "=", 0)])
+    assert t3.count() == 66
+
+
+def test_boolean_partition_columns_rejected(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 4).selectExpr("id", "id % 2 = 0 AS flag")
+    with pytest.raises(ValueError, match="boolean partition"):
+        t.write_partitioned(df, ("flag",), mode="overwrite")
+
+
+def test_merge_null_keys_raise_named_error(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    upd = spark.createDataFrame([(None, "x"), (2, "y")], "id long, v string")
+    with pytest.raises(ValueError, match="NULL 'id'"):
+        t.merge(spark, upd, key="id")
+    # distinct-count check is over NON-NULL keys: otherwise this
+    # unambiguous batch would be misreported as "duplicate keys"
+
+
+def test_constraint_retry_revalidates_changed_expression(spark, tmp_path):
+    """A commit retry must re-validate a constraint whose NAME survived
+    but whose EXPRESSION changed under it (concurrent drop + re-add):
+    the validated set is keyed by (name, expr), not name."""
+    from ceneton_database_tools_spark.sinks.txnlog import ConstraintViolation
+
+    path = str(tmp_path / "t")
+    t = TxnTable(path)
+    t.write(spark.createDataFrame([(500, "a")], "id long, v string"),
+            mode="overwrite")
+    t.add_constraint(spark, "c_pos", "id > 0")
+
+    raced = {"done": False}
+    real = TxnTable._try_commit
+
+    def steal_once(self, version, manifest):
+        if not raced["done"] and manifest.get("op") == "append":
+            raced["done"] = True
+            other = TxnTable(path)
+            other.drop_constraint("c_pos")
+            other.add_constraint(spark, "c_pos", "id > 100")
+            return False  # this writer lost the race; it must rebase
+        return real(self, version, manifest)
+
+    TxnTable._try_commit = steal_once
+    try:
+        # batch passes "id > 0" (validated pre-race) but violates the
+        # re-added "id > 100" — the rebase must catch it
+        with pytest.raises(ConstraintViolation, match="id > 100"):
+            t.write(
+                spark.createDataFrame([(50, "b")], "id long, v string"),
+                mode="append",
+            )
+    finally:
+        TxnTable._try_commit = real
+
+
+def test_escaped_partition_values_round_trip(spark, tmp_path):
+    """Partition values hive-escapes in dir names ('a b' -> 'a%20b')
+    must still: carry exact manifest values, prune, row-level delete
+    (the input_file_name probe is URI-encoded and needs unquoting),
+    and build non-orphaned bloom entries."""
+    t = TxnTable(str(tmp_path / "t"), bloom_cols=("id",))
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c%d"), (4, "plain")],
+        "id long, grp string",
+    )
+    t.write_partitioned(df, ("grp",), mode="overwrite")
+    snap = t.snapshot()
+    vals = sorted(v["grp"] for v in snap["parts"].values())
+    assert vals == ["a b", "c%d", "plain"]
+    # blooms are keyed by the manifest rel (no orphaned entries)
+    assert set(snap.get("blooms", {})) <= set(snap["files"])
+    kept, _ = t.prune([("id", "=", 3)])
+    assert len(kept) == 1 and "c%25d" in kept[0]
+    # row-level delete inside an escaped directory: the probe must map
+    # the URI-encoded file name back to the on-disk manifest key
+    t.delete(spark, "id = 1")
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 4]
+    assert t.count() == 3
+
+
+def test_schema_nullability_widens_on_append(spark, tmp_path):
+    """An append of nullable data into a column recorded non-nullable
+    widens the recorded schema — the manifest must never claim
+    non-nullable over directories that may hold NULLs."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    strict = StructType([
+        StructField("id", LongType(), nullable=False),
+        StructField("v", StringType(), nullable=False),
+    ])
+    loose = StructType([
+        StructField("id", LongType(), nullable=False),
+        StructField("v", StringType(), nullable=True),
+    ])
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a")], strict), mode="overwrite")
+    rec = {f["name"]: f["nullable"] for f in t.snapshot()["schema"]["fields"]}
+    assert rec == {"id": False, "v": False}
+    t.write(spark.createDataFrame([(2, None)], loose), mode="append")
+    rec = {f["name"]: f["nullable"] for f in t.snapshot()["schema"]["fields"]}
+    assert rec == {"id": False, "v": True}
+    # and the widened snapshot reads the NULL back
+    assert sorted(
+        (r.id, r.v) for r in t.read(spark).collect()
+    ) == [(1, "a"), (2, None)]
