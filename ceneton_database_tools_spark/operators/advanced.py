@@ -1334,6 +1334,167 @@ def txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "txn_delete_dv",
+    # Closed-form survivor set: equality holds only if the tombstones
+    # hit exactly the predicate's rows and reads merge them out.
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_custkey % 97 <> 0
+    """,
+    tags=("txn", "deletion-vectors", "merge-on-read", "acid"),
+)
+def txn_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE (deletion vectors): ``customer`` lands as
+    two append commits, then ``delete_dv`` tombstones the ``% 97``
+    keys — committing O(deleted rows) sidecar bytes and ZERO data
+    rewrites (the manifest's file list is byte-identical). Reads
+    anti-join the tombstones out; the pre-delete snapshot still time
+    travels with every row. At 100 TB this is the difference between a
+    point GDPR delete costing one tiny parquet file and costing a
+    directory rewrite (:meth:`delete`'s copy-on-write, which remains
+    the right call for bulk predicates).
+
+    SELF-CHECKS what the oracle can't see: (a) no data directory was
+    rewritten (file list unchanged across the delete); (b) the
+    tombstone accounting matches the deleted row count and ``count()``
+    stays an O(manifest) metadata answer; (c) the pre-delete version
+    still reads the victims; (d) re-deleting the same predicate
+    matches nothing (the probe reads the LIVE view)."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_dv_")
+    try:
+        table = TxnTable(work)
+        table.write(base.filter(F.col("c_custkey") % 2 == 0), mode="overwrite")
+        table.write(base.filter(F.col("c_custkey") % 2 == 1), mode="append")
+        n_total = table.count()
+        files_before = list(table.snapshot()["files"])
+        table.delete_dv(spark, "c_custkey % 97 = 0")
+        snap = table.snapshot()
+        # (a) merge-on-read: zero rewrites
+        if snap["files"] != files_before:
+            raise AssertionError("delete_dv rewrote data directories")
+        # (b) tombstone accounting == deleted rows; count is metadata
+        n_deleted = sum(snap["dv_rows"].values())
+        if table.count() != n_total - n_deleted:
+            raise AssertionError("manifest count drifted from tombstones")
+        # (c) time travel still reads the victims
+        if table.read(spark, 1).where("c_custkey % 97 = 0").count() != n_deleted:
+            raise AssertionError("pre-delete snapshot lost the victims")
+        # (d) live probe: nothing left to delete
+        if table.delete_dv(spark, "c_custkey % 97 = 0") is not None:
+            raise AssertionError("re-delete matched tombstoned rows")
+        result = table.read(spark)
+        _record_inner_plan("txn_delete_dv", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "txn_batch_source_pruned",
+    # Closed-form top-of-range slice: both engines derive the probe the
+    # same way (max key - 24), so equality gates the whole pushdown
+    # chain — Catalyst filter -> pushFilters -> manifest prune -> scan.
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_custkey >= (SELECT max(c_custkey) FROM customer) - 24
+    """,
+    tags=("txn", "datasource", "pushdown", "pruning"),
+)
+def txn_batch_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BATCH FACE of the txn table with CATALYST PUSHDOWN:
+    ``customer`` lands as one ``write_clustered`` commit (8
+    range-disjoint directories with [min, max] key stats), and the
+    query is plain ``spark.read.format("txntable")...where(...)`` —
+    no hand-built predicate tuples. Catalyst pushes the filter into
+    the Python DataSource (``pushFilters``), planning prunes every
+    directory whose recorded range cannot match BEFORE the scan
+    exists, and Spark re-applies the filter because pruning is a
+    one-sided proof (kept ⊇ matching). At 100 TB this is a range
+    query reading one commit's worth of files from the main SQL
+    surface, not a full-table scan. Pruning rides
+    ``.option("pushdown", "true")`` — Spark 4.1 caches ONE partition
+    plan per relation unkeyed by pushed filters, so filter-dependent
+    planning is only sound for a single-use load(); the option is
+    that declaration, and the default never prunes (reuse-proof —
+    see ``sources/txn_stream.py:TxnTableBatchReader``).
+
+    SELF-CHECKS what the oracle can't see: (a) the pushed predicate
+    plans STRICTLY FEWER input partitions than the unfiltered scan;
+    (b) every planned file lives inside a manifest-prune-kept
+    directory — pruned directories never enter the scan; (c) the
+    schema is derived from the manifest (no DDL passed)."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_src_")
+    try:
+        table = TxnTable(work, stats_cols=("c_custkey",))
+        table.write_clustered(base, "c_custkey", buckets=8, mode="overwrite")
+        probe = base.agg(F.max("c_custkey")).first()[0] - 24  # bounded: 1 scalar
+        # (c) schema comes from the manifest — no .schema(...) call;
+        # pushdown opted in: this load backs exactly one query
+        scan = spark.read.format("txntable").option("pushdown", "true").load(work)
+        if scan.columns != ["c_custkey", "c_name", "acctbal"]:
+            raise AssertionError(f"manifest schema not derived: {scan.columns}")
+        result = scan.where(F.col("c_custkey") >= probe)
+        # (a)+(b) planner-level proof via the reader the scan uses
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        reader = TxnTableBatchReader(scan.schema, {"path": work, "pushdown": "true"})
+        reader.pushFilters([GreaterThanOrEqual(("c_custkey",), probe)])
+        pruned_parts = reader.partitions()
+        full_parts = TxnTableBatchReader(scan.schema, {"path": work}).partitions()
+        if not (0 < len(pruned_parts) < len(full_parts)):
+            raise AssertionError(
+                f"pushdown did not prune: {len(pruned_parts)}/{len(full_parts)}"
+            )
+        kept, _ = table.prune([("c_custkey", ">=", probe)])
+        kept_abs = [f"{work}/{rel}" for rel in kept]
+        for p in pruned_parts:
+            if not any(p.file_path.startswith(k + "/") or p.file_path.startswith(k)
+                       for k in kept_abs):
+                raise AssertionError(
+                    f"pruned-away directory entered the scan: {p.file_path}"
+                )
+        _record_inner_plan("txn_batch_source_pruned", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface (spark.sql over registered views)
 # ---------------------------------------------------------------------------

@@ -64,6 +64,13 @@ CHECK constraints (``add_constraint``) ride the manifest as table
 policy — every write path validates its incoming rows in one agg job
 and fails loudly (``ConstraintViolation``) before committing.
 
+Row-level deletes come in BOTH production shapes: ``delete``
+(copy-on-write — rewrites only the directories holding victims) and
+``delete_dv`` (merge-on-read deletion vectors — commits O(deleted
+rows) tombstone bytes to a ``dv/`` sidecar, no rewrite; reads
+anti-join them out, and every COW rewrite materializes the tombstones
+it touches — ``optimize`` is the compaction that clears them).
+
 The reference has no table format at all — its single sink is one
 JDBC load (``sql.py:17-37``).
 """
@@ -266,6 +273,163 @@ class TxnTable:
 
             reader = reader.schema(StructType.fromJson(schema))
         return reader.parquet(*[os.path.join(self.path, r) for r in rels])
+
+    # -- deletion vectors (merge-on-read point deletes) --------------------
+
+    _DV_FILE_RE = r".*/(data/.+)$"  # rel file key, as URI-encoded by Spark
+
+    def _live_keyed(
+        self, spark: SparkSession, snap: dict, rels: list[str] | None = None
+    ) -> DataFrame:
+        """Scan of ``rels`` (default: the whole snapshot) with the row
+        identity — ``(__file, __pos)`` from the parquet ``_metadata``
+        column — projected AT SCAN TIME, and the snapshot's deletion
+        vectors anti-joined out. This is the LIVE view every row-level
+        path builds on: probes derive directories from ``__file``
+        (``input_file_name()`` breaks after the anti-join's shuffle),
+        readers drop the two key columns. Both sides of the tombstone
+        join use the same URI-encoded ``data/...`` suffix Spark emits,
+        so no path normalization can drift. The tombstone side is
+        O(deleted rows); AQE broadcasts it for point deletes."""
+        from pyspark.sql import functions as F
+
+        scan = self._read_dirs(
+            spark, rels if rels is not None else snap["files"], snap.get("schema")
+        )
+        keyed = scan.select(
+            "*",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), self._DV_FILE_RE, 1
+            ).alias("__file"),
+            F.col("_metadata.row_index").cast("bigint").alias("__pos"),
+        )
+        dvs = snap.get("dvs", [])
+        if dvs:
+            tomb = spark.read.parquet(
+                *[os.path.join(self.path, s) for s in dvs]
+            ).select("__file", "__pos")
+            keyed = keyed.join(tomb, ["__file", "__pos"], "left_anti")
+        return keyed
+
+    def _read_live(
+        self, spark: SparkSession, snap: dict, rels: list[str] | None = None
+    ) -> DataFrame:
+        """The snapshot's live rows: tombstones merged out on read
+        (merge-on-read), plain scan when the snapshot has none."""
+        if not snap.get("dvs"):
+            return self._read_dirs(
+                spark,
+                rels if rels is not None else snap["files"],
+                snap.get("schema"),
+            )
+        return self._live_keyed(spark, snap, rels).drop("__file", "__pos")
+
+    # above this many sidecars, delete_dv coalesces them into one —
+    # bounds every read's tombstone union at O(1) files instead of
+    # O(point deletes ever) (Delta keeps one DV file per data file for
+    # the same reason; one per TABLE is the right shape at this
+    # layer's directory granularity)
+    _DV_COALESCE_AT = 8
+
+    def delete_dv(
+        self, spark: SparkSession, predicate: str, max_retries: int = 10
+    ) -> int | None:
+        """Delete rows matching ``predicate`` WITHOUT rewriting any
+        data directory — the merge-on-read path (Delta/Iceberg deletion
+        vectors at this layer's sidecar granularity): matching LIVE
+        rows' identities ``(file, row_index)`` are written as one
+        tombstone sidecar parquet under ``dv/`` (distributed write,
+        O(deleted rows) bytes — a 1-row GDPR delete commits one tiny
+        file, not a directory copy), and the commit only appends the
+        sidecar to the manifest's ``dvs`` list. Every read path
+        anti-joins live rows against the tombstones; copy-on-write
+        rewrites (:meth:`delete`, :meth:`merge`, :meth:`optimize`)
+        MATERIALIZE them for the directories they touch, and
+        :meth:`optimize` is the documented compaction that clears a
+        tombstone-heavy table back to pure scans.
+
+        The probe reads the LIVE view, so tombstone sets across
+        commits are disjoint and per-directory counts add — ``count``
+        stays an O(manifest) metadata answer. Returns the committed
+        version, or ``None`` when no live row matches (no empty
+        commit). Rebases on conflict like :meth:`delete`."""
+        from urllib.parse import unquote
+
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                return None
+            snap = self.snapshot(current)
+            matches = (
+                self._live_keyed(spark, snap)
+                .where(predicate)
+                .select("__file", "__pos")
+            )
+            sidecar = f"dv/{uuid.uuid4().hex}"
+            obs = Observation()
+            matches.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(
+                os.path.join(self.path, sidecar)
+            )
+            if int(obs.get["n"]) == 0:
+                self._discard_staged(sidecar)
+                return None
+            # per-directory tombstone counts: ONE grouped agg over the
+            # staged sidecar, O(touched directories) rows back
+            dir_counts = {
+                unquote(r["__dir"]): int(r["count"])
+                for r in (
+                    spark.read.parquet(os.path.join(self.path, sidecar))
+                    .groupBy(
+                        F.regexp_extract(
+                            "__file", r"(data/.+)/[^/]+$", 1
+                        ).alias("__dir")
+                    )
+                    .count()
+                    .collect()
+                )
+            }
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "delete_dv",
+                "files": list(snap["files"]),
+                "txns": dict(snap.get("txns", {})),
+            }
+            for k in ("schema", "stats", "blooms", "partition_by", "parts"):
+                if snap.get(k) is not None:
+                    manifest[k] = snap[k]
+            dvr = dict(snap.get("dv_rows", {}))
+            for d, c in dir_counts.items():
+                dvr[d] = dvr.get(d, 0) + c
+            new_dvs = list(snap.get("dvs", [])) + [sidecar]
+            discard_on_loss = [sidecar]
+            if len(new_dvs) > self._DV_COALESCE_AT:
+                # coalesce: one distributed union-rewrite bounds every
+                # future read's tombstone side at ONE sidecar. Prior
+                # sidecars stay on disk — older versions still
+                # reference them for time travel; vacuum reclaims them
+                # with their history.
+                merged = f"dv/{uuid.uuid4().hex}"
+                spark.read.parquet(
+                    *[os.path.join(self.path, s) for s in new_dvs]
+                ).select("__file", "__pos").write.parquet(
+                    os.path.join(self.path, merged)
+                )
+                self._discard_staged(sidecar)
+                new_dvs, discard_on_loss = [merged], [merged]
+            manifest["dvs"] = new_dvs
+            manifest["dv_rows"] = dvr
+            self._carry_props(snap, manifest, carry_dvs=False)
+            if self._try_commit(version, manifest):
+                return version
+            for rel in discard_on_loss:
+                self._discard_staged(rel)
+        raise CommitConflict(
+            f"lost {max_retries} delete_dv races on {self.path}"
+        )
 
     def _stage_write(self, df: DataFrame) -> tuple[str, int]:
         """Stage ``df`` as one immutable data directory and return
@@ -504,6 +668,7 @@ class TxnTable:
         snap: dict | None,
         manifest: dict,
         new_rows: dict[str, int] | None = None,
+        carry_dvs: bool = True,
     ) -> None:
         """Table-level properties ride every commit, like writer
         watermarks — a truncated log must still know them, so they can
@@ -533,6 +698,17 @@ class TxnTable:
                 rows[d] = self._dir_row_count(d)
         if rows:
             manifest["rows"] = rows
+        if carry_dvs:
+            # deletion vectors ride forward per DIRECTORY: a rewritten
+            # directory leaves the manifest and takes its tombstone
+            # counts with it (its sidecar entries become no-ops); when
+            # no surviving directory has tombstones, the sidecar list
+            # drops entirely
+            prior_dvr = (snap or {}).get("dv_rows", {})
+            dvr = {d: prior_dvr[d] for d in manifest["files"] if d in prior_dvr}
+            if dvr:
+                manifest["dv_rows"] = dvr
+                manifest["dvs"] = list((snap or {}).get("dvs", []))
 
     def _dir_row_count(self, rel: str) -> int:
         """Exact row count of one immutable data directory from its
@@ -558,7 +734,10 @@ class TxnTable:
         rows = m.get("rows")
         if rows is None or any(d not in rows for d in m["files"]):
             return None
-        return sum(rows[d] for d in m["files"])
+        dvr = m.get("dv_rows", {})
+        return sum(rows[d] for d in m["files"]) - sum(
+            dvr.get(d, 0) for d in m["files"]
+        )
 
     @staticmethod
     def _validate_constraints(df: DataFrame, constraints: dict) -> None:
@@ -626,7 +805,7 @@ class TxnTable:
                 )
             if snap["files"]:
                 n_bad = (
-                    self._read_dirs(spark, snap["files"], snap.get("schema"))
+                    self._read_live(spark, snap)
                     .where(f"NOT coalesce(({expr}), TRUE)")
                     .count()
                 )
@@ -1550,7 +1729,7 @@ class TxnTable:
         narrow schema; post-evolution snapshots fill old directories'
         missing columns with NULL by name)."""
         manifest = self.snapshot(version)
-        return self._read_dirs(spark, manifest["files"], manifest.get("schema"))
+        return self._read_live(spark, manifest)
 
     # -- manifest-level data skipping --------------------------------------
 
@@ -1656,9 +1835,9 @@ class TxnTable:
             from pyspark.sql import functions as F
 
             return self.read(spark, version).where(F.lit(False))
-        return self._read_dirs(
-            spark, kept, self.snapshot(version).get("schema")
-        )
+        # tombstones still merge out on the pruned scan (sidecars for
+        # skipped directories anti-join as no-ops)
+        return self._read_live(spark, self.snapshot(version), kept)
 
     _WHERE_OPS = {
         "=": lambda c, v: c == v,
@@ -1775,28 +1954,25 @@ class TxnTable:
                     # target rows were validated when they landed
                     self._validate_constraints(updates, pending)
                     validated.update(pending.items())
-                target = self._read_dirs(
-                    spark, snap["files"], snap.get("schema")
-                )
-                # ONE probe job: semi-join the scan against the distinct
-                # update keys (AQE broadcasts the small side at runtime)
-                # and aggregate the distinct "data/<uuid>" parents of
-                # matching files — O(directories with matches) rows back.
-                # input_file_name() must be projected AT SCAN TIME: after
-                # a shuffle (sort-merge join) it evaluates to "".
-                # input_file_name() is URI-encoded ('%'->'%25' on
-                # hive-escaped names); unquote once to recover the
-                # on-disk manifest key — bounded driver work, the set
-                # is O(directories with matches)
+                # ONE probe job: semi-join the LIVE view (tombstones
+                # merged out) against the distinct update keys (AQE
+                # broadcasts the small side at runtime) and aggregate
+                # the distinct "data/<uuid>" parents of matching rows —
+                # O(directories with matches) rows back. The directory
+                # comes from __file, projected AT SCAN TIME by
+                # _live_keyed (input_file_name() evaluates to "" after
+                # a shuffle); __file is URI-encoded, unquote recovers
+                # the on-disk manifest key — bounded driver work
                 from urllib.parse import unquote
 
                 hit_dirs = {
                     unquote(r.d)
                     for r in (
-                        target.select(
+                        self._live_keyed(spark, snap)
+                        .select(
                             key,
                             F.regexp_extract(
-                                F.input_file_name(), r".*/(data/.+)/[^/]+$", 1
+                                "__file", r"(data/.+)/[^/]+$", 1
                             ).alias("d"),
                         )
                         .join(keys, key, "semi")
@@ -1808,9 +1984,11 @@ class TxnTable:
                 kept = [rel for rel in snap["files"] if rel not in hit_dirs]
                 touched = [rel for rel in snap["files"] if rel in hit_dirs]
                 if touched:
-                    survivors = self._read_dirs(
-                        spark, touched, snap.get("schema")
-                    ).join(keys, key, "left_anti")
+                    # rewrite reads the LIVE rows: touched directories'
+                    # tombstones are MATERIALIZED by the copy-on-write
+                    survivors = self._read_live(spark, snap, touched).join(
+                        keys, key, "left_anti"
+                    )
                     merged = survivors.unionByName(updates)
                 else:
                     # insert-only merge: nothing rewritten, pure append
@@ -1879,15 +2057,16 @@ class TxnTable:
             from urllib.parse import unquote
 
             hit_dirs = {
-                # unquote: input_file_name() is URI-encoded, manifest
-                # keys are on-disk names (hive-escaped dirs differ)
+                # directory from __file (projected at scan time by
+                # _live_keyed); unquote: the key is URI-encoded,
+                # manifest keys are on-disk names (hive-escaped differ)
                 unquote(r.d)
                 for r in (
-                    self._read_dirs(spark, snap["files"], snap.get("schema"))
+                    self._live_keyed(spark, snap)
                     .where(predicate)
                     .select(
                         F.regexp_extract(
-                            F.input_file_name(), r".*/(data/.+)/[^/]+$", 1
+                            "__file", r"(data/.+)/[^/]+$", 1
                         ).alias("d")
                     )
                     .distinct()
@@ -1898,8 +2077,10 @@ class TxnTable:
             touched = [rel for rel in snap["files"] if rel in hit_dirs]
             if not touched:
                 return None
+            # live rows only: the rewrite also materializes any
+            # tombstones the touched directories carried
             survivors = (
-                self._read_dirs(spark, touched, snap.get("schema"))
+                self._read_live(spark, snap, touched)
                 .where(f"NOT coalesce(({predicate}), FALSE)")
             )
             staged, staged_n = self._stage_write(survivors)
@@ -1965,13 +2146,38 @@ class TxnTable:
 
         out: DataFrame | None = None
         for v in range(v_from, v_to):
-            prev_files = set(self.snapshot(v)["files"])
+            prev_snap = self.snapshot(v)
+            prev_files = set(prev_snap["files"])
             to_snap = self.snapshot(v + 1)
             new_files = set(to_snap["files"])
             removed = sorted(prev_files - new_files)
             added = sorted(new_files - prev_files)
             commit = F.lit(v + 1).cast("bigint").alias("commit_version")
             if not removed and not added:
+                added_dvs = [
+                    sc
+                    for sc in to_snap.get("dvs", [])
+                    if sc not in set(prev_snap.get("dvs", []))
+                ]
+                if not added_dvs:
+                    continue
+                # merge-on-read delete: the commit's tombstone sidecars
+                # ARE the deleted rows — semi-join the PRE-commit live
+                # view against them, O(tombstones) build side
+                tomb = spark.read.parquet(
+                    *[os.path.join(self.path, sc) for sc in added_dvs]
+                ).select("__file", "__pos")
+                pre_live = self._live_keyed(spark, prev_snap)
+                cols = [
+                    c for c in pre_live.columns if c not in ("__file", "__pos")
+                ]
+                piece = (
+                    pre_live.join(tomb, ["__file", "__pos"], "semi")
+                    .select(
+                        *cols, F.lit("delete").alias("change_type"), commit
+                    )
+                )
+                out = piece if out is None else out.unionByName(piece)
                 continue
             # both sides read under the TO-version schema, so a commit
             # that straddles an evolution diffs over aligned columns
@@ -2070,7 +2276,10 @@ class TxnTable:
                 row["ts"] = m["ts"]
             rows_map = m.get("rows")
             if rows_map is not None and all(d in rows_map for d in m["files"]):
-                row["num_rows"] = sum(rows_map[d] for d in m["files"])
+                dvr = m.get("dv_rows", {})
+                row["num_rows"] = sum(rows_map[d] for d in m["files"]) - sum(
+                    dvr.get(d, 0) for d in m["files"]
+                )
             prev = manifests.get(v - 1)
             if prev is not None:
                 row["dirs_added"] = len(set(m["files"]) - set(prev["files"]))
@@ -2135,7 +2344,9 @@ class TxnTable:
         for _ in range(max_retries):
             current = self.latest_version()
             snap = self.snapshot(current)
-            if snap["files"] == target["files"]:
+            if snap["files"] == target["files"] and snap.get(
+                "dvs", []
+            ) == target.get("dvs", []):
                 return None
             new_version = current + 1
             manifest = {
@@ -2144,13 +2355,17 @@ class TxnTable:
                 "files": list(target["files"]),
                 "txns": dict(snap.get("txns", {})),
             }
-            for k in ("schema", "stats", "partition_by", "parts", "blooms"):
+            for k in ("schema", "stats", "partition_by", "parts", "blooms",
+                      "dvs", "dv_rows"):
                 if target.get(k) is not None:
                     manifest[k] = target[k]
             # constraints are CURRENT table policy, not part of the
             # restored state — they carry from latest (the restored
-            # rows are NOT re-validated; Delta's RESTORE behavior)
-            self._carry_props(snap, manifest)
+            # rows are NOT re-validated; Delta's RESTORE behavior).
+            # Deletion vectors are DATA state: the target's set was
+            # copied above, and carry_dvs=False keeps latest's
+            # tombstones from leaking into the restored snapshot
+            self._carry_props(snap, manifest, carry_dvs=False)
             if self._try_commit(new_version, manifest):
                 return new_version
         raise CommitConflict(f"lost {max_retries} restore races on {self.path}")
@@ -2221,7 +2436,10 @@ class TxnTable:
             # rewrite under the snapshot schema: compacting directories
             # that straddle an evolution materializes the evolved
             # (NULL-filled) columns into the new directory
-            picked_df = self._read_dirs(spark, picked, snap.get("schema"))
+            # LIVE rows: compaction materializes the picked
+            # directories' tombstones — OPTIMIZE is the documented
+            # clean-up for a tombstone-heavy table
+            picked_df = self._read_live(spark, snap, picked)
             spec = list(snap.get("partition_by", ()))
             if spec:
                 # PARTITION-PRESERVING compaction: restage the picked
@@ -2331,10 +2549,13 @@ class TxnTable:
         # CURRENTLY on disk — including commits that landed after
         # latest_version() above — so a racing commit's references win
         live: set[str] = set()
+        live_dvs: set[str] = set()
         for f in os.listdir(self.log_dir):
             if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) >= keep_start:
                 with open(os.path.join(self.log_dir, f)) as fh:
-                    live.update(json.load(fh)["files"])
+                    m = json.load(fh)
+                live.update(m["files"])
+                live_dvs.update(m.get("dvs", []))
         cutoff = time.time() - retain_hours * 3600.0
         removed = []
         for d in os.listdir(self.data_dir):
@@ -2358,6 +2579,23 @@ class TxnTable:
                 continue
             shutil.rmtree(full, ignore_errors=True)
             removed.append(rel)
+        # deletion-vector sidecars GC under the same retention rules:
+        # referenced by a retained manifest -> live; younger than the
+        # safety window -> possibly staged by an in-flight delete_dv
+        dv_root = os.path.join(self.path, "dv")
+        if os.path.isdir(dv_root):
+            for d in os.listdir(dv_root):
+                rel = f"dv/{d}"
+                if rel in live_dvs:
+                    continue
+                full = os.path.join(dv_root, d)
+                try:
+                    if os.stat(full).st_mtime > cutoff:
+                        continue
+                except FileNotFoundError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(rel)
         self.truncate_log(retain_versions)
         return removed
 

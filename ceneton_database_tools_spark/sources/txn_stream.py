@@ -1,6 +1,6 @@
-"""Streaming SOURCE over the transactional table: versions are the
-offsets — Delta's table-streaming contract re-expressed with the
-Python DataSource API.
+"""Streaming AND batch faces over the transactional table — Delta's
+table-streaming contract plus a pushdown-wired batch scan, re-expressed
+with the Python DataSource API.
 
 The :class:`~ceneton_database_tools_spark.sinks.txnlog.TxnTable` log
 already gives a stream everything it needs, for free:
@@ -26,6 +26,25 @@ vectorized end-to-end, no per-row Python, no driver data channel. With
 a ``write_clustered`` producer the per-file partitions inherit the
 range clustering, so downstream keyed stages start pre-clustered.
 
+SCHEMA EVOLUTION composes: a file written before a ``merge_schema``
+commit lacks the evolved columns, and executors NULL-FILL them as
+typed Arrow null arrays in declared order — the same by-name rule the
+batch reader (``txnlog._read_dirs``) applies, so the stream and the
+table never disagree about an evolved table's shape.
+
+ADMISSION CONTROL: ``.option("maxversionspertrigger", N)`` bounds a
+micro-batch at N commits (Delta's ``maxFilesPerTrigger`` shape at this
+log's commit granularity). A running stream that falls behind — the
+realistic backlog case — drains it as a sequence of bounded batches
+instead of planning one micro-batch containing every missed commit.
+Honest limitation: the FIRST batch planned after a (re)start is
+uncapped, because Spark's Python streaming protocol calls
+``latestOffset()`` before the reader learns its position (verified
+call order: latestOffset → initialOffset → partitions; the protocol
+exposes no ``latestOffset(start, limit)`` admission handshake) — the
+floor is learned from ``initialOffset``/``partitions``/``commit`` and
+every subsequent batch is bounded. Unset = unbounded.
+
 Change-handling semantics follow Delta's streaming source:
 
 * pure ``append`` commits stream their added directories;
@@ -42,10 +61,25 @@ History bounds: streaming from versions dropped by ``truncate_log`` /
 ``vacuum`` fails loudly (the manifest is gone), exactly like streaming
 a Delta table past its retention.
 
+The BATCH face (``spark.read.format("txntable")``) makes the manifest's
+data skipping reachable from the ordinary query surface: the declared
+schema comes straight from the manifest (no hand-written DDL), and
+``pushFilters`` receives Catalyst's pushed predicates, prunes whole
+directories through ``TxnTable.prune`` (stats ranges + partition
+values + bloom bitmaps) BEFORE planning, and hands every filter back
+for Spark to re-apply — pruning is one-sided (kept ⊇ matching), so
+correctness never depends on it. Pruning requires
+``.option("pushdown", "true")``: Spark 4.1 caches one readInfo per
+relation unkeyed by filters, so a filter-dependent partition plan from
+one query can be silently reused by a later filterless query on the
+same DataFrame — the option declares the load single-use; the default
+plans every live directory and is reuse-proof (details on
+:class:`TxnTableBatchReader`).
+
 The reference has no streaming and no table format (its one sink is a
 single JDBC load, ``sql.py:17-37``); this closes the loop the
 exactly-once SINK (txnlog.write_idempotent) opened — the table now
-streams in both directions.
+streams in both directions and scans with skipping in batch.
 """
 
 from __future__ import annotations
@@ -57,19 +91,135 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as SqlT
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
 
 
 class TxnFilePartition(InputPartition):
-    """One parquet file of one newly-committed directory. Carries the
-    absolute path plus the projected column order so executors emit
-    batches in declared-schema order regardless of file layout."""
+    """One parquet file of one committed directory. Carries the
+    absolute path, the projected column order, each declared column's
+    Arrow type (executors emit batches in declared-schema order,
+    NULL-filling columns an old pre-evolution file lacks), and — when
+    the snapshot's directory carries deletion vectors — the tombstone
+    sidecar paths, so executors merge deleted rows out where the data
+    is read instead of shipping tombstones through the driver."""
 
-    def __init__(self, file_path: str, columns: tuple[str, ...]):
+    def __init__(
+        self,
+        file_path: str,
+        columns: tuple[str, ...],
+        arrow_types: dict,
+        rel_file: str = "",
+        sidecars: tuple[str, ...] = (),
+    ):
         self.file_path = file_path
         self.columns = columns
+        self.arrow_types = arrow_types
+        self.rel_file = rel_file
+        self.sidecars = sidecars
+
+
+def _arrow_types_of(schema: SqlT.StructType) -> dict:
+    """Declared Spark schema → {column: pyarrow.DataType}, resolved
+    ONCE driver-side and shipped inside each input partition."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(schema)
+    return {f.name: f.type for f in arrow}
+
+
+def _dead_positions(sidecars: tuple[str, ...], rel_file: str):
+    """This file's tombstoned row positions, read executor-side from
+    the snapshot's deletion-vector sidecars. Tombstones key rows by
+    ``(__file, __pos)`` where ``__file`` is the URI-encoded
+    ``data/...`` file suffix Spark's ``_metadata.file_path`` emits;
+    unquoting recovers the on-disk relative path, which is what the
+    planner handed us — no encode-direction guessing. Sidecar bytes
+    are O(deleted rows) and the list is coalesce-bounded, so this is
+    a small local read per task, not a join."""
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    dead: set[int] = set()
+    for sc in sidecars:
+        t = pq.read_table(sc, columns=["__file", "__pos"])
+        for f, p in zip(
+            t.column("__file").to_pylist(), t.column("__pos").to_pylist()
+        ):
+            if unquote(f) == rel_file:
+                dead.add(int(p))
+    return dead
+
+
+def _emit_file_batches(
+    file_path: str,
+    columns: tuple[str, ...],
+    arrow_types: dict,
+    rel_file: str = "",
+    sidecars: tuple[str, ...] = (),
+) -> Iterator:
+    """Yield one parquet file's record batches projected to declared
+    order. Columns the file predates (schema evolution) are NULL-filled
+    as typed Arrow null arrays — mirroring ``txnlog._read_dirs``'s
+    by-name resolution, so old files stream instead of crashing. Rows
+    tombstoned by the snapshot's deletion vectors are dropped by file
+    position (``_metadata.row_index`` is the row's physical position,
+    and ``iter_batches`` replays the file in the same physical order,
+    so a running offset addresses every batch exactly)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dead = _dead_positions(sidecars, rel_file) if sidecars else None
+
+    def _drop_dead(batch, off: int):
+        if not dead:
+            return batch
+        local = [i for i in range(batch.num_rows) if off + i in dead]
+        if not local:
+            return batch
+        mask = [True] * batch.num_rows
+        for i in local:
+            mask[i] = False
+        return batch.filter(pa.array(mask))
+
+    pf = pq.ParquetFile(file_path)
+    have = set(pf.schema_arrow.names)
+    want = [c for c in columns if c in have]
+    missing = [c for c in columns if c not in have]
+    if not want:
+        # a file with NONE of the declared columns: emit its rows as
+        # all-NULL tuples (count still matters), one batch
+        n = pf.metadata.num_rows
+        yield _drop_dead(
+            pa.RecordBatch.from_arrays(
+                [pa.nulls(n, type=arrow_types[c]) for c in columns],
+                names=list(columns),
+            ),
+            0,
+        )
+        return
+    offset = 0
+    for batch in pf.iter_batches(columns=want):
+        if missing:
+            by_name = dict(zip(batch.schema.names, batch.columns))
+            out = pa.RecordBatch.from_arrays(
+                [
+                    by_name[c]
+                    if c in by_name
+                    else pa.nulls(batch.num_rows, type=arrow_types[c])
+                    for c in columns
+                ],
+                names=list(columns),
+            )
+        else:
+            # project to declared order; schema mismatches surface as
+            # loud Arrow conversion errors, never silent column swaps
+            out = batch.select(list(columns))
+        yield _drop_dead(out, offset)
+        offset += batch.num_rows
 
 
 def _manifest(table_path: str, version: int) -> dict:
@@ -112,39 +262,84 @@ class TxnTableStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("txntable stream requires a path option")
         self.columns = tuple(schema.fieldNames())
+        self.arrow_types = _arrow_types_of(schema)
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
         ).strip().lower() in ("true", "1", "yes")
+        self.max_versions = int(options.get("maxversionspertrigger", 0) or 0)
+        if self.max_versions < 0:
+            raise ValueError(
+                f"maxversionspertrigger must be >= 1, got {self.max_versions}"
+            )
+        # admission-control floor: the newest version this reader has
+        # already planned/offered, learned from initialOffset /
+        # partitions / commit. Spark calls latestOffset BEFORE
+        # initialOffset (verified), so the first latestOffset of a run
+        # sees None and is uncapped; every later batch is bounded.
+        self._floor: int | None = None
 
     # -- offsets -----------------------------------------------------------
 
     def initialOffset(self) -> dict:
         # -1 = "before version 0": the first batch consumes the whole
         # current snapshot (v0's full file set plus later diffs)
+        self._floor = -1
         return {"version": -1}
 
     def latestOffset(self) -> dict:
         latest = _latest_version(self.path)
-        return {"version": -1 if latest is None else latest}
+        latest = -1 if latest is None else latest
+        if (
+            self.max_versions > 0
+            and self._floor is not None
+            and latest > self._floor + self.max_versions
+        ):
+            # bounded catch-up: offer at most max_versions commits per
+            # micro-batch; the backlog drains as a sequence of bounded
+            # batches instead of one unbounded one
+            latest = self._floor + self.max_versions
+        if self._floor is None or latest > self._floor:
+            self._floor = latest
+        return {"version": latest}
 
     # -- planning (driver-side) --------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        if self._floor is None or hi > self._floor:
+            self._floor = hi  # restart replay: resume capping from here
         parts: list[InputPartition] = []
 
-        def add_dirs(rels) -> None:
+        def add_dirs(rels, snap: dict | None = None) -> None:
+            # deletion vectors (snapshot reads only): a directory with
+            # tombstones ships the sidecar paths to its tasks, which
+            # merge the dead rows out where the file is read
+            dvr = (snap or {}).get("dv_rows", {})
+            sidecars = tuple(
+                os.path.join(self.path, s) for s in (snap or {}).get("dvs", [])
+            )
             for rel in rels:
+                dv = sidecars if dvr.get(rel) else ()
                 for f in _parquet_files(os.path.join(self.path, rel)):
-                    parts.append(TxnFilePartition(f, self.columns))
+                    parts.append(
+                        TxnFilePartition(
+                            f,
+                            self.columns,
+                            self.arrow_types,
+                            os.path.relpath(f, self.path),
+                            dv,
+                        )
+                    )
 
         if lo == -1:
             # INITIAL SNAPSHOT (Delta's semantics): the first batch is
-            # the full CURRENT snapshot at `hi`, not a replay of every
-            # historical commit — so mid-history deletes/merges never
-            # block a stream that starts on today's table
+            # the full snapshot at `hi` — live rows only, tombstones
+            # merged out — not a replay of every historical commit, so
+            # mid-history deletes/merges never block a stream that
+            # starts on today's table
             if hi >= 0:
-                add_dirs(sorted(_manifest(self.path, hi)["files"]))
+                m = _manifest(self.path, hi)
+                add_dirs(sorted(m["files"]), m)
             return parts
         prev_files = set(_manifest(self.path, lo)["files"])
         for v in range(lo + 1, hi + 1):
@@ -165,47 +360,222 @@ class TxnTableStreamReader(DataSourceStreamReader):
     # -- execution (executor-side) -----------------------------------------
 
     def read(self, partition: TxnFilePartition) -> Iterator:
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(partition.file_path)
-        want = [c for c in partition.columns if c in pf.schema_arrow.names]
-        for batch in pf.iter_batches(columns=want):
-            # project to declared order; schema mismatches surface as
-            # loud Arrow conversion errors, never silent column swaps
-            yield batch.select(list(partition.columns))
+        yield from _emit_file_batches(
+            partition.file_path,
+            partition.columns,
+            partition.arrow_types,
+            partition.rel_file,
+            partition.sidecars,
+        )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are derived from the immutable log; nothing to ack
+        # offsets are derived from the immutable log — nothing to ack;
+        # but a completed batch is a position fix for the catch-up cap
+        hi = int(end["version"])
+        if self._floor is None or hi > self._floor:
+            self._floor = hi
+
+
+class TxnTableBatchReader(DataSourceReader):
+    """Batch scan with MANIFEST-LEVEL DATA SKIPPING wired to Catalyst's
+    filter pushdown: ``pushFilters`` translates the supported pushed
+    predicates into ``(col, op, value)`` conjuncts, planning prunes
+    whole directories through ``TxnTable.prune`` (stats [min,max]
+    ranges, exact partition values, bloom bitmaps), and EVERY filter is
+    handed back to Spark — pruning is a one-sided proof (kept ⊇
+    matching), the scan must still re-apply the predicate. At 100 TB a
+    point lookup on a bloom-indexed key plans the one commit that can
+    hold it, straight from ``spark.read.format("txntable")``.
+
+    PRUNING IS OPT-IN: ``.option("pushdown", "true")``. Spark 4.1's
+    Python DataSource caches ONE ``readInfo`` (partition list + read
+    function) per relation — ``PythonDataSourceV2.getOrCreateReadInfo``
+    returns the cached slot unconditionally, and only a query whose
+    WHERE clause contains a translatable filter re-runs the pushdown
+    worker and overwrites it (``pushdownFiltersInPython`` short-circuits
+    to None otherwise; both verified against the shipped bytecode). So
+    filter-DEPENDENT planning poisons the cache for a later filterLESS
+    query on the SAME DataFrame: ``df.where(...).count()`` would leave
+    pruned partitions behind for ``df.count()`` to silently reuse.
+    Correctness can't hinge on usage patterns, so by default the scan
+    plans every live directory (always right, never skips), and the
+    option is the caller's declaration that this load() is single-use
+    (one query per DataFrame — the idiomatic `spark.read...load().
+    where(...)` shape), which makes the cached pruned plan unreachable
+    from any other query."""
+
+    def __init__(self, schema: SqlT.StructType, options: dict):
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("txntable batch read requires a path option")
+        v = options.get("version")
+        ts = options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("pass either version or timestampasof, not both")
+        self.version = int(v) if v is not None else None
+        self.ts = float(ts) if ts is not None else None
+        self.pushdown = str(options.get("pushdown", "")).lower() == "true"
+        self.columns = tuple(schema.fieldNames())
+        self.arrow_types = _arrow_types_of(schema)
+        self.predicates: list[tuple[str, str, object]] = []
+        self.in_predicates: list[tuple[str, tuple]] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql import datasource as dsf
+
+        if not self.pushdown:
+            # default mode: planning must not depend on this query's
+            # filters (the readInfo this call produces is a relation-
+            # wide cache any later query may reuse — class docstring)
+            return filters
+
+        ops = {
+            dsf.EqualTo: "=",
+            dsf.GreaterThan: ">",
+            dsf.GreaterThanOrEqual: ">=",
+            dsf.LessThan: "<",
+            dsf.LessThanOrEqual: "<=",
+        }
+        def _ok(v):
+            return isinstance(v, (int, str)) and not isinstance(v, bool)
+
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1 and _ok(f.value):
+                self.predicates.append((f.attribute[0], op, f.value))
+            elif (
+                isinstance(f, dsf.In)
+                and len(f.attribute) == 1
+                and f.value
+                and all(_ok(v) for v in f.value)
+            ):
+                # IN prunes disjunctively: a directory survives iff ANY
+                # value may match (each value probed like an equality,
+                # so bloom bitmaps skip point-lookup IN lists too)
+                self.in_predicates.append((f.attribute[0], tuple(f.value)))
+        # every filter is UNSUPPORTED from Spark's point of view: the
+        # manifest prune is a superset proof, not an exact filter, so
+        # Spark must re-apply all of them on the scan output
+        return filters
+
+    def _resolve_version(self, table) -> int | None:
+        if self.ts is not None:
+            return table.version_as_of(self.ts)
+        return self.version
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+        table = TxnTable(self.path)
+        version = self._resolve_version(table)
+        if self.predicates:
+            kept, _ = table.prune(self.predicates, version)
+        else:
+            kept = list(table.snapshot(version)["files"])
+        if self.in_predicates and kept:
+            m = table.snapshot(version)
+            stats, blooms = m.get("stats", {}), m.get("blooms", {})
+            kept = [
+                rel
+                for rel in kept
+                if all(
+                    any(
+                        TxnTable._dir_may_match(
+                            stats.get(rel), [(col, "=", v)], blooms.get(rel)
+                        )
+                        for v in values
+                    )
+                    for col, values in self.in_predicates
+                )
+            ]
+        snap = table.snapshot(version)
+        dvr = snap.get("dv_rows", {})
+        sidecars = tuple(
+            os.path.join(self.path, s) for s in snap.get("dvs", [])
+        )
+        return [
+            TxnFilePartition(
+                f,
+                self.columns,
+                self.arrow_types,
+                os.path.relpath(f, self.path),
+                sidecars if dvr.get(rel) else (),
+            )
+            for rel in kept
+            for f in _parquet_files(os.path.join(self.path, rel))
+        ]
+
+    def read(self, partition: TxnFilePartition) -> Iterator:
+        if partition is None:
+            # partitions() proved every directory irrelevant; Spark
+            # still runs one task with a None partition — emit nothing
+            return
+        yield from _emit_file_batches(
+            partition.file_path,
+            partition.columns,
+            partition.arrow_types,
+            partition.rel_file,
+            partition.sidecars,
+        )
 
 
 class TxnTableDataSource(DataSource):
-    """``spark.readStream.format("txntable").schema(ddl).load(path)``.
+    """``spark.read.format("txntable").load(path)`` (batch, with
+    manifest pruning wired to filter pushdown) and
+    ``spark.readStream.format("txntable").load(path)`` (streaming).
 
-    Batch reads of a txn table go through ``TxnTable.read`` /
-    ``read_pruned`` (plain parquet scans with manifest pruning); this
-    DataSource is the STREAMING face only."""
+    The schema is derived from the table's own manifest — the recorded
+    schema IS the projection contract — so neither face needs
+    hand-written DDL; an explicit ``.schema(...)`` still wins (e.g. to
+    stream a historical column order)."""
 
     @classmethod
     def name(cls) -> str:
         return "txntable"
 
-    def schema(self) -> str:
+    def schema(self) -> SqlT.StructType:
+        opts = dict(self.options)
+        path = opts.get("path", "")
+        if path:
+            latest = _latest_version(path)
+            if latest is not None:
+                v = opts.get("version")
+                ts = opts.get("timestampasof")
+                if v is not None:
+                    pick = int(v)
+                elif ts is not None:
+                    from ceneton_database_tools_spark.sinks.txnlog import (
+                        TxnTable,
+                    )
+
+                    pick = TxnTable(path).version_as_of(float(ts))
+                else:
+                    pick = latest
+                m = _manifest(path, pick)
+                if m.get("schema") is not None:
+                    return SqlT.StructType.fromJson(m["schema"])
         raise ValueError(
-            "txntable streaming needs an explicit .schema(...) — the "
-            "declared schema is the projection contract executors emit "
-            "Arrow batches against (derive it once driver-side with "
-            "TxnTable(path).read(spark).schema)"
+            "cannot derive the txntable schema: no committed manifest "
+            f"with a recorded schema under {path!r} — pass an explicit "
+            ".schema(...) (legacy logs), or check the path option"
         )
+
+    def reader(self, schema: SqlT.StructType) -> TxnTableBatchReader:
+        return TxnTableBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: SqlT.StructType) -> TxnTableStreamReader:
         return TxnTableStreamReader(schema, dict(self.options))
 
 
 def register_txn_source(spark: SparkSession) -> None:
-    """Idempotently register the txntable streaming format."""
+    """Idempotently register the txntable batch+streaming format."""
     if not hasattr(spark, "dataSource"):
         raise RuntimeError(
             "this SparkSession has no Python DataSource registry "
             "(spark.dataSource) — the txntable source needs PySpark >= 4.0"
         )
+    # pushFilters is rejected at plan time unless the session opts into
+    # Python-source pushdown; a runtime SQL conf, safe to set here so
+    # foreign sessions (the driver's) get the batch face's pruning too
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxnTableDataSource)

@@ -217,3 +217,41 @@ def test_money_sum_idiom_has_one_rendering():
                 if not hit.startswith(T.MONEY_SUM_VALUE):
                     bad.append(f"{py.name}:{i}: {hit[:90]}")
     assert not bad, "money-sum copies drifted from MONEY_SUM_VALUE:\n" + "\n".join(bad)
+
+
+# -- README headline counts (generated by tools/update_readme_counts.py) --
+
+_README = os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+
+
+def test_readme_query_count_matches_registry():
+    """README's headline query count is generated, never hand-typed:
+    regenerate with `python tools/update_readme_counts.py`."""
+    import re
+
+    txt = open(_README).read()
+    m = re.search(
+        r"\*\*(\d+) declared queries, ALL (\d+) DuckDB-oracle-gated\*\*", txt
+    )
+    assert m, "README headline-count anchor missing"
+    assert int(m.group(1)) == len(ops.QUERIES) == int(m.group(2)), (
+        f"README claims {m.group(1)}/{m.group(2)} but the registry has "
+        f"{len(ops.QUERIES)} — run: python tools/update_readme_counts.py"
+    )
+
+
+def test_readme_test_count_matches_collection(request):
+    """Checked against the LIVE collected session whenever the full
+    suite runs (partial runs skip — they can't know the total)."""
+    import re
+
+    items = request.session.items
+    if len(items) < 500:
+        pytest.skip(f"partial collection ({len(items)} items)")
+    txt = open(_README).read()
+    m = re.search(r"\((\d+) tests, including", txt)
+    assert m, "README test-count anchor missing"
+    assert int(m.group(1)) == len(items), (
+        f"README claims {m.group(1)} tests but this session collected "
+        f"{len(items)} — run: python tools/update_readme_counts.py"
+    )

@@ -134,14 +134,24 @@ def test_truncated_history_fails_loudly(spark, tmp_path):
         _drain(sdf, ck, lambda b, _: None)
 
 
-def test_schema_is_required(spark, tmp_path):
+def test_schema_derived_from_manifest(spark, tmp_path):
+    """Neither face needs hand-written DDL: the manifest's recorded
+    schema IS the contract. A pathless/uncommitted table still fails
+    loudly."""
     register_txn_source(spark)
     t = TxnTable(str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]), mode="overwrite")
-    with pytest.raises(Exception, match="explicit .schema"):
-        spark.readStream.format("txntable").load(t.path).writeStream.format(
-            "noop"
-        ).start()
+    sdf = spark.readStream.format("txntable").load(t.path)  # no .schema
+    assert [f.name for f in sdf.schema.fields] == ["id", "v"]
+    got: list = []
+    _drain(
+        sdf, str(tmp_path / "ck"),
+        lambda b, _: got.extend((r.id, r.v) for r in b.collect()),
+    )
+    assert got == [(1, "a")]
+    empty = TxnTable(str(tmp_path / "empty"))
+    with pytest.raises(Exception, match="no committed manifest"):
+        spark.read.format("txntable").load(empty.path).count()
 
 
 def test_projection_follows_declared_schema_order(spark, tmp_path):
@@ -194,3 +204,300 @@ def test_streams_partitioned_appends_and_rejects_drops(spark, tmp_path):
     t.drop_partitions([("seg", "=", "B")])
     with pytest.raises(Exception, match="insert-only stream"):
         _drain(sdf, ck, lambda b, _: None)
+
+
+# -- round 9: evolution composition, admission control, batch face -------
+
+
+def test_stream_reads_across_schema_evolution(spark, tmp_path):
+    """A stream declared on the EVOLVED schema must read pre-evolution
+    files with the evolved columns NULL-filled (typed Arrow nulls) —
+    the same by-name rule as the batch reader — instead of crashing."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(
+        spark.createDataFrame(
+            [(3, "c", 30), (4, "d", 40)], "id long, v string, score long"
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    sdf = spark.readStream.format("txntable").load(t.path)  # evolved schema
+    assert [f.name for f in sdf.schema.fields] == ["id", "v", "score"]
+    got: list = []
+    _drain(
+        sdf, str(tmp_path / "ck"),
+        lambda b, _: got.extend((r.id, r.v, r.score) for r in b.collect()),
+    )
+    assert sorted(got) == [(1, "a", None), (2, "b", None), (3, "c", 30), (4, "d", 40)]
+    # and INCREMENTALLY: a stream checkpointed BEFORE the evolution,
+    # redeclared on the evolved schema, streams the old commit's files
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a")]), mode="overwrite")
+    sdf2 = spark.readStream.format("txntable").load(t2.path)
+    ck2 = str(tmp_path / "ck2")
+    _drain(sdf2, ck2, lambda b, _: None)  # checkpoint at v0
+    t2.write(_df(spark, [(2, "b")]), mode="append")  # pre-evolution file
+    t2.write(
+        spark.createDataFrame([(3, "c", 3)], "id long, v string, n long"),
+        mode="append",
+        merge_schema=True,
+    )
+    sdf2e = spark.readStream.format("txntable").load(t2.path)
+    got2: list = []
+    _drain(
+        sdf2e, ck2,
+        lambda b, _: got2.extend((r.id, r.v, r.n) for r in b.collect()),
+    )
+    assert sorted(got2) == [(2, "b", None), (3, "c", 3)]
+
+
+def test_max_versions_per_trigger_bounds_catchup(spark, tmp_path):
+    """A RUNNING stream that falls 10 commits behind with
+    maxversionspertrigger=3 must drain the backlog in multiple bounded
+    micro-batches (1-row commits -> ≤3 rows per batch), never one
+    unbounded catch-up. (The first batch after a restart is uncapped —
+    Spark's Python protocol calls latestOffset before the reader can
+    learn its position; documented in the module.)"""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(0, "r0")]), mode="overwrite")
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("maxversionspertrigger", "3")
+        .load(t.path)
+    )
+    batches: list[list] = []
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda b, _: batches.append([(r.id, r.v) for r in b.collect()])
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # consume the seed snapshot: floor known
+        for i in range(1, 11):
+            t.write(_df(spark, [(i, f"r{i}")]), mode="append")
+        q.processAllAvailable()  # drain the 10-commit backlog, capped
+    finally:
+        q.stop()
+    rows = sorted(r for b in batches for r in b)
+    assert rows == [(i, f"r{i}") for i in range(11)]
+    backlog = [b for b in batches[1:] if b]
+    # ≤3 versions (=rows here) per batch: the backlog needs ≥4 batches
+    assert len(backlog) >= 4, [len(b) for b in backlog]
+    assert all(len(b) <= 3 for b in backlog), [len(b) for b in backlog]
+
+
+def test_batch_face_reads_and_time_travels(spark, tmp_path):
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    df = spark.read.format("txntable").load(t.path)
+    assert sorted((r.id, r.v) for r in df.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+    v0 = spark.read.format("txntable").option("version", "0").load(t.path)
+    assert sorted(r.id for r in v0.collect()) == [1, 2]
+    # evolution: batch face NULL-fills pre-evolution files too
+    t.write(
+        spark.createDataFrame([(4, "d", 4)], "id long, v string, n long"),
+        mode="append",
+        merge_schema=True,
+    )
+    evolved = spark.read.format("txntable").load(t.path)
+    assert sorted(
+        (r.id, r.n) for r in evolved.collect()
+    ) == [(1, None), (2, None), (3, None), (4, 4)]
+
+
+def test_batch_face_pushdown_prunes_directories(spark, tmp_path):
+    """Catalyst's pushed filters must reach the manifest prune: a
+    clustered table's non-matching range directories never produce
+    input partitions, and the result still matches the full filter
+    (pruning is a superset proof; Spark re-applies the predicate)."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write_clustered(
+        _df(spark, [(i, f"r{i}") for i in range(400)]), "id", buckets=8,
+        mode="overwrite",
+    )
+    n_dirs = len(t.snapshot()["files"])
+    assert n_dirs == 8
+    # the engine-level path: DataFrame filter -> pushFilters -> prune
+    df = (
+        spark.read.format("txntable")
+        .option("pushdown", "true")  # single-use load: pruning active
+        .load(t.path)
+        .where("id >= 380")
+    )
+    assert sorted(r.id for r in df.collect()) == list(range(380, 400))
+    # the planner-level proof: with the same predicate pushed, the
+    # reader plans strictly fewer input partitions than the full scan
+    reader = TxnTableBatchReader(df.schema, {"path": t.path, "pushdown": "true"})
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    unhandled = reader.pushFilters([GreaterThanOrEqual(("id",), 380)])
+    assert list(unhandled)  # every filter handed back for re-apply
+    pruned = reader.partitions()
+    full = TxnTableBatchReader(df.schema, {"path": t.path}).partitions()
+    assert len(pruned) < len(full)
+    kept, skipped = t.prune([("id", ">=", 380)])
+    assert len(kept) == 1 and len(skipped) == 7
+    assert len(pruned) == sum(
+        1 for p in full if any(k in p.file_path for k in kept)
+    )
+
+
+def test_batch_face_in_filter_and_timestamp_travel(spark, tmp_path):
+    """IN lists prune disjunctively (bloom-probed per value); an
+    all-pruned scan plans zero partitions and returns empty;
+    timestampasof resolves the version from commit wall clocks."""
+    import time
+
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+    )
+    from pyspark.sql.datasource import In
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",), bloom_cols=("id",))
+    t.write_clustered(
+        _df(spark, [(i, f"r{i}") for i in range(400)]), "id", buckets=8,
+        mode="overwrite",
+    )
+    ts_mid = time.time()
+    t.write(_df(spark, [(1000, "late")]), mode="append")
+    # IN over two values in the same range bucket: 1 of 9 dirs survives
+    df = (
+        spark.read.format("txntable")
+        .option("pushdown", "true")
+        .load(t.path)
+        .where("id IN (390, 399)")
+    )
+    assert sorted(r.id for r in df.collect()) == [390, 399]
+    push = {"path": t.path, "pushdown": "true"}
+    reader = TxnTableBatchReader(df.schema, push)
+    reader.pushFilters([In(("id",), (390, 399))])
+    full = TxnTableBatchReader(df.schema, {"path": t.path}).partitions()
+    assert 0 < len(reader.partitions()) < len(full)
+    # an impossible IN prunes everything: zero partitions, empty scan
+    nothing = TxnTableBatchReader(df.schema, push)
+    nothing.pushFilters([In(("id",), (10**7, 10**7 + 1))])
+    assert nothing.partitions() == []
+    empty = (
+        spark.read.format("txntable")
+        .option("pushdown", "true")
+        .load(t.path)
+        .where("id = 10000000")
+    )
+    assert empty.count() == 0
+    # timestamp travel: a read AS OF ts_mid predates the late append
+    asof = (
+        spark.read.format("txntable")
+        .option("timestampasof", str(ts_mid))
+        .load(t.path)
+    )
+    assert asof.where("id = 1000").count() == 0
+    assert asof.count() == 400
+
+
+def test_batch_face_default_is_reuse_safe(spark, tmp_path):
+    """THE readInfo-cache hazard, pinned: Spark 4.1 keeps ONE cached
+    (partitions, read_func) per relation, refreshed only by queries
+    whose WHERE holds a translatable filter — so a filter-dependent
+    partition plan leaks into a later filterLESS query on the same
+    DataFrame. Default mode therefore never prunes by filter: the
+    poison pattern (filtered action, then unfiltered action, same
+    DataFrame) must return ALL rows, and pushFilters must hand every
+    filter back without storing planner state."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write_clustered(
+        _df(spark, [(i, f"r{i}") for i in range(400)]), "id", buckets=8,
+        mode="overwrite",
+    )
+    df = spark.read.format("txntable").load(t.path)
+    # filtered FIRST: this is the action that would poison the cache
+    assert df.where("id = 5").count() == 1
+    # the same DataFrame, unfiltered: every row must survive the reuse
+    assert df.count() == 400
+    assert len(df.collect()) == 400
+    # planner-level: default readers ignore pushed filters entirely
+    reader = TxnTableBatchReader(df.schema, {"path": t.path})
+    unhandled = reader.pushFilters([EqualTo(("id",), 5)])
+    assert list(unhandled) and reader.predicates == []
+    assert len(reader.partitions()) == len(
+        TxnTableBatchReader(df.schema, {"path": t.path}).partitions()
+    )
+
+
+def test_batch_face_merges_deletion_vectors(spark, tmp_path):
+    """delete_dv commits tombstone sidecars, not rewrites — the batch
+    DataSource must anti-join them out executor-side: the live scan
+    drops exactly the victims, a pre-delete version read still has
+    them, and pruning composes (a kept directory's survivors still
+    merge out its tombstones)."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write_clustered(
+        _df(spark, [(i, f"r{i}") for i in range(100)]), "id", buckets=4,
+        mode="overwrite",
+    )
+    assert t.delete_dv(spark, "id % 10 = 0") == 1
+    live = spark.read.format("txntable").load(t.path)
+    assert sorted(r.id for r in live.collect()) == [
+        i for i in range(100) if i % 10 != 0
+    ]
+    # unfiltered-count path sees the merged view too (not file counts)
+    assert live.count() == 90
+    # time travel predates the tombstones
+    v0 = spark.read.format("txntable").option("version", "0").load(t.path)
+    assert v0.count() == 100
+    # pushdown + dv: the kept range directory still merges out its
+    # tombstones (50 is a victim inside the surviving bucket)
+    hit = (
+        spark.read.format("txntable")
+        .option("pushdown", "true")
+        .load(t.path)
+        .where("id >= 48 and id <= 52")
+    )
+    assert sorted(r.id for r in hit.collect()) == [48, 49, 51, 52]
+
+
+def test_stream_initial_snapshot_merges_deletion_vectors(spark, tmp_path):
+    """A stream STARTED on a dv-carrying table consumes the LIVE
+    snapshot (tombstones merged out, Delta's initial-snapshot rule);
+    a delete_dv commit in the consumed range of a RUNNING stream
+    raises like any other non-append op."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")
+    t.delete_dv(spark, "id = 2")
+    sdf = (
+        spark.readStream.format("txntable")
+        .schema("id long, v string")
+        .load(t.path)
+    )
+    got: list = []
+    _drain(
+        sdf, str(tmp_path / "ck"),
+        lambda b, _: got.extend((r.id, r.v) for r in b.collect()),
+    )
+    assert sorted(got) == [(1, "a"), (3, "c")]
+    # a later delete_dv is a non-append commit: insert-only stream fails
+    t.write(_df(spark, [(4, "d")]), mode="append")
+    t.delete_dv(spark, "id = 4")
+    with pytest.raises(Exception, match="insert-only stream"):
+        _drain(sdf, str(tmp_path / "ck"), lambda b, _: None)

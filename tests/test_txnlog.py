@@ -1521,3 +1521,166 @@ def test_schema_nullability_widens_on_append(spark, tmp_path):
     assert sorted(
         (r.id, r.v) for r in t.read(spark).collect()
     ) == [(1, "a"), (2, None)]
+
+
+# -- round 9: deletion vectors (merge-on-read) ---------------------------
+
+
+def _dv_sidecar_bytes(t):
+    total = 0
+    dv_root = os.path.join(t.path, "dv")
+    for root, _, names in os.walk(dv_root):
+        for n in names:
+            total += os.path.getsize(os.path.join(root, n))
+    return total
+
+
+def test_delete_dv_point_delete_commits_no_rewrite(spark, tmp_path):
+    """A 1-row merge-on-read delete must leave every data directory
+    untouched (same manifest file list), commit only a tiny tombstone
+    sidecar, and disappear from reads/count while staying
+    time-travelable."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df, mode="overwrite")
+    files_before = list(t.snapshot()["files"])
+    v = t.delete_dv(spark, "id = 7")
+    assert v == 1
+    snap = t.snapshot()
+    assert snap["files"] == files_before, "delete_dv rewrote data"
+    assert len(snap["dvs"]) == 1
+    assert sum(snap["dv_rows"].values()) == 1
+    assert t.count() == 999
+    assert t.read(spark).where("id = 7").count() == 0
+    assert t.read(spark).count() == 999
+    # time travel: the pre-delete snapshot still has the row
+    assert t.read(spark, 0).where("id = 7").count() == 1
+    assert t.count(0) == 1000
+    # a no-match predicate is a no-op, not an empty commit
+    assert t.delete_dv(spark, "id = 1000000000") is None
+    assert t.latest_version() == 1
+    # deleting an ALREADY-tombstoned row matches nothing (live probe)
+    assert t.delete_dv(spark, "id = 7") is None
+
+
+def test_delete_dv_accumulates_and_cow_materializes(spark, tmp_path):
+    """Successive DV deletes accumulate disjointly; a copy-on-write
+    rewrite (delete/merge/optimize) of a touched directory MATERIALIZES
+    its tombstones — rewritten dirs never resurrect deleted rows."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df.where("id < 50"), mode="overwrite")
+    t.write(df.where("id >= 50"), mode="append")
+    t.delete_dv(spark, "id IN (1, 60)")
+    t.delete_dv(spark, "id IN (2, 61)")
+    assert t.count() == 96
+    assert len(t.snapshot()["dvs"]) == 2
+    # merge upserting a tombstoned key RE-INSERTS it (it is dead)
+    t.merge(spark, spark.createDataFrame([(1, "back")], "id long, v string"), "id")
+    assert t.read(spark).where("id = 1").count() == 1
+    assert t.count() == 97
+    # the merge rewrote the dir holding id=1: its tombstones are
+    # materialized, the OTHER dir's tombstones still apply
+    assert sorted(
+        r.id for r in t.read(spark).where("id IN (1,2,60,61)").collect()
+    ) == [1]
+    # COW delete on the other directory materializes its tombstones too
+    t.delete(spark, "id = 99")
+    assert t.count() == 96
+    assert t.read(spark).where("id IN (60, 61)").count() == 0
+    # full OPTIMIZE clears every tombstone from the manifest
+    t.optimize(spark)
+    snap = t.snapshot()
+    assert "dvs" not in snap and "dv_rows" not in snap
+    assert t.count() == 96
+    assert t.read(spark).where("id IN (2, 60, 61, 99)").count() == 0
+
+
+def test_delete_dv_changes_feed_and_restore(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")
+    t.delete_dv(spark, "id = 2")
+    feed = t.changes(spark, "id", 0, 1).collect()
+    assert [(r.id, r.change_type, r.commit_version) for r in feed] == [
+        (2, "delete", 1)
+    ]
+    # restore to v0 clears the tombstones: data state rolls back
+    t.restore(0)
+    assert t.count() == 3
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    snap = t.snapshot()
+    assert "dvs" not in snap and "dv_rows" not in snap
+
+
+def test_delete_dv_constraints_validate_live_rows_only(spark, tmp_path):
+    from ceneton_database_tools_spark.sinks.txnlog import ConstraintViolation
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (-5, "bad")]), mode="overwrite")
+    with pytest.raises(ConstraintViolation):
+        t.add_constraint(spark, "pos_id", "id > 0")
+    t.delete_dv(spark, "id < 0")  # tombstone the violator
+    assert t.add_constraint(spark, "pos_id", "id > 0") is not None
+
+
+def test_delete_dv_vacuum_gc(spark, tmp_path):
+    """A sidecar referenced by a retained manifest survives vacuum;
+    once OPTIMIZE materializes the tombstones and history is trimmed,
+    the sidecar is reclaimed."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.delete_dv(spark, "id = 1")
+    assert _dv_sidecar_bytes(t) > 0
+    removed = t.vacuum(retain_versions=1, retain_hours=0)
+    assert all(not r.startswith("dv/") for r in removed), removed
+    assert t.read(spark).count() == 1  # still merge-on-read
+    t.optimize(spark) if len(t.snapshot()["files"]) > 1 else t.write(
+        _df(spark, [(9, "z")]), mode="append"
+    )
+    t.optimize(spark)
+    removed = t.vacuum(retain_versions=1, retain_hours=0)
+    assert any(r.startswith("dv/") for r in removed), removed
+    assert t.read(spark).count() in (1, 2)
+
+
+def test_delete_dv_partitioned_table(spark, tmp_path):
+    """DVs compose with partitioned layout: tombstones land per leaf,
+    drop_partitions still proves from exact values, counts stay
+    O(manifest)."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2], f"r{i}") for i in range(10)],
+        "id long, seg string, v string",
+    )
+    t.write_partitioned(df, ("seg",), mode="overwrite")
+    t.delete_dv(spark, "id = 4")  # lives in seg=A
+    assert t.count() == 9
+    assert sorted(r.id for r in t.read(spark).where("seg = 'A'").collect()) == [
+        0, 2, 6, 8,
+    ]
+    t.drop_partitions([("seg", "=", "A")])
+    assert t.count() == 5  # only seg=B remains; its rows untombstoned
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+    snap = t.snapshot()
+    # the dropped partition took its tombstone accounting with it
+    assert "dv_rows" not in snap or all(
+        "seg=A" not in d for d in snap["dv_rows"]
+    )
+
+
+def test_delete_dv_sidecars_coalesce(spark, tmp_path):
+    """Past the coalesce threshold the sidecar list collapses to ONE
+    file — reads never union O(point-deletes-ever) sidecars."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 200).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df, mode="overwrite")
+    for i in range(TxnTable._DV_COALESCE_AT + 2):
+        t.delete_dv(spark, f"id = {i}")
+    snap = t.snapshot()
+    assert len(snap["dvs"]) < TxnTable._DV_COALESCE_AT
+    n_del = TxnTable._DV_COALESCE_AT + 2
+    assert t.count() == 200 - n_del
+    assert t.read(spark).where(f"id < {n_del}").count() == 0
+    assert t.read(spark).count() == 200 - n_del
+    # historical versions still read their own (pre-coalesce) dv sets
+    assert t.count(3) == 197
