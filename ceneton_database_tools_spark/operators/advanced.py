@@ -1495,6 +1495,80 @@ def txn_batch_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "txn_batch_source_where",
+    # Closed-form: both engines derive the range probe the same way
+    # (max key - 49), and the segment literal rides the option string —
+    # equality gates parse -> prune -> executor row filter end to end.
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_name
+    FROM customer
+    WHERE c_custkey >= (SELECT max(c_custkey) FROM customer) - 49
+      AND c_mktsegment = 'BUILDING'
+    """,
+    tags=("txn", "datasource", "where-option", "pruning"),
+)
+def txn_batch_source_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch face's ``where`` LOAD OPTION — exact, relation-keyed
+    skipping: ``customer`` lands as one clustered commit, and the whole
+    predicate (range + segment equality) rides
+    ``.option("where", ...)`` with NO ``.where()`` on the DataFrame, so
+    every returned row proves the option's own row-level filter, not
+    Spark's. Because load options are part of the relation identity,
+    this spelling is immune to the per-relation readInfo-cache hazard
+    that makes ``pushdown`` single-use — the right form for REUSABLE
+    DataFrames and for pure SQL
+    (``CREATE TEMPORARY VIEW ... USING txntable OPTIONS (...)``).
+    At 100 TB: a shared, named view over a petabyte table whose every
+    query starts from one commit's worth of files.
+
+    SELF-CHECKS what the oracle can't see: (a) the option plans
+    STRICTLY FEWER input partitions than the unfiltered scan; (b) the
+    same DataFrame re-counts consistently (reuse safety is the
+    feature's whole point)."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_where_")
+    try:
+        table = TxnTable(work, stats_cols=("c_custkey",))
+        table.write_clustered(base, "c_custkey", buckets=8, mode="overwrite")
+        probe = base.agg(F.max("c_custkey")).first()[0] - 49  # 1 scalar
+        cond = f"c_custkey >= {probe} AND c_mktsegment = 'BUILDING'"
+        result = (
+            spark.read.format("txntable").option("where", cond).load(work)
+        )
+        # (a) plan-time pruning through the option alone
+        n_opt = len(
+            TxnTableBatchReader(
+                result.schema, {"path": work, "where": cond}
+            ).partitions()
+        )
+        n_full = len(
+            TxnTableBatchReader(result.schema, {"path": work}).partitions()
+        )
+        if not (0 < n_opt < n_full):
+            raise AssertionError(f"where option did not prune: {n_opt}/{n_full}")
+        # (b) reuse safety: the same relation answers twice, identically
+        if result.count() != result.count():
+            raise AssertionError("where-option relation drifted on reuse")
+        _record_inner_plan("txn_batch_source_where", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface (spark.sql over registered views)
 # ---------------------------------------------------------------------------

@@ -376,6 +376,89 @@ class TxnTableStreamReader(DataSourceStreamReader):
             self._floor = hi
 
 
+_WHERE_TOKEN = (
+    r"\s*(\w+)\s*(=|<=|>=|<|>|(?i:IN))\s*"
+    r"(-?\d+|'(?:[^']|'')*'|\((?:[^()])*\))\s*"
+)
+
+
+def _parse_where_option(text: str) -> tuple[list, list]:
+    """Parse the ``where`` load option — a conjunction of simple typed
+    comparisons — into ``(predicates, in_predicates)`` shaped exactly
+    like the pushFilters output. Grammar (deliberately tiny; anything
+    else raises with this spelled out)::
+
+        conjunct ( AND conjunct )*
+        conjunct := column (= | < | <= | > | >=) literal
+                  | column IN ( literal, literal, ... )
+        literal  := integer | 'single-quoted string' ('' escapes ')
+
+    The option is applied EXACTLY (directories pruned at plan time,
+    rows filtered executor-side), and because load options are part of
+    Spark's relation identity it is immune to the per-relation
+    readInfo-cache hazard that makes ``pushdown`` single-use — the
+    right spelling for a DataFrame that will be reused, or for pure
+    SQL (``CREATE TEMPORARY VIEW ... USING txntable OPTIONS (...)``).
+    General predicates belong in ``.where()`` as usual."""
+    import re
+
+    def _lit(tok: str):
+        if tok.startswith("'"):
+            return tok[1:-1].replace("''", "'")
+        return int(tok)
+
+    preds: list[tuple[str, str, object]] = []
+    in_preds: list[tuple[str, tuple]] = []
+    for part in re.split(r"(?i)\s+AND\s+", text.strip()):
+        m = re.fullmatch(_WHERE_TOKEN, part)
+        if not m:
+            raise ValueError(
+                f"unsupported txntable where-option conjunct {part!r}: "
+                "the option grammar is `col (=|<|<=|>|>=) literal` or "
+                "`col IN (lit, ...)` joined by AND, with integer or "
+                "single-quoted string literals — put anything more "
+                "general in .where() on the DataFrame"
+            )
+        col, op, rhs = m.group(1), m.group(2).upper(), m.group(3)
+        if op == "IN":
+            if not rhs.startswith("("):
+                raise ValueError(f"IN needs a parenthesized list: {part!r}")
+            toks = [t.strip() for t in rhs[1:-1].split(",") if t.strip()]
+            if not toks:
+                raise ValueError(f"empty IN list: {part!r}")
+            in_preds.append((col, tuple(_lit(t) for t in toks)))
+        else:
+            if rhs.startswith("("):
+                raise ValueError(f"comparison against a list: {part!r}")
+            preds.append((col, op, _lit(rhs)))
+    return preds, in_preds
+
+
+def _where_mask(batch, preds, in_preds):
+    """Evaluate the parsed where-option conjuncts on one Arrow batch,
+    returning the filtered batch. NULL comparisons drop the row —
+    SQL WHERE semantics (Arrow's kleene AND + filter's default
+    null_selection_behavior='drop' give exactly that)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ops = {
+        "=": pc.equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+    mask = None
+    for col, op, val in preds:
+        piece = ops[op](batch.column(col), pa.scalar(val))
+        mask = piece if mask is None else pc.and_kleene(mask, piece)
+    for col, values in in_preds:
+        piece = pc.is_in(batch.column(col), value_set=pa.array(list(values)))
+        mask = piece if mask is None else pc.and_kleene(mask, piece)
+    return batch.filter(mask)
+
+
 class TxnTableBatchReader(DataSourceReader):
     """Batch scan with MANIFEST-LEVEL DATA SKIPPING wired to Catalyst's
     filter pushdown: ``pushFilters`` translates the supported pushed
@@ -419,6 +502,25 @@ class TxnTableBatchReader(DataSourceReader):
         self.arrow_types = _arrow_types_of(schema)
         self.predicates: list[tuple[str, str, object]] = []
         self.in_predicates: list[tuple[str, tuple]] = []
+        # the `where` load option: exact, relation-keyed skipping —
+        # parsed once here, pruned at plan time, applied row-level on
+        # executors. Safe under ANY reuse pattern (options are part of
+        # the relation identity, so the cached plan is keyed by it).
+        self.where_preds: list[tuple[str, str, object]] = []
+        self.where_in: list[tuple[str, tuple]] = []
+        w = options.get("where")
+        if w:
+            self.where_preds, self.where_in = _parse_where_option(w)
+            bad = [
+                c
+                for c, *_ in self.where_preds + self.where_in
+                if c not in self.columns
+            ]
+            if bad:
+                raise ValueError(
+                    f"where option references unknown column(s) {bad}; "
+                    f"table columns are {list(self.columns)}"
+                )
 
     def pushFilters(self, filters):
         from pyspark.sql import datasource as dsf
@@ -468,11 +570,13 @@ class TxnTableBatchReader(DataSourceReader):
 
         table = TxnTable(self.path)
         version = self._resolve_version(table)
-        if self.predicates:
-            kept, _ = table.prune(self.predicates, version)
+        range_preds = self.predicates + self.where_preds
+        if range_preds:
+            kept, _ = table.prune(range_preds, version)
         else:
             kept = list(table.snapshot(version)["files"])
-        if self.in_predicates and kept:
+        in_preds = self.in_predicates + self.where_in
+        if in_preds and kept:
             m = table.snapshot(version)
             stats, blooms = m.get("stats", {}), m.get("blooms", {})
             kept = [
@@ -485,7 +589,7 @@ class TxnTableBatchReader(DataSourceReader):
                         )
                         for v in values
                     )
-                    for col, values in self.in_predicates
+                    for col, values in in_preds
                 )
             ]
         snap = table.snapshot(version)
@@ -510,13 +614,18 @@ class TxnTableBatchReader(DataSourceReader):
             # partitions() proved every directory irrelevant; Spark
             # still runs one task with a None partition — emit nothing
             return
-        yield from _emit_file_batches(
+        for batch in _emit_file_batches(
             partition.file_path,
             partition.columns,
             partition.arrow_types,
             partition.rel_file,
             partition.sidecars,
-        )
+        ):
+            if self.where_preds or self.where_in:
+                # the `where` load option is EXACT: pruning above was
+                # one-sided, the row-level residue applies here
+                batch = _where_mask(batch, self.where_preds, self.where_in)
+            yield batch
 
 
 class TxnTableDataSource(DataSource):

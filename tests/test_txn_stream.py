@@ -501,3 +501,50 @@ def test_stream_initial_snapshot_merges_deletion_vectors(spark, tmp_path):
     t.delete_dv(spark, "id = 4")
     with pytest.raises(Exception, match="insert-only stream"):
         _drain(sdf, str(tmp_path / "ck"), lambda b, _: None)
+
+
+def test_batch_face_where_option_exact_and_reusable(spark, tmp_path):
+    """The `where` LOAD OPTION: exact, relation-keyed skipping — the
+    safe spelling for reusable DataFrames and pure SQL. Prunes
+    directories at plan time, filters rows executor-side, and because
+    options are part of Spark's relation identity it never trips the
+    readInfo-cache hazard: repeated and composed actions on the same
+    DataFrame stay consistent."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(400)]
+    t.write_clustered(
+        spark.createDataFrame(rows, "id long, seg string, v string"),
+        "id", buckets=8, mode="overwrite",
+    )
+    df = (
+        spark.read.format("txntable")
+        .option("where", "id >= 380 AND seg = 'A'")
+        .load(t.path)
+    )
+    # exact rows, and REUSE stays consistent (count, recount, compose)
+    assert sorted(r.id for r in df.collect()) == list(range(380, 400, 2))
+    assert df.count() == 10 and df.count() == 10
+    assert [r.id for r in df.where("id = 390").collect()] == [390]
+    # plan-time pruning: one range bucket of eight survives
+    opts = {"path": t.path, "where": "id >= 380 AND seg = 'A'"}
+    assert len(TxnTableBatchReader(df.schema, opts).partitions()) == 1
+    # IN lists and string equality parse; pure SQL reaches the option
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW txn_where_v USING txntable "
+        f"OPTIONS (path '{t.path}', where 'id IN (4, 9, 398)')"
+    )
+    assert sorted(
+        r.id for r in spark.sql("SELECT id FROM txn_where_v").collect()
+    ) == [4, 9, 398]
+    # loud failures: grammar beyond the option's subset; unknown column
+    with pytest.raises(Exception, match="unsupported txntable where"):
+        spark.read.format("txntable").option("where", "id >= 380 OR 1=1") \
+            .load(t.path).count()
+    with pytest.raises(Exception, match="unknown column"):
+        spark.read.format("txntable").option("where", "nope = 3") \
+            .load(t.path).count()
