@@ -566,3 +566,88 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.quantize_col(F.col("j"), 6).alias("fp_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + scrubbing
+# ---------------------------------------------------------------------------
+
+# Deliberately dialect-portable regexes: every construct below (\b, \d,
+# character classes, bounded quantifiers) means the same thing in
+# Java's regex (Spark) and RE2 (DuckDB), so one pattern string drives
+# both engines.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+# Synthetic, doc_id-derived contact block appended to every non-NULL
+# document so the scrub path is exercised on real matches (the corpus
+# itself is PII-free); NULL text stays NULL through concat in BOTH
+# engines, preserving the corpus's hostile-fixture behavior.
+_PII_AUG_SPARK = (
+    "concat(text, ' Contact user', CAST(doc_id AS STRING),"
+    " '@mail.example.com or 10.', CAST(doc_id % 200 AS STRING),"
+    " '.0.', CAST(doc_id % 250 AS STRING),"
+    " ' tel 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),"
+    " '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+)
+_PII_AUG_DUCK = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, """ + _PII_AUG_DUCK + """ AS t FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '""" + _PII_EMAIL + """')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t, '""" + _PII_IPV4 + """')) AS BIGINT)  AS n_ipv4,
+      CAST(len(regexp_extract_all(t, '""" + _PII_PHONE + """')) AS BIGINT) AS n_phone,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '""" + _PII_EMAIL + """', '<EMAIL>', 'g'),
+            '""" + _PII_IPV4 + """', '<IP>', 'g'),
+            '""" + _PII_PHONE + """', '<PHONE>', 'g')) AS scrub_md5
+    FROM aug
+    """,
+    tags=("text", "pii", "llm-pipeline", "scrub"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DETECTION + REDACTION — the scrub pass every training-data
+    pipeline runs before anything else: per-document counts of emails,
+    IPv4 addresses, and phone numbers, plus the md5 of the text after
+    chained placeholder redaction (email → ip → phone, so the hash
+    gates the exact replacement semantics, not just the counts). The
+    corpus carries no real PII, so a deterministic doc_id-derived
+    contact block is appended first — identically on both engines —
+    guaranteeing every non-NULL document exercises all three patterns;
+    NULL text rides NULL concat to NULL counts and a NULL hash.
+
+    Pure map-side JVM regex per document — no shuffle, no UDF, no
+    explode: the 100 TB shape is 'one pass over the corpus, codegen
+    end to end'."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_AUG_SPARK).alias("t")
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("t", F.lit(_PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.md5(scrub).alias("scrub_md5"),
+    )
