@@ -113,12 +113,23 @@ class TxnFilePartition(InputPartition):
         arrow_types: dict,
         rel_file: str = "",
         sidecars: tuple[str, ...] = (),
+        dv_mode: str = "drop",
+        dv_base: tuple[str, ...] = (),
+        change_type: str = "",
+        commit_version: int = -1,
     ):
         self.file_path = file_path
         self.columns = columns
         self.arrow_types = arrow_types
         self.rel_file = rel_file
         self.sidecars = sidecars
+        # change-feed fields: dv_mode "keep" emits ONLY the rows the
+        # sidecars tombstone beyond dv_base (one commit's victims);
+        # change_type/commit_version become constant output columns
+        self.dv_mode = dv_mode
+        self.dv_base = dv_base
+        self.change_type = change_type
+        self.commit_version = commit_version
 
 
 def _arrow_types_of(schema: SqlT.StructType) -> dict:
@@ -160,29 +171,51 @@ def _emit_file_batches(
     arrow_types: dict,
     rel_file: str = "",
     sidecars: tuple[str, ...] = (),
+    dv_mode: str = "drop",
+    dv_base: tuple[str, ...] = (),
 ) -> Iterator:
     """Yield one parquet file's record batches projected to declared
     order. Columns the file predates (schema evolution) are NULL-filled
     as typed Arrow null arrays — mirroring ``txnlog._read_dirs``'s
-    by-name resolution, so old files stream instead of crashing. Rows
-    tombstoned by the snapshot's deletion vectors are dropped by file
-    position (``_metadata.row_index`` is the row's physical position,
-    and ``iter_batches`` replays the file in the same physical order,
-    so a running offset addresses every batch exactly)."""
+    by-name resolution, so old files stream instead of crashing.
+
+    Deletion vectors address rows by file position
+    (``_metadata.row_index`` is the row's physical position, and
+    ``iter_batches`` replays the file in the same physical order, so a
+    running offset + one vectorized numpy membership test addresses
+    every batch — no per-row Python). Two modes:
+
+    * ``drop`` (snapshot reads): rows tombstoned by ``sidecars`` are
+      removed — the live view.
+    * ``keep`` (change-feed deletes): ONLY rows tombstoned by
+      ``sidecars`` but NOT by ``dv_base`` are emitted — exactly one
+      commit's victims, correct even after sidecar coalescing rewrote
+      the list (new-set minus old-set is position arithmetic, not
+      sidecar identity)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    dead = _dead_positions(sidecars, rel_file) if sidecars else None
+    dead = _dead_positions(sidecars, rel_file) if sidecars else set()
+    if dv_mode == "keep":
+        dead = dead - _dead_positions(dv_base, rel_file)
+    dead_arr = (
+        np.fromiter(dead, dtype=np.int64, count=len(dead)) if dead else None
+    )
 
-    def _drop_dead(batch, off: int):
-        if not dead:
+    def _dv_select(batch, off: int):
+        if dv_mode == "keep":
+            if dead_arr is None:
+                return batch.slice(0, 0)
+            mask = np.isin(
+                np.arange(off, off + batch.num_rows, dtype=np.int64), dead_arr
+            )
+            return batch.filter(pa.array(mask))
+        if dead_arr is None:
             return batch
-        local = [i for i in range(batch.num_rows) if off + i in dead]
-        if not local:
-            return batch
-        mask = [True] * batch.num_rows
-        for i in local:
-            mask[i] = False
+        mask = ~np.isin(
+            np.arange(off, off + batch.num_rows, dtype=np.int64), dead_arr
+        )
         return batch.filter(pa.array(mask))
 
     pf = pq.ParquetFile(file_path)
@@ -193,7 +226,7 @@ def _emit_file_batches(
         # a file with NONE of the declared columns: emit its rows as
         # all-NULL tuples (count still matters), one batch
         n = pf.metadata.num_rows
-        yield _drop_dead(
+        yield _dv_select(
             pa.RecordBatch.from_arrays(
                 [pa.nulls(n, type=arrow_types[c]) for c in columns],
                 names=list(columns),
@@ -218,7 +251,7 @@ def _emit_file_batches(
             # project to declared order; schema mismatches surface as
             # loud Arrow conversion errors, never silent column swaps
             out = batch.select(list(columns))
-        yield _drop_dead(out, offset)
+        yield _dv_select(out, offset)
         offset += batch.num_rows
 
 
@@ -256,12 +289,29 @@ def _parquet_files(root: str) -> list[str]:
     return sorted(out)
 
 
+_CDF_META = ("change_type", "commit_version")
+
+
 class TxnTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: SqlT.StructType, options: dict):
         self.path = options.get("path", "")
         if not self.path:
             raise ValueError("txntable stream requires a path option")
-        self.columns = tuple(schema.fieldNames())
+        self.cdf = str(
+            options.get("readchangefeed", "false")
+        ).strip().lower() in ("true", "1", "yes")
+        cols = tuple(schema.fieldNames())
+        if self.cdf:
+            missing = [c for c in _CDF_META if c not in cols]
+            if missing:
+                raise ValueError(
+                    f"readchangefeed schema must include {_CDF_META}; "
+                    f"missing {missing} (omit .schema(...) to derive it)"
+                )
+            # data columns only: the meta pair is appended per batch
+            self.columns = tuple(c for c in cols if c not in _CDF_META)
+        else:
+            self.columns = cols
         self.arrow_types = _arrow_types_of(schema)
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
@@ -310,7 +360,14 @@ class TxnTableStreamReader(DataSourceStreamReader):
             self._floor = hi  # restart replay: resume capping from here
         parts: list[InputPartition] = []
 
-        def add_dirs(rels, snap: dict | None = None) -> None:
+        def add_dirs(
+            rels,
+            snap: dict | None = None,
+            change_type: str = "insert",
+            commit_version: int = -1,
+            dv_mode: str = "drop",
+            dv_base: tuple[str, ...] = (),
+        ) -> None:
             # deletion vectors (snapshot reads only): a directory with
             # tombstones ships the sidecar paths to its tasks, which
             # merge the dead rows out where the file is read
@@ -328,6 +385,10 @@ class TxnTableStreamReader(DataSourceStreamReader):
                             self.arrow_types,
                             os.path.relpath(f, self.path),
                             dv,
+                            dv_mode,
+                            dv_base,
+                            change_type,
+                            commit_version,
                         )
                     )
 
@@ -336,37 +397,121 @@ class TxnTableStreamReader(DataSourceStreamReader):
             # the full snapshot at `hi` — live rows only, tombstones
             # merged out — not a replay of every historical commit, so
             # mid-history deletes/merges never block a stream that
-            # starts on today's table
+            # starts on today's table. In CDF mode those rows carry
+            # change_type 'insert' at the snapshot version.
             if hi >= 0:
                 m = _manifest(self.path, hi)
-                add_dirs(sorted(m["files"]), m)
+                add_dirs(sorted(m["files"]), m, "insert", hi)
             return parts
-        prev_files = set(_manifest(self.path, lo)["files"])
+        prev = _manifest(self.path, lo)
+        prev_files = set(prev["files"])
         for v in range(lo + 1, hi + 1):
             m = _manifest(self.path, v)
             cur = set(m["files"])
-            if m.get("op") != "append" and not self.ignore_changes:
+            op = m.get("op")
+            if self.cdf:
+                self._plan_cdf_commit(add_dirs, v, prev, m, prev_files, cur)
+            elif op in ("append", "add_constraint", "drop_constraint"):
+                # constraint commits are table POLICY, not data: the
+                # file set is unchanged and the stream just moves past
+                add_dirs(sorted(cur - prev_files), None, "insert", v)
+            elif not self.ignore_changes:
                 raise RuntimeError(
-                    f"version {v} of {self.path} is a {m.get('op')!r} "
+                    f"version {v} of {self.path} is a {op!r} "
                     "commit; an insert-only stream cannot represent it. "
                     "Set .option('ignorechanges', 'true') to re-emit "
                     "rewritten directories (Delta ignoreChanges "
-                    "semantics), or stream the change feed instead."
+                    "semantics), or stream the change feed instead "
+                    "(.option('readchangefeed', 'true'))."
                 )
-            add_dirs(sorted(cur - prev_files))
-            prev_files = cur
+            else:
+                add_dirs(sorted(cur - prev_files), None, "insert", v)
+            prev, prev_files = m, cur
         return parts
+
+    def _plan_cdf_commit(
+        self, add_dirs, v: int, prev: dict, m: dict, prev_files, cur
+    ) -> None:
+        """One commit's rows for the CHANGE FEED stream — only ops whose
+        row-level changes are derivable per-file (no joins) stream:
+
+        * ``append`` → added directories as 'insert'
+        * ``delete_dv`` → ONLY the newly tombstoned positions as
+          'delete' (new-sidecar-set minus old — exact even after
+          sidecar coalescing)
+        * ``drop_partitions`` → the dropped directories' live rows as
+          'delete' (a metadata delete is still a delete)
+        * ``optimize`` → nothing (row-identical by contract)
+        * constraint commits → nothing (policy, not data)
+        * COW rewrites (``delete``/``merge``/``overwrite``/``restore``)
+          → RAISE: their row-level diff needs the anti-join the batch
+          feed (``TxnTable.changes``) performs; a streaming source
+          can't run joins inside partition planning. Delta draws the
+          same line — streaming CDC beyond appends+DVs requires
+          commit-time change files."""
+        op = m.get("op")
+        if op in ("optimize", "add_constraint", "drop_constraint"):
+            return
+        if op in ("append", "overwrite") and not prev_files - cur:
+            add_dirs(sorted(cur - prev_files), None, "insert", v)
+            return
+        if op == "delete_dv":
+            dirs = [
+                d
+                for d in sorted(m.get("dv_rows", {}))
+                if m["dv_rows"][d] > prev.get("dv_rows", {}).get(d, 0)
+            ]
+            add_dirs(
+                dirs,
+                m,
+                "delete",
+                v,
+                dv_mode="keep",
+                dv_base=tuple(
+                    os.path.join(self.path, s) for s in prev.get("dvs", [])
+                ),
+            )
+            return
+        if op == "drop_partitions":
+            # dropped dirs leave the manifest untouched on disk: their
+            # live rows AT v-1 (prev's tombstones merged out) are the
+            # delete set, readable per file
+            add_dirs(sorted(prev_files - cur), prev, "delete", v)
+            return
+        raise RuntimeError(
+            f"version {v} of {self.path} is a {op!r} commit; its "
+            "row-level changes need the batch change feed "
+            "(TxnTable.changes, which joins rewritten directories "
+            "against the ones they replaced) — a streaming CDF source "
+            "only represents appends, deletion-vector deletes, and "
+            "partition drops per-file."
+        )
 
     # -- execution (executor-side) -----------------------------------------
 
     def read(self, partition: TxnFilePartition) -> Iterator:
-        yield from _emit_file_batches(
+        import pyarrow as pa
+
+        for batch in _emit_file_batches(
             partition.file_path,
             partition.columns,
             partition.arrow_types,
             partition.rel_file,
             partition.sidecars,
-        )
+            partition.dv_mode,
+            partition.dv_base,
+        ):
+            if self.cdf:
+                n = batch.num_rows
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [
+                        pa.array([partition.change_type] * n, pa.string()),
+                        pa.array([partition.commit_version] * n, pa.int64()),
+                    ],
+                    names=list(partition.columns) + list(_CDF_META),
+                )
+            yield batch
 
     def commit(self, end: dict) -> None:
         # offsets are derived from the immutable log — nothing to ack;
@@ -662,7 +807,26 @@ class TxnTableDataSource(DataSource):
                     pick = latest
                 m = _manifest(path, pick)
                 if m.get("schema") is not None:
-                    return SqlT.StructType.fromJson(m["schema"])
+                    st = SqlT.StructType.fromJson(m["schema"])
+                    if str(opts.get("readchangefeed", "")).lower() in (
+                        "true",
+                        "1",
+                        "yes",
+                    ):
+                        # the change-feed stream carries the table's
+                        # columns plus the two change-meta columns
+                        st = SqlT.StructType(
+                            list(st.fields)
+                            + [
+                                SqlT.StructField(
+                                    "change_type", SqlT.StringType(), False
+                                ),
+                                SqlT.StructField(
+                                    "commit_version", SqlT.LongType(), False
+                                ),
+                            ]
+                        )
+                    return st
         raise ValueError(
             "cannot derive the txntable schema: no committed manifest "
             f"with a recorded schema under {path!r} — pass an explicit "

@@ -1123,3 +1123,106 @@ def streaming_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CHANGE DATA FEED out of the transactional log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_txn_cdf",
+    # Closed-form changelog: every customer is inserted exactly once
+    # (evens in commit 0, odds in commit 1) and the %97 keys are then
+    # tombstoned in commit 2 — equality holds only if the CDF stream
+    # delivered each commit's exact row-level changes, deletes included.
+    oracle="""
+    SELECT c_custkey, c_name, 'insert' AS change_type,
+           CAST(CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS commit_version
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, 'delete' AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+    tags=("streaming", "txn", "cdf", "deletion-vectors"),
+)
+def streaming_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional table STREAMS ITS CHANGES, not just its
+    inserts: ``.option("readchangefeed", "true")`` turns the source
+    into a row-level change feed — the initial snapshot arrives as
+    ``insert`` rows at the snapshot version, an append commit streams
+    its rows as ``insert``, and a DELETION-VECTOR delete streams
+    exactly its victims as ``delete`` (executors emit only the
+    positions the commit's sidecars tombstoned beyond the previous
+    set, so sidecar coalescing can never re-deliver old deletes).
+    This is the streaming face of the change feed whose batch form is
+    ``TxnTable.changes`` — and the piece that makes downstream
+    incremental materialized views possible over a table that deletes:
+    at 100 TB the consumer applies O(changed rows) per trigger instead
+    of re-scanning.
+
+    The run: evens land as the v0 snapshot (consumed by drain 1),
+    odds append as v1 and the ``% 97`` keys are dv-deleted as v2
+    (both consumed INCREMENTALLY by drain 2 from the same
+    checkpoint). SELF-CHECKS: drain 2 never re-delivers the snapshot,
+    and the emitted delete count equals the manifest's tombstone
+    accounting. COW-rewrite refusal, drop_partitions deletes, and
+    coalescing exactness are protocol-tested in
+    tests/test_txn_stream.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
+
+    register_txn_source(spark)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_cdf_")
+    got: list = []
+
+    def _drain(table: TxnTable, ck: str) -> int:
+        before = len(got)
+        sdf = (
+            spark.readStream.format("txntable")
+            .option("readchangefeed", "true")
+            .load(table.path)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda b, _: got.extend(b.collect())
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return len(got) - before
+
+    try:
+        table = TxnTable(os.path.join(work, "t"))
+        ck = os.path.join(work, "ck")
+        table.write(base.filter(F.col("c_custkey") % 2 == 0), mode="overwrite")
+        n1 = _drain(table, ck)
+        table.write(base.filter(F.col("c_custkey") % 2 == 1), mode="append")
+        table.delete_dv(spark, "c_custkey % 97 = 0")
+        _drain(table, ck)
+        # self-check: drain 2 was incremental (no snapshot re-delivery)
+        # and the streamed deletes match the manifest's tombstones
+        n_del = sum(1 for r in got if r.change_type == "delete")
+        if n1 != base.filter(F.col("c_custkey") % 2 == 0).count():
+            raise AssertionError("initial CDF snapshot miscounted")
+        if n_del != sum(table.snapshot()["dv_rows"].values()):
+            raise AssertionError("streamed deletes drifted from tombstones")
+        schema = (
+            "c_custkey long, c_name string, "
+            "change_type string, commit_version long"
+        )
+        return spark.createDataFrame(got, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -548,3 +548,111 @@ def test_batch_face_where_option_exact_and_reusable(spark, tmp_path):
     with pytest.raises(Exception, match="unknown column"):
         spark.read.format("txntable").option("where", "nope = 3") \
             .load(t.path).count()
+
+
+def _drain_cdf(spark, t, ck, sink):
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("readchangefeed", "true")
+        .load(t.path)
+    )
+    _drain(sdf, ck, sink)
+
+
+def test_cdf_stream_appends_and_dv_deletes(spark, tmp_path):
+    """The CHANGE FEED stream: the initial snapshot arrives as
+    'insert' rows at the snapshot version; an append commit streams
+    its rows as 'insert'; a delete_dv commit streams EXACTLY its
+    victims as 'delete' — and sidecar coalescing between commits must
+    not re-emit older deletes (new-set minus old-set is position
+    arithmetic, not sidecar identity)."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t._DV_COALESCE_AT = 1  # force coalescing on the 2nd delete_dv
+    t.write(_df(spark, [(i, f"r{i}") for i in range(10)]), mode="overwrite")
+    ck = str(tmp_path / "ck")
+    got: list = []
+    _drain_cdf(
+        spark, t, ck,
+        lambda b, _: got.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got) == [(i, "insert", 0) for i in range(10)]
+    t.write(_df(spark, [(20, "u")]), mode="append")
+    t.delete_dv(spark, "id IN (1, 3)")
+    got2: list = []
+    _drain_cdf(
+        spark, t, ck,
+        lambda b, _: got2.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got2) == [
+        (1, "delete", 2), (3, "delete", 2), (20, "insert", 1)
+    ]
+    # coalesced second delete: only ITS victims stream, never 1 or 3
+    t.delete_dv(spark, "id IN (5, 20)")
+    got3: list = []
+    _drain_cdf(
+        spark, t, ck,
+        lambda b, _: got3.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got3) == [(5, "delete", 3), (20, "delete", 3)]
+
+
+def test_cdf_stream_drop_partitions_and_cow_raises(spark, tmp_path):
+    """drop_partitions streams the dropped directories' live rows as
+    'delete' (a metadata delete is still a delete); a copy-on-write
+    rewrite raises toward the batch change feed; optimize and
+    constraint commits stream nothing."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(8)]
+    t.write_partitioned(
+        spark.createDataFrame(rows, "id long, seg string, v string"),
+        ("seg",), mode="overwrite",
+    )
+    ck = str(tmp_path / "ck")
+    _drain_cdf(spark, t, ck, lambda b, _: None)  # snapshot consumed
+    t.add_constraint(spark, "id_ok", "id >= 0")  # policy: no rows
+    t.drop_partitions([("seg", "=", "B")])
+    got: list = []
+    _drain_cdf(
+        spark, t, ck,
+        lambda b, _: got.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got) == [(i, "delete", 2) for i in range(8) if i % 2 == 1]
+    # COW delete: row-level diff needs the batch feed's join — loud
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    ck2 = str(tmp_path / "ck2")
+    _drain_cdf(spark, t2, ck2, lambda b, _: None)
+    t2.delete(spark, "id = 1")
+    with pytest.raises(Exception, match="batch change feed"):
+        _drain_cdf(spark, t2, ck2, lambda b, _: None)
+
+
+def test_plain_stream_survives_constraint_commits(spark, tmp_path):
+    """A CHECK-constraint commit is table policy, not data: the file
+    set is unchanged, so the insert-only stream must move past it
+    instead of dying (the r8 behavior raised on ANY non-append op)."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    sdf = (
+        spark.readStream.format("txntable")
+        .schema("id long, v string")
+        .load(t.path)
+    )
+    ck = str(tmp_path / "ck")
+    _drain(sdf, ck, lambda b, _: None)
+    t.add_constraint(spark, "id_ok", "id >= 0")
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    got: list = []
+    _drain(sdf, ck, lambda b, _: got.extend((r.id, r.v) for r in b.collect()))
+    assert sorted(got) == [(2, "b")]
