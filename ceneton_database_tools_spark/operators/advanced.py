@@ -1569,6 +1569,79 @@ def txn_batch_source_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+
+@register(
+    "txn_datasource_write",
+    # Closed-form: the full customer relation, written through the
+    # DataSource write face in two commits — equality holds only if
+    # executor-staged files plus the manifest commit lose nothing,
+    # duplicate nothing, and the read face sees exactly one table.
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_name
+    FROM customer
+    """,
+    tags=("txn", "datasource", "write", "acid"),
+)
+def txn_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE face: ``df.write.format("txntable")`` — executor
+    tasks stream Arrow batches straight into one shared staged
+    directory (invisible until committed) and the driver-side commit
+    worker publishes it through the SAME rebase-loop + atomic link(2)
+    protocol as every Python-API commit, so DataSource writes, API
+    writes, and streaming-sink writes serialize on one log. The table
+    format is now a closed loop through pure ``spark.read`` /
+    ``spark.write`` / ``readStream`` — no package import needed to
+    use it. At 100 TB the write is one distributed staging pass plus
+    an O(1) manifest commit; row counts and [min,max] stats ride the
+    task commit messages (``statscols``), so the commit path touches
+    zero parquet footers.
+
+    SELF-CHECKS what the oracle can't see: (a) two write-face commits
+    plus nothing else -> versions 0..1; (b) the task-observed stats
+    let the manifest prune skip a non-matching commit; (c) count()
+    answers from the manifest (task-message row counts)."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_dsw_")
+    try:
+        path = f"{work}/t"
+        half = base.agg((F.max("c_custkey") / 2).cast("long")).first()[0]
+        base.filter(F.col("c_custkey") <= half).write.format(
+            "txntable"
+        ).option("statscols", "c_custkey").mode("append").save(path)
+        base.filter(F.col("c_custkey") > half).write.format(
+            "txntable"
+        ).option("statscols", "c_custkey").mode("append").save(path)
+        table = TxnTable(path, stats_cols=("c_custkey",))
+        # (a) exactly two commits
+        if table.latest_version() != 1:
+            raise AssertionError("expected versions 0..1")
+        # (b) task-observed stats prune the low commit away
+        kept, skipped = table.prune([("c_custkey", ">", half)])
+        if not (len(kept) == 1 and len(skipped) == 1):
+            raise AssertionError(f"stats did not prune: {kept}/{skipped}")
+        # (c) manifest-counted rows match the data
+        result = table.read(spark)
+        if table.count() != base.count():
+            raise AssertionError("manifest count drifted from the data")
+        _record_inner_plan("txn_datasource_write", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface (spark.sql over registered views)
 # ---------------------------------------------------------------------------

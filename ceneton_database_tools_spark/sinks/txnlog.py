@@ -448,6 +448,96 @@ class TxnTable:
         )
         return staged, int(obs.get["n"])
 
+    def commit_staged(
+        self,
+        staged: str,
+        n_rows: int,
+        mode: str = "append",
+        schema_json: dict | None = None,
+        merge_schema: bool = False,
+        staged_stats: dict | None = None,
+        max_retries: int = 10,
+    ) -> int:
+        """Commit an ALREADY-STAGED data directory — the manifest half
+        of :meth:`write` with the Spark half done elsewhere. This is
+        the hook the DataSource WRITE face uses: executor tasks write
+        parquet straight into ``staged`` and the driver-side commit
+        worker (which has filesystem access but NO SparkSession) calls
+        this to make the directory visible. Pure filesystem: rebase
+        loop, schema validation/evolution (JSON-level, no Spark),
+        property carrying, stats merge, atomic link(2) claim — the
+        same protocol as every other commit.
+
+        Refuses loudly what it cannot uphold without a Spark job:
+        tables with CHECK constraints (validating the batch needs a
+        distributed scan — use :meth:`write`) and partitioned tables
+        (an unpartitioned directory would break ``drop_partitions``'
+        two-sided proof, same guard as the idempotent sink)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        for _ in range(max_retries):
+            current = self.latest_version()
+            txns: dict[str, int] = {}
+            snap: dict | None = None
+            schema = schema_json
+            if current is not None:
+                snap = self.snapshot(current)
+                txns.update(snap.get("txns", {}))
+                if snap.get("constraints"):
+                    self._discard_staged(staged)
+                    raise RuntimeError(
+                        f"table {self.path} has CHECK constraints "
+                        f"{sorted(snap['constraints'])}; the staged-commit "
+                        "path cannot validate a batch without a Spark job "
+                        "— write through TxnTable.write instead"
+                    )
+                if mode == "append":
+                    if snap.get("partition_by"):
+                        self._discard_staged(staged)
+                        raise ValueError(
+                            "table is partitioned by "
+                            f"{tuple(snap['partition_by'])}; staged commits "
+                            "are unpartitioned and would break "
+                            "drop_partitions' proof — use write_partitioned"
+                        )
+                    files = list(snap["files"]) + [staged]
+                    try:
+                        schema = self._evolve_schema(
+                            snap.get("schema"), schema_json, merge_schema
+                        )
+                    except SchemaMismatch:
+                        self._discard_staged(staged)
+                        raise
+                else:
+                    files = [staged]
+            else:
+                files = [staged]
+            version = 0 if current is None else current + 1
+            manifest = {
+                "version": version,
+                "op": mode,
+                "files": files,
+                "txns": txns,
+                "schema": schema,
+            }
+            self._carry_props(snap, manifest, {staged: int(n_rows)})
+            carried = (snap or {}).get("stats", {})
+            stats = {d: carried[d] for d in files if d in carried}
+            if staged_stats:
+                stats[staged] = staged_stats
+            if stats:
+                manifest["stats"] = stats
+            carried_b = (snap or {}).get("blooms", {})
+            blooms = {d: carried_b[d] for d in files if d in carried_b}
+            if blooms:
+                manifest["blooms"] = blooms
+            if self._try_commit(version, manifest):
+                return version
+        self._discard_staged(staged)
+        raise CommitConflict(
+            f"lost {max_retries} staged-commit races on {self.path}"
+        )
+
     def _discard_staged(self, staged: str) -> None:
         """Remove a staged-but-never-committed data directory. Called
         on every losing exit (duplicate-replay no-op, lost merge race,

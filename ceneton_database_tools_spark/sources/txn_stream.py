@@ -91,9 +91,11 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as SqlT
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -773,6 +775,158 @@ class TxnTableBatchReader(DataSourceReader):
             yield batch
 
 
+class _TxnWriteMessage(WriterCommitMessage):
+    """One task's contribution to a staged commit: how many rows it
+    wrote (possibly zero) and the min/max it observed per stats
+    column. Must stay picklable — plain attributes only."""
+
+    def __init__(self, rows: int, stats: dict):
+        self.rows = rows
+        self.stats = stats
+
+
+class TxnTableArrowWriter(DataSourceArrowWriter):
+    """The WRITE face: ``df.write.format("txntable").mode(...)``.
+
+    Executor tasks stream their Arrow batches straight into one shared
+    staged directory (``data/<uuid>``, invisible until committed —
+    readers only see directories the manifest names), each task one
+    parquet file plus a commit message carrying its observed row count
+    and per-column min/max. The driver-side ``commit`` then makes the
+    directory visible through :meth:`TxnTable.commit_staged` — the
+    same rebase-loop + atomic link(2) protocol as every Python-API
+    commit, so DataSource writes, API writes, and streaming-sink
+    writes all serialize through one log. ``abort`` (any task failed)
+    removes the staged directory; nothing was ever visible.
+
+    Options: ``statscols`` (comma-separated) records manifest [min,
+    max] stats for those columns so the pruned read faces skip over
+    this commit too; ``mergeschema`` opts into schema evolution.
+    Row counts ride the task messages (zero driver-side footer
+    walks); constraint-bearing and partitioned tables are refused by
+    ``commit_staged`` with the reason spelled out."""
+
+    def __init__(self, schema: SqlT.StructType, options: dict, overwrite: bool):
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("txntable write requires a path")
+        self.overwrite = overwrite
+        self.merge_schema = str(
+            options.get("mergeschema", "false")
+        ).strip().lower() in ("true", "1", "yes")
+        raw = options.get("statscols", "")
+        self.stats_cols = tuple(
+            c.strip() for c in raw.split(",") if c.strip()
+        )
+        bad = [c for c in self.stats_cols if c not in schema.fieldNames()]
+        if bad:
+            raise ValueError(
+                f"statscols {bad} not in the written schema "
+                f"{schema.fieldNames()}"
+            )
+        self.schema_json = schema.jsonValue()
+        # one staged directory for the whole job, chosen driver-side;
+        # every task writes its own file into it
+        import uuid as _uuid
+
+        self.staged = f"data/{_uuid.uuid4().hex}"
+
+    # -- executor-side -------------------------------------------------------
+
+    def write(self, iterator) -> _TxnWriteMessage:
+        import uuid as _uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(self.path, self.staged)
+        writer = None
+        rows = 0
+        lo: dict = {}
+        hi: dict = {}
+        try:
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(out_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(
+                            out_dir, f"part-{_uuid.uuid4().hex}.parquet"
+                        ),
+                        batch.schema,
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                for c in self.stats_cols:
+                    mm = pc.min_max(batch.column(c))
+                    bl, bh = mm["min"].as_py(), mm["max"].as_py()
+                    if bl is not None and (c not in lo or bl < lo[c]):
+                        lo[c] = bl
+                    if bh is not None and (c not in hi or bh > hi[c]):
+                        hi[c] = bh
+        finally:
+            if writer is not None:
+                writer.close()
+        return _TxnWriteMessage(
+            rows, {c: (lo[c], hi[c]) for c in lo if c in hi}
+        )
+
+    # -- driver-side ---------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+        total = sum(m.rows for m in messages if m is not None)
+        lo: dict = {}
+        hi: dict = {}
+        for m in messages:
+            if m is None:
+                continue
+            for c, (bl, bh) in m.stats.items():
+                if c not in lo or bl < lo[c]:
+                    lo[c] = bl
+                if c not in hi or bh > hi[c]:
+                    hi[c] = bh
+        table = TxnTable(self.path)
+        stats = {
+            c: [table._json_stat(lo[c]), table._json_stat(hi[c])] for c in lo
+        }
+        out_dir = os.path.join(self.path, self.staged)
+        if not os.path.isdir(out_dir):
+            # an empty DataFrame wrote no files: stage one zero-row
+            # parquet so the committed directory is a valid scan target
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+
+            os.makedirs(out_dir, exist_ok=True)
+            arrow = to_arrow_schema(
+                SqlT.StructType.fromJson(self.schema_json)
+            )
+            pq.write_table(
+                pa.Table.from_arrays(
+                    [pa.nulls(0, type=f.type) for f in arrow],
+                    schema=arrow,
+                ),
+                os.path.join(out_dir, "part-empty.parquet"),
+            )
+        table.commit_staged(
+            self.staged,
+            total,
+            mode="overwrite" if self.overwrite else "append",
+            schema_json=self.schema_json,
+            merge_schema=self.merge_schema,
+            staged_stats=stats or None,
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, self.staged), ignore_errors=True
+        )
+
+
 class TxnTableDataSource(DataSource):
     """``spark.read.format("txntable").load(path)`` (batch, with
     manifest pruning wired to filter pushdown) and
@@ -838,6 +992,9 @@ class TxnTableDataSource(DataSource):
 
     def streamReader(self, schema: SqlT.StructType) -> TxnTableStreamReader:
         return TxnTableStreamReader(schema, dict(self.options))
+
+    def writer(self, schema: SqlT.StructType, overwrite: bool):
+        return TxnTableArrowWriter(schema, dict(self.options), overwrite)
 
 
 def register_txn_source(spark: SparkSession) -> None:

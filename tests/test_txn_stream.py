@@ -656,3 +656,90 @@ def test_plain_stream_survives_constraint_commits(spark, tmp_path):
     got: list = []
     _drain(sdf, ck, lambda b, _: got.extend((r.id, r.v) for r in b.collect()))
     assert sorted(got) == [(2, "b")]
+
+
+def test_write_face_roundtrip_stats_and_interop(spark, tmp_path):
+    """df.write.format('txntable'): executor tasks stage Arrow batches
+    as parquet, the commit worker publishes them through the SAME
+    rebase/link(2) protocol as the Python API — so DataSource writes,
+    API writes, and the read faces interoperate on one log. statscols
+    records manifest ranges from task-observed min/max (no driver
+    footer walks), and the pruned read face skips over a write-face
+    commit like any other."""
+    register_txn_source(spark)
+    p = str(tmp_path / "t")
+    df = _df(spark, [(i, f"r{i}") for i in range(100)])
+    df.filter("id < 50").write.format("txntable").option(
+        "statscols", "id"
+    ).mode("append").save(p)
+    t = TxnTable(p, stats_cols=("id",))
+    # API append interleaves with DataSource appends on the same log
+    t.write(_df(spark, [(200, "api")]), mode="append")
+    df.filter("id >= 50").write.format("txntable").option(
+        "statscols", "id"
+    ).mode("append").save(p)
+    assert t.latest_version() == 2 and t.count() == 101
+    # task-observed stats are exact — and the manifest prune uses them
+    snap = t.snapshot()
+    staged_ranges = sorted(
+        tuple(s["id"]) for s in snap["stats"].values() if "id" in s
+    )
+    assert staged_ranges == [(0, 49), (50, 99), (200, 200)]
+    kept, skipped = t.prune([("id", ">=", 60)])
+    assert len(kept) == 2 and len(skipped) == 1
+    # read faces see one consistent table
+    assert spark.read.format("txntable").load(p).count() == 101
+    # overwrite resets; empty append still commits a readable version
+    _df(spark, [(1, "z")]).write.format("txntable").mode("overwrite").save(p)
+    assert [r.id for r in t.read(spark).collect()] == [1]
+    _df(spark, []).write.format("txntable").mode("append").save(p)
+    assert t.count() == 1 and t.latest_version() == 4
+
+
+def test_write_face_refuses_constraints_and_partitioned(spark, tmp_path):
+    """What the staged-commit path cannot uphold without a Spark job it
+    refuses loudly: CHECK-constraint validation and partitioned
+    layouts — and the refused staged directory is cleaned up, never
+    left to leak."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    t.add_constraint(spark, "id_ok", "id >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _df(spark, [(2, "b")]).write.format("txntable").mode("append").save(
+            t.path
+        )
+    live = set(t.snapshot()["files"])
+    on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
+    assert on_disk == live, "refused staged dir leaked"
+    t2 = TxnTable(str(tmp_path / "t2"))
+    rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(4)]
+    t2.write_partitioned(
+        spark.createDataFrame(rows, "id long, seg string, v string"),
+        ("seg",), mode="overwrite",
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        spark.createDataFrame(rows, "id long, seg string, v string").write \
+            .format("txntable").mode("append").save(t2.path)
+
+
+def test_write_face_abort_cleans_staged_dir(spark, tmp_path):
+    """A failed write job must leave NOTHING: abort removes the shared
+    staged directory, the log stays at its prior version, and reads
+    are untouched (writes are invisible until the manifest commit)."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    from pyspark.sql import functions as F
+
+    doomed = _df(spark, [(i, "x") for i in range(10)]).withColumn(
+        "v",
+        F.when(F.col("id") == 7, F.raise_error("boom")).otherwise(
+            F.col("v")
+        ),
+    )
+    with pytest.raises(Exception):
+        doomed.write.format("txntable").mode("append").save(t.path)
+    assert t.latest_version() == 0 and t.count() == 1
+    on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
+    assert on_disk == set(t.snapshot()["files"]), "aborted staging leaked"
