@@ -1226,3 +1226,105 @@ def streaming_txn_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(got, schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_txn_cdf_mv",
+    # The MV is maintained ONLY from streamed change rows (never a
+    # rescan); the oracle recomputes the aggregate from scratch over
+    # the live rows — equality holds only if insert/delete deltas
+    # compose to exactly the final table state.
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey % 97 <> 0
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "txn", "cdf", "materialized-view"),
+)
+def streaming_txn_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW over the change feed — the reason
+    the CDF stream exists: a per-segment count is maintained by
+    applying each micro-batch's SIGNED deltas (+1 per ``insert``, −1
+    per ``delete``), never by rescanning the base table. The base
+    table takes an overwrite, an append, and a DELETION-VECTOR delete;
+    the consumer folds all three through the same two lines of
+    aggregation. At 100 TB the trigger cost is O(changed rows) grouped
+    map-side into O(groups) — the base table is never read again —
+    and the delta fold is associative, so the same consumer backfills
+    from any checkpoint.
+
+    SELF-CHECKS: the delta fold saw both drains (the second applied a
+    negative delta for the deleted keys), and every applied batch was
+    change rows only — no base-table rescan can sneak in because the
+    consumer only ever sees the stream."""
+    import os
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
+
+    register_txn_source(spark)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_cdf_mv_")
+    mv: dict = defaultdict(int)
+    deletes_applied = [0]  # delete rows folded in, for the self-check
+
+    def _apply(batch, _):
+        # one grouped agg per micro-batch: O(changed rows) -> O(groups)
+        deltas = (
+            batch.groupBy("c_mktsegment")
+            .agg(
+                F.sum(
+                    F.when(F.col("change_type") == "insert", 1).otherwise(-1)
+                ).alias("d"),
+                F.sum(
+                    F.when(F.col("change_type") == "delete", 1).otherwise(0)
+                ).alias("nd"),
+            )
+            .collect()
+        )
+        for r in deltas:
+            mv[r.c_mktsegment] += int(r.d)
+            deletes_applied[0] += int(r.nd)
+
+    def _drain(table: TxnTable, ck: str) -> None:
+        sdf = (
+            spark.readStream.format("txntable")
+            .option("readchangefeed", "true")
+            .load(table.path)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    try:
+        table = TxnTable(os.path.join(work, "t"))
+        ck = os.path.join(work, "ck")
+        table.write(base.filter(F.col("c_custkey") % 2 == 0), mode="overwrite")
+        _drain(table, ck)
+        table.write(base.filter(F.col("c_custkey") % 2 == 1), mode="append")
+        table.delete_dv(spark, "c_custkey % 97 = 0")
+        _drain(table, ck)
+        n_victims = base.filter(F.col("c_custkey") % 97 == 0).count()
+        if deletes_applied[0] != n_victims:
+            raise AssertionError(
+                f"MV folded {deletes_applied[0]} deletes, "
+                f"expected {n_victims}"
+            )
+        rows = [(k, v) for k, v in mv.items() if v != 0]
+        return spark.createDataFrame(
+            rows, "c_mktsegment string, n_customers long"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
