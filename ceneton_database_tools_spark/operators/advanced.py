@@ -1730,15 +1730,21 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # half-AWAY-from-zero quantization to match both engines'
     # round(value * 100): pandas .round() is half-to-even, which
     # diverges on any exactly-representable half (e.g. 1.125 * 100)
-    # the moment the generator emits a 3-decimal grid
-    v100 = pdf["value"].to_numpy() * 100
-    xi = pd.Series(
-        (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype("int64"),
-        index=pdf.index,
-    )
+    # the moment the generator emits a 3-decimal grid.
+    # NULL ticks (NaN here) carry no signal: they train neither sums
+    # nor the count — astype(int64) of NaN is silent platform garbage
+    # that would poison the whole group — and their own z stays NULL
+    # through (value - mu) below; the oracle says the same via
+    # count(xi) and NULL arithmetic.
+    vals = pdf["value"].to_numpy()
+    ok = ~np.isnan(vals)
+    v100 = vals[ok] * 100
+    # NaN-free after the mask, so the int64 cast is exact and the
+    # sums stay order-independent integer arithmetic
+    xi = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)).astype("int64")
     s = int(xi.sum())
     ss = int((xi * xi).sum())
-    n = len(pdf)
+    n = int(ok.sum())
     out = pdf[["event_id", "event_type"]].copy()
     mu = s / (100.0 * n)
     var = (ss / 10000.0 - n * mu * mu) / (n - 1) if n >= 2 else 0.0
@@ -1767,7 +1773,10 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
       SELECT event_id, event_type, value,
              sum(xi)      OVER (PARTITION BY event_type) AS sx,
              sum(xi * xi) OVER (PARTITION BY event_type) AS sxx,
-             count(*)     OVER (PARTITION BY event_type) AS n
+             -- count(xi), not count(*): a NULL-value event carries no
+             -- signal, so it neither trains the group stats nor counts
+             -- in the denominator (its own z is NULL via value - mu)
+             count(xi)    OVER (PARTITION BY event_type) AS n
       FROM x
     )
     SELECT event_id,

@@ -376,10 +376,14 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id,
              CAST(ts AS DATE)                 AS day,
-             CAST(round(CAST(arg_min(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS open,
+             -- FILTER: a NULL-value tick cannot set open/close. DuckDB's
+             -- arg_min SKIPS null values while Spark's min_by RETURNS the
+             -- (null) value at the min ts — the explicit filter pins one
+             -- semantic on both engines.
+             CAST(round(CAST(arg_min(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE) AS open,
              CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS high,
              CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS low,
-             CAST(round(CAST(arg_max(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS close,
+             CAST(round(CAST(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE) AS close,
              CAST(count(*) AS BIGINT)         AS n_events,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
       FROM events
@@ -416,10 +420,13 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             # repr on Spark but the raw binary on DuckDB — divergent on
             # any 3-decimal value like 1.005; the scale-6 cast is
             # identical on both engines for any plausible value grid
-            F.expr("CAST(round(CAST(min_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("open"),
+            # FILTER (both engines): a NULL-value tick cannot set
+            # open/close — DuckDB's arg_min skips null values, Spark's
+            # min_by returns them; the filter pins one semantic
+            F.expr("CAST(round(CAST(min_by(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("open"),
             F.expr("CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("high"),
             F.expr("CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("low"),
-            F.expr("CAST(round(CAST(max_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("close"),
+            F.expr("CAST(round(CAST(max_by(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("close"),
             F.count("*").cast("long").alias("n_events"),
             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("_sc"),
         )

@@ -751,10 +751,12 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT user_id,
            CAST(ts AS DATE)             AS day,
-           CAST(round(CAST(arg_min(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS open,
+           -- FILTER: NULL-value ticks cannot set open/close (DuckDB arg_min
+           -- skips nulls, Spark min_by returns them; the filter pins one)
+           CAST(round(CAST(arg_min(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE) AS open,
            CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS high,
            CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)         AS low,
-           CAST(round(CAST(arg_max(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE) AS close,
+           CAST(round(CAST(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE) AS close,
            CAST(count(*) AS BIGINT)     AS n_events
     FROM events
     GROUP BY user_id, CAST(ts AS DATE)
@@ -777,10 +779,11 @@ def streaming_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day"), "user_id")
         .agg(
-            F.expr("CAST(round(CAST(min_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("open"),
+            # FILTER: same NULL-tick rule as the batch OHLC (see events.py)
+            F.expr("CAST(round(CAST(min_by(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("open"),
             F.expr("CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("high"),
             F.expr("CAST(round(CAST(min(value) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("low"),
-            F.expr("CAST(round(CAST(max_by(value, ts) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("close"),
+            F.expr("CAST(round(CAST(max_by(value, ts) FILTER (WHERE value IS NOT NULL) AS DECIMAL(18,6)), 2) AS DOUBLE)").alias("close"),
             F.count("*").cast("long").alias("n_events"),
         )
     )

@@ -21,7 +21,13 @@ in the failure modes a future generator could emit:
 * documents extended with empty, whitespace-only, astral-plane
   (U+1D11E/U+1F600), single-char, and pathologically repetitive texts
   — kills UTF-16-unit char walking and shingles-shorter-than-text
-  assumptions.
+  assumptions;
+* (round 9) NULL ``events.user_id`` (unattributed telemetry) and NULL
+  ``events.value`` — kills null-blind grouping, Spark-NULLS-FIRST vs
+  DuckDB-NULLS-LAST orderings, NaN→int64 casts in pandas paths, and
+  the min_by/arg_min null-value divergence (Spark RETURNS the null
+  value at the extremal key, DuckDB SKIPS it). First run caught three
+  real divergences: batch OHLC, streaming OHLC, grouped z-score.
 
 Round 7 extends the same treatment to the TPC-H star schema (the
 other ~60 queries ran only on pristine generator output for six
@@ -134,6 +140,19 @@ def _perturb_events(src: str, dst: str) -> None:
     mask = (same_user & (np.arange(len(ev)) % 13 == 7)).to_numpy()
     for col in ("ts", "value", "event_type"):
         ev.loc[mask, col] = ev[col].shift()[mask]
+
+    # -- NULL user_id (unattributed telemetry, every 59th row) and
+    # NULL value (every 73rd): kills null-blind grouping, NULLS
+    # FIRST/LAST ordering divergence (Spark asc = NULLS FIRST, DuckDB
+    # asc = NULLS LAST), and any sum/avg that assumed no null inputs.
+    # Int64 nullable dtype keeps the parquet type int64, now nullable.
+    idx2 = np.arange(len(ev))
+    uid = ev["user_id"].astype("Int64")
+    uid[idx2 % 59 == 11] = pd.NA
+    ev["user_id"] = uid
+    val = ev["value"].to_numpy().copy()
+    val[idx2 % 73 == 17] = np.nan
+    ev["value"] = val  # NaN in float64 parquet round-trips as NULL
 
     ev.to_parquet(dst, index=False)
 
