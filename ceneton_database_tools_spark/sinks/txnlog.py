@@ -457,7 +457,9 @@ class TxnTable:
         merge_schema: bool = False,
         staged_stats: dict | None = None,
         max_retries: int = 10,
-    ) -> int:
+        app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int | None:
         """Commit an ALREADY-STAGED data directory — the manifest half
         of :meth:`write` with the Spark half done elsewhere. This is
         the hook the DataSource WRITE face uses: executor tasks write
@@ -468,6 +470,13 @@ class TxnTable:
         property carrying, stats merge, atomic link(2) claim — the
         same protocol as every other commit.
 
+        ``app_id``/``txn_version`` opt into the idempotent-writer
+        watermark (the contract :meth:`write_idempotent` implements
+        for foreachBatch): a commit whose ``txn_version`` is at or
+        below the recorded watermark for ``app_id`` is a no-op that
+        discards its staging and returns ``None`` — how the streaming
+        SINK face makes micro-batch replays exactly-once.
+
         Refuses loudly what it cannot uphold without a Spark job:
         tables with CHECK constraints (validating the batch needs a
         distributed scan — use :meth:`write`) and partitioned tables
@@ -475,6 +484,8 @@ class TxnTable:
         two-sided proof, same guard as the idempotent sink)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if (app_id is None) != (txn_version is None):
+            raise ValueError("app_id and txn_version come together")
         for _ in range(max_retries):
             current = self.latest_version()
             txns: dict[str, int] = {}
@@ -483,6 +494,12 @@ class TxnTable:
             if current is not None:
                 snap = self.snapshot(current)
                 txns.update(snap.get("txns", {}))
+                if app_id is not None:
+                    seen = txns.get(app_id)
+                    if seen is not None and txn_version <= seen:
+                        # replayed micro-batch: the prior commit won
+                        self._discard_staged(staged)
+                        return None
                 if snap.get("constraints"):
                     self._discard_staged(staged)
                     raise RuntimeError(
@@ -512,6 +529,8 @@ class TxnTable:
                     files = [staged]
             else:
                 files = [staged]
+            if app_id is not None:
+                txns[app_id] = int(txn_version)
             version = 0 if current is None else current + 1
             manifest = {
                 "version": version,
@@ -2669,6 +2688,20 @@ class TxnTable:
                 continue
             shutil.rmtree(full, ignore_errors=True)
             removed.append(rel)
+        # stream-sink temp files orphaned by crashed tasks (committed
+        # batches RENAME their files out of tmpstream, so anything old
+        # left here was never part of a commit)
+        tmp_root = os.path.join(self.path, "tmpstream")
+        if os.path.isdir(tmp_root):
+            for f in os.listdir(tmp_root):
+                full = os.path.join(tmp_root, f)
+                try:
+                    if os.stat(full).st_mtime > cutoff:
+                        continue
+                    os.remove(full)
+                except FileNotFoundError:
+                    continue
+                removed.append(f"tmpstream/{f}")
         # deletion-vector sidecars GC under the same retention rules:
         # referenced by a retained manifest -> live; younger than the
         # safety window -> possibly staged by an in-flight delete_dv

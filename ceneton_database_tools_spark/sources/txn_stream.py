@@ -93,6 +93,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -927,6 +928,147 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
         )
 
 
+class _TxnStreamTaskMessage(WriterCommitMessage):
+    """One streaming task's contribution: the temp file it wrote (or
+    None for an empty task), its row count, and per-column min/max."""
+
+    def __init__(self, tmp_file: str | None, rows: int, stats: dict):
+        self.tmp_file = tmp_file
+        self.rows = rows
+        self.stats = stats
+
+
+class TxnTableStreamSink(DataSourceStreamArrowWriter):
+    """The STREAMING SINK face: ``df.writeStream.format("txntable")``.
+
+    Per micro-batch, executor tasks stream their Arrow batches into
+    per-task temp files under ``tmpstream/`` (task names are unique, so
+    concurrent batches and zombie retries can never collide); the
+    driver's ``commit(messages, batchId)`` then moves exactly THIS
+    batch's files into a fresh ``data/<uuid>`` directory (rename on the
+    same filesystem — metadata-only) and publishes it through
+    :meth:`TxnTable.commit_staged` with the writer watermark
+    ``(app_id, batchId)`` — the Delta txnAppId/txnVersion contract, so
+    a REPLAYED micro-batch (checkpoint recovery re-delivers the same
+    batchId) discards its staging and lands zero duplicate rows.
+
+    ``.option("txnappid", ...)`` pins the watermark key across query
+    RESTARTS (Spark does not expose the query id to the writer; with
+    the option unset a per-writer-instance key still dedupes retries
+    within one run, and the docstring is the contract: set it for
+    cross-restart exactly-once). ``statscols`` records manifest
+    [min,max] from task-observed values, same as the batch face.
+    ``abort`` deletes the failed batch's temp files; files orphaned by
+    task crashes live under ``tmpstream/`` and are reclaimed by
+    :meth:`TxnTable.vacuum` under the usual retention window."""
+
+    def __init__(self, schema: SqlT.StructType, options: dict):
+        import uuid as _uuid
+
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("txntable stream sink requires a path")
+        self.app_id = options.get("txnappid") or f"txnsink-{_uuid.uuid4().hex}"
+        raw = options.get("statscols", "")
+        self.stats_cols = tuple(c.strip() for c in raw.split(",") if c.strip())
+        bad = [c for c in self.stats_cols if c not in schema.fieldNames()]
+        if bad:
+            raise ValueError(
+                f"statscols {bad} not in the written schema "
+                f"{schema.fieldNames()}"
+            )
+        self.schema_json = schema.jsonValue()
+
+    # -- executor-side -------------------------------------------------------
+
+    def write(self, iterator) -> _TxnStreamTaskMessage:
+        import uuid as _uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tmp_dir = os.path.join(self.path, "tmpstream")
+        tmp_file = None
+        writer = None
+        rows = 0
+        lo: dict = {}
+        hi: dict = {}
+        try:
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(tmp_dir, exist_ok=True)
+                    tmp_file = f"part-{_uuid.uuid4().hex}.parquet"
+                    writer = pq.ParquetWriter(
+                        os.path.join(tmp_dir, tmp_file), batch.schema
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                for c in self.stats_cols:
+                    mm = pc.min_max(batch.column(c))
+                    bl, bh = mm["min"].as_py(), mm["max"].as_py()
+                    if bl is not None and (c not in lo or bl < lo[c]):
+                        lo[c] = bl
+                    if bh is not None and (c not in hi or bh > hi[c]):
+                        hi[c] = bh
+        finally:
+            if writer is not None:
+                writer.close()
+        return _TxnStreamTaskMessage(
+            tmp_file, rows, {c: (lo[c], hi[c]) for c in lo if c in hi}
+        )
+
+    # -- driver-side ---------------------------------------------------------
+
+    def commit(self, messages, batchId: int) -> None:
+        import uuid as _uuid
+
+        from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+        files = [m.tmp_file for m in messages if m is not None and m.tmp_file]
+        total = sum(m.rows for m in messages if m is not None)
+        if not files:
+            return  # empty micro-batch: nothing staged, nothing to commit
+        lo: dict = {}
+        hi: dict = {}
+        for m in messages:
+            if m is None:
+                continue
+            for c, (bl, bh) in m.stats.items():
+                if c not in lo or bl < lo[c]:
+                    lo[c] = bl
+                if c not in hi or bh > hi[c]:
+                    hi[c] = bh
+        staged = f"data/{_uuid.uuid4().hex}"
+        out_dir = os.path.join(self.path, staged)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            os.rename(
+                os.path.join(self.path, "tmpstream", f),
+                os.path.join(out_dir, f),
+            )
+        table = TxnTable(self.path)
+        stats = {
+            c: [table._json_stat(lo[c]), table._json_stat(hi[c])] for c in lo
+        }
+        table.commit_staged(
+            staged,
+            total,
+            mode="append",
+            schema_json=self.schema_json,
+            staged_stats=stats or None,
+            app_id=self.app_id,
+            txn_version=int(batchId),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.tmp_file:
+                try:
+                    os.remove(os.path.join(self.path, "tmpstream", m.tmp_file))
+                except FileNotFoundError:
+                    pass
+
+
 class TxnTableDataSource(DataSource):
     """``spark.read.format("txntable").load(path)`` (batch, with
     manifest pruning wired to filter pushdown) and
@@ -995,6 +1137,9 @@ class TxnTableDataSource(DataSource):
 
     def writer(self, schema: SqlT.StructType, overwrite: bool):
         return TxnTableArrowWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: SqlT.StructType, overwrite: bool):
+        return TxnTableStreamSink(schema, dict(self.options))
 
 
 def register_txn_source(spark: SparkSession) -> None:

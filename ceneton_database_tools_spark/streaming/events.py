@@ -1331,3 +1331,92 @@ def streaming_txn_cdf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_txn_sink_face",
+    # The oracle aggregates the original events exactly once; the
+    # pipeline ingests them TWICE (pass 2 = full replay from a fresh
+    # checkpoint, same batch ids) through the pure-API sink — equality
+    # holds only if the (txnappid, batchId) watermark dropped every
+    # replayed micro-batch.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "txn", "sink", "datasource", "acid"),
+)
+def streaming_txn_sink_face(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE through the pure-API streaming sink:
+    ``df.writeStream.format("txntable")`` — no foreachBatch, no package
+    import in the pipeline. Per micro-batch, executor tasks stage Arrow
+    batches as temp files; the driver renames exactly that batch's
+    files into a fresh directory and commits it under the
+    ``(txnappid, batchId)`` watermark (Delta's txnAppId/txnVersion
+    contract, enforced by ``commit_staged``). The stream then re-runs
+    from a FRESH checkpoint — every batch re-delivered with the same
+    ids — and every replayed commit is a watermark no-op. With the
+    txntable source on the other side, a 100 TB pipeline now chains
+    stages entirely through ``readStream``/``writeStream`` format
+    strings.
+
+    SELF-CHECK: the replay pass advanced the version log by ZERO
+    commits. (The foreachBatch spelling of the same contract is
+    ``streaming_txn_exactly_once``; task/vacuum behavior is
+    protocol-tested in tests/test_txn_stream.py.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="ceneton_stream_txnsink_")
+    table = TxnTable(os.path.join(work, "sink"))
+    # one file per micro-batch: batch_id <-> file stays a deterministic
+    # bijection across passes (same rule as streaming_txn_exactly_once)
+    stream = events_stream(spark, sf_dir, maxFilesPerTrigger="1").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        v_after_pass1 = None
+        for attempt in range(2):  # pass 2 = full replay, fresh checkpoint
+            q = (
+                stream.writeStream.format("txntable")
+                .option("path", table.path)
+                .option("txnappid", "gate-events-sink-face")
+                .option(
+                    "checkpointLocation", os.path.join(work, f"ckpt{attempt}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
+            if attempt == 0:
+                v_after_pass1 = table.latest_version()
+        if table.latest_version() != v_after_pass1:
+            raise AssertionError(
+                "replay committed new versions: "
+                f"{v_after_pass1} -> {table.latest_version()}"
+            )
+        result = (
+            table.read(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                _sum_value_expr("sum_value"),
+            )
+        )
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

@@ -743,3 +743,78 @@ def test_write_face_abort_cleans_staged_dir(spark, tmp_path):
     assert t.latest_version() == 0 and t.count() == 1
     on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
     assert on_disk == set(t.snapshot()["files"]), "aborted staging leaked"
+
+
+def test_stream_sink_face_exactly_once_and_stats(spark, tmp_path):
+    """df.writeStream.format('txntable'): per micro-batch, tasks write
+    temp files, the driver renames exactly that batch's files into a
+    fresh directory and commits it under the (txnappid, batchId)
+    watermark — so a FULL REPLAY from a fresh checkpoint (the
+    checkpoint-loss failure mode: every batch re-delivered with the
+    same ids) lands zero duplicate rows. statscols records manifest
+    ranges; tmpstream is left empty by committed batches."""
+    register_txn_source(spark)
+    src = TxnTable(str(tmp_path / "src"))
+    src.write(_df(spark, [(i, f"r{i}") for i in range(60)]), mode="overwrite")
+    sdf = spark.readStream.format("txntable").load(src.path)
+    sink = str(tmp_path / "sink")
+
+    def _run(ck: str) -> None:
+        q = (
+            sdf.writeStream.format("txntable")
+            .option("path", sink)
+            .option("txnappid", "app1")
+            .option("statscols", "id")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    _run("ck1")
+    t = TxnTable(sink, stats_cols=("id",))
+    assert t.count() == 60 and t.snapshot()["op"] == "append"
+    assert t.snapshot()["txns"] == {"app1": 0}
+    # stats from task messages are exact and prune
+    kept, skipped = t.prune([("id", ">", 100)])
+    assert kept == [] and len(skipped) == 1
+    # replay from a FRESH checkpoint: same appid + batch ids -> no-op
+    _run("ck2")
+    assert t.count() == 60 and t.latest_version() == 0
+    assert os.listdir(os.path.join(sink, "tmpstream")) == []
+    # a DIFFERENT app id is a different writer: its batches land
+    sdf2 = spark.readStream.format("txntable").load(src.path)
+    q = (
+        sdf2.writeStream.format("txntable")
+        .option("path", sink)
+        .option("txnappid", "app2")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert t.count() == 120 and t.snapshot()["txns"] == {
+        "app1": 0, "app2": 0
+    }
+
+
+def test_stream_sink_vacuum_reclaims_orphaned_tmpstream(spark, tmp_path):
+    """Temp files orphaned by crashed tasks (never renamed into a
+    commit) are reclaimed by vacuum under the retention window;
+    fresh ones survive (possibly in-flight)."""
+    import time
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    tmp = os.path.join(t.path, "tmpstream")
+    os.makedirs(tmp)
+    old = os.path.join(tmp, "part-dead.parquet")
+    open(old, "wb").close()
+    os.utime(old, (time.time() - 9000, time.time() - 9000))
+    fresh = os.path.join(tmp, "part-live.parquet")
+    open(fresh, "wb").close()
+    removed = t.vacuum(retain_hours=1.0)
+    assert "tmpstream/part-dead.parquet" in removed
+    assert os.path.exists(fresh) and not os.path.exists(old)
