@@ -324,6 +324,15 @@ class TxnTableStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"maxversionspertrigger must be >= 1, got {self.max_versions}"
             )
+        # Delta's startingVersion: replay history commit-by-commit from
+        # version N instead of consuming the current snapshot. None =
+        # snapshot-first (the default initial batch).
+        sv = options.get("startingversion")
+        self.starting = int(sv) if sv is not None else None
+        if self.starting is not None and self.starting < 0:
+            raise ValueError(
+                f"startingversion must be >= 0, got {self.starting}"
+            )
         # admission-control floor: the newest version this reader has
         # already planned/offered, learned from initialOffset /
         # partitions / commit. Spark calls latestOffset BEFORE
@@ -334,6 +343,13 @@ class TxnTableStreamReader(DataSourceStreamReader):
     # -- offsets -----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        if self.starting is not None:
+            # history replay: the first batch starts AT startingversion
+            # and walks commits incrementally — "replay" marks the
+            # checkpointed offset so partitions() knows -1 here means
+            # "before v0", not "take the current snapshot"
+            self._floor = self.starting - 1
+            return {"version": self.starting - 1, "replay": True}
         # -1 = "before version 0": the first batch consumes the whole
         # current snapshot (v0's full file set plus later diffs)
         self._floor = -1
@@ -395,7 +411,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                         )
                     )
 
-        if lo == -1:
+        if lo == -1 and not start.get("replay"):
             # INITIAL SNAPSHOT (Delta's semantics): the first batch is
             # the full snapshot at `hi` — live rows only, tombstones
             # merged out — not a replay of every historical commit, so
@@ -406,7 +422,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 m = _manifest(self.path, hi)
                 add_dirs(sorted(m["files"]), m, "insert", hi)
             return parts
-        prev = _manifest(self.path, lo)
+        if lo == -1:
+            # startingversion=0 replay: walk from before the first
+            # commit — version 0 diffs against the empty table
+            prev: dict = {"files": []}
+        else:
+            prev = _manifest(self.path, lo)
         prev_files = set(prev["files"])
         for v in range(lo + 1, hi + 1):
             m = _manifest(self.path, v)
@@ -414,7 +435,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
             op = m.get("op")
             if self.cdf:
                 self._plan_cdf_commit(add_dirs, v, prev, m, prev_files, cur)
-            elif op in ("append", "add_constraint", "drop_constraint"):
+            elif op in ("append", "add_constraint", "drop_constraint") or (
+                # an overwrite that REMOVES nothing is a pure add — the
+                # shape of v0 under a startingversion=0 history replay
+                op == "overwrite"
+                and not prev_files - cur
+            ):
                 # constraint commits are table POLICY, not data: the
                 # file set is unchanged and the stream just moves past
                 add_dirs(sorted(cur - prev_files), None, "insert", v)

@@ -818,3 +818,62 @@ def test_stream_sink_vacuum_reclaims_orphaned_tmpstream(spark, tmp_path):
     removed = t.vacuum(retain_hours=1.0)
     assert "tmpstream/part-dead.parquet" in removed
     assert os.path.exists(fresh) and not os.path.exists(old)
+
+
+def test_startingversion_replays_history(spark, tmp_path):
+    """.option('startingversion', N): the first batch replays commits
+    from N incrementally (Delta's startingVersion) instead of taking
+    the current snapshot — in CDF mode that is the FULL historical
+    changelog (v0's overwrite as inserts, the dv delete as deletes);
+    in plain mode, starting past the snapshot picks up only the later
+    appends."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    t.delete_dv(spark, "id = 1")
+    # CDF replay from the beginning: every commit's row-level changes
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("readchangefeed", "true")
+        .option("startingversion", "0")
+        .load(t.path)
+    )
+    got: list = []
+    _drain(
+        sdf, str(tmp_path / "ck"),
+        lambda b, _: got.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got) == [
+        (1, "delete", 2), (1, "insert", 0), (2, "insert", 0),
+        (3, "insert", 1),
+    ]
+    # plain (insert-only) mode: the replay range includes the
+    # delete_dv commit, which an insert-only stream must refuse
+    sdf2 = (
+        spark.readStream.format("txntable")
+        .schema("id long, v string")
+        .option("startingversion", "1")
+        .load(t.path)
+    )
+    with pytest.raises(Exception, match="insert-only stream"):
+        _drain(sdf2, str(tmp_path / "ck2"), lambda b, _: None)
+    # plain replay over an append-only history: starting past the
+    # initial overwrite picks up only the later append
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a")]), mode="overwrite")
+    t2.write(_df(spark, [(2, "b")]), mode="append")
+    sdf3 = (
+        spark.readStream.format("txntable")
+        .schema("id long, v string")
+        .option("startingversion", "1")
+        .load(t2.path)
+    )
+    got3: list = []
+    _drain(
+        sdf3, str(tmp_path / "ck3"),
+        lambda b, _: got3.extend((r.id, r.v) for r in b.collect()),
+    )
+    assert got3 == [(2, "b")]
