@@ -1983,6 +1983,7 @@ class TxnTable:
         updates: DataFrame,
         key: str,
         max_retries: int = 10,
+        cdc: bool = False,
     ) -> int:
         """Upsert ``updates`` by ``key`` with Delta-style COPY-ON-WRITE
         at directory granularity (the same shape as :meth:`delete`):
@@ -2006,7 +2007,15 @@ class TxnTable:
         and DUPLICATE update keys raise ``ValueError`` — landing them
         would break the key-unique-per-snapshot invariant ``changes()``
         depends on, silently, one ambiguous upsert at a time. One
-        bounded agg job (2 scalars) checks both."""
+        bounded agg job (2 scalars) checks both.
+
+        ``cdc=True`` stages this commit's row-level changes
+        (``update_preimage``/``update_postimage`` for matched keys,
+        ``insert`` for unmatched) as a ``cdf/`` sidecar tagged with
+        ``_change_type`` — Delta's ``_change_data`` files — so the
+        streaming change feed can represent the rewrite; without it a
+        CDF stream crossing a merge commit raises toward the batch
+        feed."""
         from pyspark.sql import functions as F
 
         n_rows, n_nonnull, n_keys = updates.agg(
@@ -2103,6 +2112,35 @@ class TxnTable:
                     # insert-only merge: nothing rewritten, pure append
                     merged = updates
                 txns = dict(snap.get("txns", {}))
+            cdc_rel = None
+            if cdc:
+                if current is not None and touched:
+                    pre = self._read_live(spark, snap, touched).join(
+                        keys, key, "semi"
+                    )
+                    matched_keys = pre.select(key).distinct()
+                    changes = (
+                        pre.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                        .unionByName(
+                            updates.join(matched_keys, key, "semi")
+                            .withColumn(
+                                "_change_type", F.lit("update_postimage")
+                            )
+                        )
+                        .unionByName(
+                            updates.join(matched_keys, key, "left_anti")
+                            .withColumn("_change_type", F.lit("insert"))
+                        )
+                    )
+                else:
+                    # insert-only merge (or first commit): every update
+                    # row is an insert
+                    changes = updates.withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                cdc_rel = self._stage_cdc(changes)
             staged, staged_n = self._stage_write(merged)
             version = 0 if current is None else current + 1
             manifest = {
@@ -2112,6 +2150,8 @@ class TxnTable:
                 "txns": txns,
                 "schema": schema,
             }
+            if cdc_rel is not None:
+                manifest["cdc"] = cdc_rel
             if snap is not None:
                 self._carry_layout(snap, manifest, kept, {staged: staged_n})
             else:
@@ -2127,6 +2167,8 @@ class TxnTable:
             # lost the race: this staged rewrite was computed against a
             # stale snapshot — discard it before rebasing
             self._discard_staged(staged)
+            if cdc_rel is not None:
+                self._discard_staged(cdc_rel)
         raise CommitConflict(f"lost {max_retries} merge races on {self.path}")
 
     # -- delete (copy-on-write, file-granular) -----------------------------
@@ -2136,6 +2178,7 @@ class TxnTable:
         spark: SparkSession,
         predicate: str,
         max_retries: int = 10,
+        cdc: bool = False,
     ) -> int | None:
         """Delete rows matching ``predicate`` (a SQL boolean over the
         table's columns) with Delta-style COPY-ON-WRITE at directory
@@ -2148,6 +2191,14 @@ class TxnTable:
         rewriting the handful of commits a retention predicate hits
         (the probe is ONE pushed-down scan over the whole table that
         returns just the distinct directories containing victims).
+
+        ``cdc=True`` additionally stages the VICTIM rows (tagged
+        ``_change_type='delete'``) as a ``cdf/`` sidecar referenced by
+        the manifest's ``cdc`` key — Delta's ``_change_data`` files:
+        O(changed rows) extra bytes at commit time that let the
+        streaming change feed represent this rewrite without the
+        pre/post anti-join only the batch feed can run. Without it a
+        CDF stream crossing this commit raises (documented contract).
 
         Returns the committed version, or ``None`` when no row matches
         (no empty commit is written). Rebases on conflict like
@@ -2193,6 +2244,14 @@ class TxnTable:
                 .where(f"NOT coalesce(({predicate}), FALSE)")
             )
             staged, staged_n = self._stage_write(survivors)
+            cdc_rel = None
+            if cdc:
+                victims = (
+                    self._read_live(spark, snap, touched)
+                    .where(predicate)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                cdc_rel = self._stage_cdc(victims)
             version = current + 1
             manifest = {
                 "version": version,
@@ -2200,6 +2259,8 @@ class TxnTable:
                 "files": kept + [staged],
                 "txns": dict(snap.get("txns", {})),
             }
+            if cdc_rel is not None:
+                manifest["cdc"] = cdc_rel
             if snap.get("schema") is not None:
                 manifest["schema"] = snap["schema"]
             self._carry_layout(snap, manifest, kept, {staged: staged_n})
@@ -2212,7 +2273,19 @@ class TxnTable:
             if self._try_commit(version, manifest):
                 return version
             self._discard_staged(staged)
+            if cdc_rel is not None:
+                self._discard_staged(cdc_rel)
         raise CommitConflict(f"lost {max_retries} delete races on {self.path}")
+
+    def _stage_cdc(self, df: DataFrame) -> str:
+        """Stage a commit's CHANGE-DATA rows (table columns plus
+        ``_change_type``) as one ``cdf/`` sidecar — Delta's
+        ``_change_data`` shape: O(changed rows) bytes written by the
+        same distributed job that computed them, referenced from the
+        manifest's ``cdc`` key, GC'd by vacuum with its manifest."""
+        rel = f"cdf/{uuid.uuid4().hex}"
+        df.write.parquet(os.path.join(self.path, rel))
+        return rel
 
     # -- change data feed (derived, directory-granular) --------------------
 
@@ -2665,6 +2738,8 @@ class TxnTable:
                     m = json.load(fh)
                 live.update(m["files"])
                 live_dvs.update(m.get("dvs", []))
+                if m.get("cdc"):
+                    live_dvs.add(m["cdc"])
         cutoff = time.time() - retain_hours * 3600.0
         removed = []
         for d in os.listdir(self.data_dir):
@@ -2702,16 +2777,19 @@ class TxnTable:
                 except FileNotFoundError:
                     continue
                 removed.append(f"tmpstream/{f}")
-        # deletion-vector sidecars GC under the same retention rules:
-        # referenced by a retained manifest -> live; younger than the
-        # safety window -> possibly staged by an in-flight delete_dv
-        dv_root = os.path.join(self.path, "dv")
-        if os.path.isdir(dv_root):
-            for d in os.listdir(dv_root):
-                rel = f"dv/{d}"
+        # deletion-vector and change-data sidecars GC under the same
+        # retention rules: referenced by a retained manifest -> live;
+        # younger than the safety window -> possibly staged by an
+        # in-flight delete_dv / cdc commit
+        for sub in ("dv", "cdf"):
+            root = os.path.join(self.path, sub)
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                rel = f"{sub}/{d}"
                 if rel in live_dvs:
                     continue
-                full = os.path.join(dv_root, d)
+                full = os.path.join(root, d)
                 try:
                     if os.stat(full).st_mtime > cutoff:
                         continue

@@ -411,6 +411,30 @@ class TxnTableStreamReader(DataSourceStreamReader):
                         )
                     )
 
+        def add_cdc(rel: str, v: int) -> None:
+            # commit-time change-data sidecar (Delta's _change_data):
+            # rows carry their own _change_type column; executors read
+            # it like any data file with one extra declared column
+            import pyarrow as pa
+
+            cols = self.columns + ("_change_type",)
+            types = dict(self.arrow_types)
+            types["_change_type"] = pa.string()
+            for f in _parquet_files(os.path.join(self.path, rel)):
+                parts.append(
+                    TxnFilePartition(
+                        f,
+                        cols,
+                        types,
+                        os.path.relpath(f, self.path),
+                        (),
+                        "drop",
+                        (),
+                        "@file",
+                        v,
+                    )
+                )
+
         if lo == -1 and not start.get("replay"):
             # INITIAL SNAPSHOT (Delta's semantics): the first batch is
             # the full snapshot at `hi` — live rows only, tombstones
@@ -434,7 +458,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
             cur = set(m["files"])
             op = m.get("op")
             if self.cdf:
-                self._plan_cdf_commit(add_dirs, v, prev, m, prev_files, cur)
+                self._plan_cdf_commit(add_dirs, add_cdc, v, prev, m, prev_files, cur)
             elif op in ("append", "add_constraint", "drop_constraint") or (
                 # an overwrite that REMOVES nothing is a pure add — the
                 # shape of v0 under a startingversion=0 history replay
@@ -459,7 +483,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         return parts
 
     def _plan_cdf_commit(
-        self, add_dirs, v: int, prev: dict, m: dict, prev_files, cur
+        self, add_dirs, add_cdc, v: int, prev: dict, m: dict, prev_files, cur
     ) -> None:
         """One commit's rows for the CHANGE FEED stream — only ops whose
         row-level changes are derivable per-file (no joins) stream:
@@ -472,12 +496,18 @@ class TxnTableStreamReader(DataSourceStreamReader):
           'delete' (a metadata delete is still a delete)
         * ``optimize`` → nothing (row-identical by contract)
         * constraint commits → nothing (policy, not data)
-        * COW rewrites (``delete``/``merge``/``overwrite``/``restore``)
-          → RAISE: their row-level diff needs the anti-join the batch
-          feed (``TxnTable.changes``) performs; a streaming source
-          can't run joins inside partition planning. Delta draws the
-          same line — streaming CDC beyond appends+DVs requires
-          commit-time change files."""
+        * ``delete``/``merge`` committed with ``cdc=True`` → the
+          commit's ``cdf/`` sidecar IS the change set (Delta's
+          ``_change_data``): rows stream with their recorded
+          ``_change_type`` (delete / update_preimage /
+          update_postimage / insert)
+        * COW rewrites WITHOUT a sidecar
+          (``delete``/``merge``/``overwrite``/``restore``) → RAISE:
+          their row-level diff needs the anti-join the batch feed
+          (``TxnTable.changes``) performs; a streaming source can't
+          run joins inside partition planning. Delta draws the same
+          line — streaming CDC beyond appends+DVs requires commit-time
+          change files, which ``cdc=True`` writes."""
         op = m.get("op")
         if op in ("optimize", "add_constraint", "drop_constraint"):
             return
@@ -501,6 +531,9 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 ),
             )
             return
+        if op in ("delete", "merge") and m.get("cdc"):
+            add_cdc(m["cdc"], v)
+            return
         if op == "drop_partitions":
             # dropped dirs leave the manifest untouched on disk: their
             # live rows AT v-1 (prev's tombstones merged out) are the
@@ -508,12 +541,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
             add_dirs(sorted(prev_files - cur), prev, "delete", v)
             return
         raise RuntimeError(
-            f"version {v} of {self.path} is a {op!r} commit; its "
-            "row-level changes need the batch change feed "
-            "(TxnTable.changes, which joins rewritten directories "
-            "against the ones they replaced) — a streaming CDF source "
-            "only represents appends, deletion-vector deletes, and "
-            "partition drops per-file."
+            f"version {v} of {self.path} is a {op!r} commit without "
+            "change-data files; its row-level changes need the batch "
+            "change feed (TxnTable.changes, which joins rewritten "
+            "directories against the ones they replaced). Commit "
+            "rewrites with cdc=True to stage Delta-style _change_data "
+            "sidecars the stream can read."
         )
 
     # -- execution (executor-side) -----------------------------------------
@@ -532,13 +565,24 @@ class TxnTableStreamReader(DataSourceStreamReader):
         ):
             if self.cdf:
                 n = batch.num_rows
+                if partition.change_type == "@file":
+                    # change-data sidecar: _change_type is the batch's
+                    # LAST column (declared order); surface it as the
+                    # change_type output instead of a constant
+                    arrays = list(batch.columns)
+                    ct = arrays.pop()
+                    names = list(partition.columns[:-1])
+                else:
+                    arrays = list(batch.columns)
+                    ct = pa.array([partition.change_type] * n, pa.string())
+                    names = list(partition.columns)
                 batch = pa.RecordBatch.from_arrays(
-                    list(batch.columns)
+                    arrays
                     + [
-                        pa.array([partition.change_type] * n, pa.string()),
+                        ct,
                         pa.array([partition.commit_version] * n, pa.int64()),
                     ],
-                    names=list(partition.columns) + list(_CDF_META),
+                    names=names + list(_CDF_META),
                 )
             yield batch
 

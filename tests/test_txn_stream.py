@@ -877,3 +877,50 @@ def test_startingversion_replays_history(spark, tmp_path):
         lambda b, _: got3.extend((r.id, r.v) for r in b.collect()),
     )
     assert got3 == [(2, "b")]
+
+
+def test_cdf_stream_reads_commit_time_change_files(spark, tmp_path):
+    """COW rewrites committed with cdc=True stage their row-level
+    changes as cdf/ sidecars (Delta's _change_data) — the CDF stream
+    reads them per-file: delete victims as 'delete', merge as
+    update_preimage/update_postimage/insert. Without the sidecar a
+    rewrite still raises toward the batch feed; vacuum keeps sidecars
+    referenced by retained manifests and reclaims them with their
+    truncated history."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(i, f"r{i}") for i in range(10)]), mode="overwrite")
+    ck = str(tmp_path / "ck")
+    _drain_cdf(spark, t, ck, lambda b, _: None)  # consume snapshot
+    t.delete(spark, "id >= 8", cdc=True)
+    t.merge(
+        spark, _df(spark, [(0, "UPDATED"), (100, "new")]), "id", cdc=True
+    )
+    got: list = []
+    _drain_cdf(
+        spark, t, ck,
+        lambda b, _: got.extend(
+            (r.id, r.v, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got) == [
+        (0, "UPDATED", "update_postimage", 2),
+        (0, "r0", "update_preimage", 2),
+        (8, "r8", "delete", 1),
+        (9, "r9", "delete", 1),
+        (100, "new", "insert", 2),
+    ]
+    # a rewrite WITHOUT cdc still refuses, pointing at the fix
+    t.delete(spark, "id = 1")
+    with pytest.raises(Exception, match="cdc=True"):
+        _drain_cdf(spark, t, ck, lambda b, _: None)
+    # vacuum: the latest manifest's sidecar is live; the ones whose
+    # manifests fall outside the retained window go with their history
+    removed = t.vacuum(retain_versions=1, retain_hours=0.0)
+    live_cdc = t.snapshot().get("cdc")
+    assert live_cdc is None  # latest commit (the plain delete) has none
+    assert any(r.startswith("cdf/") for r in removed)
+    assert not os.path.isdir(os.path.join(t.path, "cdf")) or all(
+        f"cdf/{d}" == live_cdc
+        for d in os.listdir(os.path.join(t.path, "cdf"))
+    )
