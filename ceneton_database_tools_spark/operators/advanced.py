@@ -1569,6 +1569,87 @@ def txn_batch_source_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "txn_batch_source_projected",
+    # Closed-form: both engines derive the probe the same way (max key
+    # - 74) and the projection is exactly the two output columns —
+    # equality gates schema-trim -> prune -> row filter end to end.
+    oracle="""
+    SELECT c_name, c_custkey
+    FROM customer
+    WHERE c_custkey >= (SELECT max(c_custkey) FROM customer) - 74
+    """,
+    tags=("txn", "datasource", "projection", "pruning"),
+)
+def txn_batch_source_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch face's ``columns`` LOAD OPTION — column projection in
+    the only place the Python DataSource API allows it: the declared
+    schema. ``customer`` (8 columns on disk here) lands as one
+    clustered commit, and the scan declares
+    ``.option("columns", "c_name,c_custkey")`` — executors open each
+    parquet file with ``iter_batches(columns=...)``, so the OTHER six
+    columns are never decoded, never shipped through Arrow, never
+    seen by Spark. Composed with the ``where`` option, both load
+    options are part of the relation identity (reuse-safe), making
+    this the production spelling for wide tables: at 100 TB a
+    2-column query over a 100-column table pays 2-column I/O.
+
+    SELF-CHECKS what the oracle can't see: (a) the DataFrame's schema
+    is exactly the projection, in OPTION order; (b) the Arrow batches
+    the reader emits carry ONLY the projected columns; (c) the where
+    option still prunes partitions under the trimmed schema."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    base = _t(spark, sf_dir, "customer")  # all 8 reference columns
+    work = tempfile.mkdtemp(prefix="ceneton_txn_proj_")
+    try:
+        table = TxnTable(work, stats_cols=("c_custkey",))
+        table.write_clustered(base, "c_custkey", buckets=8, mode="overwrite")
+        probe = base.agg(F.max("c_custkey")).first()[0] - 74  # 1 scalar
+        cond = f"c_custkey >= {probe}"
+        result = (
+            spark.read.format("txntable")
+            .option("columns", "c_name,c_custkey")
+            .option("where", cond)
+            .load(work)
+        )
+        # (a) schema == projection, option order preserved
+        if result.columns != ["c_name", "c_custkey"]:
+            raise AssertionError(f"projection not honored: {result.columns}")
+        # (b) emitted Arrow batches carry ONLY the projected columns
+        opts = {"path": work, "columns": "c_name,c_custkey", "where": cond}
+        reader = TxnTableBatchReader(result.schema, opts)
+        parts = reader.partitions()
+        for batch in reader.read(parts[0]):
+            if batch.schema.names != ["c_name", "c_custkey"]:
+                raise AssertionError(
+                    f"Arrow emit not projected: {batch.schema.names}"
+                )
+        # (c) the where option still prunes under the trimmed schema
+        n_full = len(
+            TxnTableBatchReader(
+                result.schema, {"path": work, "columns": "c_name,c_custkey"}
+            ).partitions()
+        )
+        if not (0 < len(parts) < n_full):
+            raise AssertionError(
+                f"projection broke pruning: {len(parts)}/{n_full}"
+            )
+        _record_inner_plan("txn_batch_source_projected", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 
 
 @register(
@@ -1746,11 +1827,16 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ss = int((xi * xi).sum())
     n = int(ok.sum())
     out = pdf[["event_id", "event_type"]].copy()
+    if n < 2:
+        # degenerate group (all-NULL, single row): z is NULL, matching
+        # the oracle's CASE guard on both engines — and n == 0 must be
+        # answered here, before mu's division by n
+        out["z"] = None
+        return out
     mu = s / (100.0 * n)
-    var = (ss / 10000.0 - n * mu * mu) / (n - 1) if n >= 2 else 0.0
-    if n < 2 or var <= 0.0:
-        # degenerate group (single row or constant values): z is NULL,
-        # matching the oracle's CASE guard on both engines
+    var = (ss / 10000.0 - n * mu * mu) / (n - 1)
+    if var <= 0.0:
+        # constant values: z is NULL, same CASE guard
         out["z"] = None
         return out
     sd = math.sqrt(var)

@@ -2345,11 +2345,20 @@ class TxnTable:
                     continue
                 # merge-on-read delete: the commit's tombstone sidecars
                 # ARE the deleted rows — semi-join the PRE-commit live
-                # view against them, O(tombstones) build side
+                # view against them, O(tombstones) build side. Only the
+                # directories whose dv_rows count grew can hold victims,
+                # so the probe side scans those, not the whole snapshot.
                 tomb = spark.read.parquet(
                     *[os.path.join(self.path, sc) for sc in added_dvs]
                 ).select("__file", "__pos")
-                pre_live = self._live_keyed(spark, prev_snap)
+                dvr_to = to_snap.get("dv_rows", {})
+                dvr_prev = prev_snap.get("dv_rows", {})
+                touched = sorted(
+                    d for d in dvr_to if dvr_to[d] > dvr_prev.get(d, 0)
+                )
+                pre_live = self._live_keyed(
+                    spark, prev_snap, touched or None
+                )
                 cols = [
                     c for c in pre_live.columns if c not in ("__file", "__pos")
                 ]
@@ -2364,9 +2373,20 @@ class TxnTable:
             # both sides read under the TO-version schema, so a commit
             # that straddles an evolution diffs over aligned columns
             # (the pre-image's missing columns are NULL, and a row
-            # whose only "change" is the NULL fill-in compares equal)
+            # whose only "change" is the NULL fill-in compares equal).
+            # The pre side is the LIVE view at v — rows an earlier
+            # delete_dv commit already tombstoned (and already reported
+            # as deletes) must not re-appear on the pre-image when a
+            # later COW rewrite/optimize removes their directory, so
+            # prev-version deletion vectors are anti-joined out first.
             to_schema = to_snap.get("schema")
-            pre = self._read_dirs(spark, removed, to_schema) if removed else None
+            pre = (
+                self._read_live(
+                    spark, {**prev_snap, "schema": to_schema}, removed
+                )
+                if removed
+                else None
+            )
             new = self._read_dirs(spark, added, to_schema) if added else None
             if pre is None:
                 # pure append: the added directories ARE the inserts

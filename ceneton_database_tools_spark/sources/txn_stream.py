@@ -594,9 +594,9 @@ class TxnTableStreamReader(DataSourceStreamReader):
             self._floor = hi
 
 
-_WHERE_TOKEN = (
-    r"\s*(\w+)\s*(=|<=|>=|<|>|(?i:IN))\s*"
-    r"(-?\d+|'(?:[^']|'')*'|\((?:[^()])*\))\s*"
+_WHERE_LEXEME = (
+    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<int>-?\d+)"
+    r"|(?P<word>\w+)|(?P<op><=|>=|=|<|>)|(?P<punct>[(),]))"
 )
 
 
@@ -611,6 +611,11 @@ def _parse_where_option(text: str) -> tuple[list, list]:
                   | column IN ( literal, literal, ... )
         literal  := integer | 'single-quoted string' ('' escapes ')
 
+    Lexed as real tokens — quoted literals are recognized FIRST, so a
+    string containing ``,`` or ``AND`` is one literal, never a split
+    point (a naive ``split(',')`` would silently rewrite
+    ``IN (',', 'x')`` into a match on the empty string).
+
     The option is applied EXACTLY (directories pruned at plan time,
     rows filtered executor-side), and because load options are part of
     Spark's relation identity it is immune to the per-relation
@@ -620,36 +625,73 @@ def _parse_where_option(text: str) -> tuple[list, list]:
     General predicates belong in ``.where()`` as usual."""
     import re
 
+    grammar_err = (
+        "the option grammar is `col (=|<|<=|>|>=) literal` or "
+        "`col IN (lit, ...)` joined by AND, with integer or "
+        "single-quoted string literals — put anything more "
+        "general in .where() on the DataFrame"
+    )
+
+    # lex the whole option up front; any unlexable character is loud
+    toks: list[tuple[str, str]] = []  # (kind, lexeme)
+    pos = 0
+    for m in re.finditer(_WHERE_LEXEME, text):
+        if m.start() != pos:
+            break
+        kind = m.lastgroup
+        lex = m.group(kind)
+        if kind == "word" and lex.upper() in ("AND", "IN"):
+            kind = lex.upper()
+        toks.append((kind, lex))
+        pos = m.end()
+    if pos != len(text) or text[pos:].strip():
+        raise ValueError(
+            f"cannot lex txntable where option at {text[pos:]!r}: "
+            + grammar_err
+        )
+
     def _lit(tok: str):
         if tok.startswith("'"):
             return tok[1:-1].replace("''", "'")
         return int(tok)
 
+    i = 0
+
+    def _peek() -> str:
+        return toks[i][0] if i < len(toks) else "end"
+
+    def _take(*kinds: str) -> str:
+        nonlocal i
+        if _peek() not in kinds:
+            got = toks[i][1] if i < len(toks) else "end of option"
+            raise ValueError(
+                f"unsupported txntable where option near {got!r}: "
+                + grammar_err
+            )
+        i += 1
+        return toks[i - 1][1]
+
     preds: list[tuple[str, str, object]] = []
     in_preds: list[tuple[str, tuple]] = []
-    for part in re.split(r"(?i)\s+AND\s+", text.strip()):
-        m = re.fullmatch(_WHERE_TOKEN, part)
-        if not m:
-            raise ValueError(
-                f"unsupported txntable where-option conjunct {part!r}: "
-                "the option grammar is `col (=|<|<=|>|>=) literal` or "
-                "`col IN (lit, ...)` joined by AND, with integer or "
-                "single-quoted string literals — put anything more "
-                "general in .where() on the DataFrame"
-            )
-        col, op, rhs = m.group(1), m.group(2).upper(), m.group(3)
-        if op == "IN":
-            if not rhs.startswith("("):
-                raise ValueError(f"IN needs a parenthesized list: {part!r}")
-            toks = [t.strip() for t in rhs[1:-1].split(",") if t.strip()]
-            if not toks:
-                raise ValueError(f"empty IN list: {part!r}")
-            in_preds.append((col, tuple(_lit(t) for t in toks)))
+    while True:
+        col = _take("word")
+        if _peek() == "IN":
+            _take("IN")
+            if _take("punct") != "(":
+                raise ValueError(f"IN needs a parenthesized list: {text!r}")
+            values = [_lit(_take("str", "int"))]
+            while _peek() == "punct" and toks[i][1] == ",":
+                i += 1
+                values.append(_lit(_take("str", "int")))
+            if _take("punct") != ")":
+                raise ValueError(f"IN list not closed: {text!r}")
+            in_preds.append((col, tuple(values)))
         else:
-            if rhs.startswith("("):
-                raise ValueError(f"comparison against a list: {part!r}")
-            preds.append((col, op, _lit(rhs)))
-    return preds, in_preds
+            op = _take("op")
+            preds.append((col, op, _lit(_take("str", "int"))))
+        if _peek() == "end":
+            return preds, in_preds
+        _take("AND")
 
 
 def _where_mask(batch, preds, in_preds):
@@ -687,6 +729,17 @@ class TxnTableBatchReader(DataSourceReader):
     matching), the scan must still re-apply the predicate. At 100 TB a
     point lookup on a bloom-indexed key plans the one commit that can
     hold it, straight from ``spark.read.format("txntable")``.
+
+    COLUMN PROJECTION: ``.option("columns", "a,b")`` trims the declared
+    schema (resolved in :meth:`TxnTableDataSource.schema`), and because
+    the declared schema is the Arrow emit contract, executors read ONLY
+    those columns from parquet — the column-dimension twin of the
+    ``where`` option, equally relation-keyed and reuse-safe. The Python
+    DataSource API has no Catalyst column-pruning hook (Spark projects
+    AFTER the worker paid the I/O), so on a wide table at 100 TB the
+    option is the difference between 2-column I/O and full-row I/O for
+    a 2-column query. ``where`` columns must be included in the
+    projection (the row filter evaluates on the emitted batches).
 
     PRUNING IS OPT-IN: ``.option("pushdown", "true")``. Spark 4.1's
     Python DataSource caches ONE ``readInfo`` (partition list + read
@@ -737,7 +790,10 @@ class TxnTableBatchReader(DataSourceReader):
             if bad:
                 raise ValueError(
                     f"where option references unknown column(s) {bad}; "
-                    f"table columns are {list(self.columns)}"
+                    f"this scan's columns are {list(self.columns)} — a "
+                    "filtered column must also be in the `columns` "
+                    "projection option (the row filter evaluates on the "
+                    "emitted Arrow batches)"
                 )
 
     def pushFilters(self, filters):
@@ -787,16 +843,26 @@ class TxnTableBatchReader(DataSourceReader):
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
         table = TxnTable(self.path)
+        # ONE snapshot drives the whole plan: resolving 'latest' more
+        # than once would let a commit landing mid-plan mix two
+        # versions in one scan (e.g. version N's file list with
+        # N+1's dv sidecars after an optimize dropped them)
         version = self._resolve_version(table)
+        if version is None:
+            version = table.latest_version()
+        snap = table.snapshot(version)
+        stats, blooms = snap.get("stats", {}), snap.get("blooms", {})
         range_preds = self.predicates + self.where_preds
-        if range_preds:
-            kept, _ = table.prune(range_preds, version)
-        else:
-            kept = list(table.snapshot(version)["files"])
+        kept = [
+            rel
+            for rel in snap["files"]
+            if not range_preds
+            or TxnTable._dir_may_match(
+                stats.get(rel), range_preds, blooms.get(rel)
+            )
+        ]
         in_preds = self.in_predicates + self.where_in
         if in_preds and kept:
-            m = table.snapshot(version)
-            stats, blooms = m.get("stats", {}), m.get("blooms", {})
             kept = [
                 rel
                 for rel in kept
@@ -810,7 +876,6 @@ class TxnTableBatchReader(DataSourceReader):
                     for col, values in in_preds
                 )
             ]
-        snap = table.snapshot(version)
         dvr = snap.get("dv_rows", {})
         sidecars = tuple(
             os.path.join(self.path, s) for s in snap.get("dvs", [])
@@ -846,29 +911,112 @@ class TxnTableBatchReader(DataSourceReader):
             yield batch
 
 
-class _TxnWriteMessage(WriterCommitMessage):
-    """One task's contribution to a staged commit: how many rows it
-    wrote (possibly zero) and the min/max it observed per stats
-    column. Must stay picklable — plain attributes only."""
+class _TxnTaskMessage(WriterCommitMessage):
+    """One successful task's contribution to a staged commit: the
+    uniquely-named temp file it wrote under ``tmpstream/`` (None for an
+    empty task), its row count, and per-column min/max. Must stay
+    picklable — plain attributes only."""
 
-    def __init__(self, rows: int, stats: dict):
+    def __init__(self, tmp_file: str | None, rows: int, stats: dict):
+        self.tmp_file = tmp_file
         self.rows = rows
         self.stats = stats
+
+
+def _write_task_tmpfile(
+    iterator, path: str, stats_cols: tuple[str, ...]
+) -> _TxnTaskMessage:
+    """Executor half shared by the batch WRITE face and the STREAMING
+    SINK face: stream the task's Arrow batches into ONE uniquely-named
+    parquet temp file under ``tmpstream/`` and report its name, row
+    count, and per-column min/max in the commit message. Nothing a
+    task writes is visible until the driver renames message-named
+    files into a staged directory — so a failed-then-retried or
+    speculatively duplicated task's file is simply never published
+    (only the attempt whose message Spark accepts gets renamed), and
+    orphans are reclaimed by :meth:`TxnTable.vacuum`."""
+    import uuid as _uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tmp_dir = os.path.join(path, "tmpstream")
+    tmp_file = None
+    writer = None
+    rows = 0
+    lo: dict = {}
+    hi: dict = {}
+    try:
+        for batch in iterator:
+            if writer is None:
+                os.makedirs(tmp_dir, exist_ok=True)
+                tmp_file = f"part-{_uuid.uuid4().hex}.parquet"
+                writer = pq.ParquetWriter(
+                    os.path.join(tmp_dir, tmp_file), batch.schema
+                )
+            writer.write_batch(batch)
+            rows += batch.num_rows
+            for c in stats_cols:
+                mm = pc.min_max(batch.column(c))
+                bl, bh = mm["min"].as_py(), mm["max"].as_py()
+                if bl is not None and (c not in lo or bl < lo[c]):
+                    lo[c] = bl
+                if bh is not None and (c not in hi or bh > hi[c]):
+                    hi[c] = bh
+    finally:
+        if writer is not None:
+            writer.close()
+    return _TxnTaskMessage(
+        tmp_file, rows, {c: (lo[c], hi[c]) for c in lo if c in hi}
+    )
+
+
+def _fold_task_stats(messages) -> tuple[list[str], int, dict, dict]:
+    """Driver half shared by both write faces: the successful tasks'
+    temp-file names, total row count, and folded per-column (lo, hi)."""
+    files = [m.tmp_file for m in messages if m is not None and m.tmp_file]
+    total = sum(m.rows for m in messages if m is not None)
+    lo: dict = {}
+    hi: dict = {}
+    for m in messages:
+        if m is None:
+            continue
+        for c, (bl, bh) in m.stats.items():
+            if c not in lo or bl < lo[c]:
+                lo[c] = bl
+            if c not in hi or bh > hi[c]:
+                hi[c] = bh
+    return files, total, lo, hi
+
+
+def _abort_task_tmpfiles(path: str, messages) -> None:
+    for m in messages:
+        if m is not None and getattr(m, "tmp_file", None):
+            try:
+                os.remove(os.path.join(path, "tmpstream", m.tmp_file))
+            except FileNotFoundError:
+                pass
 
 
 class TxnTableArrowWriter(DataSourceArrowWriter):
     """The WRITE face: ``df.write.format("txntable").mode(...)``.
 
-    Executor tasks stream their Arrow batches straight into one shared
-    staged directory (``data/<uuid>``, invisible until committed —
-    readers only see directories the manifest names), each task one
-    parquet file plus a commit message carrying its observed row count
-    and per-column min/max. The driver-side ``commit`` then makes the
-    directory visible through :meth:`TxnTable.commit_staged` — the
-    same rebase-loop + atomic link(2) protocol as every Python-API
-    commit, so DataSource writes, API writes, and streaming-sink
-    writes all serialize through one log. ``abort`` (any task failed)
-    removes the staged directory; nothing was ever visible.
+    Executor tasks stream their Arrow batches into uniquely-named
+    per-task temp files under ``tmpstream/`` and report the file name
+    (plus observed row count and per-column min/max) in their commit
+    message; the driver-side ``commit`` renames ONLY message-named
+    files into a fresh ``data/<uuid>`` directory and publishes it
+    through :meth:`TxnTable.commit_staged` — the same rebase-loop +
+    atomic link(2) protocol as every Python-API commit, so DataSource
+    writes, API writes, and streaming-sink writes all serialize
+    through one log. Staging through the temp directory (not straight
+    into the staged directory) is what makes task RETRIES and
+    SPECULATIVE DUPLICATES safe: a failed attempt's file has no
+    accepted message, so it is never renamed, never published, and is
+    reclaimed by :meth:`TxnTable.vacuum`; the manifest row count can
+    therefore never disagree with the committed data. ``abort`` (any
+    task failed terminally) removes the messaged temp files; nothing
+    was ever visible.
 
     Options: ``statscols`` (comma-separated) records manifest [min,
     max] stats for those columns so the pruned read faces skip over
@@ -896,81 +1044,40 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                 f"{schema.fieldNames()}"
             )
         self.schema_json = schema.jsonValue()
-        # one staged directory for the whole job, chosen driver-side;
-        # every task writes its own file into it
-        import uuid as _uuid
-
-        self.staged = f"data/{_uuid.uuid4().hex}"
 
     # -- executor-side -------------------------------------------------------
 
-    def write(self, iterator) -> _TxnWriteMessage:
-        import uuid as _uuid
-
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        out_dir = os.path.join(self.path, self.staged)
-        writer = None
-        rows = 0
-        lo: dict = {}
-        hi: dict = {}
-        try:
-            for batch in iterator:
-                if writer is None:
-                    os.makedirs(out_dir, exist_ok=True)
-                    writer = pq.ParquetWriter(
-                        os.path.join(
-                            out_dir, f"part-{_uuid.uuid4().hex}.parquet"
-                        ),
-                        batch.schema,
-                    )
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                for c in self.stats_cols:
-                    mm = pc.min_max(batch.column(c))
-                    bl, bh = mm["min"].as_py(), mm["max"].as_py()
-                    if bl is not None and (c not in lo or bl < lo[c]):
-                        lo[c] = bl
-                    if bh is not None and (c not in hi or bh > hi[c]):
-                        hi[c] = bh
-        finally:
-            if writer is not None:
-                writer.close()
-        return _TxnWriteMessage(
-            rows, {c: (lo[c], hi[c]) for c in lo if c in hi}
-        )
+    def write(self, iterator) -> _TxnTaskMessage:
+        return _write_task_tmpfile(iterator, self.path, self.stats_cols)
 
     # -- driver-side ---------------------------------------------------------
 
     def commit(self, messages) -> None:
+        import uuid as _uuid
+
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
-        total = sum(m.rows for m in messages if m is not None)
-        lo: dict = {}
-        hi: dict = {}
-        for m in messages:
-            if m is None:
-                continue
-            for c, (bl, bh) in m.stats.items():
-                if c not in lo or bl < lo[c]:
-                    lo[c] = bl
-                if c not in hi or bh > hi[c]:
-                    hi[c] = bh
+        files, total, lo, hi = _fold_task_stats(messages)
         table = TxnTable(self.path)
         stats = {
             c: [table._json_stat(lo[c]), table._json_stat(hi[c])] for c in lo
         }
-        out_dir = os.path.join(self.path, self.staged)
-        if not os.path.isdir(out_dir):
+        staged = f"data/{_uuid.uuid4().hex}"
+        out_dir = os.path.join(self.path, staged)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            os.rename(
+                os.path.join(self.path, "tmpstream", f),
+                os.path.join(out_dir, f),
+            )
+        if not files:
             # an empty DataFrame wrote no files: stage one zero-row
             # parquet so the committed directory is a valid scan target
             import pyarrow.parquet as pq
             import pyarrow as pa
 
-            os.makedirs(out_dir, exist_ok=True)
             arrow = to_arrow_schema(
                 SqlT.StructType.fromJson(self.schema_json)
             )
@@ -982,7 +1089,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                 os.path.join(out_dir, "part-empty.parquet"),
             )
         table.commit_staged(
-            self.staged,
+            staged,
             total,
             mode="overwrite" if self.overwrite else "append",
             schema_json=self.schema_json,
@@ -991,21 +1098,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages) -> None:
-        import shutil
-
-        shutil.rmtree(
-            os.path.join(self.path, self.staged), ignore_errors=True
-        )
-
-
-class _TxnStreamTaskMessage(WriterCommitMessage):
-    """One streaming task's contribution: the temp file it wrote (or
-    None for an empty task), its row count, and per-column min/max."""
-
-    def __init__(self, tmp_file: str | None, rows: int, stats: dict):
-        self.tmp_file = tmp_file
-        self.rows = rows
-        self.stats = stats
+        _abort_task_tmpfiles(self.path, messages)
 
 
 class TxnTableStreamSink(DataSourceStreamArrowWriter):
@@ -1038,6 +1131,18 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
         self.path = options.get("path", "")
         if not self.path:
             raise ValueError("txntable stream sink requires a path")
+        if not options.get("txnappid"):
+            import warnings
+
+            warnings.warn(
+                "txntable stream sink started without .option('txnappid', "
+                "...): micro-batch replays within THIS run dedupe, but a "
+                "RESTARTED query gets a fresh watermark key and will "
+                "re-deliver its recovered batch — set txnappid to a stable "
+                "per-query id for cross-restart exactly-once",
+                UserWarning,
+                stacklevel=2,
+            )
         self.app_id = options.get("txnappid") or f"txnsink-{_uuid.uuid4().hex}"
         raw = options.get("statscols", "")
         self.stats_cols = tuple(c.strip() for c in raw.split(",") if c.strip())
@@ -1051,41 +1156,8 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
 
     # -- executor-side -------------------------------------------------------
 
-    def write(self, iterator) -> _TxnStreamTaskMessage:
-        import uuid as _uuid
-
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        tmp_dir = os.path.join(self.path, "tmpstream")
-        tmp_file = None
-        writer = None
-        rows = 0
-        lo: dict = {}
-        hi: dict = {}
-        try:
-            for batch in iterator:
-                if writer is None:
-                    os.makedirs(tmp_dir, exist_ok=True)
-                    tmp_file = f"part-{_uuid.uuid4().hex}.parquet"
-                    writer = pq.ParquetWriter(
-                        os.path.join(tmp_dir, tmp_file), batch.schema
-                    )
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                for c in self.stats_cols:
-                    mm = pc.min_max(batch.column(c))
-                    bl, bh = mm["min"].as_py(), mm["max"].as_py()
-                    if bl is not None and (c not in lo or bl < lo[c]):
-                        lo[c] = bl
-                    if bh is not None and (c not in hi or bh > hi[c]):
-                        hi[c] = bh
-        finally:
-            if writer is not None:
-                writer.close()
-        return _TxnStreamTaskMessage(
-            tmp_file, rows, {c: (lo[c], hi[c]) for c in lo if c in hi}
-        )
+    def write(self, iterator) -> _TxnTaskMessage:
+        return _write_task_tmpfile(iterator, self.path, self.stats_cols)
 
     # -- driver-side ---------------------------------------------------------
 
@@ -1094,20 +1166,9 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
-        files = [m.tmp_file for m in messages if m is not None and m.tmp_file]
-        total = sum(m.rows for m in messages if m is not None)
+        files, total, lo, hi = _fold_task_stats(messages)
         if not files:
             return  # empty micro-batch: nothing staged, nothing to commit
-        lo: dict = {}
-        hi: dict = {}
-        for m in messages:
-            if m is None:
-                continue
-            for c, (bl, bh) in m.stats.items():
-                if c not in lo or bl < lo[c]:
-                    lo[c] = bl
-                if c not in hi or bh > hi[c]:
-                    hi[c] = bh
         staged = f"data/{_uuid.uuid4().hex}"
         out_dir = os.path.join(self.path, staged)
         os.makedirs(out_dir, exist_ok=True)
@@ -1131,12 +1192,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
         )
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and m.tmp_file:
-                try:
-                    os.remove(os.path.join(self.path, "tmpstream", m.tmp_file))
-                except FileNotFoundError:
-                    pass
+        _abort_task_tmpfiles(self.path, messages)
 
 
 class TxnTableDataSource(DataSource):
@@ -1174,6 +1230,28 @@ class TxnTableDataSource(DataSource):
                 m = _manifest(path, pick)
                 if m.get("schema") is not None:
                     st = SqlT.StructType.fromJson(m["schema"])
+                    want = [
+                        c.strip()
+                        for c in opts.get("columns", "").split(",")
+                        if c.strip()
+                    ]
+                    if want:
+                        # COLUMN PROJECTION rides the load options: the
+                        # declared schema IS the Arrow emit contract, so
+                        # trimming it here means executors read ONLY
+                        # these columns from parquet (iter_batches'
+                        # column pushdown) — a wide table pays 2-column
+                        # I/O for a 2-column query. Relation-keyed like
+                        # `where`, hence reuse-safe by construction.
+                        by_name = {f.name: f for f in st.fields}
+                        bad = [c for c in want if c not in by_name]
+                        if bad or len(set(want)) != len(want):
+                            raise ValueError(
+                                f"columns option names unknown or duplicate "
+                                f"column(s) {bad or want}; table columns are "
+                                f"{[f.name for f in st.fields]}"
+                            )
+                        st = SqlT.StructType([by_name[c] for c in want])
                     if str(opts.get("readchangefeed", "")).lower() in (
                         "true",
                         "1",

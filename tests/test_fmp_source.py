@@ -755,6 +755,16 @@ def test_zscore_group_degenerate_returns_null():
         {"event_id": [1, 2, 3], "event_type": ["x"] * 3, "value": [5.0, 5.0, 5.0]}
     )
     assert _zscore_group(const)["z"].isna().all()
+    # an all-NULL group has n == 0 signal rows: z is NULL for every
+    # row, never a ZeroDivisionError (the oracle's CASE returns NULL)
+    all_null = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "event_type": ["x"] * 2,
+            "value": [float("nan"), float("nan")],
+        }
+    )
+    assert _zscore_group(all_null)["z"].isna().all()
 
 
 def test_reader_non_seekable_stream_spools_to_fast_path(monkeypatch):

@@ -924,3 +924,160 @@ def test_cdf_stream_reads_commit_time_change_files(spark, tmp_path):
         f"cdf/{d}" == live_cdc
         for d in os.listdir(os.path.join(t.path, "cdf"))
     )
+
+
+# -- round-10 hardening -------------------------------------------------
+
+
+def test_where_option_lexes_quoted_commas_and_and():
+    """String literals containing ',' or ' AND ' are ONE token — the
+    lexer recognizes quotes before any splitting, so the predicate is
+    never silently rewritten."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        _parse_where_option,
+    )
+
+    assert _parse_where_option("c IN (',', 'x')") == (
+        [],
+        [("c", (",", "x"))],
+    )
+    assert _parse_where_option("c = 'a AND b'") == (
+        [("c", "=", "a AND b")],
+        [],
+    )
+    assert _parse_where_option("c IN ('p AND q', 'r,s') AND d >= 3") == (
+        [("d", ">=", 3)],
+        [("c", ("p AND q", "r,s"))],
+    )
+    # escapes still work and failures stay loud
+    assert _parse_where_option("n = 'it''s'") == ([("n", "=", "it's")], [])
+    for bad in ("c IN ()", "c IN (1", "a = 1 OR b = 2", "c = 'open", ""):
+        with pytest.raises(ValueError):
+            _parse_where_option(bad)
+
+
+def test_write_face_publishes_only_messaged_task_files(spark, tmp_path):
+    """Task retries / speculative duplicates: a write attempt whose
+    commit message Spark does NOT accept leaves a temp file that is
+    never renamed into the committed directory — the table holds
+    exactly the messaged rows and the manifest count agrees."""
+    import pyarrow as pa
+
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableArrowWriter,
+    )
+
+    path = str(tmp_path / "t")
+    schema = _df(spark, [(1, "a")]).schema
+    w = TxnTableArrowWriter(schema, {"path": path}, overwrite=True)
+    batch = lambda rows: pa.record_batch(
+        {"id": pa.array([r[0] for r in rows], pa.int64()),
+         "v": pa.array([r[1] for r in rows], pa.string())}
+    )
+    # attempt 1 writes its file, then "fails" — Spark discards its
+    # message and runs a retry, whose message is the accepted one
+    _zombie = w.write(iter([batch([(7, "zombie")])]))
+    kept = w.write(iter([batch([(1, "a"), (2, "b")])]))
+    w.commit([kept])
+    t = TxnTable(path)
+    got = sorted((r.id, r.v) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "b")], got
+    assert t.count() == 2  # manifest row count agrees with the data
+    # the zombie file was never published; vacuum reclaims it
+    orphans = os.listdir(os.path.join(path, "tmpstream"))
+    assert len(orphans) == 1
+    removed = t.vacuum(retain_versions=1, retain_hours=0)
+    assert any(r.startswith("tmpstream/") for r in removed)
+
+
+def test_stream_sink_warns_without_txnappid(tmp_path):
+    """Cross-restart exactly-once needs a stable txnappid; running
+    without one degrades to within-run dedup and says so loudly."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableStreamSink,
+    )
+
+    schema = StructType([StructField("id", LongType())])
+    with pytest.warns(UserWarning, match="txnappid"):
+        TxnTableStreamSink(schema, {"path": str(tmp_path / "t")})
+    # with the option set: no warning
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        TxnTableStreamSink(
+            schema, {"path": str(tmp_path / "t"), "txnappid": "q1"}
+        )
+
+
+def test_batch_face_columns_projection(spark, tmp_path):
+    """.option('columns', ...) trims the declared schema: the scan
+    returns only (and exactly) the projected columns in option order,
+    executors emit projected Arrow batches, and misuse stays loud."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, v string, x double"
+        ),
+        mode="overwrite",
+    )
+    df = (
+        spark.read.format("txntable").option("columns", "v,id").load(t.path)
+    )
+    assert df.columns == ["v", "id"]
+    assert sorted((r.v, r.id) for r in df.collect()) == [("a", 1), ("b", 2)]
+    # emitted Arrow batches carry ONLY the projected columns
+    reader = TxnTableBatchReader(df.schema, {"path": t.path, "columns": "v,id"})
+    for part in reader.partitions():
+        for batch in reader.read(part):
+            assert batch.schema.names == ["v", "id"]
+    # unknown / duplicate projections raise at load, not at scan
+    with pytest.raises(Exception, match="columns option"):
+        spark.read.format("txntable").option("columns", "nope").load(t.path)
+    with pytest.raises(Exception, match="columns option"):
+        spark.read.format("txntable").option("columns", "id,id").load(t.path)
+    # a where-filtered column must ride the projection
+    with pytest.raises(Exception, match="where option"):
+        (
+            spark.read.format("txntable")
+            .option("columns", "v")
+            .option("where", "id = 1")
+            .load(t.path)
+            .collect()
+        )
+    # composed: projection + where option together
+    got = (
+        spark.read.format("txntable")
+        .option("columns", "id,v")
+        .option("where", "id = 2")
+        .load(t.path)
+        .collect()
+    )
+    assert [(r.id, r.v) for r in got] == [(2, "b")]
+
+
+def test_stream_face_columns_projection(spark, tmp_path):
+    """The streaming source shares the declared-schema contract, so
+    the columns option projects there too."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("columns", "v")
+        .load(t.path)
+    )
+    got: list = []
+    _drain(
+        sdf,
+        str(tmp_path / "ck"),
+        lambda b, _: got.extend(tuple(r) for r in b.collect()),
+    )
+    assert sorted(got) == [("a",), ("b",)]

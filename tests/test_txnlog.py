@@ -1684,3 +1684,38 @@ def test_delete_dv_sidecars_coalesce(spark, tmp_path):
     assert t.read(spark).count() == 200 - n_del
     # historical versions still read their own (pre-coalesce) dv sets
     assert t.count(3) == 197
+
+
+def test_changes_pre_image_is_live_after_dv_tombstones(spark, tmp_path):
+    """A row tombstoned by delete_dv is reported as 'delete' exactly
+    ONCE. When a later COW rewrite (delete / optimize) removes the
+    directory that physically still holds the tombstoned bytes, the
+    feed's pre-image must be the LIVE view at the prior version — a
+    raw read of the removed directory would resurrect the tombstoned
+    row and emit a spurious duplicate 'delete'."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), mode="overwrite")
+    v_dv = t.delete_dv(spark, "id = 2")
+    # COW delete of id=3 rewrites the directory (still carrying row 2's
+    # bytes) — its change set is ONLY its own victim
+    v_del = t.delete(spark, "id = 3")
+    got = {
+        (r.id, r.change_type)
+        for r in t.changes(spark, "id", v_del - 1, v_del).collect()
+    }
+    assert got == {(3, "delete")}, got
+    # the whole-range feed reports id=2 deleted exactly once, at v_dv
+    feed = [
+        (r.id, r.change_type, r.commit_version)
+        for r in t.changes(spark, "id", 0, v_del).collect()
+        if r.id == 2
+    ]
+    assert feed == [(2, "delete", v_dv)], feed
+    # and OPTIMIZE — the documented compaction for tombstone-heavy
+    # tables — contributes nothing even when it drops dv'd directories
+    t2 = TxnTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t2.write(_df(spark, [(3, "c")]), mode="append")
+    t2.delete_dv(spark, "id = 1")
+    v_opt = t2.optimize(spark)
+    assert t2.changes(spark, "id", v_opt - 1, v_opt).count() == 0
