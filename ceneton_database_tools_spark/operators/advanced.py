@@ -1723,6 +1723,88 @@ def txn_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "txn_datasource_write_partitioned",
+    # Closed-form: customers outside the dropped segment — equality
+    # holds only if the face's partitioned staging recorded EXACT
+    # per-leaf values (the drop's two-sided proof) and lost/duplicated
+    # nothing across the partition split.
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_name
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    """,
+    tags=("txn", "datasource", "write", "partitioned"),
+)
+def txn_datasource_write_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED layout from the pure Spark API:
+    ``df.write.format("txntable").option("partitionby", ...)`` stages
+    one leaf directory per distinct partition tuple — executor tasks
+    split their Arrow batches by exact value, the driver assembles
+    leaves and commits ``parts``/rows/stats in one manifest — and then
+    ``drop_partitions`` deletes a whole segment as a METADATA-ONLY
+    commit, zero bytes read or rewritten (Delta's partition-delete
+    fast path, reachable without importing the package for the
+    write). At 100 TB: retention deletes on a face-written table are
+    O(manifest).
+
+    SELF-CHECKS what the oracle can't see: (a) the manifest records
+    one leaf per segment with its exact value; (b) the drop commits
+    without reading data (op == 'drop_partitions'); (c) partition
+    pruning keeps exactly one leaf per segment equality; (d) counts
+    stay metadata answers."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_dswp_")
+    try:
+        path = f"{work}/t"
+        base.write.format("txntable").option(
+            "partitionby", "c_mktsegment"
+        ).option("statscols", "c_custkey").mode("overwrite").save(path)
+        table = TxnTable(path)
+        snap = table.snapshot()
+        segs = {v["c_mktsegment"] for v in snap["parts"].values()}
+        n_segs = base.select("c_mktsegment").distinct().count()
+        # (a) one exact-valued leaf per segment
+        if len(snap["parts"]) != n_segs or len(segs) != n_segs:
+            raise AssertionError(f"leaf/segment mismatch: {snap['parts']}")
+        # (d) the count is a manifest answer that matches the data
+        if table.count() != base.count():
+            raise AssertionError("manifest count drifted from the data")
+        # (c) equality on the partition column keeps exactly one leaf
+        kept, skipped = table.prune([("c_mktsegment", "=", "BUILDING")])
+        if not (len(kept) == 1 and len(skipped) == n_segs - 1):
+            raise AssertionError(f"partition prune failed: {kept}")
+        # (b) metadata-only drop: no new data directory appears
+        dirs_before = set(snap["files"])
+        v = table.drop_partitions([("c_mktsegment", "=", "BUILDING")])
+        after = table.snapshot()
+        if (
+            v is None
+            or after.get("op") != "drop_partitions"
+            or not set(after["files"]) < dirs_before
+        ):
+            raise AssertionError("drop was not a metadata-only commit")
+        result = table.read(spark)
+        _record_inner_plan("txn_datasource_write_partitioned", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # SQL surface (spark.sql over registered views)
 # ---------------------------------------------------------------------------

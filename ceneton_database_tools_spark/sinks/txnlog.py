@@ -459,6 +459,7 @@ class TxnTable:
         max_retries: int = 10,
         app_id: str | None = None,
         txn_version: int | None = None,
+        staged_blooms: dict | None = None,
     ) -> int | None:
         """Commit an ALREADY-STAGED data directory — the manifest half
         of :meth:`write` with the Spark half done elsewhere. This is
@@ -548,11 +549,171 @@ class TxnTable:
                 manifest["stats"] = stats
             carried_b = (snap or {}).get("blooms", {})
             blooms = {d: carried_b[d] for d in files if d in carried_b}
+            if staged_blooms:
+                blooms[staged] = staged_blooms
             if blooms:
                 manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
         self._discard_staged(staged)
+        raise CommitConflict(
+            f"lost {max_retries} staged-commit races on {self.path}"
+        )
+
+    def commit_staged_partitioned(
+        self,
+        staged_root: str,
+        leaves: dict[str, dict],
+        partition_by: tuple[str, ...],
+        mode: str = "append",
+        schema_json: dict | None = None,
+        max_retries: int = 10,
+        app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int | None:
+        """:meth:`commit_staged` for a PARTITIONED layout — the manifest
+        half of :meth:`write_partitioned` with the data already on disk:
+        ``leaves`` maps each staged leaf directory (relative to the
+        table root, all under ``staged_root``) to its metadata::
+
+            {"parts": {col: value},        # exact partition values
+             "rows": int,                  # leaf row count
+             "stats": {col: [lo, hi]},     # optional, pre-JSON-safe
+             "blooms": {col: entry}}       # optional, finished bitmaps
+
+        Pure filesystem + JSON (no SparkSession) — the hook the
+        DataSource WRITE face uses to publish partitioned layouts, so
+        ``df.write.format("txntable").option("partitionby", ...)``
+        covers the layouts the Python API proves: exact partition
+        values enter the manifest's ``parts`` (``drop_partitions``'
+        two-sided proof works), degenerate ``[v, v]`` stats make
+        partition pruning exact, and per-leaf rows keep :meth:`count`
+        an O(manifest) answer. Partition values must already be in
+        manifest representation (ints for integral columns, ``None``
+        for NULL, ``str()`` for everything else — the
+        :meth:`_parse_part_value` convention).
+
+        Same refusals as :meth:`commit_staged` (CHECK constraints need
+        a Spark job), same append guard as :meth:`write_partitioned`
+        (spec must match; ``overwrite`` may re-layout), same idempotent
+        ``(app_id, txn_version)`` watermark, same rebase loop."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if (app_id is None) != (txn_version is None):
+            raise ValueError("app_id and txn_version come together")
+        pcols = tuple(partition_by)
+        if not pcols:
+            raise ValueError("partition_by must name at least one column")
+        staged_dirs = sorted(leaves)
+        if not staged_dirs:
+            raise ValueError("commit_staged_partitioned needs >= 1 leaf")
+        bad = [
+            d
+            for d in staged_dirs
+            if not d.startswith(staged_root.rstrip("/") + "/")
+            and d != staged_root
+        ]
+        if bad:
+            raise ValueError(
+                f"leaves {bad} are not under staged root {staged_root!r}"
+            )
+        # an empty-input leaf (the bare staged root) has no partition
+        # values — same shape _stage_partitioned leaves, so
+        # drop_partitions treats both identically
+        new_parts = {
+            d: dict(meta["parts"])
+            for d, meta in leaves.items()
+            if meta.get("parts")
+        }
+        staged_rows = {
+            d: int(meta.get("rows", 0)) for d, meta in leaves.items()
+        }
+        for _ in range(max_retries):
+            current = self.latest_version()
+            txns: dict[str, int] = {}
+            snap: dict | None = None
+            schema = schema_json
+            parts = dict(new_parts)
+            if current is not None:
+                snap = self.snapshot(current)
+                txns.update(snap.get("txns", {}))
+                if app_id is not None:
+                    seen = txns.get(app_id)
+                    if seen is not None and txn_version <= seen:
+                        self._discard_staged(staged_root)
+                        return None
+                if snap.get("constraints"):
+                    self._discard_staged(staged_root)
+                    raise RuntimeError(
+                        f"table {self.path} has CHECK constraints "
+                        f"{sorted(snap['constraints'])}; the staged-commit "
+                        "path cannot validate a batch without a Spark job "
+                        "— write through TxnTable.write_partitioned instead"
+                    )
+                if mode == "append":
+                    prior_spec = tuple(snap.get("partition_by", ()))
+                    if prior_spec != pcols:
+                        self._discard_staged(staged_root)
+                        raise ValueError(
+                            f"table is partitioned by {prior_spec or None}; "
+                            f"append with {pcols} must match (or overwrite "
+                            "to re-layout)"
+                        )
+                    files = list(snap["files"]) + staged_dirs
+                    try:
+                        schema = self._evolve_schema(
+                            snap.get("schema"), schema_json, False
+                        )
+                    except SchemaMismatch:
+                        self._discard_staged(staged_root)
+                        raise
+                    carried_parts = snap.get("parts", {})
+                    parts = {
+                        d: carried_parts[d]
+                        for d in files
+                        if d in carried_parts
+                    }
+                    parts.update(new_parts)
+                else:
+                    files = list(staged_dirs)
+            else:
+                files = list(staged_dirs)
+            if app_id is not None:
+                txns[app_id] = int(txn_version)
+            version = 0 if current is None else current + 1
+            manifest = {
+                "version": version,
+                "op": mode,
+                "files": files,
+                "txns": txns,
+                "schema": schema,
+                "partition_by": list(pcols),
+            }
+            if parts:
+                manifest["parts"] = parts
+            self._carry_props(snap, manifest, staged_rows)
+            carried = (snap or {}).get("stats", {})
+            stats = {d: carried[d] for d in files if d in carried}
+            for d, meta in leaves.items():
+                entry = {
+                    c: [self._json_stat(v), self._json_stat(v)]
+                    for c, v in meta.get("parts", {}).items()
+                }
+                entry.update(meta.get("stats", {}))
+                if entry:
+                    stats[d] = entry
+            if stats:
+                manifest["stats"] = stats
+            carried_b = (snap or {}).get("blooms", {})
+            blooms = {d: carried_b[d] for d in files if d in carried_b}
+            for d, meta in leaves.items():
+                if meta.get("blooms"):
+                    blooms[d] = meta["blooms"]
+            if blooms:
+                manifest["blooms"] = blooms
+            if self._try_commit(version, manifest):
+                return version
+        self._discard_staged(staged_root)
         raise CommitConflict(
             f"lost {max_retries} staged-commit races on {self.path}"
         )
@@ -1631,8 +1792,13 @@ class TxnTable:
                     else:
                         kept.append(rel)
                     continue
-                # no exact partition metadata: only a stats-based
-                # no-match proof may keep it silently
+                # no exact partition metadata: only a no-match proof may
+                # keep it silently — a recorded ZERO row count (e.g. the
+                # empty-input leaf a write face stages) or a stats range
+                # that cannot satisfy the predicates
+                if snap.get("rows", {}).get(rel) == 0:
+                    kept.append(rel)
+                    continue
                 range_preds = [p for p in predicates if p[1] != "is_null"]
                 if range_preds and not self._dir_may_match(
                     stats.get(rel), range_preds

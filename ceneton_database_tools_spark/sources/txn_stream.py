@@ -914,17 +914,111 @@ class TxnTableBatchReader(DataSourceReader):
 class _TxnTaskMessage(WriterCommitMessage):
     """One successful task's contribution to a staged commit: the
     uniquely-named temp file it wrote under ``tmpstream/`` (None for an
-    empty task), its row count, and per-column min/max. Must stay
-    picklable — plain attributes only."""
+    empty task), its row count, per-column min/max, and — when the
+    writer was configured with bloom columns — the task's folded
+    per-column bloom bitmap bytes. Must stay picklable — plain
+    attributes only."""
 
-    def __init__(self, tmp_file: str | None, rows: int, stats: dict):
+    def __init__(
+        self,
+        tmp_file: str | None,
+        rows: int,
+        stats: dict,
+        blooms: dict | None = None,
+    ):
         self.tmp_file = tmp_file
         self.rows = rows
         self.stats = stats
+        self.blooms = blooms or {}
+
+
+class _TxnPartTaskMessage(WriterCommitMessage):
+    """A PARTITIONED write task's contribution: one entry per distinct
+    partition tuple the task saw — ``(parts, tmp_file, rows, stats,
+    blooms)`` with ``parts`` the manifest-representation value dict."""
+
+    def __init__(self, entries: list):
+        self.entries = entries
+
+
+def _part_norm(v):
+    """One partition value in manifest representation — the
+    :meth:`TxnTable._parse_part_value` convention: ints stay ints,
+    NULL stays None, everything else (dates, Decimals) goes through
+    ``str()`` whose ISO form matches ``_json_stat``."""
+    if v is None or isinstance(v, (int, str)):
+        return v
+    return str(v)
+
+
+class _BloomAcc:
+    """Executor-side bloom accumulator: OR values into per-column
+    bitmaps bit-compatible with :meth:`TxnTable._bloom_hashes` /
+    ``_bloom_pos_expr`` (canonical-string md5 double hashing), so a
+    face-written directory and a Python-API-written one probe
+    identically at prune time. This is per-row Python — the price of
+    building blooms inside a DataSource write task, where no JVM
+    expression exists; for bulk loads the Python API's codegen'd
+    builder (``TxnTable._collect_blooms``) is the fast path."""
+
+    def __init__(self, cols: tuple[str, ...], bits: int, k: int):
+        self.cols = cols
+        self.bits = bits
+        self.k = k
+        self.bm: dict = {}
+
+    def fold(self, batch) -> None:
+        import numpy as np
+
+        from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+        nbytes = (self.bits + 7) // 8
+        for c in self.cols:
+            acc = self.bm.get(c)
+            if acc is None:
+                acc = self.bm[c] = np.zeros(nbytes, dtype=np.uint8)
+            for v in batch.column(c).to_pylist():
+                if v is None:
+                    continue
+                h1, h2 = TxnTable._bloom_hashes(str(v))
+                for i in range(self.k):
+                    pos = (h1 + i * h2) % self.bits
+                    acc[pos >> 3] |= np.uint8(1 << (pos & 7))
+
+    def payload(self) -> dict:
+        return {c: bm.tobytes() for c, bm in self.bm.items()}
+
+
+def _fold_bloom_payloads(payloads: list, bits: int, k: int) -> dict:
+    """Driver half: OR task bitmap bytes per column into the manifest's
+    base64 ``{b, m, k}`` entries (one finished bitmap per column)."""
+    import base64
+
+    import numpy as np
+
+    acc: dict = {}
+    for p in payloads:
+        for c, raw in p.items():
+            a = np.frombuffer(raw, dtype=np.uint8)
+            if c in acc:
+                acc[c] = acc[c] | a
+            else:
+                acc[c] = a.copy()
+    return {
+        c: {
+            "b": base64.b64encode(bm.tobytes()).decode("ascii"),
+            "m": bits,
+            "k": k,
+        }
+        for c, bm in acc.items()
+    }
 
 
 def _write_task_tmpfile(
-    iterator, path: str, stats_cols: tuple[str, ...]
+    iterator,
+    path: str,
+    stats_cols: tuple[str, ...],
+    bloom: _BloomAcc | None = None,
 ) -> _TxnTaskMessage:
     """Executor half shared by the batch WRITE face and the STREAMING
     SINK face: stream the task's Arrow batches into ONE uniquely-named
@@ -963,11 +1057,98 @@ def _write_task_tmpfile(
                     lo[c] = bl
                 if bh is not None and (c not in hi or bh > hi[c]):
                     hi[c] = bh
+            if bloom is not None:
+                bloom.fold(batch)
     finally:
         if writer is not None:
             writer.close()
     return _TxnTaskMessage(
-        tmp_file, rows, {c: (lo[c], hi[c]) for c in lo if c in hi}
+        tmp_file,
+        rows,
+        {c: (lo[c], hi[c]) for c in lo if c in hi},
+        bloom.payload() if bloom is not None else None,
+    )
+
+
+def _write_task_partitioned(
+    iterator,
+    path: str,
+    pcols: tuple[str, ...],
+    stats_cols: tuple[str, ...],
+    bloom_cols: tuple[str, ...],
+    bloom_bits: int,
+    bloom_k: int,
+) -> _TxnPartTaskMessage:
+    """Executor half of the PARTITIONED write face: split the task's
+    Arrow batches by exact partition tuple and stream each group into
+    its own uniquely-named temp file under ``tmpstream/``, tracking
+    per-group rows / min-max / bloom bitmaps. Partition columns are
+    usually low-cardinality, so a task holds O(partitions-it-sees)
+    open writers — the same working set as Spark's own dynamic
+    partition write."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tmp_dir = os.path.join(path, "tmpstream")
+    state: dict = {}  # key tuple -> [tmp_file, writer, rows, lo, hi, bloom]
+    try:
+        for batch in iterator:
+            key_rows: dict = {}
+            cols = [batch.column(c).to_pylist() for c in pcols]
+            for i, kv in enumerate(zip(*cols)):
+                key_rows.setdefault(
+                    tuple(_part_norm(x) for x in kv), []
+                ).append(i)
+            for key, idxs in key_rows.items():
+                sub = (
+                    batch
+                    if len(idxs) == batch.num_rows
+                    else batch.take(pa.array(idxs, pa.int64()))
+                )
+                st = state.get(key)
+                if st is None:
+                    os.makedirs(tmp_dir, exist_ok=True)
+                    tmp_file = f"part-{_uuid.uuid4().hex}.parquet"
+                    st = state[key] = [
+                        tmp_file,
+                        pq.ParquetWriter(
+                            os.path.join(tmp_dir, tmp_file), batch.schema
+                        ),
+                        0,
+                        {},
+                        {},
+                        _BloomAcc(bloom_cols, bloom_bits, bloom_k)
+                        if bloom_cols
+                        else None,
+                    ]
+                st[1].write_batch(sub)
+                st[2] += sub.num_rows
+                for c in stats_cols:
+                    mm = pc.min_max(sub.column(c))
+                    bl, bh = mm["min"].as_py(), mm["max"].as_py()
+                    if bl is not None and (c not in st[3] or bl < st[3][c]):
+                        st[3][c] = bl
+                    if bh is not None and (c not in st[4] or bh > st[4][c]):
+                        st[4][c] = bh
+                if st[5] is not None:
+                    st[5].fold(sub)
+    finally:
+        for st in state.values():
+            st[1].close()
+    return _TxnPartTaskMessage(
+        [
+            (
+                dict(zip(pcols, key)),
+                st[0],
+                st[2],
+                {c: (st[3][c], st[4][c]) for c in st[3] if c in st[4]},
+                st[5].payload() if st[5] is not None else {},
+            )
+            for key, st in state.items()
+        ]
     )
 
 
@@ -1020,10 +1201,19 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
 
     Options: ``statscols`` (comma-separated) records manifest [min,
     max] stats for those columns so the pruned read faces skip over
-    this commit too; ``mergeschema`` opts into schema evolution.
-    Row counts ride the task messages (zero driver-side footer
-    walks); constraint-bearing and partitioned tables are refused by
-    ``commit_staged`` with the reason spelled out."""
+    this commit too; ``mergeschema`` opts into schema evolution;
+    ``partitionby`` (comma-separated) stages one leaf directory PER
+    DISTINCT PARTITION TUPLE with its exact values in the manifest's
+    ``parts`` — the full :meth:`TxnTable.write_partitioned` layout
+    (exact pruning, ``drop_partitions``' metadata-only deletes,
+    partition-aligned appends) from the pure Spark API; ``bloomcols``
+    (+ ``bloombits``/``bloomk``) folds per-directory bloom bitmaps on
+    executors, bit-compatible with the Python API's builder, so
+    point-lookup skipping covers face-written commits too. Row counts
+    ride the task messages (zero driver-side footer walks);
+    constraint-bearing tables are refused by the staged-commit hooks
+    with the reason spelled out (validating a batch needs a Spark
+    job)."""
 
     def __init__(self, schema: SqlT.StructType, options: dict, overwrite: bool):
         self.path = options.get("path", "")
@@ -1033,29 +1223,94 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
         self.merge_schema = str(
             options.get("mergeschema", "false")
         ).strip().lower() in ("true", "1", "yes")
-        raw = options.get("statscols", "")
-        self.stats_cols = tuple(
-            c.strip() for c in raw.split(",") if c.strip()
-        )
-        bad = [c for c in self.stats_cols if c not in schema.fieldNames()]
-        if bad:
-            raise ValueError(
-                f"statscols {bad} not in the written schema "
-                f"{schema.fieldNames()}"
+        names = schema.fieldNames()
+        type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+        def _cols(key: str) -> tuple[str, ...]:
+            cols = tuple(
+                c.strip()
+                for c in options.get(key, "").split(",")
+                if c.strip()
             )
+            bad = [c for c in cols if c not in names]
+            if bad:
+                raise ValueError(
+                    f"{key} {bad} not in the written schema {names}"
+                )
+            return cols
+
+        self.stats_cols = _cols("statscols")
+        self.pcols = _cols("partitionby")
+        if self.pcols and self.merge_schema:
+            raise ValueError(
+                "mergeschema is not supported with partitionby (same "
+                "rule as TxnTable.write_partitioned: evolve through an "
+                "unpartitioned overwrite, or keep the schema exact)"
+            )
+        floaty = [c for c in self.pcols if type_of[c] in ("double", "float")]
+        if floaty:
+            raise ValueError(
+                f"floating-point partition columns {floaty} are not "
+                "supported (dir-name round-trip is inexact); cast to "
+                "string or decimal first"
+            )
+        boolish = [c for c in self.pcols if type_of[c] == "boolean"]
+        if boolish:
+            raise ValueError(
+                f"boolean partition columns {boolish} are not supported "
+                "(hive dir-name spelling 'true'/'false' does not "
+                "round-trip probe values); cast to string or int first"
+            )
+        self.bloom_cols = _cols("bloomcols")
+        self.bloom_bits = int(options.get("bloombits", 8192) or 8192)
+        self.bloom_k = int(options.get("bloomk", 5) or 5)
+        if self.bloom_cols:
+            if self.bloom_bits < 8 or self.bloom_k < 1:
+                raise ValueError(
+                    f"bloombits >= 8 and bloomk >= 1 required, got "
+                    f"({self.bloom_bits}, {self.bloom_k})"
+                )
+            allowed = ("bigint", "int", "smallint", "tinyint", "string")
+            bad = [c for c in self.bloom_cols if type_of[c] not in allowed]
+            if bad:
+                raise ValueError(
+                    f"bloomcols {bad} have non-integral/non-string types "
+                    f"({[type_of[c] for c in bad]}): the canonical-string "
+                    "hash is only exact for integrals and strings"
+                )
         self.schema_json = schema.jsonValue()
 
     # -- executor-side -------------------------------------------------------
 
-    def write(self, iterator) -> _TxnTaskMessage:
-        return _write_task_tmpfile(iterator, self.path, self.stats_cols)
+    def write(self, iterator):
+        if self.pcols:
+            return _write_task_partitioned(
+                iterator,
+                self.path,
+                self.pcols,
+                # partition values land as exact [v, v] stats entries;
+                # measuring them again per leaf would be redundant
+                tuple(c for c in self.stats_cols if c not in self.pcols),
+                self.bloom_cols,
+                self.bloom_bits,
+                self.bloom_k,
+            )
+        return _write_task_tmpfile(
+            iterator,
+            self.path,
+            self.stats_cols,
+            _BloomAcc(self.bloom_cols, self.bloom_bits, self.bloom_k)
+            if self.bloom_cols
+            else None,
+        )
 
     # -- driver-side ---------------------------------------------------------
 
     def commit(self, messages) -> None:
+        if self.pcols:
+            self._commit_partitioned(messages)
+            return
         import uuid as _uuid
-
-        from pyspark.sql.pandas.types import to_arrow_schema
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
@@ -1064,6 +1319,15 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
         stats = {
             c: [table._json_stat(lo[c]), table._json_stat(hi[c])] for c in lo
         }
+        blooms = (
+            _fold_bloom_payloads(
+                [m.blooms for m in messages if m is not None and m.blooms],
+                self.bloom_bits,
+                self.bloom_k,
+            )
+            if self.bloom_cols
+            else {}
+        )
         staged = f"data/{_uuid.uuid4().hex}"
         out_dir = os.path.join(self.path, staged)
         os.makedirs(out_dir, exist_ok=True)
@@ -1073,21 +1337,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                 os.path.join(out_dir, f),
             )
         if not files:
-            # an empty DataFrame wrote no files: stage one zero-row
-            # parquet so the committed directory is a valid scan target
-            import pyarrow.parquet as pq
-            import pyarrow as pa
-
-            arrow = to_arrow_schema(
-                SqlT.StructType.fromJson(self.schema_json)
-            )
-            pq.write_table(
-                pa.Table.from_arrays(
-                    [pa.nulls(0, type=f.type) for f in arrow],
-                    schema=arrow,
-                ),
-                os.path.join(out_dir, "part-empty.parquet"),
-            )
+            self._write_empty_leaf(out_dir)
         table.commit_staged(
             staged,
             total,
@@ -1095,10 +1345,114 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             schema_json=self.schema_json,
             merge_schema=self.merge_schema,
             staged_stats=stats or None,
+            staged_blooms=blooms or None,
+        )
+
+    def _write_empty_leaf(self, out_dir: str) -> None:
+        # an empty DataFrame wrote no files: stage one zero-row
+        # parquet so the committed directory is a valid scan target
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        os.makedirs(out_dir, exist_ok=True)
+        arrow = to_arrow_schema(SqlT.StructType.fromJson(self.schema_json))
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.nulls(0, type=f.type) for f in arrow], schema=arrow
+            ),
+            os.path.join(out_dir, "part-empty.parquet"),
+        )
+
+    def _commit_partitioned(self, messages) -> None:
+        """Assemble the task entries into one hive-named leaf directory
+        per distinct partition tuple (rename — metadata-only on one
+        filesystem), fold per-leaf rows/stats/blooms across tasks, and
+        publish through :meth:`TxnTable.commit_staged_partitioned`.
+        Leaf names are for humans; the manifest's exact ``parts``
+        values are the source of truth, decoded nowhere from paths."""
+        import uuid as _uuid
+        from urllib.parse import quote
+
+        from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+        table = TxnTable(self.path)
+        staged = f"data/{_uuid.uuid4().hex}"
+        by_key: dict = {}
+        for m in messages:
+            if m is None:
+                continue
+            for parts, tmp_file, rows, stats, blooms in m.entries:
+                key = tuple(parts[c] for c in self.pcols)
+                by_key.setdefault(key, []).append(
+                    (parts, tmp_file, rows, stats, blooms)
+                )
+        leaves: dict = {}
+        for key, entries in by_key.items():
+            segs = [
+                f"{c}={TxnTable._HIVE_NULL}"
+                if v is None
+                else f"{c}={quote(str(v), safe='')}"
+                for c, v in zip(self.pcols, key)
+            ]
+            rel = "/".join([staged] + segs)
+            out_dir = os.path.join(self.path, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            lo: dict = {}
+            hi: dict = {}
+            rows_total = 0
+            for parts, tmp_file, rows, stats, _ in entries:
+                os.rename(
+                    os.path.join(self.path, "tmpstream", tmp_file),
+                    os.path.join(out_dir, tmp_file),
+                )
+                rows_total += rows
+                for c, (bl, bh) in stats.items():
+                    if c not in lo or bl < lo[c]:
+                        lo[c] = bl
+                    if c not in hi or bh > hi[c]:
+                        hi[c] = bh
+            leaves[rel] = {
+                "parts": entries[0][0],
+                "rows": rows_total,
+                "stats": {
+                    c: [table._json_stat(lo[c]), table._json_stat(hi[c])]
+                    for c in lo
+                    if c in hi
+                },
+                "blooms": _fold_bloom_payloads(
+                    [e[4] for e in entries if e[4]],
+                    self.bloom_bits,
+                    self.bloom_k,
+                )
+                if self.bloom_cols
+                else {},
+            }
+        if not leaves:
+            # empty input: stage the bare root (one zero-row file, no
+            # partition values) — the same shape the Python API leaves
+            self._write_empty_leaf(os.path.join(self.path, staged))
+            leaves[staged] = {"parts": {}, "rows": 0}
+        table.commit_staged_partitioned(
+            staged,
+            leaves,
+            self.pcols,
+            mode="overwrite" if self.overwrite else "append",
+            schema_json=self.schema_json,
         )
 
     def abort(self, messages) -> None:
-        _abort_task_tmpfiles(self.path, messages)
+        flat = []
+        for m in messages:
+            if m is None:
+                continue
+            if hasattr(m, "entries"):
+                flat.extend(
+                    _TxnTaskMessage(e[1], e[2], {}) for e in m.entries
+                )
+            else:
+                flat.append(m)
+        _abort_task_tmpfiles(self.path, flat)
 
 
 class TxnTableStreamSink(DataSourceStreamArrowWriter):

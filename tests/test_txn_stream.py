@@ -696,11 +696,12 @@ def test_write_face_roundtrip_stats_and_interop(spark, tmp_path):
     assert t.count() == 1 and t.latest_version() == 4
 
 
-def test_write_face_refuses_constraints_and_partitioned(spark, tmp_path):
+def test_write_face_refuses_constraints(spark, tmp_path):
     """What the staged-commit path cannot uphold without a Spark job it
-    refuses loudly: CHECK-constraint validation and partitioned
-    layouts — and the refused staged directory is cleaned up, never
-    left to leak."""
+    refuses loudly: CHECK-constraint validation — and the refused
+    staged directory is cleaned up, never left to leak. An append that
+    IGNORES a table's partition spec is equally loud (the spec must
+    ride .option('partitionby', ...) and match)."""
     register_txn_source(spark)
     t = TxnTable(str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]), mode="overwrite")
@@ -714,13 +715,126 @@ def test_write_face_refuses_constraints_and_partitioned(spark, tmp_path):
     assert on_disk == live, "refused staged dir leaked"
     t2 = TxnTable(str(tmp_path / "t2"))
     rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(4)]
-    t2.write_partitioned(
-        spark.createDataFrame(rows, "id long, seg string, v string"),
-        ("seg",), mode="overwrite",
-    )
+    pdf = spark.createDataFrame(rows, "id long, seg string, v string")
+    t2.write_partitioned(pdf, ("seg",), mode="overwrite")
     with pytest.raises(Exception, match="partitioned"):
-        spark.createDataFrame(rows, "id long, seg string, v string").write \
-            .format("txntable").mode("append").save(t2.path)
+        pdf.write.format("txntable").mode("append").save(t2.path)
+    with pytest.raises(Exception, match="must match"):
+        pdf.write.format("txntable").option("partitionby", "v").mode(
+            "append"
+        ).save(t2.path)
+
+
+def test_write_face_partitioned_roundtrip(spark, tmp_path):
+    """df.write.format('txntable').option('partitionby', ...): the full
+    write_partitioned layout from the pure Spark API — exact partition
+    values (incl. NULL) in the manifest, per-leaf rows/stats, exact
+    pruning, drop_partitions' metadata-only delete, spec-checked
+    appends, and two-way interop with the Python API."""
+    register_txn_source(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["A", "B", None][i % 3], f"r{i}") for i in range(12)],
+        "id long, seg string, v string",
+    )
+    df.write.format("txntable").option("partitionby", "seg").option(
+        "statscols", "id"
+    ).mode("overwrite").save(p)
+    t = TxnTable(p)
+    snap = t.snapshot()
+    assert t.partition_spec() == ("seg",)
+    assert {tuple(v.items()) for v in snap["parts"].values()} == {
+        (("seg", None),),
+        (("seg", "A"),),
+        (("seg", "B"),),
+    }
+    # per-leaf rows + stats: partition values as exact [v, v] ranges
+    assert all(n == 4 for n in snap["rows"].values())
+    assert all(
+        s["seg"] == [s["seg"][0]] * 2 and "id" in s
+        for s in snap["stats"].values()
+    )
+    assert t.count() == 12
+    # exact partition pruning straight from the manifest
+    kept, skipped = t.prune([("seg", "=", "A")])
+    assert (len(kept), len(skipped)) == (1, 2)
+    # metadata-only partition drop (the two-sided proof holds)
+    files_before = set(snap["files"])
+    assert t.drop_partitions([("seg", "=", "B")]) is not None
+    assert set(t.snapshot()["files"]) < files_before
+    assert t.count() == 8
+    assert sorted(r.id for r in t.read(spark).collect()) == sorted(
+        i for i in range(12) if i % 3 != 1
+    )
+    # spec-matched append through the face; API append interops
+    spark.createDataFrame(
+        [(100, "A", "x")], "id long, seg string, v string"
+    ).write.format("txntable").option("partitionby", "seg").mode(
+        "append"
+    ).save(p)
+    t.write_partitioned(
+        spark.createDataFrame(
+            [(101, "B", "y")], "id long, seg string, v string"
+        ),
+        ("seg",),
+        mode="append",
+    )
+    assert t.count() == 10
+    # NULL partition drops via the explicit is_null conjunct
+    assert t.drop_partitions([("seg", "is_null", None)]) is not None
+    assert t.read(spark).where("seg IS NULL").count() == 0
+    # tmpstream left empty: every task file was renamed into its leaf
+    assert os.listdir(os.path.join(p, "tmpstream")) == []
+    # empty partitioned write still commits a readable version
+    spark.createDataFrame([], "id long, seg string, v string").write.format(
+        "txntable"
+    ).option("partitionby", "seg").mode("append").save(p)
+    assert t.read(spark).count() == 6
+    # ... whose zero-row leaf never blocks a later partition drop
+    assert t.drop_partitions([("seg", "=", "A")]) is not None
+
+
+def test_write_face_blooms_bit_compatible(spark, tmp_path):
+    """.option('bloomcols', ...): executor-folded bitmaps land in the
+    manifest and probe bit-for-bit like Python-API-built blooms — a
+    point lookup skips face-written and API-written directories with
+    one hash family."""
+    register_txn_source(spark)
+    p = str(tmp_path / "t")
+    _df(spark, [(i, f"r{i}") for i in range(50)]).write.format(
+        "txntable"
+    ).option("bloomcols", "id").option("bloombits", "4096").option(
+        "bloomk", "5"
+    ).mode("overwrite").save(p)
+    # API write with ITS bloom builder appends a second directory
+    t = TxnTable(p, bloom_cols=("id",), bloom_bits=4096, bloom_k=5)
+    t.write(_df(spark, [(i, f"r{i}") for i in range(100, 150)]), mode="append")
+    snap = t.snapshot()
+    assert all("id" in b for b in snap["blooms"].values())
+    assert len(snap["blooms"]) == 2
+    # an absent key prunes EVERY directory, whatever builder wrote it
+    kept, skipped = t.prune([("id", "=", 77)])
+    assert (len(kept), len(skipped)) == (0, 2)
+    # present keys keep exactly their directory
+    for probe, n_kept in ((3, 1), (120, 1)):
+        kept, _ = t.prune([("id", "=", probe)])
+        assert len(kept) == n_kept
+        assert t.read(spark).where(f"id = {probe}").count() == 1
+    # partitioned + blooms compose: per-leaf bitmaps
+    p2 = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(i, ["A", "B"][i % 2]) for i in range(40)], "id long, seg string"
+    ).write.format("txntable").option("partitionby", "seg").option(
+        "bloomcols", "id"
+    ).mode("overwrite").save(p2)
+    t2 = TxnTable(p2)
+    kept, skipped = t2.prune([("id", "=", 6)])  # even -> seg=A leaf only
+    assert (len(kept), len(skipped)) == (1, 1)
+    # misuse stays loud
+    with pytest.raises(Exception, match="bloomcols"):
+        _df(spark, [(1, "a")]).write.format("txntable").option(
+            "bloomcols", "nope"
+        ).mode("overwrite").save(str(tmp_path / "t3"))
 
 
 def test_write_face_abort_cleans_staged_dir(spark, tmp_path):
