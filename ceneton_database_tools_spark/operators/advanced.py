@@ -1417,6 +1417,10 @@ def txn_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_custkey >= (SELECT max(c_custkey) FROM customer) - 24
     """,
     tags=("txn", "datasource", "pushdown", "pruning"),
+    # benched: the engine's flagship subsystem (txn write + pruned
+    # batch-face read) gets a timed leg so a perf regression in the
+    # manifest/commit/scan path is visible round-over-round
+    bench=True,
 )
 def txn_batch_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE BATCH FACE of the txn table with CATALYST PUSHDOWN:

@@ -12,22 +12,26 @@ nothing beyond parquet + an atomic file create:
 * every WRITE stages immutable parquet files into a fresh uuid
   directory, then COMMITS by publishing manifest version N+1 — a JSON
   file listing exactly the data directories that make up snapshot N+1;
-* the commit is ``os.link(tmp, _txnlog/N+1.json)`` — atomic
-  claim-with-complete-content on POSIX (link(2) fails with EEXIST if
-  the version is taken, and the linked file is already fully written,
-  so a crash can never publish a partial manifest). Losers REBASE:
-  re-read the new latest snapshot and retry at the next version
-  (optimistic concurrency, exactly Delta's protocol);
+* the commit is PUT-IF-ABSENT of ``_txnlog/N+1.json`` through the
+  :class:`PosixCommitStore` seam — atomic claim-with-complete-content
+  (the default implementation is write-tmp + fsync + ``link(2)``,
+  whose EEXIST means the version is taken; the published file is
+  already fully written, so a crash can never publish a partial
+  manifest). Losers REBASE: re-read the new latest snapshot and retry
+  at the next version (optimistic concurrency, exactly Delta's
+  protocol);
 * READERS resolve a manifest once and read only its files —
   writers never mutate published files, so every reader gets a
   consistent MVCC snapshot no matter what commits mid-query, and any
   historical version stays readable (time travel) until vacuumed.
 
-Object-store note (the 100 TB deployment): S3 has no atomic
-create-if-absent, which is why production Delta uses a coordination
-service (DynamoDB LogStore) there — the protocol is unchanged, only
-the atomic-claim primitive is swapped. HDFS/ABFS/GCS rename-without-
-overwrite works directly.
+Object-store note (the 100 TB deployment): the whole protocol needs
+only the two :class:`PosixCommitStore` primitives, so an S3 backend
+is a conditional put (``If-None-Match: *``; or a DynamoDB LogStore
+where conditional puts aren't available — production Delta's answer),
+GCS is ``ifGenerationMatch=0``, Azure is ``If-None-Match: *`` — pass
+it as ``TxnTable(path, store=...)``; data files never need the seam
+(invisible until a manifest names them).
 
 Scale shape: a manifest lists DIRECTORIES (one per commit — or N
 range-disjoint ones for a ``write_clustered`` bulk load), not
@@ -101,6 +105,57 @@ class ConstraintViolation(ValueError):
     violates, NULL passes. Nothing is committed."""
 
 
+class PosixCommitStore:
+    """The COMMIT-PROTOCOL SEAM: everything the manifest log needs
+    from a storage system is two primitives over small metadata
+    objects, and every atomicity claim in this module reduces to
+    them —
+
+    * :meth:`put_if_absent` — publish fully-written bytes at a path
+      IFF nothing exists there, atomically, reporting who won. This is
+      the version claim: manifests are immutable once published, and
+      two writers racing version N+1 must see exactly one winner.
+    * :meth:`replace` — last-writer-wins overwrite for best-effort
+      hints (never load-bearing).
+
+    This default implements them on ONE POSIX filesystem: write a
+    temp file, fsync, then ``link(2)`` — the kernel's atomic
+    publish-or-EEXIST — and ``os.replace`` for hints. An OBJECT-STORE
+    backend implements the same contract with conditional puts
+    (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
+    ``If-None-Match: *``) and an unconditional put; nothing else in
+    the commit path assumes rename, link, or directory semantics.
+    Data files never need the seam — they are invisible until a
+    manifest names them, so plain eventual puts suffice."""
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data``; False if it
+        already exists (another writer won)."""
+        tmp = os.path.join(
+            os.path.dirname(path), f"_tmp_{uuid.uuid4().hex}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+
+    def replace(self, path: str, data: bytes) -> None:
+        """Overwrite ``path`` with ``data`` (last writer wins)."""
+        tmp = os.path.join(
+            os.path.dirname(path), f"_tmp_{uuid.uuid4().hex}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+
 class TxnTable:
     """A versioned parquet table rooted at ``path``.
 
@@ -134,6 +189,7 @@ class TxnTable:
         bloom_cols: tuple[str, ...] = (),
         bloom_bits: int = 8192,
         bloom_k: int = 5,
+        store: PosixCommitStore | None = None,
     ):
         if bloom_cols and (bloom_bits < 8 or bloom_k < 1):
             raise ValueError(
@@ -141,6 +197,10 @@ class TxnTable:
                 f"({bloom_bits}, {bloom_k})"
             )
         self.path = path
+        # the commit-protocol seam (see PosixCommitStore): every
+        # version claim goes through store.put_if_absent, so an
+        # object-store backend swaps in by implementing two methods
+        self.store = store if store is not None else PosixCommitStore()
         self.stats_cols = tuple(stats_cols)
         self.bloom_cols = tuple(bloom_cols)
         self.bloom_bits = bloom_bits
@@ -460,6 +520,7 @@ class TxnTable:
         app_id: str | None = None,
         txn_version: int | None = None,
         staged_blooms: dict | None = None,
+        set_props: dict | None = None,
     ) -> int | None:
         """Commit an ALREADY-STAGED data directory — the manifest half
         of :meth:`write` with the Spark half done elsewhere. This is
@@ -541,6 +602,7 @@ class TxnTable:
                 "schema": schema,
             }
             self._carry_props(snap, manifest, {staged: int(n_rows)})
+            self._apply_set_props(manifest, set_props)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             if staged_stats:
@@ -570,6 +632,7 @@ class TxnTable:
         max_retries: int = 10,
         app_id: str | None = None,
         txn_version: int | None = None,
+        set_props: dict | None = None,
     ) -> int | None:
         """:meth:`commit_staged` for a PARTITIONED layout — the manifest
         half of :meth:`write_partitioned` with the data already on disk:
@@ -692,6 +755,7 @@ class TxnTable:
             if parts:
                 manifest["parts"] = parts
             self._carry_props(snap, manifest, staged_rows)
+            self._apply_set_props(manifest, set_props)
             carried = (snap or {}).get("stats", {})
             stats = {d: carried[d] for d in files if d in carried}
             for d, meta in leaves.items():
@@ -933,6 +997,21 @@ class TxnTable:
 
     # -- CHECK constraints (table property, validated on every write) ------
 
+    @staticmethod
+    def _apply_set_props(manifest: dict, set_props: dict | None) -> None:
+        """Merge a commit's requested property changes (None values
+        unset) over whatever :meth:`_carry_props` carried forward —
+        how the write faces set policy like ``enableChangeDataFeed``
+        in the same commit that lands their data."""
+        if not set_props:
+            return
+        merged = {**manifest.get("props", {}), **set_props}
+        merged = {k: v for k, v in merged.items() if v is not None}
+        if merged:
+            manifest["props"] = merged
+        else:
+            manifest.pop("props", None)
+
     def _carry_props(
         self,
         snap: dict | None,
@@ -946,16 +1025,23 @@ class TxnTable:
         and per-directory ROW COUNTS. Surviving directories carry their
         counts forward; newly staged ones arrive in ``new_rows``,
         CAPTURED FROM THE STAGING JOB ITSELF (``Observation`` on the
-        write, or the per-leaf grouped agg) — never recounted. The
-        parquet-footer walk remains only as the fallback for legacy
-        directories no retained manifest ever counted: on an object
-        store, O(files) sequential driver-side GETs inside the commit
-        path is exactly the stall this avoids. The counts make
-        :meth:`count` an O(manifest) metadata answer and give the
-        change feed a cheap reconciliation cross-check."""
+        write, or the per-leaf grouped agg) — never recounted, and
+        NEVER derived by walking parquet footers on the driver: on an
+        object store, O(files) sequential GETs inside the commit path
+        is exactly the stall a metadata commit must not have. A legacy
+        directory no retained manifest ever counted simply stays
+        uncounted — :meth:`count` answers ``None`` for such snapshots
+        (honest) instead of the commit path paying a footer walk. The
+        counts make :meth:`count` an O(manifest) metadata answer and
+        give the change feed a cheap reconciliation cross-check."""
         cons = (snap or {}).get("constraints")
         if cons:
             manifest["constraints"] = dict(cons)
+        props = (snap or {}).get("props")
+        if props:
+            # free-form table properties (set_properties) are POLICY,
+            # like constraints: they ride every commit verbatim
+            manifest["props"] = dict(props)
         prior_rows = (snap or {}).get("rows", {})
         new_rows = new_rows or {}
         rows = {}
@@ -964,8 +1050,6 @@ class TxnTable:
                 rows[d] = prior_rows[d]
             elif d in new_rows:
                 rows[d] = int(new_rows[d])
-            else:
-                rows[d] = self._dir_row_count(d)
         if rows:
             manifest["rows"] = rows
         if carry_dvs:
@@ -979,22 +1063,6 @@ class TxnTable:
             if dvr:
                 manifest["dv_rows"] = dvr
                 manifest["dvs"] = list((snap or {}).get("dvs", []))
-
-    def _dir_row_count(self, rel: str) -> int:
-        """Exact row count of one immutable data directory from its
-        parquet FOOTERS (the same place Delta's stats come from): no
-        Spark job, no data pages read — O(files) driver-side metadata
-        reads, paid once at commit time."""
-        import pyarrow.parquet as pq
-
-        n = 0
-        for dirpath, _, names in os.walk(os.path.join(self.path, rel)):
-            for f in names:
-                if f.endswith(".parquet"):
-                    n += pq.ParquetFile(
-                        os.path.join(dirpath, f)
-                    ).metadata.num_rows
-        return n
 
     def count(self, version: int | None = None) -> int | None:
         """The snapshot's row count straight from the manifest — zero
@@ -1139,6 +1207,63 @@ class TxnTable:
         """The CHECK constraints of a snapshot, ``{name: sql_expr}``."""
         return dict(self.snapshot(version).get("constraints", {}))
 
+    # -- free-form table properties (policy riding every commit) -----------
+
+    def properties(self, version: int | None = None) -> dict:
+        """The table properties of a snapshot (Delta's TBLPROPERTIES at
+        this layer). Recognized key: ``enableChangeDataFeed`` — when
+        truthy, :meth:`delete` and :meth:`merge` default to
+        ``cdc=True`` and stage Delta-style ``_change_data`` sidecars,
+        so the STREAMING change feed can represent every rewrite."""
+        return dict(self.snapshot(version).get("props", {}))
+
+    def set_properties(
+        self, props: dict, max_retries: int = 10
+    ) -> int | None:
+        """Merge ``props`` into the table properties as a PURE-MANIFEST
+        policy commit (op ``set_properties`` — zero data read or
+        written; streams move past it like a constraint commit). A
+        ``None`` value unsets its key. Returns the committed version,
+        or ``None`` when nothing changes (no empty commit). This is
+        how a table opts into commit-time CDC for good:
+        ``t.set_properties({"enableChangeDataFeed": True})`` — or from
+        the pure Spark API, any
+        ``df.write.format("txntable").option("enablechangedatafeed",
+        "true")`` write."""
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed version in {self.log_dir}: write the "
+                    "table before setting properties"
+                )
+            snap = self.snapshot(current)
+            merged = dict(snap.get("props", {}))
+            merged.update(props)
+            merged = {k: v for k, v in merged.items() if v is not None}
+            if merged == snap.get("props", {}):
+                return None
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "set_properties",
+                "files": list(snap["files"]),
+                "txns": dict(snap.get("txns", {})),
+            }
+            for k in ("schema", "stats", "blooms", "partition_by", "parts"):
+                if snap.get(k) is not None:
+                    manifest[k] = snap[k]
+            self._carry_props(snap, manifest)
+            if merged:
+                manifest["props"] = merged
+            else:
+                manifest.pop("props", None)
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} set_properties races on {self.path}"
+        )
+
     def _carry_layout(
         self,
         snap: dict,
@@ -1161,33 +1286,28 @@ class TxnTable:
         self._carry_props(snap, manifest, new_rows)
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
-        """Atomically claim ``version``. The manifest is fully written
-        to a tmp name first; link(2) then publishes complete content or
-        nothing — EEXIST means another writer won the version. Every
-        manifest is stamped with the committer's wall clock (``ts``) —
-        best-effort across writers (clocks skew), which is why
-        :meth:`version_as_of` resolves conservatively."""
+        """Atomically claim ``version`` through the commit-store seam:
+        :meth:`PosixCommitStore.put_if_absent` publishes complete
+        content or nothing — a False return means another writer won
+        the version. Every manifest is stamped with the committer's
+        wall clock (``ts``) — best-effort across writers (clocks
+        skew), which is why :meth:`version_as_of` resolves
+        conservatively."""
         import time
 
         manifest = {**manifest, "ts": time.time()}
-        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, self._manifest_path(version))
-        except FileExistsError:
+        if not self.store.put_if_absent(
+            self._manifest_path(version),
+            json.dumps(manifest).encode("utf-8"),
+        ):
             return False
-        finally:
-            os.unlink(tmp)
-        # best-effort latest-version hint (atomic replace, last-writer-
-        # wins): stale-low just costs forward probes; never load-bearing
-        hint_tmp = os.path.join(self.log_dir, f"_hint_{uuid.uuid4().hex}")
+        # best-effort latest-version hint (last-writer-wins): stale-low
+        # just costs forward probes; never load-bearing
         try:
-            with open(hint_tmp, "w") as f:
-                f.write(str(version))
-            os.replace(hint_tmp, os.path.join(self.log_dir, "_latest.hint"))
+            self.store.replace(
+                os.path.join(self.log_dir, "_latest.hint"),
+                str(version).encode("ascii"),
+            )
         except OSError:
             pass
         return True
@@ -2149,7 +2269,7 @@ class TxnTable:
         updates: DataFrame,
         key: str,
         max_retries: int = 10,
-        cdc: bool = False,
+        cdc: bool | None = None,
     ) -> int:
         """Upsert ``updates`` by ``key`` with Delta-style COPY-ON-WRITE
         at directory granularity (the same shape as :meth:`delete`):
@@ -2181,7 +2301,9 @@ class TxnTable:
         ``_change_type`` — Delta's ``_change_data`` files — so the
         streaming change feed can represent the rewrite; without it a
         CDF stream crossing a merge commit raises toward the batch
-        feed."""
+        feed. The default (``cdc=None``) follows the table's
+        ``enableChangeDataFeed`` property (:meth:`set_properties`);
+        an explicit ``False`` opts one commit out."""
         from pyspark.sql import functions as F
 
         n_rows, n_nonnull, n_keys = updates.agg(
@@ -2279,7 +2401,14 @@ class TxnTable:
                     merged = updates
                 txns = dict(snap.get("txns", {}))
             cdc_rel = None
-            if cdc:
+            use_cdc = (
+                cdc
+                if cdc is not None
+                else bool(((snap or {}).get("props") or {}).get(
+                    "enableChangeDataFeed"
+                ))
+            )
+            if use_cdc:
                 if current is not None and touched:
                     pre = self._read_live(spark, snap, touched).join(
                         keys, key, "semi"
@@ -2344,7 +2473,7 @@ class TxnTable:
         spark: SparkSession,
         predicate: str,
         max_retries: int = 10,
-        cdc: bool = False,
+        cdc: bool | None = None,
     ) -> int | None:
         """Delete rows matching ``predicate`` (a SQL boolean over the
         table's columns) with Delta-style COPY-ON-WRITE at directory
@@ -2365,6 +2494,9 @@ class TxnTable:
         streaming change feed represent this rewrite without the
         pre/post anti-join only the batch feed can run. Without it a
         CDF stream crossing this commit raises (documented contract).
+        The default (``cdc=None``) follows the table's
+        ``enableChangeDataFeed`` property (:meth:`set_properties`);
+        an explicit ``False`` opts one commit out.
 
         Returns the committed version, or ``None`` when no row matches
         (no empty commit is written). Rebases on conflict like
@@ -2411,7 +2543,14 @@ class TxnTable:
             )
             staged, staged_n = self._stage_write(survivors)
             cdc_rel = None
-            if cdc:
+            use_cdc = (
+                cdc
+                if cdc is not None
+                else bool((snap.get("props") or {}).get(
+                    "enableChangeDataFeed"
+                ))
+            )
+            if use_cdc:
                 victims = (
                     self._read_live(spark, snap, touched)
                     .where(predicate)
@@ -2732,8 +2871,13 @@ class TxnTable:
             # rows are NOT re-validated; Delta's RESTORE behavior).
             # Deletion vectors are DATA state: the target's set was
             # copied above, and carry_dvs=False keeps latest's
-            # tombstones from leaking into the restored snapshot
-            self._carry_props(snap, manifest, carry_dvs=False)
+            # tombstones from leaking into the restored snapshot.
+            # Row counts come from the TARGET manifest (it already
+            # recorded every restored directory); latest's map only
+            # knows the directories the two snapshots share.
+            self._carry_props(
+                snap, manifest, new_rows=target.get("rows"), carry_dvs=False
+            )
             if self._try_commit(new_version, manifest):
                 return new_version
         raise CommitConflict(f"lost {max_retries} restore races on {self.path}")

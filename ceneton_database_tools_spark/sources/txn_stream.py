@@ -459,7 +459,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
             op = m.get("op")
             if self.cdf:
                 self._plan_cdf_commit(add_dirs, add_cdc, v, prev, m, prev_files, cur)
-            elif op in ("append", "add_constraint", "drop_constraint") or (
+            elif op in (
+                "append",
+                "add_constraint",
+                "drop_constraint",
+                "set_properties",
+            ) or (
                 # an overwrite that REMOVES nothing is a pure add — the
                 # shape of v0 under a startingversion=0 history replay
                 op == "overwrite"
@@ -509,7 +514,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
           line — streaming CDC beyond appends+DVs requires commit-time
           change files, which ``cdc=True`` writes."""
         op = m.get("op")
-        if op in ("optimize", "add_constraint", "drop_constraint"):
+        if op in (
+            "optimize",
+            "add_constraint",
+            "drop_constraint",
+            "set_properties",
+        ):
             return
         if op in ("append", "overwrite") and not prev_files - cur:
             add_dirs(sorted(cur - prev_files), None, "insert", v)
@@ -1278,6 +1288,17 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                     f"({[type_of[c] for c in bad]}): the canonical-string "
                     "hash is only exact for integrals and strings"
                 )
+        # .option("enablechangedatafeed", "true"): this write's commit
+        # also sets the enableChangeDataFeed TABLE PROPERTY, so every
+        # later delete()/merge() defaults to staging commit-time
+        # _change_data sidecars — the pure-Spark-API way to make the
+        # CDF stream representable across rewrites
+        self.set_props = (
+            {"enableChangeDataFeed": True}
+            if str(options.get("enablechangedatafeed", "")).strip().lower()
+            in ("true", "1", "yes")
+            else None
+        )
         self.schema_json = schema.jsonValue()
 
     # -- executor-side -------------------------------------------------------
@@ -1346,6 +1367,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             merge_schema=self.merge_schema,
             staged_stats=stats or None,
             staged_blooms=blooms or None,
+            set_props=self.set_props,
         )
 
     def _write_empty_leaf(self, out_dir: str) -> None:
@@ -1439,6 +1461,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             self.pcols,
             mode="overwrite" if self.overwrite else "append",
             schema_json=self.schema_json,
+            set_props=self.set_props,
         )
 
     def abort(self, messages) -> None:

@@ -1195,3 +1195,51 @@ def test_stream_face_columns_projection(spark, tmp_path):
         lambda b, _: got.extend(tuple(r) for r in b.collect()),
     )
     assert sorted(got) == [("a",), ("b",)]
+
+
+def test_face_enabled_cdf_streams_across_rewrites(spark, tmp_path):
+    """The pure-Spark-API CDC loop: a write-face commit with
+    .option('enablechangedatafeed', 'true') sets the table property,
+    later Python-API rewrites stage _change_data sidecars BY DEFAULT,
+    and the readchangefeed STREAM represents the rewrite instead of
+    raising toward the batch feed; an insert-only stream moves past
+    the policy commit untouched."""
+    register_txn_source(spark)
+    p = str(tmp_path / "t")
+    _df(spark, [(i, f"r{i}") for i in range(8)]).write.format(
+        "txntable"
+    ).option("enablechangedatafeed", "true").mode("overwrite").save(p)
+    t = TxnTable(p)
+    assert t.properties() == {"enableChangeDataFeed": True}
+    t.set_properties({"owner": "pipeline"})  # v1: pure policy commit
+    t.delete(spark, "id = 5")  # v2: COW rewrite, cdc staged by default
+    t.merge(spark, _df(spark, [(0, "upd")]), key="id")  # v3
+    got: list = []
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("readchangefeed", "true")
+        .option("startingversion", "1")
+        .load(p)
+    )
+    _drain(
+        sdf,
+        str(tmp_path / "ck"),
+        lambda b, _: got.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got) == [
+        (0, "update_postimage", 3),
+        (0, "update_preimage", 3),
+        (5, "delete", 2),
+    ]
+    # the plain insert-only stream also moves past the policy commit
+    got2: list = []
+    sdf2 = spark.readStream.format("txntable").load(p)
+    _drain(
+        sdf2,
+        str(tmp_path / "ck2"),
+        lambda b, _: got2.extend((r.id,) for r in b.collect()),
+    )
+    # current snapshot: 8 written minus the deleted id=5
+    assert sorted(r[0] for r in got2) == [0, 1, 2, 3, 4, 6, 7]

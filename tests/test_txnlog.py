@@ -1311,7 +1311,9 @@ for _ in range(50):
     m = {{"version": cur + 1, "op": "append",
          "files": list(snap["files"]) + [rel],
          "txns": dict(snap.get("txns", {{}})), "schema": snap.get("schema")}}
-    t._carry_props(snap, m)
+    # external stagers supply their own counts (commit_staged's n_rows
+    # contract) - no commit path walks parquet footers on the driver
+    t._carry_props(snap, m, {{rel: 1}})
     if t._try_commit(cur + 1, m):
         print(cur + 1); break
 else:
@@ -1379,16 +1381,14 @@ def test_bloom_build_collects_only_bitmaps(spark, tmp_path, monkeypatch):
     assert (len(kept), len(skipped)) == (0, 1)
 
 
-def test_commit_row_counts_skip_driver_footer_walk(spark, tmp_path, monkeypatch):
-    """Every first-party write path must record row counts from its own
-    staging job — the parquet-footer walk is a legacy fallback only.
-    Poison it and run the full write/rewrite surface."""
-    monkeypatch.setattr(
-        TxnTable,
-        "_dir_row_count",
-        lambda self, rel: (_ for _ in ()).throw(
-            AssertionError(f"driver-side footer walk on {rel}")
-        ),
+def test_commit_row_counts_skip_driver_footer_walk(spark, tmp_path):
+    """Every write path records row counts from its own staging job —
+    the driver-side parquet-footer walk is GONE (deleted, not just
+    avoided): a legacy uncounted directory makes count() answer None
+    honestly instead of the commit path paying O(files) GETs."""
+    assert not hasattr(TxnTable, "_dir_row_count"), (
+        "the footer-walk fallback is back; no commit path may walk "
+        "parquet footers on the driver"
     )
     t = TxnTable(str(tmp_path / "t"))
     df = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v")
@@ -1415,6 +1415,23 @@ def test_commit_row_counts_skip_driver_footer_walk(spark, tmp_path, monkeypatch)
     assert t3.count() == 100
     t3.drop_partitions([("p", "=", 0)])
     assert t3.count() == 66
+
+    # legacy manifest with no recorded counts: appends still commit,
+    # and the uncounted prior directory yields count() None — never a
+    # footer walk inside the commit
+    t4 = TxnTable(str(tmp_path / "t4"))
+    t4.write(df.where("id < 5"), mode="overwrite")
+    m_path = t4._manifest_path(0)
+    import json as _json
+
+    m = _json.load(open(m_path))
+    del m["rows"]
+    os.chmod(m_path, 0o644)
+    with open(m_path, "w") as f:
+        _json.dump(m, f)
+    t4.write(df.where("id >= 95"), mode="append")
+    assert t4.count() is None  # honest: one dir was never counted
+    assert t4.read(spark).count() == 10  # data itself is intact
 
 
 def test_boolean_partition_columns_rejected(spark, tmp_path):
@@ -1719,3 +1736,79 @@ def test_changes_pre_image_is_live_after_dv_tombstones(spark, tmp_path):
     t2.delete_dv(spark, "id = 1")
     v_opt = t2.optimize(spark)
     assert t2.changes(spark, "id", v_opt - 1, v_opt).count() == 0
+
+
+def test_commit_store_seam_drives_every_claim(spark, tmp_path):
+    """The commit protocol runs entirely through the CommitStore seam
+    (PosixCommitStore.put_if_absent): a store that loses the first N
+    claims makes every write path rebase and retry — the behavior an
+    object-store backend's conditional put would exercise — and a
+    recording store proves no commit bypasses the seam."""
+    from ceneton_database_tools_spark.sinks.txnlog import PosixCommitStore
+
+    class FlakyStore(PosixCommitStore):
+        def __init__(self, lose_first: int):
+            self.remaining = lose_first
+            self.claims: list[str] = []
+
+        def put_if_absent(self, path: str, data: bytes) -> bool:
+            self.claims.append(os.path.basename(path))
+            if self.remaining > 0:
+                self.remaining -= 1
+                return False  # simulated lost race / failed cond-put
+            return super().put_if_absent(path, data)
+
+    store = FlakyStore(lose_first=2)
+    t = TxnTable(str(tmp_path / "t"), store=store)
+    v = t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    assert v == 0 and t.count() == 2
+    # two lost claims -> three attempts for v0; the winning claim and
+    # every later commit all went through the seam
+    assert store.claims[:3] == ["00000000000.json"] * 3
+    t.delete(spark, "id = 1")
+    t.restore(0)
+    t.write(_df(spark, [(3, "c")]), mode="append")
+    assert [c for c in store.claims if c.endswith(".json")] == [
+        "00000000000.json"
+    ] * 3 + ["00000000001.json", "00000000002.json", "00000000003.json"]
+    assert t.count() == 3 and t.latest_version() == 3
+
+
+def test_table_properties_drive_commit_time_cdc(spark, tmp_path):
+    """enableChangeDataFeed as a TABLE PROPERTY: set_properties commits
+    policy as a pure-manifest op, every later delete()/merge() defaults
+    to staging _change_data sidecars, an explicit cdc=False opts one
+    commit out, and properties ride every commit (incl. restore)."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(i, f"r{i}") for i in range(6)]), mode="overwrite")
+    with pytest.raises(FileNotFoundError):
+        TxnTable(str(tmp_path / "none")).set_properties({"x": 1})
+    v = t.set_properties({"enableChangeDataFeed": True})
+    assert v == 1 and t.snapshot()["op"] == "set_properties"
+    assert t.properties() == {"enableChangeDataFeed": True}
+    # policy commit carries the file set untouched
+    assert t.snapshot()["files"] == t.snapshot(0)["files"]
+    # delete/merge now stage cdc WITHOUT the explicit argument
+    t.delete(spark, "id = 1")
+    assert t.snapshot().get("cdc"), "property did not default cdc on"
+    t.merge(spark, _df(spark, [(2, "upd"), (100, "new")]), key="id")
+    assert t.snapshot().get("cdc")
+    feed = {
+        (r.id, r.change_type)
+        for r in t.changes(spark, "id", 1, 3).collect()
+    }
+    assert feed == {
+        (1, "delete"),
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (100, "insert"),
+    }
+    # explicit opt-out wins for one commit
+    t.delete(spark, "id = 0", cdc=False)
+    assert t.snapshot().get("cdc") is None
+    # properties survive rewrites and restore; unset removes
+    t.restore(2)
+    assert t.properties() == {"enableChangeDataFeed": True}
+    assert t.set_properties({"enableChangeDataFeed": True}) is None  # no-op
+    t.set_properties({"enableChangeDataFeed": None})
+    assert t.properties() == {}
