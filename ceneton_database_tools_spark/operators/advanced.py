@@ -1732,11 +1732,14 @@ def txn_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Closed-form: customers outside the dropped segment — equality
     # holds only if the face's partitioned staging recorded EXACT
     # per-leaf values (the drop's two-sided proof) and lost/duplicated
-    # nothing across the partition split.
+    # nothing across the partition split. IS DISTINCT FROM, not <>:
+    # a NULL partition never satisfies the drop's '=' conjunct (SQL
+    # semantics, documented on drop_partitions), so NULL-segment rows
+    # SURVIVE the drop and the oracle must keep them too.
     oracle="""
     SELECT c_custkey, c_mktsegment, c_name
     FROM customer
-    WHERE c_mktsegment <> 'BUILDING'
+    WHERE c_mktsegment IS DISTINCT FROM 'BUILDING'
     """,
     tags=("txn", "datasource", "write", "partitioned"),
 )
