@@ -748,8 +748,10 @@ class TxnTableBatchReader(DataSourceReader):
     DataSource API has no Catalyst column-pruning hook (Spark projects
     AFTER the worker paid the I/O), so on a wide table at 100 TB the
     option is the difference between 2-column I/O and full-row I/O for
-    a 2-column query. ``where`` columns must be included in the
-    projection (the row filter evaluates on the emitted batches).
+    a 2-column query. A ``where`` filter on a NON-projected column
+    composes: executors read the filter column transiently for the
+    mask and drop it before emit — filter on anything, pay I/O only
+    for what the filter and the projection actually touch.
 
     PRUNING IS OPT-IN: ``.option("pushdown", "true")``. Spark 4.1's
     Python DataSource caches ONE ``readInfo`` (partition list + read
@@ -789,22 +791,58 @@ class TxnTableBatchReader(DataSourceReader):
         # the relation identity, so the cached plan is keyed by it).
         self.where_preds: list[tuple[str, str, object]] = []
         self.where_in: list[tuple[str, tuple]] = []
+        # columns executors READ: the declared projection plus any
+        # where-option columns outside it, which are read transiently
+        # (the filter needs their values) and dropped before emit —
+        # so `columns` + `where` compose like Delta's projection +
+        # partition filter: filter on anything, pay I/O only for it
+        self.read_columns = self.columns
         w = options.get("where")
         if w:
             self.where_preds, self.where_in = _parse_where_option(w)
-            bad = [
-                c
-                for c, *_ in self.where_preds + self.where_in
-                if c not in self.columns
-            ]
-            if bad:
-                raise ValueError(
-                    f"where option references unknown column(s) {bad}; "
-                    f"this scan's columns are {list(self.columns)} — a "
-                    "filtered column must also be in the `columns` "
-                    "projection option (the row filter evaluates on the "
-                    "emitted Arrow batches)"
-                )
+            extra = []
+            for c, *_ in self.where_preds + self.where_in:
+                if c not in self.columns and c not in extra:
+                    extra.append(c)
+            if extra:
+                full = self._table_schema(options)
+                by_name = {f.name: f for f in full.fields}
+                bad = [c for c in extra if c not in by_name]
+                if bad:
+                    raise ValueError(
+                        f"where option references unknown column(s) {bad}; "
+                        f"table columns are {[f.name for f in full.fields]}"
+                    )
+                self.read_columns = self.columns + tuple(extra)
+                self.arrow_types = {
+                    **self.arrow_types,
+                    **_arrow_types_of(
+                        SqlT.StructType([by_name[c] for c in extra])
+                    ),
+                }
+
+    def _table_schema(self, options: dict) -> SqlT.StructType:
+        """The FULL recorded schema of the scanned version — resolved
+        exactly like :meth:`TxnTableDataSource.schema`, used to type
+        transient where-filter columns outside the projection."""
+        from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+        if self.ts is not None:
+            pick = TxnTable(self.path).version_as_of(self.ts)
+        elif self.version is not None:
+            pick = self.version
+        else:
+            pick = _latest_version(self.path)
+        if pick is None:
+            raise ValueError(f"no committed version under {self.path!r}")
+        m = _manifest(self.path, pick)
+        if m.get("schema") is None:
+            raise ValueError(
+                f"version {pick} of {self.path} has no recorded schema; "
+                "the where option cannot type columns outside the "
+                "declared projection on a legacy manifest"
+            )
+        return SqlT.StructType.fromJson(m["schema"])
 
     def pushFilters(self, filters):
         from pyspark.sql import datasource as dsf
@@ -893,7 +931,7 @@ class TxnTableBatchReader(DataSourceReader):
         return [
             TxnFilePartition(
                 f,
-                self.columns,
+                self.read_columns,
                 self.arrow_types,
                 os.path.relpath(f, self.path),
                 sidecars if dvr.get(rel) else (),
@@ -918,6 +956,10 @@ class TxnTableBatchReader(DataSourceReader):
                 # the `where` load option is EXACT: pruning above was
                 # one-sided, the row-level residue applies here
                 batch = _where_mask(batch, self.where_preds, self.where_in)
+            if self.read_columns != self.columns:
+                # transient where-filter columns were read for the
+                # mask only; the emitted batch is the declared schema
+                batch = batch.select(list(self.columns))
             yield batch
 
 
@@ -997,6 +1039,136 @@ class _BloomAcc:
 
     def payload(self) -> dict:
         return {c: bm.tobytes() for c, bm in self.bm.items()}
+
+
+def _parse_layout_options(
+    schema: SqlT.StructType, options: dict
+) -> tuple:
+    """Parse/validate the layout options both WRITE faces share —
+    ``statscols``, ``partitionby``, ``bloomcols``/``bloombits``/
+    ``bloomk`` — against the written schema, with the same type
+    refusals as the Python API (float/bool partition columns,
+    non-integral/non-string bloom columns). Returns
+    ``(stats_cols, pcols, bloom_cols, bloom_bits, bloom_k)``."""
+    names = schema.fieldNames()
+    type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+    def _cols(key: str) -> tuple[str, ...]:
+        cols = tuple(
+            c.strip() for c in options.get(key, "").split(",") if c.strip()
+        )
+        bad = [c for c in cols if c not in names]
+        if bad:
+            raise ValueError(f"{key} {bad} not in the written schema {names}")
+        return cols
+
+    stats_cols = _cols("statscols")
+    pcols = _cols("partitionby")
+    floaty = [c for c in pcols if type_of[c] in ("double", "float")]
+    if floaty:
+        raise ValueError(
+            f"floating-point partition columns {floaty} are not "
+            "supported (dir-name round-trip is inexact); cast to "
+            "string or decimal first"
+        )
+    boolish = [c for c in pcols if type_of[c] == "boolean"]
+    if boolish:
+        raise ValueError(
+            f"boolean partition columns {boolish} are not supported "
+            "(hive dir-name spelling 'true'/'false' does not "
+            "round-trip probe values); cast to string or int first"
+        )
+    bloom_cols = _cols("bloomcols")
+    bloom_bits = int(options.get("bloombits", 8192) or 8192)
+    bloom_k = int(options.get("bloomk", 5) or 5)
+    if bloom_cols:
+        if bloom_bits < 8 or bloom_k < 1:
+            raise ValueError(
+                f"bloombits >= 8 and bloomk >= 1 required, got "
+                f"({bloom_bits}, {bloom_k})"
+            )
+        allowed = ("bigint", "int", "smallint", "tinyint", "string")
+        bad = [c for c in bloom_cols if type_of[c] not in allowed]
+        if bad:
+            raise ValueError(
+                f"bloomcols {bad} have non-integral/non-string types "
+                f"({[type_of[c] for c in bad]}): the canonical-string "
+                "hash is only exact for integrals and strings"
+            )
+    return stats_cols, pcols, bloom_cols, bloom_bits, bloom_k
+
+
+def _assemble_partitioned_leaves(
+    path: str,
+    staged: str,
+    messages,
+    pcols: tuple[str, ...],
+    bloom_cols: tuple[str, ...],
+    bloom_bits: int,
+    bloom_k: int,
+) -> dict:
+    """Driver half of a partitioned face write, shared by the batch
+    writer and the streaming sink: group the task entries by exact
+    partition tuple, rename each entry's temp file into its hive-named
+    leaf under ``staged`` (metadata-only on one filesystem), and fold
+    per-leaf rows/stats/blooms. Leaf names are for humans; the
+    manifest's exact ``parts`` values are the source of truth, decoded
+    nowhere from paths. Returns the ``leaves`` mapping
+    :meth:`TxnTable.commit_staged_partitioned` takes (empty for an
+    empty job)."""
+    from urllib.parse import quote
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    by_key: dict = {}
+    for m in messages:
+        if m is None:
+            continue
+        for parts, tmp_file, rows, stats, blooms in m.entries:
+            key = tuple(parts[c] for c in pcols)
+            by_key.setdefault(key, []).append(
+                (parts, tmp_file, rows, stats, blooms)
+            )
+    leaves: dict = {}
+    for key, entries in by_key.items():
+        segs = [
+            f"{c}={TxnTable._HIVE_NULL}"
+            if v is None
+            else f"{c}={quote(str(v), safe='')}"
+            for c, v in zip(pcols, key)
+        ]
+        rel = "/".join([staged] + segs)
+        out_dir = os.path.join(path, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        lo: dict = {}
+        hi: dict = {}
+        rows_total = 0
+        for parts, tmp_file, rows, stats, _ in entries:
+            os.rename(
+                os.path.join(path, "tmpstream", tmp_file),
+                os.path.join(out_dir, tmp_file),
+            )
+            rows_total += rows
+            for c, (bl, bh) in stats.items():
+                if c not in lo or bl < lo[c]:
+                    lo[c] = bl
+                if c not in hi or bh > hi[c]:
+                    hi[c] = bh
+        leaves[rel] = {
+            "parts": entries[0][0],
+            "rows": rows_total,
+            "stats": {
+                c: [TxnTable._json_stat(lo[c]), TxnTable._json_stat(hi[c])]
+                for c in lo
+                if c in hi
+            },
+            "blooms": _fold_bloom_payloads(
+                [e[4] for e in entries if e[4]], bloom_bits, bloom_k
+            )
+            if bloom_cols
+            else {},
+        }
+    return leaves
 
 
 def _fold_bloom_payloads(payloads: list, bits: int, k: int) -> dict:
@@ -1233,61 +1405,19 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
         self.merge_schema = str(
             options.get("mergeschema", "false")
         ).strip().lower() in ("true", "1", "yes")
-        names = schema.fieldNames()
-        type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
-
-        def _cols(key: str) -> tuple[str, ...]:
-            cols = tuple(
-                c.strip()
-                for c in options.get(key, "").split(",")
-                if c.strip()
-            )
-            bad = [c for c in cols if c not in names]
-            if bad:
-                raise ValueError(
-                    f"{key} {bad} not in the written schema {names}"
-                )
-            return cols
-
-        self.stats_cols = _cols("statscols")
-        self.pcols = _cols("partitionby")
+        (
+            self.stats_cols,
+            self.pcols,
+            self.bloom_cols,
+            self.bloom_bits,
+            self.bloom_k,
+        ) = _parse_layout_options(schema, options)
         if self.pcols and self.merge_schema:
             raise ValueError(
                 "mergeschema is not supported with partitionby (same "
                 "rule as TxnTable.write_partitioned: evolve through an "
                 "unpartitioned overwrite, or keep the schema exact)"
             )
-        floaty = [c for c in self.pcols if type_of[c] in ("double", "float")]
-        if floaty:
-            raise ValueError(
-                f"floating-point partition columns {floaty} are not "
-                "supported (dir-name round-trip is inexact); cast to "
-                "string or decimal first"
-            )
-        boolish = [c for c in self.pcols if type_of[c] == "boolean"]
-        if boolish:
-            raise ValueError(
-                f"boolean partition columns {boolish} are not supported "
-                "(hive dir-name spelling 'true'/'false' does not "
-                "round-trip probe values); cast to string or int first"
-            )
-        self.bloom_cols = _cols("bloomcols")
-        self.bloom_bits = int(options.get("bloombits", 8192) or 8192)
-        self.bloom_k = int(options.get("bloomk", 5) or 5)
-        if self.bloom_cols:
-            if self.bloom_bits < 8 or self.bloom_k < 1:
-                raise ValueError(
-                    f"bloombits >= 8 and bloomk >= 1 required, got "
-                    f"({self.bloom_bits}, {self.bloom_k})"
-                )
-            allowed = ("bigint", "int", "smallint", "tinyint", "string")
-            bad = [c for c in self.bloom_cols if type_of[c] not in allowed]
-            if bad:
-                raise ValueError(
-                    f"bloomcols {bad} have non-integral/non-string types "
-                    f"({[type_of[c] for c in bad]}): the canonical-string "
-                    "hash is only exact for integrals and strings"
-                )
         # .option("enablechangedatafeed", "true"): this write's commit
         # also sets the enableChangeDataFeed TABLE PROPERTY, so every
         # later delete()/merge() defaults to staging commit-time
@@ -1394,62 +1524,20 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
         Leaf names are for humans; the manifest's exact ``parts``
         values are the source of truth, decoded nowhere from paths."""
         import uuid as _uuid
-        from urllib.parse import quote
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
         table = TxnTable(self.path)
         staged = f"data/{_uuid.uuid4().hex}"
-        by_key: dict = {}
-        for m in messages:
-            if m is None:
-                continue
-            for parts, tmp_file, rows, stats, blooms in m.entries:
-                key = tuple(parts[c] for c in self.pcols)
-                by_key.setdefault(key, []).append(
-                    (parts, tmp_file, rows, stats, blooms)
-                )
-        leaves: dict = {}
-        for key, entries in by_key.items():
-            segs = [
-                f"{c}={TxnTable._HIVE_NULL}"
-                if v is None
-                else f"{c}={quote(str(v), safe='')}"
-                for c, v in zip(self.pcols, key)
-            ]
-            rel = "/".join([staged] + segs)
-            out_dir = os.path.join(self.path, rel)
-            os.makedirs(out_dir, exist_ok=True)
-            lo: dict = {}
-            hi: dict = {}
-            rows_total = 0
-            for parts, tmp_file, rows, stats, _ in entries:
-                os.rename(
-                    os.path.join(self.path, "tmpstream", tmp_file),
-                    os.path.join(out_dir, tmp_file),
-                )
-                rows_total += rows
-                for c, (bl, bh) in stats.items():
-                    if c not in lo or bl < lo[c]:
-                        lo[c] = bl
-                    if c not in hi or bh > hi[c]:
-                        hi[c] = bh
-            leaves[rel] = {
-                "parts": entries[0][0],
-                "rows": rows_total,
-                "stats": {
-                    c: [table._json_stat(lo[c]), table._json_stat(hi[c])]
-                    for c in lo
-                    if c in hi
-                },
-                "blooms": _fold_bloom_payloads(
-                    [e[4] for e in entries if e[4]],
-                    self.bloom_bits,
-                    self.bloom_k,
-                )
-                if self.bloom_cols
-                else {},
-            }
+        leaves = _assemble_partitioned_leaves(
+            self.path,
+            staged,
+            messages,
+            self.pcols,
+            self.bloom_cols,
+            self.bloom_bits,
+            self.bloom_k,
+        )
         if not leaves:
             # empty input: stage the bare root (one zero-row file, no
             # partition values) — the same shape the Python API leaves
@@ -1497,10 +1585,15 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
     the option unset a per-writer-instance key still dedupes retries
     within one run, and the docstring is the contract: set it for
     cross-restart exactly-once). ``statscols`` records manifest
-    [min,max] from task-observed values, same as the batch face.
-    ``abort`` deletes the failed batch's temp files; files orphaned by
-    task crashes live under ``tmpstream/`` and are reclaimed by
-    :meth:`TxnTable.vacuum` under the usual retention window."""
+    [min,max] from task-observed values, ``partitionby`` stages each
+    micro-batch as one leaf per exact partition tuple (spec-matched
+    appends onto a partitioned table — a streaming ingest keeps
+    ``drop_partitions`` and exact pruning working), and ``bloomcols``
+    folds per-directory bloom bitmaps — all the same options as the
+    batch face. ``abort`` deletes the failed batch's temp files;
+    files orphaned by task crashes live under ``tmpstream/`` and are
+    reclaimed by :meth:`TxnTable.vacuum` under the usual retention
+    window."""
 
     def __init__(self, schema: SqlT.StructType, options: dict):
         import uuid as _uuid
@@ -1521,20 +1614,36 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
                 stacklevel=2,
             )
         self.app_id = options.get("txnappid") or f"txnsink-{_uuid.uuid4().hex}"
-        raw = options.get("statscols", "")
-        self.stats_cols = tuple(c.strip() for c in raw.split(",") if c.strip())
-        bad = [c for c in self.stats_cols if c not in schema.fieldNames()]
-        if bad:
-            raise ValueError(
-                f"statscols {bad} not in the written schema "
-                f"{schema.fieldNames()}"
-            )
+        (
+            self.stats_cols,
+            self.pcols,
+            self.bloom_cols,
+            self.bloom_bits,
+            self.bloom_k,
+        ) = _parse_layout_options(schema, options)
         self.schema_json = schema.jsonValue()
 
     # -- executor-side -------------------------------------------------------
 
-    def write(self, iterator) -> _TxnTaskMessage:
-        return _write_task_tmpfile(iterator, self.path, self.stats_cols)
+    def write(self, iterator):
+        if self.pcols:
+            return _write_task_partitioned(
+                iterator,
+                self.path,
+                self.pcols,
+                tuple(c for c in self.stats_cols if c not in self.pcols),
+                self.bloom_cols,
+                self.bloom_bits,
+                self.bloom_k,
+            )
+        return _write_task_tmpfile(
+            iterator,
+            self.path,
+            self.stats_cols,
+            _BloomAcc(self.bloom_cols, self.bloom_bits, self.bloom_k)
+            if self.bloom_cols
+            else None,
+        )
 
     # -- driver-side ---------------------------------------------------------
 
@@ -1543,9 +1652,41 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
+        if self.pcols:
+            staged = f"data/{_uuid.uuid4().hex}"
+            leaves = _assemble_partitioned_leaves(
+                self.path,
+                staged,
+                messages,
+                self.pcols,
+                self.bloom_cols,
+                self.bloom_bits,
+                self.bloom_k,
+            )
+            if not leaves:
+                return  # empty micro-batch: no empty commit
+            TxnTable(self.path).commit_staged_partitioned(
+                staged,
+                leaves,
+                self.pcols,
+                mode="append",
+                schema_json=self.schema_json,
+                app_id=self.app_id,
+                txn_version=int(batchId),
+            )
+            return
         files, total, lo, hi = _fold_task_stats(messages)
         if not files:
             return  # empty micro-batch: nothing staged, nothing to commit
+        blooms = (
+            _fold_bloom_payloads(
+                [m.blooms for m in messages if m is not None and m.blooms],
+                self.bloom_bits,
+                self.bloom_k,
+            )
+            if self.bloom_cols
+            else {}
+        )
         staged = f"data/{_uuid.uuid4().hex}"
         out_dir = os.path.join(self.path, staged)
         os.makedirs(out_dir, exist_ok=True)
@@ -1564,12 +1705,23 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
             mode="append",
             schema_json=self.schema_json,
             staged_stats=stats or None,
+            staged_blooms=blooms or None,
             app_id=self.app_id,
             txn_version=int(batchId),
         )
 
     def abort(self, messages, batchId: int) -> None:
-        _abort_task_tmpfiles(self.path, messages)
+        flat = []
+        for m in messages:
+            if m is None:
+                continue
+            if hasattr(m, "entries"):
+                flat.extend(
+                    _TxnTaskMessage(e[1], e[2], {}) for e in m.entries
+                )
+            else:
+                flat.append(m)
+        _abort_task_tmpfiles(self.path, flat)
 
 
 class TxnTableDataSource(DataSource):

@@ -1157,12 +1157,22 @@ def test_batch_face_columns_projection(spark, tmp_path):
         spark.read.format("txntable").option("columns", "nope").load(t.path)
     with pytest.raises(Exception, match="columns option"):
         spark.read.format("txntable").option("columns", "id,id").load(t.path)
-    # a where-filtered column must ride the projection
-    with pytest.raises(Exception, match="where option"):
+    # a where-filter on a NON-projected column composes: the filter
+    # column is read transiently and dropped before emit
+    got_np = (
+        spark.read.format("txntable")
+        .option("columns", "v")
+        .option("where", "id = 1")
+        .load(t.path)
+    )
+    assert got_np.columns == ["v"]
+    assert [tuple(r) for r in got_np.collect()] == [("a",)]
+    # a where column that exists NOWHERE still raises at load
+    with pytest.raises(Exception, match="unknown column"):
         (
             spark.read.format("txntable")
             .option("columns", "v")
-            .option("where", "id = 1")
+            .option("where", "ghost = 1")
             .load(t.path)
             .collect()
         )
@@ -1243,3 +1253,61 @@ def test_face_enabled_cdf_streams_across_rewrites(spark, tmp_path):
     )
     # current snapshot: 8 written minus the deleted id=5
     assert sorted(r[0] for r in got2) == [0, 1, 2, 3, 4, 6, 7]
+
+
+def test_stream_sink_partitioned_exactly_once(spark, tmp_path):
+    """df.writeStream.format('txntable').option('partitionby', ...):
+    each micro-batch appends one leaf per exact partition tuple under
+    the (txnappid, batchId) watermark — a full checkpoint-loss replay
+    lands ZERO duplicates, and the partitioned layout keeps
+    drop_partitions' metadata-only delete working on a stream-fed
+    table. bloomcols folds per-leaf bitmaps along the way."""
+    register_txn_source(spark)
+    src = TxnTable(str(tmp_path / "src"))
+    rows = [(i, ["A", "B"][i % 2]) for i in range(20)]
+    src.write(
+        spark.createDataFrame(rows, "id long, seg string"), mode="overwrite"
+    )
+    sdf = spark.readStream.format("txntable").load(src.path)
+    sink = str(tmp_path / "sink")
+
+    def _run(ck: str) -> None:
+        q = (
+            sdf.writeStream.format("txntable")
+            .option("path", sink)
+            .option("partitionby", "seg")
+            .option("bloomcols", "id")
+            .option("txnappid", "part-sink-q")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    _run(str(tmp_path / "ck1"))
+    t = TxnTable(sink)
+    assert t.partition_spec() == ("seg",)
+    snap = t.snapshot()
+    assert {v["seg"] for v in snap["parts"].values()} == {"A", "B"}
+    assert t.count() == 20
+    # per-leaf blooms landed; a point lookup keeps one leaf
+    kept, skipped = t.prune([("id", "=", 6)])
+    assert (len(kept), len(skipped)) == (1, 1)
+    # checkpoint-loss replay: same batchIds re-delivered -> no dupes
+    _run(str(tmp_path / "ck2"))
+    assert t.count() == 20, "replayed micro-batch double-landed"
+    # stream-fed partitioned table supports the metadata-only drop
+    assert t.drop_partitions([("seg", "=", "B")]) is not None
+    assert sorted(r.id for r in t.read(spark).collect()) == list(
+        range(0, 20, 2)
+    )
+    # spec-matched continued ingest: a new source commit appends leaves
+    src.write(
+        spark.createDataFrame([(100, "A"), (101, "B")], "id long, seg string"),
+        mode="append",
+    )
+    _run(str(tmp_path / "ck1"))
+    assert t.count() == 12
