@@ -104,3 +104,47 @@ def register_views(
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def register_txn_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    global_view: bool = False,
+    **options: str,
+) -> None:
+    """Register a transactional table under a SQL NAME — the catalog
+    spelling for :class:`~ceneton_database_tools_spark.sinks.txnlog.
+    TxnTable`, so pure-SQL users query it like any other table::
+
+        register_txn_table(spark, "sales", "/data/sales", where="year >= 2024")
+        spark.sql("SELECT * FROM sales").show()
+
+    Mechanics: ``CREATE OR REPLACE TEMPORARY VIEW name USING txntable
+    OPTIONS (...)`` (``GLOBAL TEMPORARY`` with ``global_view=True`` —
+    reachable as ``global_temp.name`` from every session of this
+    SparkContext). Every txntable load option passes through
+    (``where``, ``columns``, ``version``, ``timestampasof``,
+    ``pushdown``).
+
+    Honest limitation, verified against Spark 4.1: a PERSISTENT
+    ``CREATE TABLE ... USING txntable`` accepts the DDL but the scan
+    worker receives an EMPTY options map — the catalog does not
+    forward a Python DataSource's storage options to reads — so
+    metastore persistence is not reachable for Python sources today;
+    the temp-view spelling is the supported catalog surface."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    kind = "GLOBAL TEMPORARY" if global_view else "TEMPORARY"
+    opts = {"path": path, **options}
+    rendered = ", ".join(
+        f"`{k}` '{str(v).replace(chr(39), chr(39) * 2)}'"
+        for k, v in opts.items()
+    )
+    spark.sql(
+        f"CREATE OR REPLACE {kind} VIEW `{name}` "
+        f"USING txntable OPTIONS ({rendered})"
+    )

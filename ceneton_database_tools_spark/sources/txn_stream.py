@@ -100,6 +100,19 @@ from pyspark.sql.datasource import (
 )
 
 
+def _path_option(options: dict) -> str:
+    """The ``path`` option as a local filesystem path. Catalog
+    spellings hand the location through as a ``file:`` URI; the log
+    code wants the plain path."""
+    from urllib.parse import unquote, urlparse
+
+    path = options.get("path", "")
+    u = urlparse(path)
+    if u.scheme == "file":
+        return unquote(u.path)
+    return path
+
+
 class TxnFilePartition(InputPartition):
     """One parquet file of one committed directory. Carries the
     absolute path, the projected column order, each declared column's
@@ -297,7 +310,7 @@ _CDF_META = ("change_type", "commit_version")
 
 class TxnTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: SqlT.StructType, options: dict):
-        self.path = options.get("path", "")
+        self.path = _path_option(options)
         if not self.path:
             raise ValueError("txntable stream requires a path option")
         self.cdf = str(
@@ -771,7 +784,7 @@ class TxnTableBatchReader(DataSourceReader):
     from any other query."""
 
     def __init__(self, schema: SqlT.StructType, options: dict):
-        self.path = options.get("path", "")
+        self.path = _path_option(options)
         if not self.path:
             raise ValueError("txntable batch read requires a path option")
         v = options.get("version")
@@ -1398,7 +1411,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
     job)."""
 
     def __init__(self, schema: SqlT.StructType, options: dict, overwrite: bool):
-        self.path = options.get("path", "")
+        self.path = _path_option(options)
         if not self.path:
             raise ValueError("txntable write requires a path")
         self.overwrite = overwrite
@@ -1598,7 +1611,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
     def __init__(self, schema: SqlT.StructType, options: dict):
         import uuid as _uuid
 
-        self.path = options.get("path", "")
+        self.path = _path_option(options)
         if not self.path:
             raise ValueError("txntable stream sink requires a path")
         if not options.get("txnappid"):
@@ -1740,7 +1753,7 @@ class TxnTableDataSource(DataSource):
 
     def schema(self) -> SqlT.StructType:
         opts = dict(self.options)
-        path = opts.get("path", "")
+        path = _path_option(opts)
         if path:
             latest = _latest_version(path)
             if latest is not None:

@@ -1311,3 +1311,33 @@ def test_stream_sink_partitioned_exactly_once(spark, tmp_path):
     )
     _run(str(tmp_path / "ck1"))
     assert t.count() == 12
+
+
+def test_catalog_registration_and_file_uri_paths(spark, tmp_path):
+    """register_txn_table: the SQL-catalog spelling (temp view / global
+    temp view, every load option passing through), and file: URI paths
+    normalize everywhere (catalog machinery hands locations through as
+    URIs)."""
+    from ceneton_database_tools_spark.catalog import register_txn_table
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "it's")]), mode="overwrite")
+    register_txn_table(spark, "cat_t", t.path)
+    assert sorted(
+        (r.id, r.v) for r in spark.sql("SELECT * FROM cat_t").collect()
+    ) == [(1, "a"), (2, "b"), (3, "it's")]
+    # options pass through — incl. a quoted literal needing escaping
+    register_txn_table(spark, "cat_w", t.path, where="v = 'it''s'")
+    assert [r.id for r in spark.sql("SELECT * FROM cat_w").collect()] == [3]
+    # global temp view reachable under global_temp
+    register_txn_table(spark, "cat_g", t.path, global_view=True, columns="v")
+    assert spark.sql("SELECT * FROM global_temp.cat_g").columns == ["v"]
+    # file: URI paths work on both faces
+    uri = "file://" + t.path
+    assert spark.read.format("txntable").load(uri).count() == 3
+    _df(spark, [(4, "d")]).write.format("txntable").mode("append").save(uri)
+    assert t.count() == 4
+    for name in ("cat_t", "cat_w"):
+        spark.catalog.dropTempView(name)
+    spark.catalog.dropGlobalTempView("cat_g")
