@@ -521,6 +521,7 @@ class TxnTable:
         txn_version: int | None = None,
         staged_blooms: dict | None = None,
         set_props: dict | None = None,
+        validated_constraints: set | None = None,
     ) -> int | None:
         """Commit an ALREADY-STAGED data directory — the manifest half
         of :meth:`write` with the Spark half done elsewhere. This is
@@ -562,13 +563,21 @@ class TxnTable:
                         # replayed micro-batch: the prior commit won
                         self._discard_staged(staged)
                         return None
-                if snap.get("constraints"):
+                pending = {
+                    k: e
+                    for k, e in snap.get("constraints", {}).items()
+                    if (k, e) not in (validated_constraints or set())
+                }
+                if pending:
                     self._discard_staged(staged)
                     raise RuntimeError(
                         f"table {self.path} has CHECK constraints "
-                        f"{sorted(snap['constraints'])}; the staged-commit "
-                        "path cannot validate a batch without a Spark job "
-                        "— write through TxnTable.write instead"
+                        f"{sorted(pending)} the staging job did not "
+                        "validate; the staged-commit path cannot validate "
+                        "a batch without a Spark job — write through "
+                        "TxnTable.write (or the DataSource face, which "
+                        "validates grammar-expressible checks on its "
+                        "executor tasks)"
                     )
                 if mode == "append":
                     if snap.get("partition_by"):
@@ -633,6 +642,7 @@ class TxnTable:
         app_id: str | None = None,
         txn_version: int | None = None,
         set_props: dict | None = None,
+        validated_constraints: set | None = None,
     ) -> int | None:
         """:meth:`commit_staged` for a PARTITIONED layout — the manifest
         half of :meth:`write_partitioned` with the data already on disk:
@@ -705,13 +715,21 @@ class TxnTable:
                     if seen is not None and txn_version <= seen:
                         self._discard_staged(staged_root)
                         return None
-                if snap.get("constraints"):
+                pending = {
+                    k: e
+                    for k, e in snap.get("constraints", {}).items()
+                    if (k, e) not in (validated_constraints or set())
+                }
+                if pending:
                     self._discard_staged(staged_root)
                     raise RuntimeError(
                         f"table {self.path} has CHECK constraints "
-                        f"{sorted(snap['constraints'])}; the staged-commit "
-                        "path cannot validate a batch without a Spark job "
-                        "— write through TxnTable.write_partitioned instead"
+                        f"{sorted(pending)} the staging job did not "
+                        "validate; the staged-commit path cannot validate "
+                        "a batch without a Spark job — write through "
+                        "TxnTable.write_partitioned (or the DataSource "
+                        "face, which validates grammar-expressible checks "
+                        "on its executor tasks)"
                     )
                 if mode == "append":
                     prior_spec = tuple(snap.get("partition_by", ()))
@@ -2197,6 +2215,14 @@ class TxnTable:
             if bounds is None:
                 continue  # unmeasured column: no proof, keep
             lo, hi = bounds
+            if op == "IS NULL":
+                # stats record value RANGES, not null presence: a dir
+                # with non-null bounds may still hold nulls — no proof
+                continue
+            if op == "IS NOT NULL":
+                if lo is None and hi is None:
+                    return False  # all-null directory: nothing to keep
+                continue
             if lo is None and hi is None:
                 return False  # no non-null values: comparisons all false
             numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
@@ -2207,6 +2233,7 @@ class TxnTable:
                 lo, hi, value = str(lo), str(hi), str(value)
             if (
                 (op == "=" and not (lo <= value <= hi))
+                or (op == "!=" and lo == value == hi)
                 or (op == "<" and not (lo < value))
                 or (op == "<=" and not (lo <= value))
                 or (op == ">" and not (hi > value))

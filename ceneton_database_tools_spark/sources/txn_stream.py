@@ -619,7 +619,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
 
 _WHERE_LEXEME = (
     r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<int>-?\d+)"
-    r"|(?P<word>\w+)|(?P<op><=|>=|=|<|>)|(?P<punct>[(),]))"
+    r"|(?P<word>\w+)|(?P<op><=|>=|<>|!=|=|<|>)|(?P<punct>[(),]))"
 )
 
 
@@ -630,9 +630,13 @@ def _parse_where_option(text: str) -> tuple[list, list]:
     else raises with this spelled out)::
 
         conjunct ( AND conjunct )*
-        conjunct := column (= | < | <= | > | >=) literal
+        conjunct := column (= | < | <= | > | >= | != | <>) literal
                   | column IN ( literal, literal, ... )
+                  | column IS [NOT] NULL
         literal  := integer | 'single-quoted string' ('' escapes ')
+
+    ``!=``/``<>`` normalize to one op; null checks parse to
+    ``(col, "IS NULL"|"IS NOT NULL", None)`` conjuncts.
 
     Lexed as real tokens — quoted literals are recognized FIRST, so a
     string containing ``,`` or ``AND`` is one literal, never a split
@@ -649,10 +653,10 @@ def _parse_where_option(text: str) -> tuple[list, list]:
     import re
 
     grammar_err = (
-        "the option grammar is `col (=|<|<=|>|>=) literal` or "
-        "`col IN (lit, ...)` joined by AND, with integer or "
-        "single-quoted string literals — put anything more "
-        "general in .where() on the DataFrame"
+        "the option grammar is `col (=|<|<=|>|>=|!=|<>) literal`, "
+        "`col IN (lit, ...)`, or `col IS [NOT] NULL` joined by AND, "
+        "with integer or single-quoted string literals — put anything "
+        "more general in .where() on the DataFrame"
     )
 
     # lex the whole option up front; any unlexable character is loud
@@ -663,7 +667,7 @@ def _parse_where_option(text: str) -> tuple[list, list]:
             break
         kind = m.lastgroup
         lex = m.group(kind)
-        if kind == "word" and lex.upper() in ("AND", "IN"):
+        if kind == "word" and lex.upper() in ("AND", "IN", "IS", "NOT", "NULL"):
             kind = lex.upper()
         toks.append((kind, lex))
         pos = m.end()
@@ -709,19 +713,30 @@ def _parse_where_option(text: str) -> tuple[list, list]:
             if _take("punct") != ")":
                 raise ValueError(f"IN list not closed: {text!r}")
             in_preds.append((col, tuple(values)))
+        elif _peek() == "IS":
+            _take("IS")
+            if _peek() == "NOT":
+                _take("NOT")
+                _take("NULL")
+                preds.append((col, "IS NOT NULL", None))
+            else:
+                _take("NULL")
+                preds.append((col, "IS NULL", None))
         else:
             op = _take("op")
+            if op == "<>":
+                op = "!="
             preds.append((col, op, _lit(_take("str", "int"))))
         if _peek() == "end":
             return preds, in_preds
         _take("AND")
 
 
-def _where_mask(batch, preds, in_preds):
-    """Evaluate the parsed where-option conjuncts on one Arrow batch,
-    returning the filtered batch. NULL comparisons drop the row —
-    SQL WHERE semantics (Arrow's kleene AND + filter's default
-    null_selection_behavior='drop' give exactly that)."""
+def _where_kleene_mask(batch, preds, in_preds):
+    """The parsed conjunction as one kleene boolean array over
+    ``batch`` — TRUE / FALSE / NULL exactly as SQL three-valued logic
+    evaluates it. Shared by the WHERE row filter (NULL drops the row)
+    and the CHECK-constraint validator (only FALSE violates)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -731,15 +746,41 @@ def _where_mask(batch, preds, in_preds):
         "<=": pc.less_equal,
         ">": pc.greater,
         ">=": pc.greater_equal,
+        "!=": pc.not_equal,
     }
     mask = None
     for col, op, val in preds:
-        piece = ops[op](batch.column(col), pa.scalar(val))
+        if op == "IS NULL":
+            piece = pc.is_null(batch.column(col))
+        elif op == "IS NOT NULL":
+            piece = pc.is_valid(batch.column(col))
+        else:
+            piece = ops[op](batch.column(col), pa.scalar(val))
         mask = piece if mask is None else pc.and_kleene(mask, piece)
     for col, values in in_preds:
         piece = pc.is_in(batch.column(col), value_set=pa.array(list(values)))
         mask = piece if mask is None else pc.and_kleene(mask, piece)
-    return batch.filter(mask)
+    return mask
+
+
+def _where_mask(batch, preds, in_preds):
+    """Filter ``batch`` to the rows the conjunction keeps. NULL
+    comparisons drop the row — SQL WHERE semantics (kleene AND +
+    filter's default null_selection_behavior='drop')."""
+    return batch.filter(_where_kleene_mask(batch, preds, in_preds))
+
+
+def _count_check_violations(batch, preds, in_preds) -> int:
+    """Rows of ``batch`` that VIOLATE the conjunction under SQL CHECK
+    semantics: only an exactly-FALSE result violates (TRUE and NULL
+    both pass) — the same rule TxnTable._validate_constraints applies
+    JVM-side."""
+    import pyarrow.compute as pc
+
+    mask = _where_kleene_mask(batch, preds, in_preds)
+    is_false = pc.and_kleene(pc.is_valid(mask), pc.invert(mask))
+    n = pc.sum(is_false).as_py()
+    return int(n or 0)
 
 
 class TxnTableBatchReader(DataSourceReader):
@@ -881,6 +922,18 @@ class TxnTableBatchReader(DataSourceReader):
             if op is not None and len(f.attribute) == 1 and _ok(f.value):
                 self.predicates.append((f.attribute[0], op, f.value))
             elif (
+                isinstance(f, (dsf.IsNull, dsf.IsNotNull))
+                and len(f.attribute) == 1
+            ):
+                # IS NOT NULL prunes all-null directories; IS NULL is
+                # recorded but never proves a skip (stats carry value
+                # ranges, not null presence)
+                self.predicates.append((
+                    f.attribute[0],
+                    "IS NULL" if isinstance(f, dsf.IsNull) else "IS NOT NULL",
+                    None,
+                ))
+            elif (
                 isinstance(f, dsf.In)
                 and len(f.attribute) == 1
                 and f.value
@@ -990,11 +1043,13 @@ class _TxnTaskMessage(WriterCommitMessage):
         rows: int,
         stats: dict,
         blooms: dict | None = None,
+        violations: dict | None = None,
     ):
         self.tmp_file = tmp_file
         self.rows = rows
         self.stats = stats
         self.blooms = blooms or {}
+        self.violations = violations or {}
 
 
 class _TxnPartTaskMessage(WriterCommitMessage):
@@ -1002,8 +1057,9 @@ class _TxnPartTaskMessage(WriterCommitMessage):
     partition tuple the task saw — ``(parts, tmp_file, rows, stats,
     blooms)`` with ``parts`` the manifest-representation value dict."""
 
-    def __init__(self, entries: list):
+    def __init__(self, entries: list, violations: dict | None = None):
         self.entries = entries
+        self.violations = violations or {}
 
 
 def _part_norm(v):
@@ -1052,6 +1108,82 @@ class _BloomAcc:
 
     def payload(self) -> dict:
         return {c: bm.tobytes() for c, bm in self.bm.items()}
+
+
+def _parse_table_checks(path: str, schema: SqlT.StructType) -> dict:
+    """``{(name, expr): (preds, in_preds)}`` for every CHECK constraint
+    of the table's latest snapshot, parsed into the where-option
+    grammar so WRITE-FACE tasks can validate incoming batches in Arrow
+    (SQL CHECK semantics: only FALSE violates). A constraint outside
+    the grammar — or referencing a column the written schema lacks —
+    raises here, at writer construction, with the Python API named as
+    the fallback; the staged-commit hooks still refuse any constraint
+    that appears AFTER this snapshot was read (race-safe: only
+    task-validated policies commit)."""
+    latest = _latest_version(path)
+    if latest is None:
+        return {}
+    m = _manifest(path, latest)
+    names = set(schema.fieldNames())
+    out: dict = {}
+    for name, expr in (m.get("constraints") or {}).items():
+        try:
+            preds, in_preds = _parse_where_option(expr)
+        except ValueError:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) is outside the "
+                "face-validatable grammar (comparisons / IN / IS [NOT] "
+                "NULL joined by AND) — write through TxnTable.write, "
+                "which validates with a Spark job"
+            ) from None
+        missing = [
+            c for c, *_ in preds + in_preds if c not in names
+        ]
+        if missing:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) references "
+                f"column(s) {missing} the written schema lacks "
+                f"({sorted(names)})"
+            )
+        out[(name, expr)] = (preds, in_preds)
+    return out
+
+
+def _fold_violations(messages) -> dict:
+    """Sum per-constraint violation counts across task messages."""
+    out: dict = {}
+    for m in messages:
+        if m is None:
+            continue
+        for name, n in getattr(m, "violations", {}).items():
+            out[name] = out.get(name, 0) + n
+    return out
+
+
+def _raise_if_violated(path: str, messages) -> None:
+    from ceneton_database_tools_spark.sinks.txnlog import (
+        ConstraintViolation,
+    )
+
+    viol = {k: n for k, n in _fold_violations(messages).items() if n}
+    if viol:
+        # nothing was renamed out of tmpstream yet: discard the task
+        # files and fail the job before any directory is staged
+        flat = []
+        for m in messages:
+            if m is None:
+                continue
+            if hasattr(m, "entries"):
+                flat.extend(
+                    _TxnTaskMessage(e[1], e[2], {}) for e in m.entries
+                )
+            else:
+                flat.append(m)
+        _abort_task_tmpfiles(path, flat)
+        raise ConstraintViolation(
+            "incoming rows violate CHECK constraint(s) "
+            + ", ".join(f"{k!r} ({n} rows)" for k, n in sorted(viol.items()))
+        )
 
 
 def _parse_layout_options(
@@ -1214,6 +1346,7 @@ def _write_task_tmpfile(
     path: str,
     stats_cols: tuple[str, ...],
     bloom: _BloomAcc | None = None,
+    checks: dict | None = None,
 ) -> _TxnTaskMessage:
     """Executor half shared by the batch WRITE face and the STREAMING
     SINK face: stream the task's Arrow batches into ONE uniquely-named
@@ -1235,6 +1368,7 @@ def _write_task_tmpfile(
     rows = 0
     lo: dict = {}
     hi: dict = {}
+    viol: dict = {}
     try:
         for batch in iterator:
             if writer is None:
@@ -1254,6 +1388,10 @@ def _write_task_tmpfile(
                     hi[c] = bh
             if bloom is not None:
                 bloom.fold(batch)
+            for (name, _), parsed in (checks or {}).items():
+                n = _count_check_violations(batch, *parsed)
+                if n:
+                    viol[name] = viol.get(name, 0) + n
     finally:
         if writer is not None:
             writer.close()
@@ -1262,6 +1400,7 @@ def _write_task_tmpfile(
         rows,
         {c: (lo[c], hi[c]) for c in lo if c in hi},
         bloom.payload() if bloom is not None else None,
+        viol,
     )
 
 
@@ -1273,6 +1412,7 @@ def _write_task_partitioned(
     bloom_cols: tuple[str, ...],
     bloom_bits: int,
     bloom_k: int,
+    checks: dict | None = None,
 ) -> _TxnPartTaskMessage:
     """Executor half of the PARTITIONED write face: split the task's
     Arrow batches by exact partition tuple and stream each group into
@@ -1289,8 +1429,13 @@ def _write_task_partitioned(
 
     tmp_dir = os.path.join(path, "tmpstream")
     state: dict = {}  # key tuple -> [tmp_file, writer, rows, lo, hi, bloom]
+    viol: dict = {}
     try:
         for batch in iterator:
+            for (name, _), parsed in (checks or {}).items():
+                n = _count_check_violations(batch, *parsed)
+                if n:
+                    viol[name] = viol.get(name, 0) + n
             key_rows: dict = {}
             cols = [batch.column(c).to_pylist() for c in pcols]
             for i, kv in enumerate(zip(*cols)):
@@ -1343,7 +1488,8 @@ def _write_task_partitioned(
                 st[5].payload() if st[5] is not None else {},
             )
             for key, st in state.items()
-        ]
+        ],
+        viol,
     )
 
 
@@ -1442,6 +1588,10 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             in ("true", "1", "yes")
             else None
         )
+        # CHECK constraints validate ON EXECUTORS, per Arrow batch, for
+        # the grammar-expressible subset (loud refusal otherwise) — so
+        # constraint-bearing tables are writable through the face
+        self.checks = _parse_table_checks(self.path, schema)
         self.schema_json = schema.jsonValue()
 
     # -- executor-side -------------------------------------------------------
@@ -1458,6 +1608,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
                 self.bloom_cols,
                 self.bloom_bits,
                 self.bloom_k,
+                self.checks,
             )
         return _write_task_tmpfile(
             iterator,
@@ -1466,11 +1617,13 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             _BloomAcc(self.bloom_cols, self.bloom_bits, self.bloom_k)
             if self.bloom_cols
             else None,
+            self.checks,
         )
 
     # -- driver-side ---------------------------------------------------------
 
     def commit(self, messages) -> None:
+        _raise_if_violated(self.path, messages)
         if self.pcols:
             self._commit_partitioned(messages)
             return
@@ -1511,6 +1664,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             staged_stats=stats or None,
             staged_blooms=blooms or None,
             set_props=self.set_props,
+            validated_constraints=set(self.checks),
         )
 
     def _write_empty_leaf(self, out_dir: str) -> None:
@@ -1563,6 +1717,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             mode="overwrite" if self.overwrite else "append",
             schema_json=self.schema_json,
             set_props=self.set_props,
+            validated_constraints=set(self.checks),
         )
 
     def abort(self, messages) -> None:
@@ -1634,6 +1789,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
             self.bloom_bits,
             self.bloom_k,
         ) = _parse_layout_options(schema, options)
+        self.checks = _parse_table_checks(self.path, schema)
         self.schema_json = schema.jsonValue()
 
     # -- executor-side -------------------------------------------------------
@@ -1648,6 +1804,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
                 self.bloom_cols,
                 self.bloom_bits,
                 self.bloom_k,
+                self.checks,
             )
         return _write_task_tmpfile(
             iterator,
@@ -1656,6 +1813,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
             _BloomAcc(self.bloom_cols, self.bloom_bits, self.bloom_k)
             if self.bloom_cols
             else None,
+            self.checks,
         )
 
     # -- driver-side ---------------------------------------------------------
@@ -1665,6 +1823,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
+        _raise_if_violated(self.path, messages)
         if self.pcols:
             staged = f"data/{_uuid.uuid4().hex}"
             leaves = _assemble_partitioned_leaves(
@@ -1686,6 +1845,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
                 schema_json=self.schema_json,
                 app_id=self.app_id,
                 txn_version=int(batchId),
+                validated_constraints=set(self.checks),
             )
             return
         files, total, lo, hi = _fold_task_stats(messages)
@@ -1721,6 +1881,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
             staged_blooms=blooms or None,
             app_id=self.app_id,
             txn_version=int(batchId),
+            validated_constraints=set(self.checks),
         )
 
     def abort(self, messages, batchId: int) -> None:

@@ -696,33 +696,73 @@ def test_write_face_roundtrip_stats_and_interop(spark, tmp_path):
     assert t.count() == 1 and t.latest_version() == 4
 
 
-def test_write_face_refuses_constraints(spark, tmp_path):
-    """What the staged-commit path cannot uphold without a Spark job it
-    refuses loudly: CHECK-constraint validation — and the refused
-    staged directory is cleaned up, never left to leak. An append that
-    IGNORES a table's partition spec is equally loud (the spec must
-    ride .option('partitionby', ...) and match)."""
+def test_write_face_validates_constraints_on_executors(spark, tmp_path):
+    """CHECK constraints in the where-option grammar validate ON the
+    face's executor tasks (SQL semantics: only FALSE violates, NULL
+    passes): valid batches commit, violating batches raise
+    ConstraintViolation with NOTHING staged or leaked, a constraint
+    outside the grammar refuses at writer construction naming the
+    Python API as the fallback, and an append that IGNORES a table's
+    partition spec is equally loud."""
+    from ceneton_database_tools_spark.sinks.txnlog import (
+        ConstraintViolation,
+    )
+
     register_txn_source(spark)
     t = TxnTable(str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]), mode="overwrite")
     t.add_constraint(spark, "id_ok", "id >= 0")
-    with pytest.raises(Exception, match="CHECK constraints"):
-        _df(spark, [(2, "b")]).write.format("txntable").mode("append").save(
-            t.path
-        )
+    # a grammar-expressible constraint is validated, not refused
+    _df(spark, [(2, "b")]).write.format("txntable").mode("append").save(
+        t.path
+    )
+    assert t.count() == 2
+    # violating batch: loud, atomic, leak-free
+    v_before = t.latest_version()
+    with pytest.raises(Exception, match="id_ok"):
+        _df(spark, [(-3, "bad"), (4, "ok")]).write.format("txntable").mode(
+            "append"
+        ).save(t.path)
+    assert t.latest_version() == v_before and t.count() == 2
     live = set(t.snapshot()["files"])
     on_disk = {f"data/{d}" for d in os.listdir(os.path.join(t.path, "data"))}
     assert on_disk == live, "refused staged dir leaked"
+    assert os.listdir(os.path.join(t.path, "tmpstream")) == []
+    # NULL passes CHECK (SQL semantics), exactly like the Python API
+    _df(spark, [(None, "n")]).write.format("txntable").mode("append").save(
+        t.path
+    )
+    assert t.count() == 3
+    # IS NOT NULL and IN constraints validate too
     t2 = TxnTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a")]), mode="overwrite")
+    t2.add_constraint(spark, "v_set", "v IN ('a', 'b')")
+    t2.add_constraint(spark, "id_nn", "id IS NOT NULL")
+    with pytest.raises(Exception, match="v_set"):
+        _df(spark, [(2, "z")]).write.format("txntable").mode("append").save(
+            t2.path
+        )
+    with pytest.raises(Exception, match="id_nn"):
+        _df(spark, [(None, "a")]).write.format("txntable").mode(
+            "append"
+        ).save(t2.path)
+    assert isinstance(ConstraintViolation("x"), ValueError)
+    # outside the grammar: refused at construction, Python API named
+    t2.add_constraint(spark, "weird", "id >= 0 OR v = 'a'")
+    with pytest.raises(Exception, match="face-validatable"):
+        _df(spark, [(9, "a")]).write.format("txntable").mode("append").save(
+            t2.path
+        )
+    t3 = TxnTable(str(tmp_path / "t3"))
     rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(4)]
     pdf = spark.createDataFrame(rows, "id long, seg string, v string")
-    t2.write_partitioned(pdf, ("seg",), mode="overwrite")
+    t3.write_partitioned(pdf, ("seg",), mode="overwrite")
     with pytest.raises(Exception, match="partitioned"):
-        pdf.write.format("txntable").mode("append").save(t2.path)
+        pdf.write.format("txntable").mode("append").save(t3.path)
     with pytest.raises(Exception, match="must match"):
         pdf.write.format("txntable").option("partitionby", "v").mode(
             "append"
-        ).save(t2.path)
+        ).save(t3.path)
 
 
 def test_write_face_partitioned_roundtrip(spark, tmp_path):
@@ -1341,3 +1381,83 @@ def test_catalog_registration_and_file_uri_paths(spark, tmp_path):
     for name in ("cat_t", "cat_w"):
         spark.catalog.dropTempView(name)
     spark.catalog.dropGlobalTempView("cat_g")
+
+
+def test_where_option_null_checks_and_not_equal(spark, tmp_path):
+    """The extended where grammar end-to-end: !=/<>, IS NULL,
+    IS NOT NULL — row-exact against data with NULLs, and pruning stays
+    one-sided (an all-NULL-stats directory survives IS NULL but is
+    skipped by IS NOT NULL)."""
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable as TT
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("v",))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id long, v string"
+        ),
+        mode="overwrite",
+    )
+    t.write(
+        spark.createDataFrame([(4, None), (5, None)], "id long, v string"),
+        mode="append",
+    )
+
+    def q(cond):
+        return sorted(
+            r.id
+            for r in spark.read.format("txntable")
+            .option("where", cond)
+            .load(t.path)
+            .collect()
+        )
+
+    assert q("v IS NULL") == [2, 4, 5]
+    assert q("v IS NOT NULL") == [1, 3]
+    assert q("v != 'a'") == [3]  # NULLs drop under SQL WHERE
+    assert q("v <> 'a' AND id >= 3") == [3]
+    # pruning: the all-NULL directory is provably irrelevant ONLY for
+    # IS NOT NULL; IS NULL must keep everything (stats carry ranges,
+    # not null presence)
+    kept, skipped = (
+        [
+            rel
+            for rel in t.snapshot()["files"]
+            if TT._dir_may_match(
+                t.snapshot()["stats"].get(rel), [("v", "IS NOT NULL", None)]
+            )
+        ],
+        None,
+    )
+    assert len(kept) == 1
+    assert all(
+        TT._dir_may_match(
+            t.snapshot()["stats"].get(rel), [("v", "IS NULL", None)]
+        )
+        for rel in t.snapshot()["files"]
+    )
+
+
+def test_stream_sink_validates_constraints(spark, tmp_path):
+    """The STREAMING SINK validates grammar-expressible CHECKs on its
+    tasks too: a violating micro-batch fails the query loudly and
+    commits nothing."""
+    register_txn_source(spark)
+    src = TxnTable(str(tmp_path / "src"))
+    src.write(_df(spark, [(1, "a"), (-2, "bad")]), mode="overwrite")
+    sink = TxnTable(str(tmp_path / "sink"))
+    sink.write(_df(spark, [(10, "seed")]), mode="overwrite")
+    sink.add_constraint(spark, "id_pos", "id >= 0")
+    sdf = spark.readStream.format("txntable").load(src.path)
+    q = (
+        sdf.writeStream.format("txntable")
+        .option("path", sink.path)
+        .option("txnappid", "chk-q")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="id_pos"):
+        q.awaitTermination()
+    q.stop()
+    assert sink.latest_version() == 1 and sink.count() == 1
