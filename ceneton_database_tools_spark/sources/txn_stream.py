@@ -1077,10 +1077,12 @@ class _BloomAcc:
     bitmaps bit-compatible with :meth:`TxnTable._bloom_hashes` /
     ``_bloom_pos_expr`` (canonical-string md5 double hashing), so a
     face-written directory and a Python-API-written one probe
-    identically at prune time. This is per-row Python — the price of
-    building blooms inside a DataSource write task, where no JVM
-    expression exists; for bulk loads the Python API's codegen'd
-    builder (``TxnTable._collect_blooms``) is the fast path."""
+    identically at prune time. The irreducible Python cost is one md5
+    per DISTINCT value per batch (hashlib has no batch API); values
+    are deduped with Arrow first and the k bit positions are computed
+    as one vectorized numpy expression — for bulk loads the Python
+    API's codegen'd builder (``TxnTable._collect_blooms``) remains
+    the fast path."""
 
     def __init__(self, cols: tuple[str, ...], bits: int, k: int):
         self.cols = cols
@@ -1090,21 +1092,32 @@ class _BloomAcc:
 
     def fold(self, batch) -> None:
         import numpy as np
+        import pyarrow.compute as pc
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
         nbytes = (self.bits + 7) // 8
         for c in self.cols:
+            vals = pc.unique(pc.drop_null(batch.column(c))).to_pylist()
+            if not vals:
+                continue
             acc = self.bm.get(c)
             if acc is None:
                 acc = self.bm[c] = np.zeros(nbytes, dtype=np.uint8)
-            for v in batch.column(c).to_pylist():
-                if v is None:
-                    continue
-                h1, h2 = TxnTable._bloom_hashes(str(v))
-                for i in range(self.k):
-                    pos = (h1 + i * h2) % self.bits
-                    acc[pos >> 3] |= np.uint8(1 << (pos & 7))
+            # reduce the hash pair mod bits FIRST so h1m + i*h2m can
+            # never overflow int64 whatever k is; (h1%m + i*(h2%m)) % m
+            # == (h1 + i*h2) % m, so probes still match bit-for-bit
+            h = np.array(
+                [TxnTable._bloom_hashes(str(v)) for v in vals],
+                dtype=np.int64,
+            ) % np.int64(self.bits)
+            pos = (
+                h[:, :1] + np.arange(self.k, dtype=np.int64) * h[:, 1:]
+            ) % np.int64(self.bits)
+            flat = pos.reshape(-1)
+            np.bitwise_or.at(
+                acc, flat >> 3, (np.uint8(1) << (flat & 7).astype(np.uint8))
+            )
 
     def payload(self) -> dict:
         return {c: bm.tobytes() for c, bm in self.bm.items()}
