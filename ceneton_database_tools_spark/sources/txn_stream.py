@@ -52,6 +52,10 @@ Change-handling semantics follow Delta's streaming source:
   ``overwrite``) in the consumed range RAISES by default — an
   insert-only reader silently skipping a rewrite would miss or
   double-count rows;
+* ``.option("ignoredeletes", "true")`` skips DELETE-ONLY commits
+  (drop_partitions, dv-only deletes — nothing added, nothing to
+  emit): Delta's documented ``ignoreDeletes``, the right opt-in for
+  retention-deleted sources;
 * ``.option("ignorechanges", "true")`` opts into Delta's documented
   ``ignoreChanges`` behavior instead: rewritten directories are
   re-emitted in full (downstream must tolerate re-delivered
@@ -332,6 +336,13 @@ class TxnTableStreamReader(DataSourceStreamReader):
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
         ).strip().lower() in ("true", "1", "yes")
+        # Delta's ignoreDeletes: skip commits that ONLY remove data
+        # (drop_partitions, dv-only deletes) — nothing was added, so
+        # nothing needs re-emitting; rewrites (which ADD a directory)
+        # still raise without ignorechanges
+        self.ignore_deletes = str(
+            options.get("ignoredeletes", "false")
+        ).strip().lower() in ("true", "1", "yes")
         self.max_versions = int(options.get("maxversionspertrigger", 0) or 0)
         if self.max_versions < 0:
             raise ValueError(
@@ -486,6 +497,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 # constraint commits are table POLICY, not data: the
                 # file set is unchanged and the stream just moves past
                 add_dirs(sorted(cur - prev_files), None, "insert", v)
+            elif self.ignore_deletes and not (cur - prev_files):
+                # delete-only commit (drop_partitions / delete_dv /
+                # full-directory delete): nothing added, nothing to
+                # emit — Delta's documented ignoreDeletes
+                pass
             elif not self.ignore_changes:
                 raise RuntimeError(
                     f"version {v} of {self.path} is a {op!r} "
@@ -623,40 +639,43 @@ _WHERE_LEXEME = (
 )
 
 
-def _parse_where_option(text: str) -> tuple[list, list]:
-    """Parse the ``where`` load option — a conjunction of simple typed
-    comparisons — into ``(predicates, in_predicates)`` shaped exactly
-    like the pushFilters output. Grammar (deliberately tiny; anything
-    else raises with this spelled out)::
+def _parse_where_option(text: str):
+    """Parse the ``where`` load option — a boolean expression over
+    simple typed comparisons — into a small AST. Grammar::
 
-        conjunct ( AND conjunct )*
-        conjunct := column (= | < | <= | > | >= | != | <>) literal
-                  | column IN ( literal, literal, ... )
-                  | column IS [NOT] NULL
-        literal  := integer | 'single-quoted string' ('' escapes ')
+        expr      := term ( OR term )*
+        term      := factor ( AND factor )*
+        factor    := predicate | '(' expr ')'
+        predicate := column (= | < | <= | > | >= | != | <>) literal
+                   | column IN ( literal, literal, ... )
+                   | column IS [NOT] NULL
+        literal   := integer | 'single-quoted string' ('' escapes ')
 
-    ``!=``/``<>`` normalize to one op; null checks parse to
-    ``(col, "IS NULL"|"IS NOT NULL", None)`` conjuncts.
+    AST nodes: ``("and", [..])``, ``("or", [..])``,
+    ``("pred", (col, op, value))`` (``!=``/``<>`` normalize to one op,
+    null checks carry value ``None``), ``("in", (col, (values,)))``.
 
     Lexed as real tokens — quoted literals are recognized FIRST, so a
-    string containing ``,`` or ``AND`` is one literal, never a split
-    point (a naive ``split(',')`` would silently rewrite
-    ``IN (',', 'x')`` into a match on the empty string).
+    string containing ``,``, ``AND`` or ``OR`` is one literal, never a
+    split point.
 
-    The option is applied EXACTLY (directories pruned at plan time,
-    rows filtered executor-side), and because load options are part of
+    The option is applied EXACTLY (directories pruned at plan time
+    through a one-sided may-match proof over the same AST, rows
+    filtered executor-side), and because load options are part of
     Spark's relation identity it is immune to the per-relation
     readInfo-cache hazard that makes ``pushdown`` single-use — the
     right spelling for a DataFrame that will be reused, or for pure
     SQL (``CREATE TEMPORARY VIEW ... USING txntable OPTIONS (...)``).
-    General predicates belong in ``.where()`` as usual."""
+    The same parser admits CHECK constraints to the write faces'
+    executor-side validator."""
     import re
 
     grammar_err = (
         "the option grammar is `col (=|<|<=|>|>=|!=|<>) literal`, "
-        "`col IN (lit, ...)`, or `col IS [NOT] NULL` joined by AND, "
-        "with integer or single-quoted string literals — put anything "
-        "more general in .where() on the DataFrame"
+        "`col IN (lit, ...)`, or `col IS [NOT] NULL`, combined with "
+        "AND / OR / parentheses, with integer or single-quoted string "
+        "literals — put anything more general in .where() on the "
+        "DataFrame"
     )
 
     # lex the whole option up front; any unlexable character is loud
@@ -667,7 +686,9 @@ def _parse_where_option(text: str) -> tuple[list, list]:
             break
         kind = m.lastgroup
         lex = m.group(kind)
-        if kind == "word" and lex.upper() in ("AND", "IN", "IS", "NOT", "NULL"):
+        if kind == "word" and lex.upper() in (
+            "AND", "OR", "IN", "IS", "NOT", "NULL",
+        ):
             kind = lex.upper()
         toks.append((kind, lex))
         pos = m.end()
@@ -684,8 +705,8 @@ def _parse_where_option(text: str) -> tuple[list, list]:
 
     i = 0
 
-    def _peek() -> str:
-        return toks[i][0] if i < len(toks) else "end"
+    def _peek(ahead: int = 0) -> str:
+        return toks[i + ahead][0] if i + ahead < len(toks) else "end"
 
     def _take(*kinds: str) -> str:
         nonlocal i
@@ -698,9 +719,27 @@ def _parse_where_option(text: str) -> tuple[list, list]:
         i += 1
         return toks[i - 1][1]
 
-    preds: list[tuple[str, str, object]] = []
-    in_preds: list[tuple[str, tuple]] = []
-    while True:
+    def _expr():
+        terms = [_term()]
+        while _peek() == "OR":
+            _take("OR")
+            terms.append(_term())
+        return terms[0] if len(terms) == 1 else ("or", terms)
+
+    def _term():
+        factors = [_factor()]
+        while _peek() == "AND":
+            _take("AND")
+            factors.append(_factor())
+        return factors[0] if len(factors) == 1 else ("and", factors)
+
+    def _factor():
+        if _peek() == "punct" and toks[i][1] == "(":
+            _take("punct")
+            node = _expr()
+            if _take("punct") != ")":
+                raise ValueError(f"unclosed parenthesis: {text!r}")
+            return node
         col = _take("word")
         if _peek() == "IN":
             _take("IN")
@@ -708,38 +747,69 @@ def _parse_where_option(text: str) -> tuple[list, list]:
                 raise ValueError(f"IN needs a parenthesized list: {text!r}")
             values = [_lit(_take("str", "int"))]
             while _peek() == "punct" and toks[i][1] == ",":
-                i += 1
+                i_advance()
                 values.append(_lit(_take("str", "int")))
             if _take("punct") != ")":
                 raise ValueError(f"IN list not closed: {text!r}")
-            in_preds.append((col, tuple(values)))
-        elif _peek() == "IS":
+            return ("in", (col, tuple(values)))
+        if _peek() == "IS":
             _take("IS")
             if _peek() == "NOT":
                 _take("NOT")
                 _take("NULL")
-                preds.append((col, "IS NOT NULL", None))
-            else:
-                _take("NULL")
-                preds.append((col, "IS NULL", None))
-        else:
-            op = _take("op")
-            if op == "<>":
-                op = "!="
-            preds.append((col, op, _lit(_take("str", "int"))))
-        if _peek() == "end":
-            return preds, in_preds
-        _take("AND")
+                return ("pred", (col, "IS NOT NULL", None))
+            _take("NULL")
+            return ("pred", (col, "IS NULL", None))
+        op = _take("op")
+        if op == "<>":
+            op = "!="
+        return ("pred", (col, op, _lit(_take("str", "int"))))
+
+    def i_advance():
+        nonlocal i
+        i += 1
+
+    node = _expr()
+    if _peek() != "end":
+        _take("end")  # raises with the grammar error
+    return node
 
 
-def _where_kleene_mask(batch, preds, in_preds):
-    """The parsed conjunction as one kleene boolean array over
+def _where_columns(node) -> set:
+    """Every column name the AST references."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        out: set = set()
+        for child in node[1]:
+            out |= _where_columns(child)
+        return out
+    return {node[1][0]}
+
+
+def _where_kleene_mask(batch, node):
+    """The parsed expression as one kleene boolean array over
     ``batch`` — TRUE / FALSE / NULL exactly as SQL three-valued logic
     evaluates it. Shared by the WHERE row filter (NULL drops the row)
     and the CHECK-constraint validator (only FALSE violates)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    kind = node[0]
+    if kind in ("and", "or"):
+        combine = pc.and_kleene if kind == "and" else pc.or_kleene
+        mask = None
+        for child in node[1]:
+            piece = _where_kleene_mask(batch, child)
+            mask = piece if mask is None else combine(mask, piece)
+        return mask
+    if kind == "in":
+        col, values = node[1]
+        return pc.is_in(batch.column(col), value_set=pa.array(list(values)))
+    col, op, val = node[1]
+    if op == "IS NULL":
+        return pc.is_null(batch.column(col))
+    if op == "IS NOT NULL":
+        return pc.is_valid(batch.column(col))
     ops = {
         "=": pc.equal,
         "<": pc.less,
@@ -748,36 +818,50 @@ def _where_kleene_mask(batch, preds, in_preds):
         ">=": pc.greater_equal,
         "!=": pc.not_equal,
     }
-    mask = None
-    for col, op, val in preds:
-        if op == "IS NULL":
-            piece = pc.is_null(batch.column(col))
-        elif op == "IS NOT NULL":
-            piece = pc.is_valid(batch.column(col))
-        else:
-            piece = ops[op](batch.column(col), pa.scalar(val))
-        mask = piece if mask is None else pc.and_kleene(mask, piece)
-    for col, values in in_preds:
-        piece = pc.is_in(batch.column(col), value_set=pa.array(list(values)))
-        mask = piece if mask is None else pc.and_kleene(mask, piece)
-    return mask
+    return ops[op](batch.column(col), pa.scalar(val))
 
 
-def _where_mask(batch, preds, in_preds):
-    """Filter ``batch`` to the rows the conjunction keeps. NULL
-    comparisons drop the row — SQL WHERE semantics (kleene AND +
+def _ast_may_match(dir_stats, dir_blooms, node) -> bool:
+    """One-sided may-match proof for a whole AST over one directory's
+    recorded stats/blooms: AND may match iff every child may, OR iff
+    any child may, leaves defer to the conjunct-level proof (stats
+    ranges + bloom probes). kept ⊇ matching always — the row filter
+    re-applies the exact expression."""
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    kind = node[0]
+    if kind == "and":
+        return all(
+            _ast_may_match(dir_stats, dir_blooms, c) for c in node[1]
+        )
+    if kind == "or":
+        return any(
+            _ast_may_match(dir_stats, dir_blooms, c) for c in node[1]
+        )
+    if kind == "in":
+        col, values = node[1]
+        return any(
+            TxnTable._dir_may_match(dir_stats, [(col, "=", v)], dir_blooms)
+            for v in values
+        )
+    return TxnTable._dir_may_match(dir_stats, [node[1]], dir_blooms)
+
+
+def _where_mask(batch, node):
+    """Filter ``batch`` to the rows the expression keeps. NULL
+    results drop the row — SQL WHERE semantics (kleene logic +
     filter's default null_selection_behavior='drop')."""
-    return batch.filter(_where_kleene_mask(batch, preds, in_preds))
+    return batch.filter(_where_kleene_mask(batch, node))
 
 
-def _count_check_violations(batch, preds, in_preds) -> int:
+def _count_check_violations(batch, node) -> int:
     """Rows of ``batch`` that VIOLATE the conjunction under SQL CHECK
     semantics: only an exactly-FALSE result violates (TRUE and NULL
     both pass) — the same rule TxnTable._validate_constraints applies
     JVM-side."""
     import pyarrow.compute as pc
 
-    mask = _where_kleene_mask(batch, preds, in_preds)
+    mask = _where_kleene_mask(batch, node)
     is_false = pc.and_kleene(pc.is_valid(mask), pc.invert(mask))
     n = pc.sum(is_false).as_py()
     return int(n or 0)
@@ -840,11 +924,11 @@ class TxnTableBatchReader(DataSourceReader):
         self.predicates: list[tuple[str, str, object]] = []
         self.in_predicates: list[tuple[str, tuple]] = []
         # the `where` load option: exact, relation-keyed skipping —
-        # parsed once here, pruned at plan time, applied row-level on
+        # parsed once here into an AST, pruned at plan time through
+        # the one-sided may-match proof, applied row-level on
         # executors. Safe under ANY reuse pattern (options are part of
         # the relation identity, so the cached plan is keyed by it).
-        self.where_preds: list[tuple[str, str, object]] = []
-        self.where_in: list[tuple[str, tuple]] = []
+        self.where_ast = None
         # columns executors READ: the declared projection plus any
         # where-option columns outside it, which are read transiently
         # (the filter needs their values) and dropped before emit —
@@ -853,11 +937,10 @@ class TxnTableBatchReader(DataSourceReader):
         self.read_columns = self.columns
         w = options.get("where")
         if w:
-            self.where_preds, self.where_in = _parse_where_option(w)
-            extra = []
-            for c, *_ in self.where_preds + self.where_in:
-                if c not in self.columns and c not in extra:
-                    extra.append(c)
+            self.where_ast = _parse_where_option(w)
+            extra = sorted(
+                _where_columns(self.where_ast) - set(self.columns)
+            )
             if extra:
                 full = self._table_schema(options)
                 by_name = {f.name: f for f in full.fields}
@@ -966,17 +1049,23 @@ class TxnTableBatchReader(DataSourceReader):
             version = table.latest_version()
         snap = table.snapshot(version)
         stats, blooms = snap.get("stats", {}), snap.get("blooms", {})
-        range_preds = self.predicates + self.where_preds
         kept = [
             rel
             for rel in snap["files"]
-            if not range_preds
-            or TxnTable._dir_may_match(
-                stats.get(rel), range_preds, blooms.get(rel)
+            if (
+                not self.predicates
+                or TxnTable._dir_may_match(
+                    stats.get(rel), self.predicates, blooms.get(rel)
+                )
+            )
+            and (
+                self.where_ast is None
+                or _ast_may_match(
+                    stats.get(rel), blooms.get(rel), self.where_ast
+                )
             )
         ]
-        in_preds = self.in_predicates + self.where_in
-        if in_preds and kept:
+        if self.in_predicates and kept:
             kept = [
                 rel
                 for rel in kept
@@ -987,7 +1076,7 @@ class TxnTableBatchReader(DataSourceReader):
                         )
                         for v in values
                     )
-                    for col, values in in_preds
+                    for col, values in self.in_predicates
                 )
             ]
         dvr = snap.get("dv_rows", {})
@@ -1018,10 +1107,10 @@ class TxnTableBatchReader(DataSourceReader):
             partition.rel_file,
             partition.sidecars,
         ):
-            if self.where_preds or self.where_in:
+            if self.where_ast is not None:
                 # the `where` load option is EXACT: pruning above was
                 # one-sided, the row-level residue applies here
-                batch = _where_mask(batch, self.where_preds, self.where_in)
+                batch = _where_mask(batch, self.where_ast)
             if self.read_columns != self.columns:
                 # transient where-filter columns were read for the
                 # mask only; the emitted batch is the declared schema
@@ -1141,24 +1230,22 @@ def _parse_table_checks(path: str, schema: SqlT.StructType) -> dict:
     out: dict = {}
     for name, expr in (m.get("constraints") or {}).items():
         try:
-            preds, in_preds = _parse_where_option(expr)
+            node = _parse_where_option(expr)
         except ValueError:
             raise ValueError(
                 f"CHECK constraint {name!r} ({expr}) is outside the "
                 "face-validatable grammar (comparisons / IN / IS [NOT] "
-                "NULL joined by AND) — write through TxnTable.write, "
-                "which validates with a Spark job"
+                "NULL with AND / OR / parentheses) — write through "
+                "TxnTable.write, which validates with a Spark job"
             ) from None
-        missing = [
-            c for c, *_ in preds + in_preds if c not in names
-        ]
+        missing = sorted(_where_columns(node) - names)
         if missing:
             raise ValueError(
                 f"CHECK constraint {name!r} ({expr}) references "
                 f"column(s) {missing} the written schema lacks "
                 f"({sorted(names)})"
             )
-        out[(name, expr)] = (preds, in_preds)
+        out[(name, expr)] = node
     return out
 
 
@@ -1402,7 +1489,7 @@ def _write_task_tmpfile(
             if bloom is not None:
                 bloom.fold(batch)
             for (name, _), parsed in (checks or {}).items():
-                n = _count_check_violations(batch, *parsed)
+                n = _count_check_violations(batch, parsed)
                 if n:
                     viol[name] = viol.get(name, 0) + n
     finally:
@@ -1446,7 +1533,7 @@ def _write_task_partitioned(
     try:
         for batch in iterator:
             for (name, _), parsed in (checks or {}).items():
-                n = _count_check_violations(batch, *parsed)
+                n = _count_check_violations(batch, parsed)
                 if n:
                     viol[name] = viol.get(name, 0) + n
             key_rows: dict = {}

@@ -747,12 +747,21 @@ def test_write_face_validates_constraints_on_executors(spark, tmp_path):
             "append"
         ).save(t2.path)
     assert isinstance(ConstraintViolation("x"), ValueError)
-    # outside the grammar: refused at construction, Python API named
-    t2.add_constraint(spark, "weird", "id >= 0 OR v = 'a'")
-    with pytest.raises(Exception, match="face-validatable"):
-        _df(spark, [(9, "a")]).write.format("txntable").mode("append").save(
+    # a disjunctive constraint validates too (the grammar has OR)
+    t2.add_constraint(spark, "either", "id >= 100 OR v = 'a'")
+    _df(spark, [(1000, "b")]).write.format("txntable").mode("append").save(
+        t2.path
+    )
+    with pytest.raises(Exception, match="either"):
+        _df(spark, [(5, "b")]).write.format("txntable").mode("append").save(
             t2.path
         )
+    # outside the grammar: refused at construction, Python API named
+    t2.add_constraint(spark, "weird", "length(v) < 10")
+    with pytest.raises(Exception, match="face-validatable"):
+        _df(spark, [(999, "a")]).write.format("txntable").mode(
+            "append"
+        ).save(t2.path)
     t3 = TxnTable(str(tmp_path / "t3"))
     rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(4)]
     pdf = spark.createDataFrame(rows, "id long, seg string, v string")
@@ -1092,20 +1101,27 @@ def test_where_option_lexes_quoted_commas_and_and():
     )
 
     assert _parse_where_option("c IN (',', 'x')") == (
-        [],
-        [("c", (",", "x"))],
+        "in", ("c", (",", "x"))
     )
     assert _parse_where_option("c = 'a AND b'") == (
-        [("c", "=", "a AND b")],
-        [],
+        "pred", ("c", "=", "a AND b")
     )
     assert _parse_where_option("c IN ('p AND q', 'r,s') AND d >= 3") == (
-        [("d", ">=", 3)],
-        [("c", ("p AND q", "r,s"))],
+        "and",
+        [("in", ("c", ("p AND q", "r,s"))), ("pred", ("d", ">=", 3))],
     )
-    # escapes still work and failures stay loud
-    assert _parse_where_option("n = 'it''s'") == ([("n", "=", "it's")], [])
-    for bad in ("c IN ()", "c IN (1", "a = 1 OR b = 2", "c = 'open", ""):
+    # escapes still work; OR binds looser than AND; parens group
+    assert _parse_where_option("n = 'it''s'") == ("pred", ("n", "=", "it's"))
+    assert _parse_where_option("a = 1 AND b = 2 OR c = 3") == (
+        "or",
+        [
+            ("and", [("pred", ("a", "=", 1)), ("pred", ("b", "=", 2))]),
+            ("pred", ("c", "=", 3)),
+        ],
+    )
+    assert _parse_where_option("a = 1 AND (b = 2 OR c = 3)")[0] == "and"
+    # failures stay loud
+    for bad in ("c IN ()", "c IN (1", "a = 1 OR", "c = 'open", "", "(a=1"):
         with pytest.raises(ValueError):
             _parse_where_option(bad)
 
@@ -1461,3 +1477,92 @@ def test_stream_sink_validates_constraints(spark, tmp_path):
         q.awaitTermination()
     q.stop()
     assert sink.latest_version() == 1 and sink.count() == 1
+
+
+def test_ignoredeletes_skips_delete_only_commits(spark, tmp_path):
+    """Delta's ignoreDeletes: a drop_partitions or dv-only delete in
+    the consumed range is skipped (nothing was added, nothing to
+    emit), while a COW rewrite still raises — it ADDS a directory and
+    needs ignorechanges."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(6)]
+    t.write_partitioned(
+        spark.createDataFrame(rows, "id long, seg string, v string"),
+        ("seg",),
+        mode="overwrite",
+    )
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("ignoredeletes", "true")
+        .load(t.path)
+    )
+    ck = str(tmp_path / "ck")
+    _drain(sdf, ck, lambda b, _: None)  # consume the snapshot
+    t.drop_partitions([("seg", "=", "A")])  # delete-only commit
+    t.delete_dv(spark, "id = 1")  # dv-only commit
+    t.write_partitioned(
+        spark.createDataFrame(
+            [(100, "B", "new")], "id long, seg string, v string"
+        ),
+        ("seg",),
+        mode="append",
+    )
+    got: list = []
+    _drain(sdf, ck, lambda b, _: got.extend((r.id,) for r in b.collect()))
+    assert got == [(100,)], "delete-only commits leaked or blocked rows"
+    # a COW rewrite is NOT covered by ignoredeletes
+    t.delete(spark, "id = 3")
+    with pytest.raises(Exception, match="insert-only stream"):
+        _drain(sdf, ck, lambda b, _: None)
+
+
+def test_where_option_or_and_parens_end_to_end(spark, tmp_path):
+    """OR / parentheses in the where option: exact rows, and the
+    may-match prune proof composes (OR keeps a directory if ANY arm
+    may match; AND prunes when either arm is disproven)."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write(_df(spark, [(i, f"r{i}") for i in range(0, 10)]), mode="overwrite")
+    t.write(_df(spark, [(i, f"r{i}") for i in range(100, 110)]), mode="append")
+
+    def q(cond):
+        return sorted(
+            r.id
+            for r in spark.read.format("txntable")
+            .option("where", cond)
+            .load(t.path)
+            .collect()
+        )
+
+    assert q("id < 2 OR id >= 108") == [0, 1, 108, 109]
+    assert q("(id < 2 OR id >= 108) AND v != 'r0'") == [1, 108, 109]
+    assert q("id IN (1, 105) OR v = 'r3'") == [1, 3, 105]
+    # prune proof: an OR spanning both dirs keeps both; an impossible
+    # AND arm prunes everything
+    df = spark.read.format("txntable").load(t.path)
+    n_full = len(
+        TxnTableBatchReader(df.schema, {"path": t.path}).partitions()
+    )
+    n_both = len(
+        TxnTableBatchReader(
+            df.schema, {"path": t.path, "where": "id < 2 OR id >= 108"}
+        ).partitions()
+    )
+    n_low = len(
+        TxnTableBatchReader(
+            df.schema, {"path": t.path, "where": "id < 2 AND v = 'r0'"}
+        ).partitions()
+    )
+    n_none = len(
+        TxnTableBatchReader(
+            df.schema, {"path": t.path, "where": "id < 2 AND id >= 108"}
+        ).partitions()
+    )
+    assert n_both == n_full  # OR spanning both dirs keeps both
+    assert 0 < n_low < n_full  # one arm disproven -> one dir pruned
+    assert n_none == 0  # contradictory AND prunes everything
