@@ -1420,3 +1420,105 @@ def streaming_txn_sink_face(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_txn_sink_partitioned",
+    # The oracle counts the original events outside the dropped type
+    # exactly once; the pipeline ingests them TWICE (pass 2 = full
+    # replay from a fresh checkpoint) into a PARTITIONED sink, then
+    # drops one event_type as a metadata commit — equality holds only
+    # if the per-leaf partition split lost/duplicated nothing, the
+    # watermark deduped the replay, and the drop's two-sided proof
+    # held on stream-written leaves. IS DISTINCT FROM keeps a NULL
+    # event_type alive on both engines (drop's '=' never matches NULL).
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE event_type IS DISTINCT FROM (SELECT min(event_type) FROM events)
+    GROUP BY event_type
+    """,
+    tags=("streaming", "txn", "sink", "datasource", "partitioned"),
+)
+def streaming_txn_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED exactly-once streaming ingest through the pure API:
+    ``df.writeStream.format("txntable").option("partitionby", ...)`` —
+    every micro-batch appends one exact-valued leaf per partition
+    tuple under the ``(txnappid, batchId)`` watermark, so the sink
+    table keeps the layout retention operations need WHILE it is being
+    streamed into. The stream replays in full from a fresh checkpoint
+    (zero duplicate rows), then ``drop_partitions`` deletes one whole
+    event_type as an O(manifest) METADATA commit — zero bytes read or
+    rewritten — exactly the 100 TB retention path, on directories the
+    STREAM wrote.
+
+    SELF-CHECKS: (a) the replay pass advanced the log by zero
+    commits; (b) the manifest records exact per-leaf partition
+    values; (c) the drop commit is op='drop_partitions' and adds no
+    data directory."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="ceneton_stream_txnsink_part_")
+    table = TxnTable(os.path.join(work, "sink"))
+    stream = events_stream(spark, sf_dir, maxFilesPerTrigger="1").select(
+        "event_id", "event_type"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        v_after_pass1 = None
+        for attempt in range(2):  # pass 2 = full replay, fresh checkpoint
+            q = (
+                stream.writeStream.format("txntable")
+                .option("path", table.path)
+                .option("partitionby", "event_type")
+                .option("txnappid", "gate-events-sink-part")
+                .option(
+                    "checkpointLocation", os.path.join(work, f"ckpt{attempt}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
+                q.stop()
+            if attempt == 0:
+                v_after_pass1 = table.latest_version()
+        if table.latest_version() != v_after_pass1:
+            raise AssertionError(
+                "replay committed new versions: "
+                f"{v_after_pass1} -> {table.latest_version()}"
+            )
+        snap = table.snapshot()
+        if snap.get("partition_by") != ["event_type"] or not all(
+            "event_type" in v for v in snap.get("parts", {}).values()
+        ):
+            raise AssertionError(f"stream sink lost the layout: {snap}")
+        victim = (
+            table.read(spark).agg(F.min("event_type")).first()[0]
+        )  # bounded: 1 scalar
+        dirs_before = set(snap["files"])
+        if table.drop_partitions([("event_type", "=", victim)]) is None:
+            raise AssertionError("drop_partitions matched nothing")
+        after = table.snapshot()
+        if after.get("op") != "drop_partitions" or (
+            set(after["files"]) - dirs_before
+        ):
+            raise AssertionError("drop was not a metadata-only commit")
+        result = (
+            table.read(spark)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"))
+        )
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
