@@ -646,14 +646,17 @@ def _parse_where_option(text: str):
         expr      := term ( OR term )*
         term      := factor ( AND factor )*
         factor    := predicate | '(' expr ')'
-        predicate := column (= | < | <= | > | >= | != | <>) literal
+        predicate := column (= | < | <= | > | >= | != | <>) rhs
                    | column IN ( literal, literal, ... )
                    | column IS [NOT] NULL
+        rhs       := literal | column
         literal   := integer | 'single-quoted string' ('' escapes ')
 
     AST nodes: ``("and", [..])``, ``("or", [..])``,
     ``("pred", (col, op, value))`` (``!=``/``<>`` normalize to one op,
-    null checks carry value ``None``), ``("in", (col, (values,)))``.
+    null checks carry value ``None``), ``("in", (col, (values,)))``,
+    ``("cmp2", (col, op, col2))`` for column-vs-column comparisons
+    (the shape cross-column CHECK constraints like ``lo <= hi`` take).
 
     Lexed as real tokens — quoted literals are recognized FIRST, so a
     string containing ``,``, ``AND`` or ``OR`` is one literal, never a
@@ -763,6 +766,8 @@ def _parse_where_option(text: str):
         op = _take("op")
         if op == "<>":
             op = "!="
+        if _peek() == "word":
+            return ("cmp2", (col, op, _take("word")))
         return ("pred", (col, op, _lit(_take("str", "int"))))
 
     def i_advance():
@@ -783,6 +788,8 @@ def _where_columns(node) -> set:
         for child in node[1]:
             out |= _where_columns(child)
         return out
+    if kind == "cmp2":
+        return {node[1][0], node[1][2]}
     return {node[1][0]}
 
 
@@ -805,6 +812,17 @@ def _where_kleene_mask(batch, node):
     if kind == "in":
         col, values = node[1]
         return pc.is_in(batch.column(col), value_set=pa.array(list(values)))
+    ops2 = {
+        "=": pc.equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "!=": pc.not_equal,
+    }
+    if kind == "cmp2":
+        a, op, b = node[1]
+        return ops2[op](batch.column(a), batch.column(b))
     col, op, val = node[1]
     if op == "IS NULL":
         return pc.is_null(batch.column(col))
@@ -844,7 +862,45 @@ def _ast_may_match(dir_stats, dir_blooms, node) -> bool:
             TxnTable._dir_may_match(dir_stats, [(col, "=", v)], dir_blooms)
             for v in values
         )
+    if kind == "cmp2":
+        return _cmp2_may_match(dir_stats, *node[1])
     return TxnTable._dir_may_match(dir_stats, [node[1]], dir_blooms)
+
+
+def _cmp2_may_match(dir_stats, a: str, op: str, b: str) -> bool:
+    """One-sided proof for a column-vs-column comparison from the two
+    recorded [min, max] ranges: e.g. ``a < b`` is impossible iff
+    min(a) >= max(b). Missing or mixed-type bounds keep the directory
+    (no proof, no skip); all-NULL bounds on either side skip it (a
+    comparison is never true on NULL)."""
+    if not dir_stats:
+        return True
+    ba, bb = dir_stats.get(a), dir_stats.get(b)
+    if ba is None or bb is None:
+        return True
+    lo_a, hi_a = ba
+    lo_b, hi_b = bb
+    if (lo_a is None and hi_a is None) or (lo_b is None and hi_b is None):
+        return False
+    num_a = isinstance(lo_a, (int, float)) and not isinstance(lo_a, bool)
+    num_b = isinstance(lo_b, (int, float)) and not isinstance(lo_b, bool)
+    if num_a != num_b:
+        return True  # mixed representations: no proof
+    if not num_a:
+        lo_a, hi_a, lo_b, hi_b = str(lo_a), str(hi_a), str(lo_b), str(hi_b)
+    if op == "=":
+        return lo_a <= hi_b and lo_b <= hi_a
+    if op == "!=":
+        return not (lo_a == hi_a == lo_b == hi_b)
+    if op == "<":
+        return lo_a < hi_b
+    if op == "<=":
+        return lo_a <= hi_b
+    if op == ">":
+        return hi_a > lo_b
+    if op == ">=":
+        return hi_a >= lo_b
+    return True
 
 
 def _where_mask(batch, node):

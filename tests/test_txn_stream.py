@@ -1566,3 +1566,66 @@ def test_where_option_or_and_parens_end_to_end(spark, tmp_path):
     assert n_both == n_full  # OR spanning both dirs keeps both
     assert 0 < n_low < n_full  # one arm disproven -> one dir pruned
     assert n_none == 0  # contradictory AND prunes everything
+
+
+def test_cross_column_compare_in_where_and_checks(spark, tmp_path):
+    """Column-vs-column comparisons: `lo <= hi`-shaped predicates work
+    in the where option (exact rows, range-vs-range prune proof) and
+    as face-validated CHECK constraints."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("a", "b"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 1, 10), (2, 5, 3), (3, 2, 2), (4, None, 7)],
+            "id long, a long, b long",
+        ),
+        mode="overwrite",
+    )
+    got = sorted(
+        r.id
+        for r in spark.read.format("txntable")
+        .option("where", "a < b")
+        .load(t.path)
+        .collect()
+    )
+    assert got == [1]  # NULL comparison drops row 4; 5<3 and 2<2 false
+    assert sorted(
+        r.id
+        for r in spark.read.format("txntable")
+        .option("where", "a <= b OR id = 2")
+        .load(t.path)
+        .collect()
+    ) == [1, 2, 3]
+    # prune proof: a commit whose a-range sits entirely above its
+    # b-range is provably empty under a < b
+    t2 = TxnTable(str(tmp_path / "t2"), stats_cols=("a", "b"))
+    t2.write(
+        spark.createDataFrame([(1, 100, 5), (2, 200, 9)], "id long, a long, b long"),
+        mode="overwrite",
+    )
+    df2 = spark.read.format("txntable").load(t2.path)
+    n = len(
+        TxnTableBatchReader(
+            df2.schema, {"path": t2.path, "where": "a < b"}
+        ).partitions()
+    )
+    assert n == 0
+    # cross-column CHECK validates on the write face
+    t3 = TxnTable(str(tmp_path / "t3"))
+    t3.write(
+        spark.createDataFrame([(1, 2)], "lo long, hi long"), mode="overwrite"
+    )
+    t3.add_constraint(spark, "ordered", "lo <= hi")
+    spark.createDataFrame([(3, 9)], "lo long, hi long").write.format(
+        "txntable"
+    ).mode("append").save(t3.path)
+    assert t3.count() == 2
+    with pytest.raises(Exception, match="ordered"):
+        spark.createDataFrame([(9, 3)], "lo long, hi long").write.format(
+            "txntable"
+        ).mode("append").save(t3.path)
+    assert t3.count() == 2
