@@ -778,7 +778,9 @@ class TxnTable:
             stats = {d: carried[d] for d in files if d in carried}
             for d, meta in leaves.items():
                 entry = {
-                    c: [self._json_stat(v), self._json_stat(v)]
+                    c: [self._json_stat(v), self._json_stat(v), 0]
+                    if v is not None
+                    else [None, None, int(meta.get("rows", 0))]
                     for c, v in meta.get("parts", {}).items()
                 }
                 entry.update(meta.get("stats", {}))
@@ -837,9 +839,17 @@ class TxnTable:
         row = df.agg(
             *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
             *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+            *[
+                (F.count(F.lit(1)) - F.count(c)).alias(f"__nc_{i}")
+                for i, c in enumerate(cols)
+            ],
         ).first()
         return {
-            c: [self._json_stat(row[f"__lo_{i}"]), self._json_stat(row[f"__hi_{i}"])]
+            c: [
+                self._json_stat(row[f"__lo_{i}"]),
+                self._json_stat(row[f"__hi_{i}"]),
+                int(row[f"__nc_{i}"]),
+            ]
             for i, c in enumerate(cols)
         }
 
@@ -1685,11 +1695,17 @@ class TxnTable:
                     F.count(F.lit(1)).alias("__n"),
                     *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(scols)],
                     *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(scols)],
+                    *[
+                        (F.count(F.lit(1)) - F.count(c)).alias(f"__nc_{i}")
+                        for i, c in enumerate(scols)
+                    ],
                 )
             ).collect()
             for rel, vals in new_parts.items():
+                # partition values are exact: the null count is 0, or
+                # the whole leaf for the NULL partition (filled below)
                 staged_stats[rel] = {
-                    c: [self._json_stat(v), self._json_stat(v)]
+                    c: [self._json_stat(v), self._json_stat(v), 0]
                     for c, v in vals.items()
                 }
             for r in rows:
@@ -1703,10 +1719,14 @@ class TxnTable:
                         f"(candidates: {sorted(by_tuple)})"
                     )
                 staged_rows[rel] = int(r["__n"])
+                for c, v in new_parts[rel].items():
+                    if v is None:
+                        staged_stats[rel][c] = [None, None, int(r["__n"])]
                 for i, c in enumerate(scols):
                     staged_stats[rel][c] = [
                         self._json_stat(r[f"__lo_{i}"]),
                         self._json_stat(r[f"__hi_{i}"]),
+                        int(r[f"__nc_{i}"]),
                     ]
         else:
             staged_rows = {d: 0 for d in staged_dirs}
@@ -2147,6 +2167,10 @@ class TxnTable:
     # -- manifest-level data skipping --------------------------------------
 
     _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+    # prune() is a one-sided proof, so it safely admits more ops than
+    # drop_partitions' two-sided _part_matches (an op the proof does
+    # not understand just keeps the directory — never the other way)
+    _MAY_MATCH_OPS = _PRUNE_OPS + ("!=", "IS NULL", "IS NOT NULL")
 
     def prune(
         self,
@@ -2172,7 +2196,7 @@ class TxnTable:
         The guarantee is one-sided: kept ⊇ matching. Callers re-apply
         the real predicate on the scan; pruning only shrinks it."""
         for col, op, _ in predicates:
-            if op not in self._PRUNE_OPS:
+            if op not in self._MAY_MATCH_OPS:
                 raise ValueError(f"unsupported prune op {op!r} on {col!r}")
         manifest = self.snapshot(version)
         stats = manifest.get("stats", {})
@@ -2214,10 +2238,14 @@ class TxnTable:
             bounds = dir_stats.get(col)
             if bounds is None:
                 continue  # unmeasured column: no proof, keep
-            lo, hi = bounds
+            lo, hi = bounds[0], bounds[1]
+            # entries recorded since r10 carry a NULL COUNT third
+            # element (Delta's nullCount); older 2-element entries
+            # simply never prove null predicates
+            nulls = bounds[2] if len(bounds) > 2 else None
             if op == "IS NULL":
-                # stats record value RANGES, not null presence: a dir
-                # with non-null bounds may still hold nulls — no proof
+                if nulls == 0:
+                    return False  # provably no nulls in this directory
                 continue
             if op == "IS NOT NULL":
                 if lo is None and hi is None:
@@ -2267,6 +2295,9 @@ class TxnTable:
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
+        "!=": lambda c, v: c != v,
+        "IS NULL": lambda c, v: c.isNull(),
+        "IS NOT NULL": lambda c, v: c.isNotNull(),
     }
 
     def read_where(

@@ -878,8 +878,8 @@ def _cmp2_may_match(dir_stats, a: str, op: str, b: str) -> bool:
     ba, bb = dir_stats.get(a), dir_stats.get(b)
     if ba is None or bb is None:
         return True
-    lo_a, hi_a = ba
-    lo_b, hi_b = bb
+    lo_a, hi_a = ba[0], ba[1]
+    lo_b, hi_b = bb[0], bb[1]
     if (lo_a is None and hi_a is None) or (lo_b is None and hi_b is None):
         return False
     num_a = isinstance(lo_a, (int, float)) and not isinstance(lo_a, bool)
@@ -1443,6 +1443,7 @@ def _assemble_partitioned_leaves(
         os.makedirs(out_dir, exist_ok=True)
         lo: dict = {}
         hi: dict = {}
+        nc: dict = {}
         rows_total = 0
         for parts, tmp_file, rows, stats, _ in entries:
             os.rename(
@@ -1450,19 +1451,16 @@ def _assemble_partitioned_leaves(
                 os.path.join(out_dir, tmp_file),
             )
             rows_total += rows
-            for c, (bl, bh) in stats.items():
-                if c not in lo or bl < lo[c]:
+            for c, (bl, bh, bn) in stats.items():
+                if bl is not None and (c not in lo or bl < lo[c]):
                     lo[c] = bl
-                if c not in hi or bh > hi[c]:
+                if bh is not None and (c not in hi or bh > hi[c]):
                     hi[c] = bh
+                nc[c] = nc.get(c, 0) + bn
         leaves[rel] = {
             "parts": entries[0][0],
             "rows": rows_total,
-            "stats": {
-                c: [TxnTable._json_stat(lo[c]), TxnTable._json_stat(hi[c])]
-                for c in lo
-                if c in hi
-            },
+            "stats": _stats_entries(lo, hi, nc, TxnTable._json_stat),
             "blooms": _fold_bloom_payloads(
                 [e[4] for e in entries if e[4]], bloom_bits, bloom_k
             )
@@ -1524,6 +1522,7 @@ def _write_task_tmpfile(
     rows = 0
     lo: dict = {}
     hi: dict = {}
+    nc: dict = {}
     viol: dict = {}
     try:
         for batch in iterator:
@@ -1536,12 +1535,14 @@ def _write_task_tmpfile(
             writer.write_batch(batch)
             rows += batch.num_rows
             for c in stats_cols:
-                mm = pc.min_max(batch.column(c))
+                col = batch.column(c)
+                mm = pc.min_max(col)
                 bl, bh = mm["min"].as_py(), mm["max"].as_py()
                 if bl is not None and (c not in lo or bl < lo[c]):
                     lo[c] = bl
                 if bh is not None and (c not in hi or bh > hi[c]):
                     hi[c] = bh
+                nc[c] = nc.get(c, 0) + col.null_count
             if bloom is not None:
                 bloom.fold(batch)
             for (name, _), parsed in (checks or {}).items():
@@ -1554,7 +1555,11 @@ def _write_task_tmpfile(
     return _TxnTaskMessage(
         tmp_file,
         rows,
-        {c: (lo[c], hi[c]) for c in lo if c in hi},
+        {
+            c: (lo.get(c), hi.get(c), n)
+            for c, n in nc.items()
+            if c in lo or n  # all-null columns still record their count
+        },
         bloom.payload() if bloom is not None else None,
         viol,
     )
@@ -1619,16 +1624,19 @@ def _write_task_partitioned(
                         _BloomAcc(bloom_cols, bloom_bits, bloom_k)
                         if bloom_cols
                         else None,
+                        {},
                     ]
                 st[1].write_batch(sub)
                 st[2] += sub.num_rows
                 for c in stats_cols:
-                    mm = pc.min_max(sub.column(c))
+                    col = sub.column(c)
+                    mm = pc.min_max(col)
                     bl, bh = mm["min"].as_py(), mm["max"].as_py()
                     if bl is not None and (c not in st[3] or bl < st[3][c]):
                         st[3][c] = bl
                     if bh is not None and (c not in st[4] or bh > st[4][c]):
                         st[4][c] = bh
+                    st[6][c] = st[6].get(c, 0) + col.null_count
                 if st[5] is not None:
                     st[5].fold(sub)
     finally:
@@ -1640,7 +1648,11 @@ def _write_task_partitioned(
                 dict(zip(pcols, key)),
                 st[0],
                 st[2],
-                {c: (st[3][c], st[4][c]) for c in st[3] if c in st[4]},
+                {
+                    c: (st[3].get(c), st[4].get(c), n)
+                    for c, n in st[6].items()
+                    if c in st[3] or n
+                },
                 st[5].payload() if st[5] is not None else {},
             )
             for key, st in state.items()
@@ -1649,22 +1661,35 @@ def _write_task_partitioned(
     )
 
 
-def _fold_task_stats(messages) -> tuple[list[str], int, dict, dict]:
+def _fold_task_stats(messages) -> tuple[list[str], int, dict, dict, dict]:
     """Driver half shared by both write faces: the successful tasks'
-    temp-file names, total row count, and folded per-column (lo, hi)."""
+    temp-file names, total row count, and folded per-column
+    (lo, hi, null count)."""
     files = [m.tmp_file for m in messages if m is not None and m.tmp_file]
     total = sum(m.rows for m in messages if m is not None)
     lo: dict = {}
     hi: dict = {}
+    nc: dict = {}
     for m in messages:
         if m is None:
             continue
-        for c, (bl, bh) in m.stats.items():
-            if c not in lo or bl < lo[c]:
+        for c, (bl, bh, bn) in m.stats.items():
+            if bl is not None and (c not in lo or bl < lo[c]):
                 lo[c] = bl
-            if c not in hi or bh > hi[c]:
+            if bh is not None and (c not in hi or bh > hi[c]):
                 hi[c] = bh
-    return files, total, lo, hi
+            nc[c] = nc.get(c, 0) + bn
+    return files, total, lo, hi, nc
+
+
+def _stats_entries(lo: dict, hi: dict, nc: dict, json_stat) -> dict:
+    """Folded per-column values -> manifest [lo, hi, nulls] entries
+    (an all-null column records [None, None, n])."""
+    return {
+        c: [json_stat(lo.get(c)), json_stat(hi.get(c)), int(n)]
+        for c, n in nc.items()
+        if c in lo or n
+    }
 
 
 def _abort_task_tmpfiles(path: str, messages) -> None:
@@ -1787,11 +1812,9 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
-        files, total, lo, hi = _fold_task_stats(messages)
+        files, total, lo, hi, nc = _fold_task_stats(messages)
         table = TxnTable(self.path)
-        stats = {
-            c: [table._json_stat(lo[c]), table._json_stat(hi[c])] for c in lo
-        }
+        stats = _stats_entries(lo, hi, nc, table._json_stat)
         blooms = (
             _fold_bloom_payloads(
                 [m.blooms for m in messages if m is not None and m.blooms],
@@ -2004,7 +2027,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
                 validated_constraints=set(self.checks),
             )
             return
-        files, total, lo, hi = _fold_task_stats(messages)
+        files, total, lo, hi, nc = _fold_task_stats(messages)
         if not files:
             return  # empty micro-batch: nothing staged, nothing to commit
         blooms = (
@@ -2025,9 +2048,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
                 os.path.join(out_dir, f),
             )
         table = TxnTable(self.path)
-        stats = {
-            c: [table._json_stat(lo[c]), table._json_stat(hi[c])] for c in lo
-        }
+        stats = _stats_entries(lo, hi, nc, table._json_stat)
         table.commit_staged(
             staged,
             total,

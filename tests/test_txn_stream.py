@@ -682,9 +682,11 @@ def test_write_face_roundtrip_stats_and_interop(spark, tmp_path):
     # task-observed stats are exact — and the manifest prune uses them
     snap = t.snapshot()
     staged_ranges = sorted(
-        tuple(s["id"]) for s in snap["stats"].values() if "id" in s
+        tuple(s["id"][:2]) for s in snap["stats"].values() if "id" in s
     )
     assert staged_ranges == [(0, 49), (50, 99), (200, 200)]
+    # r10: every entry also records its null count (zero here)
+    assert all(s["id"][2] == 0 for s in snap["stats"].values() if "id" in s)
     kept, skipped = t.prune([("id", ">=", 60)])
     assert len(kept) == 2 and len(skipped) == 1
     # read faces see one consistent table
@@ -800,7 +802,7 @@ def test_write_face_partitioned_roundtrip(spark, tmp_path):
     # per-leaf rows + stats: partition values as exact [v, v] ranges
     assert all(n == 4 for n in snap["rows"].values())
     assert all(
-        s["seg"] == [s["seg"][0]] * 2 and "id" in s
+        s["seg"][:2] == [s["seg"][0]] * 2 and "id" in s
         for s in snap["stats"].values()
     )
     assert t.count() == 12

@@ -388,15 +388,15 @@ def test_manifest_stats_recorded_and_carried(spark, tmp_path):
     t.write(_df(spark, [(10, "j"), (19, "s")]), mode="append")
     m = t.snapshot(1)
     d0, d1 = m["files"]
-    assert m["stats"][d0]["id"] == [1, 5] and m["stats"][d0]["v"] == ["a", "e"]
-    assert m["stats"][d1]["id"] == [10, 19]
+    assert m["stats"][d0]["id"] == [1, 5, 0] and m["stats"][d0]["v"] == ["a", "e", 0]
+    assert m["stats"][d1]["id"] == [10, 19, 0]
     # delete rewrites only dir1; dir0's stats carry forward, the
     # survivor directory is measured fresh
     t.delete(spark, "id = 19")
     m2 = t.snapshot(2)
-    assert m2["stats"][d0]["id"] == [1, 5]
+    assert m2["stats"][d0]["id"] == [1, 5, 0]
     new_dir = next(f for f in m2["files"] if f not in (d0, d1))
-    assert m2["stats"][new_dir]["id"] == [10, 10]
+    assert m2["stats"][new_dir]["id"] == [10, 10, 0]
     # a stats-less table writes no stats key at all
     t2 = TxnTable(str(tmp_path / "t2"))
     t2.write(_df(spark, [(1, "a")]), mode="overwrite")
@@ -431,9 +431,12 @@ def test_read_pruned_skips_disjoint_dirs(spark, tmp_path):
     # a type-mismatched probe value proves nothing: keep everything
     kept, skipped = t.prune([("id", "=", "not-a-number")])
     assert skipped == []
-    # unsupported op raises
+    # r10: != is a supported one-sided proof (prunes only constant
+    # dirs); a genuinely unsupported op still raises
+    kept, _ = t.prune([("id", "!=", 3)])
+    assert kept  # nothing provably all-equal to 3: everything survives
     with pytest.raises(ValueError):
-        t.prune([("id", "!=", 3)])
+        t.prune([("id", "LIKE", "3%")])
     # stats-less table never prunes
     t2 = TxnTable(str(tmp_path / "t2"))
     t2.write(_df(spark, [(1, "a")]), mode="overwrite")
@@ -466,7 +469,7 @@ def test_optimize_compacts_through_the_log(spark, tmp_path):
     assert t.read(spark).count() == 103
     # the compacted dir re-measured: stats cover the three small rows
     new_dir = next(f for f in m["files"] if f != big_dir)
-    assert m["stats"][new_dir]["id"] == [1000, 1002]
+    assert m["stats"][new_dir]["id"] == [1000, 1002, 0]
     # pre-optimize layout still readable
     assert t.read(spark, 3).count() == 103
     # nothing left to compact under the same threshold
@@ -726,7 +729,9 @@ def test_partitioned_write_records_exact_values_and_prunes(spark, tmp_path):
     # partition value folded into stats as [v, v]; stats col measured
     for rel, vals in snap["parts"].items():
         s = snap["stats"][rel]
-        assert s["seg"] == [vals["seg"], vals["seg"]]
+        assert s["seg"][:2] == [vals["seg"], vals["seg"]]
+        # null count: 0 for a valued partition, the whole leaf for NULL
+        assert s["seg"][2] == (0 if vals["seg"] is not None else snap["rows"][rel])
         assert "id" in s and s["id"][0] <= s["id"][1]
     # the partition column survives in the data (not path-inferred)
     cur = t.read(spark)
@@ -1272,8 +1277,11 @@ def test_read_where_applies_residual_filter(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(80, 85))
     # strictly tighter than the pruned superset
     assert t.read_pruned(spark, preds).count() >= got.count()
+    # r10: != and null checks are first-class (one-sided prune + filter)
+    assert t.read_where(spark, [("id", "!=", 1)]).count() == 99
+    assert t.read_where(spark, [("v", "IS NOT NULL", None)]).count() == 100
     with pytest.raises(ValueError, match="unsupported"):
-        t.read_where(spark, [("id", "!=", 1)])
+        t.read_where(spark, [("id", "LIKE", "1%")])
 
 
 def test_cross_process_commit_race(spark, tmp_path):
@@ -1812,3 +1820,39 @@ def test_table_properties_drive_commit_time_cdc(spark, tmp_path):
     assert t.set_properties({"enableChangeDataFeed": True}) is None  # no-op
     t.set_properties({"enableChangeDataFeed": None})
     assert t.properties() == {}
+
+
+def test_stats_null_counts_prune_is_null(spark, tmp_path):
+    """Stats entries record a NULL COUNT third element (Delta's
+    nullCount) from every producer — API write, partitioned write —
+    so IS NULL prunes directories provably free of nulls, IS NOT NULL
+    still prunes all-null directories, and legacy 2-element entries
+    never prove a null predicate."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("v",))
+    t.write(_df(spark, [(1, "a"), (2, None)]), mode="overwrite")
+    t.write(_df(spark, [(3, "b"), (4, "c")]), mode="append")
+    snap = t.snapshot()
+    assert sorted(s["v"][2] for s in snap["stats"].values()) == [0, 1]
+    kept, skipped = t.prune([("v", "IS NULL", None)])
+    assert (len(kept), len(skipped)) == (1, 1)
+    # legacy 2-element entry: no proof either way
+    assert TxnTable._dir_may_match({"v": ["a", "c"]}, [("v", "IS NULL", None)])
+    assert not TxnTable._dir_may_match(
+        {"v": ["a", "c", 0]}, [("v", "IS NULL", None)]
+    )
+    # partitioned: the NULL partition's leaf records all-null counts
+    t2 = TxnTable(str(tmp_path / "t2"), stats_cols=("x",))
+    t2.write_partitioned(
+        spark.createDataFrame(
+            [(1, "A", 5), (2, None, None), (3, "A", None)],
+            "id long, seg string, x long",
+        ),
+        ("seg",),
+        mode="overwrite",
+    )
+    stats = t2.snapshot()["stats"]
+    by_seg = {s["seg"][0]: s for s in stats.values()}
+    assert by_seg["A"]["seg"][2] == 0 and by_seg["A"]["x"][2] == 1
+    assert by_seg[None]["seg"] == [None, None, 1]
+    k, s = t2.prune([("seg", "IS NULL", None)])
+    assert (len(k), len(s)) == (1, 1)
