@@ -1728,6 +1728,97 @@ def txn_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_null_skipping",
+    # Closed-form over the raw table: the failed-extraction shape — a
+    # doc with no readable text. On pristine data both engines return
+    # zero rows; the hostile perturbed fixture (NULL documents.text)
+    # gates real rows through the same path in pytest.
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE text IS NULL
+    """,
+    tags=("txn", "datasource", "null-stats", "pruning"),
+)
+def txn_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-COUNT DATA SKIPPING: manifest stats record a per-column
+    null count ([lo, hi, nulls] — Delta's nullCount at directory
+    granularity), so ``WHERE text IS NULL`` — the query that finds
+    failed extractions in a 100 TB corpus — skips every directory
+    provably free of nulls BEFORE the scan is planned, straight
+    through ``spark.read.format("txntable").option("where", "text IS
+    NULL")``, composed with column projection so the (possibly huge)
+    text column itself is never read.
+
+    SELF-CHECKS what the oracle can't see: (a) the planner keeps
+    EXACTLY the directories whose recorded null count is non-zero;
+    (b) the result matches an unskipped scan filtered the plain way."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableBatchReader,
+        register_txn_source,
+    )
+
+    import os
+
+    register_txn_source(spark)
+    base = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    work = tempfile.mkdtemp(prefix="ceneton_txn_nulls_")
+    try:
+        table = TxnTable(work, stats_cols=("text",))
+        # two ingest commits (parity split — where NULL-text docs land
+        # is the data's business, not the query's)
+        table.write(base.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+        table.write(base.filter(F.col("doc_id") % 2 == 1), mode="append")
+        result = (
+            spark.read.format("txntable")
+            .option("columns", "doc_id,lang")
+            .option("where", "text IS NULL")
+            .load(work)
+        )
+        # (a) kept == exactly the directories recording nulls > 0
+        snap = table.snapshot()
+        nullful = {
+            d
+            for d, s in snap.get("stats", {}).items()
+            if "text" in s and len(s["text"]) > 2 and s["text"][2] > 0
+        }
+        opts = {
+            "path": work,
+            "columns": "doc_id,lang",
+            "where": "text IS NULL",
+        }
+        planned = {
+            os.path.relpath(os.path.dirname(p.file_path), work)
+            for p in TxnTableBatchReader(result.schema, opts).partitions()
+        }
+        if planned != nullful:
+            raise AssertionError(
+                f"null-count skip is wrong: planned {planned} vs "
+                f"null-bearing {nullful}"
+            )
+        # (b) exactness against the unskipped scan
+        expect = sorted(
+            (r.doc_id, r.lang)
+            for r in table.read(spark)
+            .where("text IS NULL")
+            .select("doc_id", "lang")
+            .collect()
+        )
+        got = sorted((r.doc_id, r.lang) for r in result.collect())
+        if got != expect:
+            raise AssertionError(f"skipped scan diverged: {got} vs {expect}")
+        _record_inner_plan("txn_null_skipping", result)
+        return spark.createDataFrame(got, schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_datasource_write_partitioned",
     # Closed-form: customers outside the dropped segment — equality
     # holds only if the face's partitioned staging recorded EXACT

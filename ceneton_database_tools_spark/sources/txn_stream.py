@@ -343,6 +343,22 @@ class TxnTableStreamReader(DataSourceStreamReader):
         self.ignore_deletes = str(
             options.get("ignoredeletes", "false")
         ).strip().lower() in ("true", "1", "yes")
+        # the `where` load option works on the STREAM face too: rows
+        # filter executor-side over the same AST, and pure-append
+        # commits whose directory stats disprove the predicate are
+        # skipped at planning (the per-commit twin of the batch face's
+        # manifest prune). Filter columns must be in the stream's
+        # declared columns.
+        self.where_ast = None
+        w = options.get("where")
+        if w:
+            self.where_ast = _parse_where_option(w)
+            bad = sorted(_where_columns(self.where_ast) - set(self.columns))
+            if bad:
+                raise ValueError(
+                    f"where option references column(s) {bad} outside "
+                    f"the stream's columns {list(self.columns)}"
+                )
         self.max_versions = int(options.get("maxversionspertrigger", 0) or 0)
         if self.max_versions < 0:
             raise ValueError(
@@ -410,7 +426,21 @@ class TxnTableStreamReader(DataSourceStreamReader):
             commit_version: int = -1,
             dv_mode: str = "drop",
             dv_base: tuple[str, ...] = (),
+            manifest: dict | None = None,
         ) -> None:
+            if self.where_ast is not None and manifest is not None:
+                # one-sided commit-level skipping: a directory whose
+                # recorded stats/blooms disprove the predicate never
+                # plans a task (the row filter re-applies it exactly)
+                stats = manifest.get("stats", {})
+                blooms = manifest.get("blooms", {})
+                rels = [
+                    r
+                    for r in rels
+                    if _ast_may_match(
+                        stats.get(r), blooms.get(r), self.where_ast
+                    )
+                ]
             # deletion vectors (snapshot reads only): a directory with
             # tombstones ships the sidecar paths to its tasks, which
             # merge the dead rows out where the file is read
@@ -468,7 +498,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
             # change_type 'insert' at the snapshot version.
             if hi >= 0:
                 m = _manifest(self.path, hi)
-                add_dirs(sorted(m["files"]), m, "insert", hi)
+                add_dirs(sorted(m["files"]), m, "insert", hi, manifest=m)
             return parts
         if lo == -1:
             # startingversion=0 replay: walk from before the first
@@ -496,7 +526,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
             ):
                 # constraint commits are table POLICY, not data: the
                 # file set is unchanged and the stream just moves past
-                add_dirs(sorted(cur - prev_files), None, "insert", v)
+                add_dirs(sorted(cur - prev_files), None, "insert", v, manifest=m)
             elif self.ignore_deletes and not (cur - prev_files):
                 # delete-only commit (drop_partitions / delete_dv /
                 # full-directory delete): nothing added, nothing to
@@ -512,7 +542,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     "(.option('readchangefeed', 'true'))."
                 )
             else:
-                add_dirs(sorted(cur - prev_files), None, "insert", v)
+                add_dirs(sorted(cur - prev_files), None, "insert", v, manifest=m)
             prev, prev_files = m, cur
         return parts
 
@@ -602,6 +632,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
             partition.dv_mode,
             partition.dv_base,
         ):
+            if self.where_ast is not None:
+                # the `where` option is EXACT on the stream too:
+                # planning skipped provably-irrelevant directories,
+                # the row-level residue applies here (on the data
+                # columns, before any change-feed meta is appended)
+                batch = _where_mask(batch, self.where_ast)
             if self.cdf:
                 n = batch.num_rows
                 if partition.change_type == "@file":

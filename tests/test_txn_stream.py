@@ -1631,3 +1631,114 @@ def test_cross_column_compare_in_where_and_checks(spark, tmp_path):
             "txntable"
         ).mode("append").save(t3.path)
     assert t3.count() == 2
+
+
+def test_stream_face_where_option_filters_and_prunes(spark, tmp_path):
+    """The where option works on the STREAM face: rows filter exactly
+    on executors, pure-append commits whose directory stats disprove
+    the predicate plan ZERO tasks, and an unknown filter column raises
+    at load."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        TxnTableStreamReader,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write(_df(spark, [(i, f"r{i}") for i in range(10)]), mode="overwrite")
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("where", "id >= 100 OR v = 'r3'")
+        .load(t.path)
+    )
+    ck = str(tmp_path / "ck")
+    got: list = []
+    _drain(sdf, ck, lambda b, _: got.extend((r.id,) for r in b.collect()))
+    assert sorted(got) == [(3,)]
+    # two more commits: one provably below the predicate, one matching
+    t.write(_df(spark, [(50, "x"), (60, "y")]), mode="append")   # disproven
+    t.write(_df(spark, [(100, "hit"), (101, "hit2")]), mode="append")
+    got2: list = []
+    _drain(sdf, ck, lambda b, _: got2.extend((r.id,) for r in b.collect()))
+    assert sorted(got2) == [(100,), (101,)]
+    # planner-level proof: the disproven commit plans zero partitions
+    reader = TxnTableStreamReader(
+        spark.read.format("txntable").load(t.path).schema,
+        {"path": t.path, "where": "id >= 100"},
+    )
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    assert len(parts) > 0
+    lows = reader.partitions({"version": 0}, {"version": 1})
+    assert lows == []  # v1's stats range [50, 60] disproves id >= 100
+    with pytest.raises(Exception, match="outside"):
+        TxnTableStreamReader(
+            spark.read.format("txntable").load(t.path).schema,
+            {"path": t.path, "where": "ghost = 1"},
+        )
+
+
+def test_cdf_stream_composes_with_columns_projection(spark, tmp_path):
+    """columns + readchangefeed: the projection applies to the DATA
+    columns and the change-meta pair rides after it."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    t.delete_dv(spark, "id = 1")
+    sdf = (
+        spark.readStream.format("txntable")
+        .option("readchangefeed", "true")
+        .option("columns", "id")
+        .option("startingversion", "0")
+        .load(t.path)
+    )
+    assert sdf.columns == ["id", "change_type", "commit_version"]
+    got: list = []
+    _drain(
+        sdf,
+        str(tmp_path / "ck"),
+        lambda b, _: got.extend(tuple(r) for r in b.collect()),
+    )
+    assert sorted(got) == [
+        (1, "delete", 1),
+        (1, "insert", 0),
+        (2, "insert", 0),
+    ]
+
+
+def test_vacuum_and_optimize_on_face_partitioned_layout(spark, tmp_path):
+    """Maintenance ops compose with FACE-written partitioned layouts:
+    drop_partitions + vacuum reclaims the dead leaf while its live
+    sibling (same staged root) survives; optimize preserves the spec
+    and repairs per-tuple layout."""
+    register_txn_source(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, ["A", "B"][i % 2]) for i in range(10)], "id long, seg string"
+    ).write.format("txntable").option("partitionby", "seg").mode(
+        "overwrite"
+    ).save(p)
+    t = TxnTable(p)
+    dead = [d for d in t.snapshot()["files"] if "seg=B" in d]
+    assert len(dead) == 1
+    t.drop_partitions([("seg", "=", "B")])
+    t.truncate_log(retain_versions=1)
+    removed = t.vacuum(retain_versions=1, retain_hours=0)
+    assert any(r.startswith(dead[0]) or r == dead[0] for r in removed), removed
+    live = [d for d in t.snapshot()["files"] if "seg=A" in d]
+    assert live and all(
+        os.path.isdir(os.path.join(p, d)) for d in live
+    ), "live sibling leaf was reclaimed"
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 2, 4, 6, 8]
+    # a second face append fragments seg=A; optimize re-compacts per
+    # tuple and keeps the spec + exact values
+    spark.createDataFrame(
+        [(100, "A")], "id long, seg string"
+    ).write.format("txntable").option("partitionby", "seg").mode(
+        "append"
+    ).save(p)
+    v = t.optimize(spark)
+    assert v is not None
+    assert t.partition_spec() == ("seg",)
+    snap = t.snapshot()
+    assert all(v2 == {"seg": "A"} for v2 in snap["parts"].values())
+    assert t.count() == 6
+    assert t.drop_partitions([("seg", "=", "A")]) is not None  # proof held
