@@ -1940,6 +1940,77 @@ def sql_surface_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_SURFACE.format(orders="orders", customer="customer"))
 
 
+_SQL_EXISTS = """
+SELECT c.c_custkey, c.c_name
+FROM {customer} c
+WHERE EXISTS (
+    SELECT 1 FROM {orders} o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+)
+AND NOT EXISTS (
+    SELECT 1 FROM {orders} o2
+    WHERE o2.o_custkey = c.c_custkey
+      AND o2.o_orderstatus = 'F'
+)
+"""
+
+
+@register(
+    "sql_exists_correlated",
+    oracle=_SQL_EXISTS.format(orders="orders", customer="customer"),
+    tags=("sql", "subquery", "exists"),
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries as one ``spark.sql``
+    text (same string runs on DuckDB): Catalyst decorrelates them into
+    a LEFT SEMI and a LEFT ANTI join — the plan the hand-built
+    ``join_semi``/``join_anti`` entries pin — so the declarative
+    subquery spelling costs exactly the joins it means. At 100 TB both
+    sides shuffle on the correlation key once; AQE broadcasts a small
+    filtered inner side."""
+    from ceneton_database_tools_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_SQL_EXISTS.format(orders="orders", customer="customer"))
+
+
+_SQL_LATERAL = """
+SELECT s.c_mktsegment,
+       t.o_orderkey,
+       CAST(round(CAST(t.o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+           AS price
+FROM (SELECT DISTINCT c_mktsegment FROM {customer}) s,
+LATERAL (
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM {orders} o
+    JOIN {customer} c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = s.c_mktsegment
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 2
+) t
+"""
+
+
+@register(
+    "sql_lateral_topk",
+    oracle=_SQL_LATERAL.format(orders="orders", customer="customer"),
+    tags=("sql", "lateral", "topk"),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A correlated LATERAL derived table with ORDER BY + LIMIT — the
+    per-group top-k spelling SQL users reach for — as one
+    ``spark.sql`` text that runs verbatim on DuckDB. Catalyst
+    decorrelates the lateral into a ranked window under the hood, so
+    the declarative form plans like the explicit
+    ``window_rank``-style top-k; ties break on the unique order key
+    (the repo-wide determinism rule)."""
+    from ceneton_database_tools_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_SQL_LATERAL.format(orders="orders", customer="customer"))
+
+
 # ---------------------------------------------------------------------------
 # Observed metrics (A6: count/progress scan, engine-native form)
 # ---------------------------------------------------------------------------
