@@ -140,11 +140,17 @@ def register_txn_table(
     register_txn_source(spark)
     kind = "GLOBAL TEMPORARY" if global_view else "TEMPORARY"
     opts = {"path": path, **options}
+
+    def _ident(s: str) -> str:
+        # backticks inside a backtick-quoted identifier are escaped by
+        # doubling, same as the option-value quote escaping below
+        return "`" + str(s).replace("`", "``") + "`"
+
     rendered = ", ".join(
-        f"`{k}` '{str(v).replace(chr(39), chr(39) * 2)}'"
+        f"{_ident(k)} '{str(v).replace(chr(39), chr(39) * 2)}'"
         for k, v in opts.items()
     )
     spark.sql(
-        f"CREATE OR REPLACE {kind} VIEW `{name}` "
+        f"CREATE OR REPLACE {kind} VIEW {_ident(name)} "
         f"USING txntable OPTIONS ({rendered})"
     )

@@ -951,6 +951,128 @@ def txn_constraints_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_constraint_functions",
+    # Final snapshot in closed form: the base load plus ONLY the valid
+    # face-written batch (top-50 keys, shifted +1000000, lowercased
+    # names) — the function-violating face batch must commit nothing.
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, lower(c_name) AS c_name
+    FROM (
+      SELECT c_custkey, c_name FROM customer
+      ORDER BY c_custkey DESC LIMIT 50
+    )
+    """,
+    tags=("txn", "constraints", "datasource-write", "acid"),
+)
+def txn_constraint_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTION-BEARING CHECK constraints on the DataSource WRITE FACE:
+    ``add_constraint("len_ok", "length(c_name) <= 25")``-style policies
+    (beyond the face's kleene-mask grammar) validate on executor tasks
+    through ``df.write.format("txntable")`` via the embedded ANSI
+    evaluator — per Arrow batch, before anything stages — instead of
+    refusing the write. ``customer`` lands as v0, the length policy
+    commits as v1, a conforming face batch appends as v2, and a face
+    batch with one 99-char name must raise ``ConstraintViolation`` and
+    commit NOTHING. The oracle states the final snapshot in closed
+    form, gating both that the valid batch fully landed and that the
+    rejected one left no trace.
+
+    SELF-CHECKS beyond the oracle: (a) the violating face write raises
+    and leaves the version at v2 with an empty ``tmpstream/`` (no
+    orphaned task files); (b) the stored policy is genuinely outside
+    the where-option grammar (the fallback path, not the kleene path,
+    is what this query exercises); (c) NULL-name rows pass the CHECK
+    on the face (SQL three-valued semantics).
+
+    Scale: validation is one embedded-engine aggregation per task
+    batch, streamed — no second scan of the written data, no driver
+    round-trip, same shape at 1000 executors."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import (
+        ConstraintViolation,
+        TxnTable,
+    )
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        _parse_where_option,
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    valid = (
+        base.orderBy(F.col("c_custkey").desc())
+        .limit(50)
+        .select(
+            (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+            F.lower("c_name").alias("c_name"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_fncons_")
+    try:
+        table = TxnTable(work)
+        v0 = table.write(base, mode="overwrite")
+        policy = "length(c_name) <= 25"
+        v1 = table.add_constraint(spark, "len_ok", policy)
+        if (v0, v1) != (0, 1):
+            raise AssertionError(f"unexpected versions {(v0, v1)}")
+        # (b) the policy is beyond the grammar — the ANSI fallback is
+        # what validates it on the face's tasks
+        try:
+            _parse_where_option(policy)
+            raise AssertionError("policy unexpectedly grammar-parsable")
+        except ValueError:
+            pass
+        # conforming face batch (incl. a NULL name — passes CHECK)
+        with_null = valid.unionByName(
+            spark.createDataFrame(
+                [(9999999, None)], "c_custkey bigint, c_name string"
+            )
+        )
+        with_null.where("c_name IS NOT NULL").write.format("txntable").mode(
+            "append"
+        ).option("path", work).save()
+        # (c) NULL passes: a one-row NULL-name batch is accepted...
+        with_null.where("c_name IS NULL").write.format("txntable").mode(
+            "append"
+        ).option("path", work).save()
+        # ...then removed again so the oracle stays closed-form
+        table.delete(spark, "c_name IS NULL")
+        v_now = table.latest_version()
+        # (a) a face batch with one over-long name commits NOTHING
+        bad = valid.limit(1).withColumn(
+            "c_name", F.rpad(F.col("c_name"), 99, "x")
+        )
+        try:
+            bad.write.format("txntable").mode("append").option(
+                "path", work
+            ).save()
+            raise AssertionError("violating face write did not raise")
+        except Exception as e:
+            if "len_ok" not in str(e):
+                raise
+        if table.latest_version() != v_now:
+            raise AssertionError("rejected face batch advanced the version")
+        tmp = os.path.join(work, "tmpstream")
+        if os.path.isdir(tmp) and os.listdir(tmp):
+            raise AssertionError("rejected face batch leaked task files")
+        if ConstraintViolation("x") and table.constraints() != {
+            "len_ok": policy
+        }:
+            raise AssertionError("policy lost")
+        result = table.read(spark).select("c_custkey", "c_name")
+        _record_inner_plan("txn_constraint_functions", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_bloom_point_lookup",
     # Closed-form point lookup: whatever directories the bloom pruned,
     # the surviving scan must return exactly the probed row. The probe

@@ -731,7 +731,7 @@ def _parse_where_option(text: str):
             kind = lex.upper()
         toks.append((kind, lex))
         pos = m.end()
-    if pos != len(text) or text[pos:].strip():
+    if text[pos:].strip():
         raise ValueError(
             f"cannot lex txntable where option at {text[pos:]!r}: "
             + grammar_err
@@ -847,7 +847,16 @@ def _where_kleene_mask(batch, node):
         return mask
     if kind == "in":
         col, values = node[1]
-        return pc.is_in(batch.column(col), value_set=pa.array(list(values)))
+        # pc.is_in yields non-null FALSE for null inputs; SQL IN yields
+        # NULL. Restore null-ness so CHECK validation (only FALSE
+        # violates) matches TxnTable._validate_constraints; the WHERE
+        # row filter is unaffected (NULL and FALSE both drop the row).
+        arr = batch.column(col)
+        return pc.if_else(
+            pc.is_valid(arr),
+            pc.is_in(arr, value_set=pa.array(list(values))),
+            pa.scalar(None, pa.bool_()),
+        )
     ops2 = {
         "=": pc.equal,
         "<": pc.less,
@@ -946,13 +955,36 @@ def _where_mask(batch, node):
     return batch.filter(_where_kleene_mask(batch, node))
 
 
+def _sql_check_count(batch, expr: str) -> int:
+    """Rows of ``batch`` that VIOLATE an arbitrary ANSI-SQL CHECK
+    expression, evaluated by the embedded DuckDB engine (a hard
+    container dependency, and the same engine the repo's oracle gate
+    trusts) — the executor-side fallback for function-bearing
+    constraints (``length(c_name) <= 25``) the Arrow kleene grammar
+    can't express. Same CHECK rule: only exactly-FALSE violates."""
+    import duckdb
+    import pyarrow as pa
+
+    _check_input = pa.Table.from_batches([batch])  # noqa: F841
+    return int(
+        duckdb.sql(
+            "SELECT count(*) FROM _check_input "
+            f"WHERE NOT coalesce(({expr}), TRUE)"
+        ).fetchone()[0]
+    )
+
+
 def _count_check_violations(batch, node) -> int:
-    """Rows of ``batch`` that VIOLATE the conjunction under SQL CHECK
+    """Rows of ``batch`` that VIOLATE the constraint under SQL CHECK
     semantics: only an exactly-FALSE result violates (TRUE and NULL
     both pass) — the same rule TxnTable._validate_constraints applies
-    JVM-side."""
+    JVM-side. Grammar-parsed constraints evaluate as Arrow kleene
+    masks; ``("sql", expr)`` nodes (function-bearing constraints)
+    evaluate through :func:`_sql_check_count`."""
     import pyarrow.compute as pc
 
+    if node[0] == "sql":
+        return _sql_check_count(batch, node[1])
     mask = _where_kleene_mask(batch, node)
     is_false = pc.and_kleene(pc.is_valid(mask), pc.invert(mask))
     n = pc.sum(is_false).as_py()
@@ -1304,15 +1336,31 @@ class _BloomAcc:
         return {c: bm.tobytes() for c, bm in self.bm.items()}
 
 
+def _zero_row_batch(schema: SqlT.StructType):
+    """A zero-row Arrow RecordBatch with the written schema — the
+    compile target for function-bearing CHECK constraints."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow = to_arrow_schema(schema)
+    return pa.RecordBatch.from_arrays(
+        [pa.nulls(0, type=f.type) for f in arrow], schema=arrow
+    )
+
+
 def _parse_table_checks(path: str, schema: SqlT.StructType) -> dict:
-    """``{(name, expr): (preds, in_preds)}`` for every CHECK constraint
-    of the table's latest snapshot, parsed into the where-option
-    grammar so WRITE-FACE tasks can validate incoming batches in Arrow
-    (SQL CHECK semantics: only FALSE violates). A constraint outside
-    the grammar — or referencing a column the written schema lacks —
-    raises here, at writer construction, with the Python API named as
-    the fallback; the staged-commit hooks still refuse any constraint
-    that appears AFTER this snapshot was read (race-safe: only
+    """``{(name, expr): node}`` for every CHECK constraint of the
+    table's latest snapshot so WRITE-FACE tasks validate incoming
+    batches executor-side (SQL CHECK semantics: only FALSE violates).
+    Grammar-expressible constraints parse into the where-option AST and
+    evaluate as Arrow kleene masks; FUNCTION-BEARING constraints
+    (``length(c_name) <= 25``-style, beyond the grammar) fall back to
+    ``("sql", expr)`` nodes evaluated per batch by the embedded ANSI
+    engine (:func:`_sql_check_count`) — compile-checked HERE, at writer
+    construction, against a zero-row table of the written schema, so a
+    misspelled column or unsupported function refuses loudly before any
+    task runs. The staged-commit hooks still refuse any constraint that
+    appears AFTER this snapshot was read (race-safe: only
     task-validated policies commit)."""
     latest = _latest_version(path)
     if latest is None:
@@ -1324,12 +1372,19 @@ def _parse_table_checks(path: str, schema: SqlT.StructType) -> dict:
         try:
             node = _parse_where_option(expr)
         except ValueError:
-            raise ValueError(
-                f"CHECK constraint {name!r} ({expr}) is outside the "
-                "face-validatable grammar (comparisons / IN / IS [NOT] "
-                "NULL with AND / OR / parentheses) — write through "
-                "TxnTable.write, which validates with a Spark job"
-            ) from None
+            # beyond the grammar: accept iff the embedded engine can
+            # bind it against the written schema (zero-row compile)
+            try:
+                _sql_check_count(_zero_row_batch(schema), expr)
+            except Exception as e:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) is outside the "
+                    "face-validatable grammar AND the embedded ANSI "
+                    f"evaluator refuses it ({e}) — write through "
+                    "TxnTable.write, which validates with a Spark job"
+                ) from None
+            out[(name, expr)] = ("sql", expr)
+            continue
         missing = sorted(_where_columns(node) - names)
         if missing:
             raise ValueError(
@@ -1768,10 +1823,11 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
     (+ ``bloombits``/``bloomk``) folds per-directory bloom bitmaps on
     executors, bit-compatible with the Python API's builder, so
     point-lookup skipping covers face-written commits too. Row counts
-    ride the task messages (zero driver-side footer walks);
-    constraint-bearing tables are refused by the staged-commit hooks
-    with the reason spelled out (validating a batch needs a Spark
-    job)."""
+    ride the task messages (zero driver-side footer walks). CHECK
+    constraints validate executor-side per Arrow batch — kleene masks
+    for the grammar subset, the embedded ANSI evaluator for
+    function-bearing expressions — so constraint-bearing tables are
+    fully writable through the face."""
 
     def __init__(self, schema: SqlT.StructType, options: dict, overwrite: bool):
         self.path = _path_option(options)
@@ -1805,8 +1861,9 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             in ("true", "1", "yes")
             else None
         )
-        # CHECK constraints validate ON EXECUTORS, per Arrow batch, for
-        # the grammar-expressible subset (loud refusal otherwise) — so
+        # CHECK constraints validate ON EXECUTORS, per Arrow batch —
+        # kleene masks for the grammar subset, the embedded ANSI
+        # evaluator for function-bearing expressions — so
         # constraint-bearing tables are writable through the face
         self.checks = _parse_table_checks(self.path, schema)
         self.schema_json = schema.jsonValue()

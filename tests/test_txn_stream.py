@@ -758,12 +758,31 @@ def test_write_face_validates_constraints_on_executors(spark, tmp_path):
         _df(spark, [(5, "b")]).write.format("txntable").mode("append").save(
             t2.path
         )
-    # outside the grammar: refused at construction, Python API named
+    # FUNCTION-BEARING constraint (beyond the kleene grammar):
+    # validates executor-side through the embedded ANSI evaluator —
+    # valid batches commit, violations raise, NULL still passes
     t2.add_constraint(spark, "weird", "length(v) < 10")
-    with pytest.raises(Exception, match="face-validatable"):
+    # (501, NULL): v_set IN-check is NULL for NULL input (passes),
+    # weird is NULL (passes) — SQL CHECK three-valued semantics on
+    # the face, matching TxnTable._validate_constraints
+    _df(spark, [(500, "a"), (501, None)]).write.format("txntable").mode(
+        "append"
+    ).save(t2.path)
+    v2_before = t2.latest_version()
+    with pytest.raises(Exception, match="weird"):
+        _df(spark, [(600, "a" * 99)]).write.format("txntable").mode(
+            "append"
+        ).save(t2.path)
+    assert t2.latest_version() == v2_before
+    assert os.listdir(os.path.join(t2.path, "tmpstream")) == []
+    # beyond BOTH paths (function the embedded evaluator lacks):
+    # refused at writer construction, Python API named
+    t2.add_constraint(spark, "hashed", "crc32(v) >= 0 OR v IS NULL")
+    with pytest.raises(Exception, match="TxnTable.write"):
         _df(spark, [(999, "a")]).write.format("txntable").mode(
             "append"
         ).save(t2.path)
+    t2.drop_constraint("hashed")
     t3 = TxnTable(str(tmp_path / "t3"))
     rows = [(i, ["A", "B"][i % 2], f"r{i}") for i in range(4)]
     pdf = spark.createDataFrame(rows, "id long, seg string, v string")
@@ -1479,6 +1498,80 @@ def test_stream_sink_validates_constraints(spark, tmp_path):
         q.awaitTermination()
     q.stop()
     assert sink.latest_version() == 1 and sink.count() == 1
+
+
+def test_stream_sink_validates_function_constraints(spark, tmp_path):
+    """FUNCTION-BEARING CHECKs (beyond the kleene grammar) validate on
+    the streaming sink's tasks through the embedded ANSI evaluator: a
+    conforming micro-batch commits, a violating one fails the query
+    and commits nothing."""
+    register_txn_source(spark)
+    src = TxnTable(str(tmp_path / "src"))
+    src.write(_df(spark, [(1, "ok"), (2, None)]), mode="overwrite")
+    sink = TxnTable(str(tmp_path / "sink"))
+    sink.write(_df(spark, [(10, "seed")]), mode="overwrite")
+    sink.add_constraint(spark, "short_v", "length(v) <= 4")
+    sdf = spark.readStream.format("txntable").load(src.path)
+    q = (
+        sdf.writeStream.format("txntable")
+        .option("path", sink.path)
+        .option("txnappid", "fnchk-q")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sink.count() == 3  # NULL passes CHECK
+    src.write(_df(spark, [(3, "waytoolong")]), mode="append")
+    q2 = (
+        sdf.writeStream.format("txntable")
+        .option("path", sink.path)
+        .option("txnappid", "fnchk-q")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="short_v"):
+        q2.awaitTermination()
+    q2.stop()
+    assert sink.count() == 3
+
+
+def test_where_option_lexes_surrounding_whitespace(spark, tmp_path):
+    """A where option (or stored CHECK expression reaching the face)
+    with leading/trailing whitespace lexes cleanly — only a non-
+    whitespace unlexable remainder is loud."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    got = (
+        spark.read.format("txntable")
+        .option("where", "  id = 1  ")
+        .load(t.path)
+    )
+    assert got.count() == 1
+    t.add_constraint(spark, "pos", " id >= 0 ")  # stored with padding
+    _df(spark, [(3, "c")]).write.format("txntable").mode("append").save(
+        t.path
+    )
+    assert t.count() == 3
+    with pytest.raises(Exception, match="cannot lex"):
+        spark.read.format("txntable").option("where", "id = 1 ~").load(
+            t.path
+        ).count()
+
+
+def test_register_txn_table_escapes_backticks(spark, tmp_path):
+    """A view name containing a backtick cannot break out of the
+    quoted identifier in register_txn_table's CREATE VIEW."""
+    from ceneton_database_tools_spark.catalog import register_txn_table
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    name = "odd`name"
+    register_txn_table(spark, name, t.path)
+    assert spark.sql(f"SELECT * FROM `odd``name`").count() == 1
+    spark.catalog.dropTempView(name)
 
 
 def test_ignoredeletes_skips_delete_only_commits(spark, tmp_path):
