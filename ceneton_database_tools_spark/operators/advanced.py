@@ -1457,6 +1457,123 @@ def txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_column_mapping",
+    # Closed-form statement of the final snapshot: every customer once,
+    # the balance column under its POST-RENAME name — evens were written
+    # before the rename (physical name `bal`), odds after (physical
+    # `balance`), and the read unifies both epochs.
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS balance
+    FROM customer
+    """,
+    tags=("txn", "column-mapping", "schema-evolution", "acid"),
+)
+def txn_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING SCHEMA EVOLUTION through the txn log — Delta's
+    rename/drop column-mapping mode at this layer's directory
+    granularity: v0 lands the even customers with the balance column
+    named ``bal``; ``rename_column("bal", "balance")`` commits v1 as a
+    PURE-MANIFEST rename (zero bytes rewritten — the manifest records
+    the name history ``{balance: [balance, bal]}``); v2 appends the odd
+    customers under the new name. The latest read serves BOTH epochs
+    under ``balance`` (per-directory name-history coalesce, a codegen'd
+    projection on the scan — `sinks/txnlog.py` ``_read_dirs``), which
+    the oracle states in closed form.
+
+    SELF-CHECKS what the oracle can't see: (a) the rename commit is
+    metadata-only (identical file list); (b) time travel to v0 still
+    reads under the OLD name; (c) an append that resurrects the retired
+    name fails loudly and commits nothing; (d) the change feed across
+    the rename emits the v2 rows under the new name and nothing for the
+    rename commit itself; (e) ``drop_column`` then ``restore`` round-
+    trips the schema state as pure-metadata commits; (f) the DataSource
+    read face resolves the mapping identically (Arrow-side per-file
+    name resolution, `sources/txn_stream.py` ``_emit_file_batches``).
+
+    Scale shape: a rename/drop on a 100 TB table moves ZERO data —
+    exactly Delta's column-mapping contract; reads add one coalesce per
+    renamed column inside the scan-stage projection (whole-stage
+    codegen, no shuffle, no Python)."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import SchemaMismatch, TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+
+    raw = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)"),
+    )
+    evens = raw.filter(F.col("c_custkey") % 2 == 0).toDF(
+        "c_custkey", "c_name", "bal"
+    )
+    odds = raw.filter(F.col("c_custkey") % 2 == 1).toDF(
+        "c_custkey", "c_name", "balance"
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_colmap_")
+    try:
+        table = TxnTable(work)
+        table.write(evens, mode="overwrite")  # v0, physical name `bal`
+        files_v0 = table.snapshot(0)["files"]
+        v1 = table.rename_column("bal", "balance")
+        # (a) pure-manifest rename: same directories, zero data moved
+        if v1 != 1 or table.snapshot(1)["files"] != files_v0:
+            raise AssertionError("rename touched data directories")
+        table.write(odds)  # v2, physical name `balance`
+        # (b) pre-rename snapshot keeps its own name under time travel
+        if table.read(spark, 0).columns != ["c_custkey", "c_name", "bal"]:
+            raise AssertionError("v0 lost its pre-rename column name")
+        # (c) resurrecting the retired physical name is refused
+        try:
+            table.write(
+                odds.withColumn("bal", F.lit(1.0)), merge_schema=True
+            )
+            raise AssertionError("retired-name re-add did not raise")
+        except SchemaMismatch:
+            pass
+        if table.latest_version() != 2:
+            raise AssertionError("refused evolution committed a version")
+        # (d) CDF across the rename: only v2's inserts, under `balance`
+        feed = table.changes(spark, "c_custkey", 0)
+        n_odds = odds.count()
+        ins = feed.where("change_type = 'insert'")
+        if feed.count() != n_odds or ins.count() != n_odds:
+            raise AssertionError("change feed misread the rename ladder")
+        if "balance" not in ins.columns:
+            raise AssertionError("change feed kept the pre-rename name")
+        # (e) drop + restore round-trip as pure-metadata commits
+        v3 = table.drop_column("balance")
+        if table.read(spark).columns != ["c_custkey", "c_name"]:
+            raise AssertionError("drop_column still projects the column")
+        if table.snapshot(v3)["files"] != table.snapshot(2)["files"]:
+            raise AssertionError("drop_column touched data directories")
+        v4 = table.restore(2)
+        if (v3, v4) != (3, 4):
+            raise AssertionError(f"unexpected versions {(v3, v4)}")
+        result = table.read(spark)
+        rows = result.collect()
+        # (f) the DataSource face resolves the mapping identically
+        register_txn_source(spark)
+        face_n = (
+            spark.read.format("txntable").option("path", work).load().count()
+        )
+        if face_n != len(rows):
+            raise AssertionError(
+                f"face read {face_n} rows, Python API {len(rows)}"
+            )
+        _record_inner_plan("txn_column_mapping", result)
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_delete_dv",
     # Closed-form survivor set: equality holds only if the tombstones
     # hit exactly the predicate's rows and reads merge them out.

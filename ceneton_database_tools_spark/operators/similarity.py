@@ -339,13 +339,13 @@ def _kmeans_ctes() -> str:
     return ",\n    ".join(ctes)
 
 
-def _ivf_ctes() -> str:
-    """Everything up to the IVF result set: trained centroids, inverted
-    lists, probed lists, candidates, and ``ivf(query_id, neighbor_id,
-    rank, cos)``."""
+def _ivf_common_ctes() -> str:
+    """Shared IVF CTE prefix: trained centroids, inverted lists,
+    query set, and every query's centroid ranking (``probed`` carries
+    the FULL ranking ``prn`` — each nprobe setting is just a different
+    cut of it)."""
     dot_cv = T.dot_chain("c.cv", "e.v", EMB_DIM, one_based=True)
     dot_qc = T.dot_chain("q.v", "c.cv", EMB_DIM, one_based=True)
-    dot_qe = T.dot_chain("qv", "v", EMB_DIM, one_based=True)
     return f"""{_kmeans_ctes()},
     assigned AS MATERIALIZED (
       SELECT e.vec_id, e.v, e.nrm, c.cid,
@@ -362,24 +362,38 @@ def _ivf_ctes() -> str:
                PARTITION BY q.query_id
                ORDER BY {_cos_vs_centroid(dot_qc, "q.nrm", "c.cnrm")} DESC, c.cid) AS prn
       FROM queries q CROSS JOIN cents c
-    ),
-    cand AS MATERIALIZED (
+    )"""
+
+
+def _ivf_rank_ctes(nprobe: int, suffix: str = "") -> str:
+    """Per-nprobe candidate + top-k CTEs (``cand{suffix}`` /
+    ``ivf{suffix}``) over the shared prefix."""
+    dot_qe = T.dot_chain("qv", "v", EMB_DIM, one_based=True)
+    return f"""cand{suffix} AS MATERIALIZED (
       SELECT p.query_id, p.v AS qv, p.nrm AS qnrm, e.vec_id AS neighbor_id,
              e.v, e.nrm
       FROM probed p JOIN lists e ON e.cid = p.cid
-      WHERE p.prn <= {IVF_NPROBE} AND e.vec_id <> p.query_id
+      WHERE p.prn <= {nprobe} AND e.vec_id <> p.query_id
     ),
-    ivf AS MATERIALIZED (
+    ivf{suffix} AS MATERIALIZED (
       SELECT query_id, neighbor_id,
              CAST(row_number() OVER (
                PARTITION BY query_id
                ORDER BY ({dot_qe}) / (qnrm * nrm) DESC, neighbor_id) AS BIGINT) AS rank,
              ({dot_qe}) / (qnrm * nrm) AS cos
-      FROM cand
+      FROM cand{suffix}
       QUALIFY row_number() OVER (
         PARTITION BY query_id
         ORDER BY ({dot_qe}) / (qnrm * nrm) DESC, neighbor_id) <= {IVF_TOP_K}
     )"""
+
+
+def _ivf_ctes() -> str:
+    """Everything up to the IVF result set: trained centroids, inverted
+    lists, probed lists, candidates, and ``ivf(query_id, neighbor_id,
+    rank, cos)`` at the default ``IVF_NPROBE``."""
+    return f"""{_ivf_common_ctes()},
+    {_ivf_rank_ctes(IVF_NPROBE)}"""
 
 
 def _ivf_oracle() -> str:
@@ -411,7 +425,16 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of all of it. At 100 TB the lists are the partitioning key
     of the stored index."""
     base = _base(spark, sf_dir)
-    centroids = _ivf_centroids(base)
+    return _ivf_topk(base, _ivf_centroids(base), IVF_NPROBE)
+
+
+def _ivf_topk(base: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """The IVF probe/rank core over an already-trained centroid table,
+    with the probe width a PARAMETER — the recall/latency knob every
+    production IVF index exposes (FAISS's ``nprobe``). Callers sweeping
+    several settings train once and reuse ``centroids`` (a broadcast
+    local relation), so the sweep costs only the bounded candidate
+    joins, never re-training."""
     cos_ce = F.expr(
         _cos_vs_centroid(
             T.dot_chain("cv", "v", EMB_DIM, one_based=False), "nrm", "cnrm"
@@ -436,7 +459,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("qcos", cos_qc)
         .withColumn("prn", F.row_number().over(w_probe))
-        .filter(F.col("prn") <= IVF_NPROBE)
+        .filter(F.col("prn") <= nprobe)
         .select("query_id", "qv", "qnrm", "cid")
     )
     return _score_rank(lists.join(F.broadcast(probed), "cid"), IVF_TOP_K)
@@ -500,3 +523,88 @@ def similarity_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# The documented recall/latency trade-off curve: probe widths swept by
+# similarity_ivf_recall_curve. nprobe == nlist is exhaustive (recall
+# 1.0 by construction) — kept in the sweep as the self-calibrating
+# upper anchor.
+IVF_NPROBE_SWEEP = (1, 2, 4, IVF_NLIST)
+
+
+def _ivf_recall_curve_oracle() -> str:
+    branches = ",\n".join(
+        _ivf_rank_ctes(np_, suffix=f"_{np_}") for np_ in IVF_NPROBE_SWEEP
+    )
+    dot = T.dot_chain("q.v", "c.v", EMB_DIM, one_based=True)
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+           CAST({IVF_TOP_K} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT)    AS hits,
+           CAST({T.quantize(f"CAST(count(*) AS DOUBLE) / ({IVF_N_QUERIES} * {IVF_TOP_K})", 4)} AS DOUBLE) AS recall_at_k
+    FROM exact e JOIN ivf_{np_} i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id"""
+        for np_ in IVF_NPROBE_SWEEP
+    )
+    return f"""
+    WITH base AS MATERIALIZED ({_DUCK_BASE}),
+    {_ivf_common_ctes()},
+    {branches},
+    exact AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM base q JOIN base c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {IVF_N_QUERIES}
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ({dot}) / (q.nrm * c.nrm) DESC, c.vec_id) <= {IVF_TOP_K}
+    )
+    {selects}
+    """
+
+
+@register(
+    "similarity_ivf_recall_curve",
+    oracle=_ivf_recall_curve_oracle(),
+    tags=("similarity", "ann", "ivf", "recall", "llm-pipeline"),
+)
+def similarity_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k AS A FUNCTION OF nprobe — the trade-off curve a
+    production ANN deployment tunes against (FAISS's nprobe sweep),
+    one row per probe width in ``IVF_NPROBE_SWEEP``. The index trains
+    ONCE (:func:`_ivf_centroids` materializes the centroid table, a
+    broadcast local relation); each sweep point is just a different cut
+    of the query→centroid ranking, so the whole curve costs four
+    bounded candidate joins over the same inverted lists. The exhaustive
+    anchor (nprobe == nlist) must report recall 1.0 — self-calibration
+    the oracle also checks — and recall is monotone in nprobe by
+    construction (wider probes only ADD candidates).
+
+    Scale shape: ground truth is sampled over the bounded query set
+    (the standard production recall probe); everything else reuses the
+    similarity_ann_ivf plan shape — broadcast centroids, list-id
+    equi-join, no all-pairs anywhere."""
+    base = _base(spark, sf_dir)
+    centroids = _ivf_centroids(base)
+    exact = _score_rank(
+        base.crossJoin(F.broadcast(_query_set(base, IVF_N_QUERIES))),
+        IVF_TOP_K,
+        with_cosine=False,
+    ).select("query_id", "neighbor_id")
+    out = None
+    for np_ in IVF_NPROBE_SWEEP:
+        ivf = _ivf_topk(base, centroids, np_).select("query_id", "neighbor_id")
+        row = (
+            exact.join(ivf, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.lit(IVF_TOP_K).cast("long").alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+                T.quantize_col(
+                    F.col("hits").cast("double") / (IVF_N_QUERIES * IVF_TOP_K),
+                    4,
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

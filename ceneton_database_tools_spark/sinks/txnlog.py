@@ -83,9 +83,57 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+# manifest keys that scale with the DIRECTORY COUNT — exactly the
+# state a checkpointed manifest moves into its parquet sidecar
+_CKPT_DIR_KEYS = ("rows", "dv_rows", "stats", "blooms", "parts")
+
+
+def load_manifest(log_dir: str, version: int) -> dict:
+    """Read one committed manifest, reconstructing per-directory state
+    from its parquet CHECKPOINT when the commit wrote one (see
+    :meth:`TxnTable._write_checkpoint`). Small manifests are plain
+    JSON; past ``checkpoint_at`` directories the JSON holds only the
+    O(1) table-level keys plus a ``files_checkpoint`` pointer, and the
+    directory table lives in a columnar sidecar — so a million-entry
+    manifest is a single parquet scan (or a Spark DataFrame via
+    :meth:`TxnTable.manifest_df`), never a giant JSON parse."""
+    with open(os.path.join(log_dir, f"{version:011d}.json")) as f:
+        m = json.load(f)
+    cp = m.pop("files_checkpoint", None)
+    if cp is None:
+        return m
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(log_dir, cp))
+    cols = {
+        name: t.column(name).to_pylist() for name in t.schema.names
+    }
+    files: list[str] = cols["dir"]
+    m["files"] = files
+    for key in _CKPT_DIR_KEYS:
+        if key not in cols:
+            continue
+        if key in ("rows", "dv_rows"):
+            out = {
+                d: int(v)
+                for d, v in zip(files, cols[key])
+                if v is not None
+            }
+        else:
+            out = {
+                d: json.loads(v)
+                for d, v in zip(files, cols[key])
+                if v is not None
+            }
+        if out:
+            m[key] = out
+    return m
 
 
 class CommitConflict(RuntimeError):
@@ -190,12 +238,20 @@ class TxnTable:
         bloom_bits: int = 8192,
         bloom_k: int = 5,
         store: PosixCommitStore | None = None,
+        checkpoint_at: int = 512,
     ):
         if bloom_cols and (bloom_bits < 8 or bloom_k < 1):
             raise ValueError(
                 f"bloom_bits >= 8 and bloom_k >= 1 required, got "
                 f"({bloom_bits}, {bloom_k})"
             )
+        # manifests at/above this many directory entries commit their
+        # per-directory state as a columnar parquet CHECKPOINT next to
+        # an O(1) JSON stub (Delta's checkpoint.parquet, at directory
+        # granularity) — the JSON parse and the prune scan stay bounded
+        # however many commits a long-lived table accumulates. 0/None
+        # disables (always-inline JSON).
+        self.checkpoint_at = checkpoint_at
         self.path = path
         # the commit-protocol seam (see PosixCommitStore): every
         # version claim goes through store.put_if_absent, so an
@@ -248,8 +304,7 @@ class TxnTable:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no committed version in {self.log_dir}")
-        with open(self._manifest_path(version)) as f:
-            return json.load(f)
+        return load_manifest(self.log_dir, version)
 
     # -- schema (recorded in the manifest, validated on append) ------------
 
@@ -259,7 +314,10 @@ class TxnTable:
 
     @staticmethod
     def _evolve_schema(
-        prior: dict | None, new: dict, merge_schema: bool
+        prior: dict | None,
+        new: dict,
+        merge_schema: bool,
+        reserved: set | None = None,
     ) -> dict:
         """The schema the next manifest commits. Exact-match appends
         carry the PRIOR schema forward (canonical field order); any
@@ -314,25 +372,94 @@ class TxnTable:
                 f"({[(n, p_types[n], n_types[n]) for n in retyped]}); "
                 "rewrite the table with mode='overwrite'"
             )
+        revived = sorted(set(added) & (reserved or set()))
+        if revived:
+            # a retired physical name may still exist inside old
+            # directories — re-adding it would make the read path's
+            # history-coalesce ambiguous (see _reserved_names)
+            raise SchemaMismatch(
+                f"column name(s) {revived} were retired by an earlier "
+                "rename/drop and directories may still carry them; "
+                "pick other names or rewrite with mode='overwrite'"
+            )
         evolved = _widen(list(prior["fields"])) + [
             {**new_by_name[n], "nullable": True} for n in added
         ]
         return {**prior, "fields": evolved}
 
     def _read_dirs(
-        self, spark: SparkSession, rels: list[str], schema: dict | None
+        self,
+        spark: SparkSession,
+        rels: list[str],
+        schema: dict | None,
+        names: dict | None = None,
+        with_keys: bool = False,
     ) -> DataFrame:
         """Scan manifest directories under the manifest's recorded
         schema: parquet columns resolve BY NAME against an explicit
         schema, so a directory written before an evolution reads its
         missing columns as NULL — by-position surprises are impossible.
-        Legacy manifests (no recorded schema) scan as before."""
-        reader = spark.read
-        if schema is not None:
-            from pyspark.sql.types import StructType
+        Legacy manifests (no recorded schema) scan as before.
 
-            reader = reader.schema(StructType.fromJson(schema))
-        return reader.parquet(*[os.path.join(self.path, r) for r in rels])
+        ``names`` is the snapshot's COLUMN-MAPPING history
+        (``{logical: [current, ...older physical names]}``, see
+        :meth:`rename_column`): each renamed logical column scans as
+        its whole name history (each directory physically carries
+        exactly ONE of those names — renames are metadata-only, and
+        retired names can never be re-added — so a per-row
+        ``coalesce`` over the history is EXACT: the absent variants
+        read as NULL by name-resolution, never shadowing a stored
+        value). The coalesce is a codegen'd projection on the scan —
+        zero shuffles, zero Python.
+
+        ``with_keys=True`` appends the ``(__file, __pos)`` row
+        identity from the parquet ``_metadata`` column AT SCAN TIME —
+        callers must request it here because the mapping projection
+        would otherwise sever the hidden-column lineage."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        reader = spark.read
+        history = {
+            k: v for k, v in (names or {}).items() if len(v) > 1
+        }
+        if schema is not None:
+            phys_fields: list[dict] = []
+            for f in schema["fields"]:
+                hist = history.get(f["name"])
+                if not hist:
+                    phys_fields.append(f)
+                else:
+                    phys_fields.extend(
+                        {**f, "name": h, "nullable": True} for h in hist
+                    )
+            reader = reader.schema(
+                StructType.fromJson({**schema, "fields": phys_fields})
+            )
+        scan = reader.parquet(*[os.path.join(self.path, r) for r in rels])
+        if not history and not with_keys:
+            return scan
+        key_cols = (
+            [
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), self._DV_FILE_RE, 1
+                ).alias("__file"),
+                F.col("_metadata.row_index").cast("bigint").alias("__pos"),
+            ]
+            if with_keys
+            else []
+        )
+        if not history:
+            return scan.select("*", *key_cols)
+        if schema is None:  # legacy manifest: mapping never existed
+            return scan.select("*", *key_cols)
+        logical_cols = [
+            F.coalesce(*[scan[h] for h in history[f["name"]]]).alias(f["name"])
+            if f["name"] in history
+            else scan[f["name"]]
+            for f in schema["fields"]
+        ]
+        return scan.select(*logical_cols, *key_cols)
 
     # -- deletion vectors (merge-on-read point deletes) --------------------
 
@@ -351,17 +478,12 @@ class TxnTable:
         join use the same URI-encoded ``data/...`` suffix Spark emits,
         so no path normalization can drift. The tombstone side is
         O(deleted rows); AQE broadcasts it for point deletes."""
-        from pyspark.sql import functions as F
-
-        scan = self._read_dirs(
-            spark, rels if rels is not None else snap["files"], snap.get("schema")
-        )
-        keyed = scan.select(
-            "*",
-            F.regexp_extract(
-                F.col("_metadata.file_path"), self._DV_FILE_RE, 1
-            ).alias("__file"),
-            F.col("_metadata.row_index").cast("bigint").alias("__pos"),
+        keyed = self._read_dirs(
+            spark,
+            rels if rels is not None else snap["files"],
+            snap.get("schema"),
+            names=snap.get("column_names"),
+            with_keys=True,
         )
         dvs = snap.get("dvs", [])
         if dvs:
@@ -381,6 +503,7 @@ class TxnTable:
                 spark,
                 rels if rels is not None else snap["files"],
                 snap.get("schema"),
+                names=snap.get("column_names"),
             )
         return self._live_keyed(spark, snap, rels).drop("__file", "__pos")
 
@@ -591,7 +714,10 @@ class TxnTable:
                     files = list(snap["files"]) + [staged]
                     try:
                         schema = self._evolve_schema(
-                            snap.get("schema"), schema_json, merge_schema
+                            snap.get("schema"),
+                            schema_json,
+                            merge_schema,
+                            reserved=self._reserved_names(snap),
                         )
                     except SchemaMismatch:
                         self._discard_staged(staged)
@@ -1070,6 +1196,19 @@ class TxnTable:
             # free-form table properties (set_properties) are POLICY,
             # like constraints: they ride every commit verbatim
             manifest["props"] = dict(props)
+        if manifest.get("op") != "overwrite":
+            # the column-mapping rename history rides every commit that
+            # keeps old directories alive — forgetting it would read a
+            # renamed column as NULL out of pre-rename data. A full
+            # OVERWRITE drops it: the fresh directories carry the
+            # current logical names, and retired names are reclaimable
+            # once no directory holds them.
+            cn = (snap or {}).get("column_names")
+            if cn:
+                manifest["column_names"] = {k: list(v) for k, v in cn.items()}
+            retired = (snap or {}).get("retired_columns")
+            if retired:
+                manifest["retired_columns"] = list(retired)
         prior_rows = (snap or {}).get("rows", {})
         new_rows = new_rows or {}
         rows = {}
@@ -1292,6 +1431,231 @@ class TxnTable:
             f"lost {max_retries} set_properties races on {self.path}"
         )
 
+    # -- column mapping (rename/drop as pure-manifest commits) --------------
+
+    @staticmethod
+    def _reserved_names(snap: dict | None) -> set:
+        """Physical column names some live directory may still carry
+        under a RETIRED logical identity: every non-current name in the
+        rename history plus every dropped column's history. A new
+        column may never take one of these names — the read path's
+        per-column ``coalesce`` over the name history is exact only
+        because each directory physically holds AT MOST ONE name from
+        any history (see :meth:`_read_dirs`). An ``overwrite`` rewrite
+        reclaims them (fresh directories, fresh mapping)."""
+        if not snap:
+            return set()
+        reserved: set = set()
+        for hist in snap.get("column_names", {}).values():
+            reserved.update(hist[1:])
+        reserved.update(snap.get("retired_columns", []))
+        return reserved
+
+    @staticmethod
+    def _constraint_refs(snap: dict, col: str) -> list[str]:
+        """Names of CHECK constraints whose expression mentions ``col``
+        as a word — conservative (a string literal containing the name
+        also matches), which errs on the refusing side."""
+        pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+        return sorted(
+            n
+            for n, e in snap.get("constraints", {}).items()
+            if pat.search(e)
+        )
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 10
+    ) -> int:
+        """Rename a column as a PURE-MANIFEST commit (op
+        ``rename_column`` — Delta's column-mapping rename: zero data
+        read or rewritten). The manifest records the column's whole
+        NAME HISTORY (``column_names: {logical: [current, ...older]}``)
+        and every read coalesces the history per directory
+        (:meth:`_read_dirs`), so directories written before the rename
+        keep serving their rows under the new logical name, and TIME
+        TRAVEL to a pre-rename version still reads under that
+        version's own names (each manifest carries its own mapping).
+        Directory stats and bloom entries re-key in the same commit,
+        so data skipping keeps working on the new name.
+
+        Refused loudly where the rename cannot keep its promises:
+        partition columns (directory layout and ``parts`` metadata
+        embed the name), columns referenced by a CHECK constraint
+        (the stored expression would dangle — Delta refuses the same),
+        a ``new`` that already exists, and a ``new`` that matches a
+        retired physical name some directory may still carry."""
+        if old == new:
+            raise ValueError("rename_column: old and new are the same name")
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed version in {self.log_dir}: write the "
+                    "table before renaming columns"
+                )
+            snap = self.snapshot(current)
+            schema = snap.get("schema")
+            if schema is None:
+                raise SchemaMismatch(
+                    "table has no recorded schema (legacy manifest); "
+                    "rewrite with mode='overwrite' before renaming"
+                )
+            fields = schema["fields"]
+            if old not in {f["name"] for f in fields}:
+                raise SchemaMismatch(f"no such column: {old!r}")
+            if new in {f["name"] for f in fields}:
+                raise SchemaMismatch(f"column {new!r} already exists")
+            if new in self._reserved_names(snap):
+                raise SchemaMismatch(
+                    f"column name {new!r} was retired by an earlier "
+                    "rename/drop and directories may still carry it; "
+                    "pick another name or rewrite with mode='overwrite'"
+                )
+            if old in snap.get("partition_by", []):
+                raise SchemaMismatch(
+                    f"{old!r} is a partition column; the directory "
+                    "layout embeds its name — rewrite to re-layout"
+                )
+            refs = self._constraint_refs(snap, old)
+            if refs:
+                raise SchemaMismatch(
+                    f"column {old!r} is referenced by CHECK constraint(s) "
+                    f"{refs}; drop them first (drop_constraint), rename, "
+                    "then re-add against the new name"
+                )
+            mapping = {
+                k: list(v) for k, v in snap.get("column_names", {}).items()
+            }
+            history = mapping.pop(old, [old])
+            mapping[new] = [new] + history
+            new_fields = [
+                {**f, "name": new} if f["name"] == old else f for f in fields
+            ]
+            # data skipping follows the rename: per-directory stats and
+            # bloom entries were recorded under the write-time name
+            # (== the physical name), so re-keying old→new keeps
+            # logical-name predicates pruning over pre-rename commits
+            stats = {
+                d: {(new if c == old else c): v for c, v in cols.items()}
+                for d, cols in snap.get("stats", {}).items()
+            }
+            blooms = {
+                d: {(new if c == old else c): v for c, v in cols.items()}
+                for d, cols in snap.get("blooms", {}).items()
+            }
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "rename_column",
+                "files": list(snap["files"]),
+                "txns": dict(snap.get("txns", {})),
+                "schema": {**schema, "fields": new_fields},
+            }
+            for k in ("partition_by", "parts"):
+                if snap.get(k) is not None:
+                    manifest[k] = snap[k]
+            if stats:
+                manifest["stats"] = stats
+            if blooms:
+                manifest["blooms"] = blooms
+            self._carry_props(snap, manifest)
+            manifest["column_names"] = mapping
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} rename_column races on {self.path}"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 10) -> int:
+        """Drop a column as a PURE-MANIFEST commit (op ``drop_column``
+        — Delta's column-mapping drop: the physical data stays in
+        every directory, reads just stop projecting it, and time
+        travel to a pre-drop version still sees it). The column's
+        whole name history moves to ``retired_columns`` so no future
+        evolution can re-add a name old directories still carry —
+        re-adding the same LOGICAL name is therefore also refused
+        (Delta assigns a fresh physical id; at this layer's
+        names-as-ids granularity the honest spelling is: rewrite with
+        ``overwrite`` to reclaim the name). Same refusals as
+        :meth:`rename_column` for partition and constraint-referenced
+        columns; dropping the last column is refused."""
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed version in {self.log_dir}: write the "
+                    "table before dropping columns"
+                )
+            snap = self.snapshot(current)
+            schema = snap.get("schema")
+            if schema is None:
+                raise SchemaMismatch(
+                    "table has no recorded schema (legacy manifest); "
+                    "rewrite with mode='overwrite' before dropping"
+                )
+            fields = schema["fields"]
+            if name not in {f["name"] for f in fields}:
+                raise SchemaMismatch(f"no such column: {name!r}")
+            if len(fields) == 1:
+                raise SchemaMismatch("cannot drop the only column")
+            if name in snap.get("partition_by", []):
+                raise SchemaMismatch(
+                    f"{name!r} is a partition column; the directory "
+                    "layout embeds it — rewrite to re-layout"
+                )
+            refs = self._constraint_refs(snap, name)
+            if refs:
+                raise SchemaMismatch(
+                    f"column {name!r} is referenced by CHECK constraint(s) "
+                    f"{refs}; drop them first (drop_constraint)"
+                )
+            mapping = {
+                k: list(v) for k, v in snap.get("column_names", {}).items()
+            }
+            history = mapping.pop(name, [name])
+            retired = sorted(
+                set(snap.get("retired_columns", [])) | set(history)
+            )
+            stats = {
+                d: {c: v for c, v in cols.items() if c != name}
+                for d, cols in snap.get("stats", {}).items()
+            }
+            stats = {d: cols for d, cols in stats.items() if cols}
+            blooms = {
+                d: {c: v for c, v in cols.items() if c != name}
+                for d, cols in snap.get("blooms", {}).items()
+            }
+            blooms = {d: cols for d, cols in blooms.items() if cols}
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "drop_column",
+                "files": list(snap["files"]),
+                "txns": dict(snap.get("txns", {})),
+                "schema": {
+                    **schema,
+                    "fields": [f for f in fields if f["name"] != name],
+                },
+            }
+            for k in ("partition_by", "parts"):
+                if snap.get(k) is not None:
+                    manifest[k] = snap[k]
+            if stats:
+                manifest["stats"] = stats
+            if blooms:
+                manifest["blooms"] = blooms
+            self._carry_props(snap, manifest)
+            if mapping:
+                manifest["column_names"] = mapping
+            else:
+                manifest.pop("column_names", None)
+            manifest["retired_columns"] = retired
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} drop_column races on {self.path}"
+        )
+
     def _carry_layout(
         self,
         snap: dict,
@@ -1313,6 +1677,92 @@ class TxnTable:
             manifest["parts"] = kept
         self._carry_props(snap, manifest, new_rows)
 
+    def _write_checkpoint(self, version: int, manifest: dict) -> dict:
+        """Spill the manifest's per-directory state into a columnar
+        parquet sidecar and return the O(1) JSON stub that points at
+        it. The sidecar name embeds a uuid: two writers racing the same
+        version each write their OWN checkpoint before the
+        put_if_absent coin flip, so the loser's orphan can never be
+        referenced (truncate_log GCs orphans alongside truncated
+        versions). One row per directory — dir, rows, dv_rows, and the
+        stats/blooms/parts entries JSON-encoded per cell, so schema
+        stays fixed whatever columns the table tracks."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = manifest["files"]
+        per_dir: dict[str, list] = {"dir": list(files)}
+        for key in _CKPT_DIR_KEYS:
+            entries = manifest.get(key, {})
+            if key in ("rows", "dv_rows"):
+                per_dir[key] = [entries.get(d) for d in files]
+            else:
+                per_dir[key] = [
+                    json.dumps(entries[d]) if d in entries else None
+                    for d in files
+                ]
+        cp_name = f"{version:011d}.{uuid.uuid4().hex[:8]}.checkpoint.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "dir": pa.array(per_dir["dir"], pa.string()),
+                    "rows": pa.array(per_dir["rows"], pa.int64()),
+                    "dv_rows": pa.array(per_dir["dv_rows"], pa.int64()),
+                    "stats": pa.array(per_dir["stats"], pa.string()),
+                    "blooms": pa.array(per_dir["blooms"], pa.string()),
+                    "parts": pa.array(per_dir["parts"], pa.string()),
+                }
+            ),
+            os.path.join(self.log_dir, cp_name),
+        )
+        stub = {
+            k: v
+            for k, v in manifest.items()
+            if k != "files" and k not in _CKPT_DIR_KEYS
+        }
+        stub["files_checkpoint"] = cp_name
+        stub["n_dirs"] = len(files)
+        return stub
+
+    def manifest_df(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """The snapshot's per-directory manifest AS A DATAFRAME —
+        distributed manifest processing for tables whose directory
+        count outgrew driver-side iteration (Delta reads its
+        checkpoint the same way). Checkpointed manifests scan their
+        parquet sidecar directly (zero driver materialization);
+        inline-JSON manifests materialize through the driver (they
+        are, by construction, below ``checkpoint_at`` entries)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version in {self.log_dir}")
+        with open(self._manifest_path(version)) as f:
+            m = json.load(f)
+        cp = m.get("files_checkpoint")
+        if cp is not None:
+            return spark.read.parquet(os.path.join(self.log_dir, cp))
+        snap = load_manifest(self.log_dir, version)
+        rows_ = snap.get("rows", {})
+        dvr = snap.get("dv_rows", {})
+        recs = [
+            (
+                d,
+                rows_.get(d),
+                dvr.get(d),
+                json.dumps(snap["stats"][d]) if d in snap.get("stats", {}) else None,
+                json.dumps(snap["blooms"][d]) if d in snap.get("blooms", {}) else None,
+                json.dumps(snap["parts"][d]) if d in snap.get("parts", {}) else None,
+            )
+            for d in snap["files"]
+        ]
+        return spark.createDataFrame(
+            recs,
+            "dir string, rows bigint, dv_rows bigint, stats string, "
+            "blooms string, parts string",
+        )
+
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomically claim ``version`` through the commit-store seam:
         :meth:`PosixCommitStore.put_if_absent` publishes complete
@@ -1320,10 +1770,16 @@ class TxnTable:
         the version. Every manifest is stamped with the committer's
         wall clock (``ts``) — best-effort across writers (clocks
         skew), which is why :meth:`version_as_of` resolves
-        conservatively."""
+        conservatively. Manifests at/above ``checkpoint_at`` directory
+        entries spill their per-directory state into a parquet
+        checkpoint first (see :meth:`_write_checkpoint`)."""
         import time
 
         manifest = {**manifest, "ts": time.time()}
+        if self.checkpoint_at and len(
+            manifest.get("files", ())
+        ) >= self.checkpoint_at:
+            manifest = self._write_checkpoint(version, manifest)
         if not self.store.put_if_absent(
             self._manifest_path(version),
             json.dumps(manifest).encode("utf-8"),
@@ -1414,7 +1870,10 @@ class TxnTable:
                     files = list(snap["files"]) + [staged]
                     try:
                         schema = self._evolve_schema(
-                            snap.get("schema"), new_schema, merge_schema
+                            snap.get("schema"),
+                            new_schema,
+                            merge_schema,
+                            reserved=self._reserved_names(snap),
                         )
                     except SchemaMismatch:
                         self._discard_staged(staged)
@@ -2194,15 +2653,46 @@ class TxnTable:
           which is order-correct for ISO-formatted temporals.
 
         The guarantee is one-sided: kept ⊇ matching. Callers re-apply
-        the real predicate on the scan; pruning only shrinks it."""
+        the real predicate on the scan; pruning only shrinks it.
+
+        On a CHECKPOINTED manifest (``checkpoint_at`` directories or
+        more) the split streams the parquet sidecar batch by batch —
+        driver memory stays O(record batch), never O(directories),
+        however large the table's manifest grows."""
         for col, op, _ in predicates:
             if op not in self._MAY_MATCH_OPS:
                 raise ValueError(f"unsupported prune op {op!r} on {col!r}")
-        manifest = self.snapshot(version)
-        stats = manifest.get("stats", {})
-        blooms = manifest.get("blooms", {})
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no committed version in {self.log_dir}")
         kept: list[str] = []
         skipped: list[str] = []
+        with open(self._manifest_path(version)) as f:
+            stub = json.load(f)
+        cp = stub.get("files_checkpoint")
+        if cp is not None:
+            import pyarrow.parquet as pq
+
+            pf = pq.ParquetFile(os.path.join(self.log_dir, cp))
+            for batch in pf.iter_batches(columns=["dir", "stats", "blooms"]):
+                for rel, st, bl in zip(
+                    batch.column("dir").to_pylist(),
+                    batch.column("stats").to_pylist(),
+                    batch.column("blooms").to_pylist(),
+                ):
+                    if self._dir_may_match(
+                        json.loads(st) if st is not None else None,
+                        predicates,
+                        json.loads(bl) if bl is not None else None,
+                    ):
+                        kept.append(rel)
+                    else:
+                        skipped.append(rel)
+            return kept, skipped
+        manifest = load_manifest(self.log_dir, version)
+        stats = manifest.get("stats", {})
+        blooms = manifest.get("blooms", {})
         for rel in manifest["files"]:
             if self._dir_may_match(
                 stats.get(rel), predicates, blooms.get(rel)
@@ -2743,14 +3233,30 @@ class TxnTable:
             # later COW rewrite/optimize removes their directory, so
             # prev-version deletion vectors are anti-joined out first.
             to_schema = to_snap.get("schema")
+            # the TO-version column mapping also governs the pre-image:
+            # a data-diff commit never changes the mapping (renames are
+            # pure-metadata commits with no added/removed dirs), and
+            # removed directories written BEFORE an earlier rename need
+            # the rename history to read under their physical names
+            to_names = to_snap.get("column_names")
             pre = (
                 self._read_live(
-                    spark, {**prev_snap, "schema": to_schema}, removed
+                    spark,
+                    {
+                        **prev_snap,
+                        "schema": to_schema,
+                        "column_names": to_names,
+                    },
+                    removed,
                 )
                 if removed
                 else None
             )
-            new = self._read_dirs(spark, added, to_schema) if added else None
+            new = (
+                self._read_dirs(spark, added, to_schema, names=to_names)
+                if added
+                else None
+            )
             if pre is None:
                 # pure append: the added directories ARE the inserts
                 piece = new.select(
@@ -2909,9 +3415,17 @@ class TxnTable:
         for _ in range(max_retries):
             current = self.latest_version()
             snap = self.snapshot(current)
-            if snap["files"] == target["files"] and snap.get(
-                "dvs", []
-            ) == target.get("dvs", []):
+            if (
+                snap["files"] == target["files"]
+                and snap.get("dvs", []) == target.get("dvs", [])
+                # schema state is restorable too: a rename/drop commit
+                # changes no files, but restoring across it must still
+                # commit the target's schema + column mapping back
+                and snap.get("schema") == target.get("schema")
+                and snap.get("column_names") == target.get("column_names")
+                and snap.get("retired_columns")
+                == target.get("retired_columns")
+            ):
                 return None
             new_version = current + 1
             manifest = {
@@ -2936,6 +3450,15 @@ class TxnTable:
             self._carry_props(
                 snap, manifest, new_rows=target.get("rows"), carry_dvs=False
             )
+            # the column-mapping rename history is DATA state, like the
+            # schema: the restored directories read under the TARGET's
+            # mapping, not whatever renames happened since — override
+            # what _carry_props carried from latest
+            for k in ("column_names", "retired_columns"):
+                if target.get(k) is not None:
+                    manifest[k] = target[k]
+                else:
+                    manifest.pop(k, None)
             if self._try_commit(new_version, manifest):
                 return new_version
         raise CommitConflict(f"lost {max_retries} restore races on {self.path}")
@@ -3083,10 +3606,26 @@ class TxnTable:
             return []
         keep_start = max(0, latest - retain_versions + 1)
         removed = []
+        # the retained JSON stubs name the checkpoints still alive —
+        # everything else .checkpoint.parquet (truncated versions AND
+        # commit-race orphans) goes with the truncated manifests
+        live_cps: set[str] = set()
+        for v in range(keep_start, latest + 1):
+            try:
+                with open(self._manifest_path(v)) as fh:
+                    cp = json.load(fh).get("files_checkpoint")
+            except FileNotFoundError:
+                continue
+            if cp:
+                live_cps.add(cp)
         for f in os.listdir(self.log_dir):
             if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) < keep_start:
                 os.unlink(os.path.join(self.log_dir, f))
                 removed.append(int(f[:-5]))
+            elif f.endswith(".checkpoint.parquet") and f not in live_cps:
+                v_part = f.split(".", 1)[0]
+                if v_part.isdigit() and int(v_part) < keep_start:
+                    os.unlink(os.path.join(self.log_dir, f))
         return sorted(removed)
 
     def vacuum(
@@ -3122,8 +3661,9 @@ class TxnTable:
         live_dvs: set[str] = set()
         for f in os.listdir(self.log_dir):
             if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) >= keep_start:
-                with open(os.path.join(self.log_dir, f)) as fh:
-                    m = json.load(fh)
+                # load_manifest, not raw JSON: a checkpointed manifest
+                # keeps its file list in the parquet sidecar
+                m = load_manifest(self.log_dir, int(f[:-5]))
                 live.update(m["files"])
                 live_dvs.update(m.get("dvs", []))
                 if m.get("cdc"):

@@ -137,6 +137,7 @@ class TxnFilePartition(InputPartition):
         dv_base: tuple[str, ...] = (),
         change_type: str = "",
         commit_version: int = -1,
+        name_history: dict | None = None,
     ):
         self.file_path = file_path
         self.columns = columns
@@ -150,6 +151,10 @@ class TxnFilePartition(InputPartition):
         self.dv_base = dv_base
         self.change_type = change_type
         self.commit_version = commit_version
+        # column-mapping rename history of the governing snapshot —
+        # executors resolve each logical column to the one historical
+        # name this file physically carries (see _emit_file_batches)
+        self.name_history = name_history
 
 
 def _arrow_types_of(schema: SqlT.StructType) -> dict:
@@ -193,11 +198,20 @@ def _emit_file_batches(
     sidecars: tuple[str, ...] = (),
     dv_mode: str = "drop",
     dv_base: tuple[str, ...] = (),
+    name_history: dict | None = None,
 ) -> Iterator:
     """Yield one parquet file's record batches projected to declared
     order. Columns the file predates (schema evolution) are NULL-filled
     as typed Arrow null arrays — mirroring ``txnlog._read_dirs``'s
     by-name resolution, so old files stream instead of crashing.
+
+    ``name_history`` is the snapshot's column-mapping rename history
+    (``{logical: [current, ...older physical names]}``, see
+    ``TxnTable.rename_column``): each file physically carries AT MOST
+    one name from any history (renames are metadata-only and retired
+    names are never re-added), so per file the logical column resolves
+    to whichever historical name the footer actually holds — the Arrow
+    analogue of ``_read_dirs``'s coalesce projection.
 
     Deletion vectors address rows by file position
     (``_metadata.row_index`` is the row's physical position, and
@@ -240,8 +254,20 @@ def _emit_file_batches(
 
     pf = pq.ParquetFile(file_path)
     have = set(pf.schema_arrow.names)
-    want = [c for c in columns if c in have]
-    missing = [c for c in columns if c not in have]
+    hist = name_history or {}
+
+    def _phys(c: str) -> str | None:
+        # the physical name THIS file carries for logical column c:
+        # exactly one of the name history is present (or none — the
+        # file predates the column entirely and NULL-fills)
+        for h in hist.get(c, (c,)):
+            if h in have:
+                return h
+        return None
+
+    phys_of = {c: _phys(c) for c in columns}
+    want = [phys_of[c] for c in columns if phys_of[c] is not None]
+    missing = [c for c in columns if phys_of[c] is None]
     if not want:
         # a file with NONE of the declared columns: emit its rows as
         # all-NULL tuples (count still matters), one batch
@@ -254,14 +280,15 @@ def _emit_file_batches(
             0,
         )
         return
+    renamed = any(phys_of[c] not in (c, None) for c in columns)
     offset = 0
     for batch in pf.iter_batches(columns=want):
-        if missing:
+        if missing or renamed:
             by_name = dict(zip(batch.schema.names, batch.columns))
             out = pa.RecordBatch.from_arrays(
                 [
-                    by_name[c]
-                    if c in by_name
+                    by_name[phys_of[c]]
+                    if phys_of[c] in by_name
                     else pa.nulls(batch.num_rows, type=arrow_types[c])
                     for c in columns
                 ],
@@ -276,12 +303,12 @@ def _emit_file_batches(
 
 
 def _manifest(table_path: str, version: int) -> dict:
-    import json
+    from ceneton_database_tools_spark.sinks.txnlog import load_manifest
 
-    p = os.path.join(table_path, "_txnlog", f"{version:011d}.json")
     try:
-        with open(p) as f:
-            return json.load(f)
+        # load_manifest, not raw JSON: a checkpointed manifest keeps
+        # its per-directory state in a parquet sidecar
+        return load_manifest(os.path.join(table_path, "_txnlog"), version)
     except FileNotFoundError:
         raise RuntimeError(
             f"cannot stream version {version} of {table_path}: its manifest "
@@ -418,6 +445,14 @@ class TxnTableStreamReader(DataSourceStreamReader):
         if self._floor is None or hi > self._floor:
             self._floor = hi  # restart replay: resume capping from here
         parts: list[InputPartition] = []
+        # the END-version manifest's column-mapping rename history
+        # governs every file in range: history only accumulates, so it
+        # resolves each logical column against whatever physical name
+        # any file ≤ hi carries (a rename AFTER the stream's declared
+        # schema is a restart situation, as in Delta)
+        range_hist = (
+            _manifest(self.path, hi).get("column_names") if hi >= 0 else None
+        )
 
         def add_dirs(
             rels,
@@ -462,6 +497,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                             dv_base,
                             change_type,
                             commit_version,
+                            name_history=range_hist,
                         )
                     )
 
@@ -486,6 +522,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                         (),
                         "@file",
                         v,
+                        name_history=range_hist,
                     )
                 )
 
@@ -518,6 +555,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 "add_constraint",
                 "drop_constraint",
                 "set_properties",
+                "rename_column",
+                "drop_column",
             ) or (
                 # an overwrite that REMOVES nothing is a pure add — the
                 # shape of v0 under a startingversion=0 history replay
@@ -578,6 +617,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
             "add_constraint",
             "drop_constraint",
             "set_properties",
+            "rename_column",
+            "drop_column",
         ):
             return
         if op in ("append", "overwrite") and not prev_files - cur:
@@ -631,6 +672,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
             partition.sidecars,
             partition.dv_mode,
             partition.dv_base,
+            name_history=partition.name_history,
         ):
             if self.where_ast is not None:
                 # the `where` option is EXACT on the stream too:
@@ -1214,6 +1256,7 @@ class TxnTableBatchReader(DataSourceReader):
                 self.arrow_types,
                 os.path.relpath(f, self.path),
                 sidecars if dvr.get(rel) else (),
+                name_history=snap.get("column_names"),
             )
             for rel in kept
             for f in _parquet_files(os.path.join(self.path, rel))
@@ -1230,6 +1273,7 @@ class TxnTableBatchReader(DataSourceReader):
             partition.arrow_types,
             partition.rel_file,
             partition.sidecars,
+            name_history=partition.name_history,
         ):
             if self.where_ast is not None:
                 # the `where` load option is EXACT: pruning above was

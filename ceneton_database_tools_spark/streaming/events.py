@@ -1522,3 +1522,158 @@ def streaming_txn_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_agg_to_txn_table",
+    # The oracle is the plain hourly rollup of the events table; the
+    # pipeline computes it as a WATERMARKED APPEND-MODE streaming
+    # aggregation landing in the transactional table through the pure
+    # sink face, and the gated result is the TABLE READ-BACK — no
+    # memory sink anywhere. Equality holds only if every window closed
+    # (the sentinel advanced the watermark past the last real event),
+    # emitted exactly once, and survived the commit protocol.
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      count(*)               AS n_events,
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "txn", "sink", "window-agg", "acid"),
+)
+def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming-aggregation path end-to-end: a
+    watermarked tumbling-window aggregation runs in APPEND output mode
+    (only windows the watermark has closed emit — Spark's contract for
+    landing aggregates in an append-only sink) and writes straight into
+    the transactional table via ``writeStream.format("txntable")``.
+    The gated result is ``table.read(spark)`` — the first registry
+    query where a streaming AGGREGATION's oracle comparison reads the
+    table back instead of a driver-side memory sink.
+
+    Mechanics the shape demands:
+
+    * The fixture is replayed as FOUR ts-ordered landing files with
+      increasing mtimes + ``maxFilesPerTrigger=1``, so the watermark
+      advances batch over batch (a single micro-batch would emit
+      nothing in append mode — the watermark starts at zero).
+    * A SENTINEL event 10 hours past the real maximum lands last: its
+      watermark update closes every real window, so the final no-data
+      micro-batch flushes them all. The sentinel's own window can
+      never close (the watermark trails it by the delay), so it stays
+      in state and never reaches the table — asserted below.
+
+    Scale shape: this is exactly how a 100 TB pipeline materializes a
+    streaming rollup — bounded state (watermark-expired windows drop),
+    one append commit per emitting micro-batch, exactly-once via the
+    (txnappid, batchId) watermark, and downstream batch/stream readers
+    join through the same table.
+
+    SELF-CHECKS: (a) >= 2 append commits landed (the aggregate
+    trickled out across batches, not one bulk dump); (b) no sentinel
+    row reached the table; (c) the result read comes from the txn
+    table, not any in-memory sink."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ceneton_database_tools_spark.catalog import load_table
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="ceneton_stream_aggtxn_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    table = TxnTable(os.path.join(work, "rollup"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        # four ts-ordered chunks: the file stream replays them oldest
+        # mtime first, so the watermark advances monotonically
+        chunked = ev.withColumn(
+            "__chunk", F.ntile(4).over(W.orderBy("ts", "event_id"))
+        )
+        max_ts_row = ev.agg(F.max("ts").alias("m")).first()  # 1-row guard
+        sentinel = spark.createDataFrame(
+            [("__sentinel__",)], "event_type string"
+        ).select(
+            F.lit("sentinel-0").alias("event_id"),
+            (F.lit(max_ts_row["m"]) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            "event_type",
+            F.lit(0.0).alias("value"),
+        )
+        base_mtime = 1_000_000_000
+        for i in range(5):
+            piece = (
+                chunked.where(F.col("__chunk") == i + 1).drop("__chunk")
+                if i < 4
+                else sentinel
+            )
+            tmp = os.path.join(work, f"tmp{i}")
+            piece.coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(landing, f"{i:04d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+        schema = spark.read.parquet(landing).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+            .withWatermark("ts", "1 hour")
+            # NOTE: no stream-side filter on the sentinel — a filter
+            # would be pushed below the EventTimeWatermark node and the
+            # sentinel's timestamp would never advance the watermark.
+            # Its window is self-excluding instead: the watermark
+            # always trails it by the delay, so it can never close and
+            # never reaches the sink (asserted on the read-back).
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"), _sum_value_expr("sum_value"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("txntable")
+            .option("path", table.path)
+            .option("txnappid", "gate-agg-to-txn")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            # executed micro-batch plan for the drift lint — this query
+            # runs its own stream (txntable sink, not the memory-sink
+            # harness), so it snapshots the plan run_stream_to_batch
+            # would otherwise capture
+            LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
+        finally:
+            q.stop()
+        appends = [h for h in table.history() if h["op"] == "append"]
+        if len(appends) < 2:
+            raise AssertionError(
+                f"expected the rollup to land across >=2 append commits, "
+                f"got {len(appends)}"
+            )
+        result = table.read(spark)
+        if result.where("event_type = '__sentinel__'").count() != 0:
+            raise AssertionError("sentinel window leaked into the table")
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)

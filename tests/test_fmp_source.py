@@ -1418,3 +1418,58 @@ def test_stream_reader_requires_path_option(spark, tmp_path):
         q.awaitTermination()
     if q is not None:
         q.stop()
+
+
+def test_streaming_ingest_bz2_landings(spark, tmp_path):
+    """readStream ingests .bz2 snapshot drops exactly once — the
+    reference's compressed-snapshot convention (VERDICT r10 #7) on the
+    streaming face: the watch listing already matches *.xml.bz2 and
+    the row path opens through the decompression-transparent seam
+    (sources/paths.py open_xml_stream), so a bz2 landing behaves
+    identically to a plain one, including restart semantics."""
+    import bz2 as _bz2
+
+    from ceneton_database_tools_spark.sources.fmp_xml import register_fmp_source
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def _drop_bz2(name: str, nums) -> None:
+        plain = tmp_path / "plain.xml"
+        _write_stream_shard(plain, nums)
+        # stage-and-rename arrival: compress outside the watch dir,
+        # then atomically move in (the documented landing contract)
+        staged = tmp_path / (name + ".tmp")
+        staged.write_bytes(_bz2.compress(plain.read_bytes()))
+        staged.rename(src / name)
+        plain.unlink()
+
+    _drop_bz2("export_a.xml.bz2", ["100", "101"])
+    register_fmp_source(spark)
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("fmpxml")
+            .option("multi", "true")
+            .load(str(src))
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.nummer for r in spark.read.parquet(out).collect())
+
+    # schema inference itself read the bz2 header (no plain file exists)
+    assert run_once() == ["100", "101"]
+    # replay from the same checkpoint: nothing re-ingested
+    assert run_once() == ["100", "101"]
+    # a later bz2 drop and a PLAIN drop land together, each exactly once
+    _drop_bz2("export_b.xml.bz2", ["200"])
+    _write_stream_shard(src / "export_c.xml", ["300", "301"])
+    assert run_once() == ["100", "101", "200", "300", "301"]

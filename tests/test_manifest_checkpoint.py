@@ -1,0 +1,189 @@
+"""Checkpointed columnar manifests: past ``checkpoint_at`` directory
+entries, a commit writes its per-directory state (files, rows,
+dv_rows, stats, blooms, parts) as a parquet sidecar and the JSON
+manifest becomes an O(1) stub — so driver-side manifest handling stays
+bounded on a table with millions of directories (Delta's
+checkpoint.parquet, at this layer's directory granularity).
+
+Reference scope note: the reference has no table format; this covers
+the driver-mandated warehouse-maintenance extension's 100 TB posture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ceneton_database_tools_spark.sinks.txnlog import TxnTable, load_manifest
+
+
+def _build(spark, path: str, n_commits: int, checkpoint_at: int) -> TxnTable:
+    t = TxnTable(path, stats_cols=("k",), checkpoint_at=checkpoint_at)
+    for i in range(n_commits):
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t.write(df, mode="overwrite" if i == 0 else "append")
+    return t
+
+
+def test_large_manifest_spills_to_parquet_checkpoint(spark, tmp_path):
+    t = _build(spark, str(tmp_path), n_commits=10, checkpoint_at=8)
+    latest = t.latest_version()
+    # the stub on disk is O(1): no files list, a checkpoint pointer
+    with open(t._manifest_path(latest)) as f:
+        stub = json.load(f)
+    assert "files" not in stub and "stats" not in stub
+    assert stub["files_checkpoint"].endswith(".checkpoint.parquet")
+    assert stub["n_dirs"] == 10
+    assert os.path.exists(os.path.join(t.log_dir, stub["files_checkpoint"]))
+    # early commits (below the threshold) stayed inline JSON
+    with open(t._manifest_path(0)) as f:
+        assert "files" in json.load(f)
+    # snapshot() reconstructs the full manifest transparently
+    snap = t.snapshot()
+    assert len(snap["files"]) == 10
+    assert set(snap["stats"]) == set(snap["files"])
+    assert sum(snap["rows"].values()) == 100
+    # reads and counts are unchanged
+    assert t.count() == 100
+    assert t.read(spark).count() == 100
+
+
+def test_checkpointed_prune_streams_the_sidecar(spark, tmp_path, monkeypatch):
+    t = _build(spark, str(tmp_path), n_commits=10, checkpoint_at=8)
+    # the prune path must NOT materialize the manifest dict — guard by
+    # making full reconstruction loud
+    import ceneton_database_tools_spark.sinks.txnlog as txnlog_mod
+
+    def _boom(log_dir, version):
+        raise AssertionError("prune materialized the manifest dict")
+
+    monkeypatch.setattr(txnlog_mod, "load_manifest", _boom)
+    kept, skipped = t.prune([("k", ">=", 80)])
+    assert sorted(kept) != [] and len(kept) + len(skipped) == 10
+    assert len(kept) == 2  # commits 8 and 9 (k in [80, 100))
+    monkeypatch.undo()
+    assert (
+        t.read_pruned(spark, [("k", ">=", 80)]).where("k >= 80").count() == 20
+    )
+
+
+def test_manifest_df_scans_checkpoint_distributed(spark, tmp_path):
+    t = _build(spark, str(tmp_path), n_commits=10, checkpoint_at=8)
+    mdf = t.manifest_df(spark)
+    assert mdf.count() == 10
+    # per-directory rows ride the checkpoint; stats decode per cell
+    assert mdf.agg(F.sum("rows")).first()[0] == 100
+    one = mdf.where("stats IS NOT NULL").first()
+    assert "k" in json.loads(one["stats"])
+    # inline-JSON manifests surface through the same DataFrame shape
+    small = _build(
+        spark, str(tmp_path / "small"), n_commits=3, checkpoint_at=512
+    )
+    sdf = small.manifest_df(spark)
+    assert sdf.columns == mdf.columns
+    assert sdf.count() == 3
+
+
+def test_checkpoint_roundtrips_every_per_dir_key(spark, tmp_path):
+    t = TxnTable(
+        str(tmp_path), stats_cols=("k",), bloom_cols=("s",), checkpoint_at=2
+    )
+    df = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), F.format_string("u%d", "id").alias("s")
+    )
+    t.write(df(0, 50), mode="overwrite")
+    t.write(df(50, 100))
+    t.delete_dv(spark, "k = 7")  # dv_rows through the checkpoint
+    snap = t.snapshot()
+    assert sum(snap["dv_rows"].values()) == 1
+    assert t.count() == 99
+    # bloom probe through the checkpointed manifest
+    kept, skipped = t.prune([("s", "=", "u60")])
+    assert len(skipped) >= 1
+    # partitioned leaves round-trip their partition values
+    tp = TxnTable(str(tmp_path / "parts"), checkpoint_at=2)
+    pdf = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    )
+    tp.write_partitioned(pdf, partition_by=("p",), mode="overwrite")
+    snap_p = tp.snapshot()
+    assert len(snap_p["parts"]) == 4
+    assert tp.read(spark).count() == 40
+    assert tp.drop_partitions([("p", "=", 2)]) is not None
+    assert tp.read(spark).count() == 30
+
+
+def test_time_travel_restore_history_through_checkpoints(spark, tmp_path):
+    t = _build(spark, str(tmp_path), n_commits=10, checkpoint_at=8)
+    # time travel to an inline-era version and a checkpointed one
+    assert t.read(spark, 0).count() == 10
+    assert t.read(spark, 9).count() == 100
+    assert t.restore(5) == 10
+    assert t.read(spark).count() == 60
+    ops_ = [h["op"] for h in t.history()]
+    assert ops_[0] == "restore"
+    # counts stay metadata answers across the whole ladder
+    assert t.count(9) == 100 and t.count(0) == 10
+
+
+def test_truncate_log_gcs_dead_checkpoints(spark, tmp_path):
+    t = _build(spark, str(tmp_path), n_commits=12, checkpoint_at=8)
+
+    def _cps():
+        return [
+            f
+            for f in os.listdir(t.log_dir)
+            if f.endswith(".checkpoint.parquet")
+        ]
+
+    assert len(_cps()) == 5  # commits 7..11 (8, 9, ..., 12 dirs)
+    removed = t.truncate_log(retain_versions=2)
+    assert removed == list(range(10))
+    live = _cps()
+    # only the two retained versions' checkpoints survive
+    kept_stub = json.load(open(t._manifest_path(11)))
+    assert kept_stub["files_checkpoint"] in live
+    assert len(live) == 2
+    # the table still reads fully after truncation
+    assert t.read(spark).count() == 120
+    assert t.count() == 120
+
+
+def test_stream_faces_read_checkpointed_manifests(spark, tmp_path):
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t = _build(spark, str(tmp_path), n_commits=10, checkpoint_at=8)
+    face = (
+        spark.read.format("txntable")
+        .option("path", str(tmp_path))
+        .option("where", "k >= 80")
+        .load()
+    )
+    assert face.count() == 20
+    q = (
+        spark.readStream.format("txntable")
+        .option("path", str(tmp_path))
+        .load()
+        .writeStream.format("memory")
+        .queryName("ckpt_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) n FROM ckpt_stream").first()["n"] == 100
+
+
+def test_checkpoint_disabled_keeps_inline_json(spark, tmp_path):
+    t = _build(spark, str(tmp_path), n_commits=5, checkpoint_at=0)
+    with open(t._manifest_path(4)) as f:
+        m = json.load(f)
+    assert "files" in m and "files_checkpoint" not in m
+    assert load_manifest(t.log_dir, 4)["files"] == m["files"]

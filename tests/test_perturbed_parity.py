@@ -132,6 +132,18 @@ def _perturb_events(src: str, dst: str) -> None:
     props[bad_mask] = bad_props[idx[bad_mask] % len(bad_props)]
     ev["props"] = props
 
+    # -- heavy hitter (round 11): ~30% of all rows collapse onto ONE
+    # existing user — the one-hot key that serializes an unsalted
+    # shuffle and concentrates sessionization/stateful state. The
+    # salted paths (agg_salted_two_stage, join_salted_skew) and every
+    # user_id-grouped/sessionized query now prove correctness UNDER
+    # skew, not just on the generator's uniform keys. Deterministic
+    # choice (most frequent existing user), applied before the
+    # tie-duplication below so value-identical ties also pile onto
+    # the hot key.
+    hot_user = int(ev["user_id"].mode().iloc[0])
+    ev.loc[idx % 10 < 3, "user_id"] = hot_user
+
     # -- duplicate (user_id, ts) ties: copy ts/value/event_type from
     # the previous same-user row, keeping event_id/props distinct, so
     # only orderings without a unique tie-break can diverge
