@@ -1574,6 +1574,411 @@ def txn_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_merge_schema_evolution",
+    # Closed-form final snapshot: all customers; odd keys were upserted
+    # by the evolving MERGE and carry the new segment column, even keys
+    # predate the evolution and read it as NULL.
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS segment
+    FROM customer
+    """,
+    tags=("txn", "merge", "schema-evolution", "acid"),
+)
+def txn_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (Delta's ``withSchemaEvolution``):
+    the table lands narrow (key + name, v0), then ONE upsert carrying a
+    NEW ``segment`` column evolves the schema in the same commit —
+    matched rows update and gain the column, surviving rows read it as
+    NULL by name, and the append-path evolution rules hold (no retypes,
+    no retired-name revival). Half the upserted keys are matches
+    (rewrites) and half are brand-new inserts, so both MERGE branches
+    cross the evolution.
+
+    SELF-CHECKS: (a) the same merge WITHOUT ``merge_schema`` refuses up
+    front (SchemaMismatch) and commits nothing; (b) the evolved commit
+    is ONE version with op ``merge``; (c) post-merge the narrow v0
+    still time-travels under its own two columns."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import SchemaMismatch, TxnTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    narrow = cust.filter(F.col("c_custkey") % 4 < 2).select(
+        "c_custkey", "c_name"
+    )  # evens of each 4-block, plus half the odds' slots stay open
+    upserts = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", F.col("c_mktsegment").alias("segment")
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_mergeevo_")
+    try:
+        table = TxnTable(work)
+        table.write(narrow, mode="overwrite")  # v0: %4 in {0,1}
+        # (a) without merge_schema the evolving upsert refuses up front
+        try:
+            table.merge(spark, upserts, key="c_custkey")
+            raise AssertionError("evolving merge without merge_schema ran")
+        except SchemaMismatch:
+            pass
+        if table.latest_version() != 0:
+            raise AssertionError("refused merge committed a version")
+        v1 = table.merge(spark, upserts, key="c_custkey", merge_schema=True)
+        # (b) one commit, op merge
+        if v1 != 1 or table.history()[0]["op"] != "merge":
+            raise AssertionError("evolving merge did not land as one merge")
+        # (c) v0 keeps its narrow schema under time travel
+        if table.read(spark, 0).columns != ["c_custkey", "c_name"]:
+            raise AssertionError("pre-evolution snapshot widened")
+        # fill in the untouched evens missing from v0 (%4 in {2,3} are
+        # even keys %4==2 only... evens %4 in {0,2}: v0 holds %4<2, so
+        # even keys %4==2 arrive here as a plain evolved append)
+        rest = cust.filter(
+            (F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") % 4 >= 2)
+        ).select("c_custkey", "c_name")
+        table.write(rest, merge_schema=True)
+        result = table.read(spark)
+        _record_inner_plan("txn_merge_schema_evolution", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "txn_optimize_zorder",
+    # The oracle states the 2-D rectangle aggregate straight off
+    # lineitem (exact integer bounds); the engine computes it off the
+    # ZORDER-rewritten table THROUGH manifest pruning — equality holds
+    # only if the re-layout lost/duplicated nothing and the pruned
+    # read's one-sided proof kept every matching directory.
+    oracle="""
+    WITH b AS (
+      SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+             min(l_partkey)  AS mnp, max(l_partkey)  AS mxp
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS price_cents
+    FROM lineitem, b
+    WHERE l_orderkey >= mno + ((mxo - mno + 1) * 4) // 16
+      AND l_orderkey <  mno + ((mxo - mno + 1) * 5) // 16
+      AND l_partkey  >= mnp + ((mxp - mnp + 1) * 4) // 16
+      AND l_partkey  <  mnp + ((mxp - mnp + 1) * 5) // 16
+    GROUP BY l_returnflag
+    """,
+    tags=("txn", "zorder", "optimize", "data-skipping", "acid"),
+)
+def txn_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE ZORDER BY (l_orderkey, l_partkey)`` through the txn
+    log: lineitem lands as four arbitrary append commits (no useful
+    layout), then ``optimize_zorder`` rewrites the table in Morton
+    order as 16 z-range directories — a pure re-layout commit with
+    row-identical content — and a TWO-DIMENSIONAL rectangle query
+    prunes through the manifest to the few directories whose [min,max]
+    box intersects. The standalone layout demo is
+    ``scale_zorder_layout`` (operators/scale.py); this gates the same
+    bit-interleave wired into the table format, where the stats live
+    in the COMMIT LOG rather than a side computation.
+
+    SELF-CHECKS: (a) the optimize commit preserved the exact row count
+    (manifest metadata, zero scans); (b) the rectangle prune SKIPS at
+    least half of the 16 z-range directories — the multi-dimensional
+    skipping claim itself; (c) time travel to the pre-optimize version
+    still reads the un-clustered layout."""
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    # bounded collect: 4 scalars, the same bounds the oracle derives
+    mno, mxo, mnp, mxp = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    span_o, span_p = mxo - mno + 1, mxp - mnp + 1
+    lo_o, hi_o = mno + (span_o * 4) // 16, mno + (span_o * 5) // 16
+    lo_p, hi_p = mnp + (span_p * 4) // 16, mnp + (span_p * 5) // 16
+    work = tempfile.mkdtemp(prefix="ceneton_txn_zorder_")
+    try:
+        table = TxnTable(work)
+        # four arbitrary (hash-split) appends: the worst layout —
+        # every directory spans the whole key range on both dims
+        for i in range(4):
+            part = li.filter(F.pmod(F.xxhash64("l_orderkey", "l_partkey"), F.lit(4)) == i)
+            table.write(part, mode="overwrite" if i == 0 else "append")
+        pre_version = table.latest_version()
+        n_before = table.count()
+        v = table.optimize_zorder(
+            spark, ("l_orderkey", "l_partkey"), buckets=16
+        )
+        # (a) row-identical re-layout, proven from manifest metadata
+        if table.count() != n_before:
+            raise AssertionError("optimize_zorder changed the row count")
+        if table.history()[0]["op"] != "optimize" or v != pre_version + 1:
+            raise AssertionError("zorder did not land as one optimize commit")
+        # (b) 2-D rectangle pruning over the z-range directories
+        preds = [
+            ("l_orderkey", ">=", int(lo_o)), ("l_orderkey", "<", int(hi_o)),
+            ("l_partkey", ">=", int(lo_p)), ("l_partkey", "<", int(hi_p)),
+        ]
+        kept, skipped = table.prune(preds)
+        if len(kept) + len(skipped) != 16 or len(skipped) < 8:
+            raise AssertionError(
+                f"rectangle should skip >= 8 of 16 z-ranges; kept "
+                f"{len(kept)}, skipped {len(skipped)}"
+            )
+        # (c) the pre-optimize layout is still time-travelable
+        if len(table.snapshot(pre_version)["files"]) != 4:
+            raise AssertionError("pre-optimize snapshot lost its layout")
+        rect = (
+            (F.col("l_orderkey") >= lo_o) & (F.col("l_orderkey") < hi_o)
+            & (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") < hi_p)
+        )
+        cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        result = (
+            table.read_pruned(spark, preds)
+            .where(rect)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(cents).cast("long").alias("price_cents"),
+            )
+        )
+        _record_inner_plan("txn_optimize_zorder", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "txn_update_where",
+    # Closed-form final snapshot: BUILDING-segment balances are floored
+    # at 0.0, every other row is untouched. The quantized double grid
+    # keeps both engines' doubles identical through the rewrite.
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                  AND CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) < 0
+                THEN 0.0
+                ELSE CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)
+           END AS bal
+    FROM customer
+    """,
+    tags=("txn", "update", "cow", "acid"),
+)
+def txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE ... SET ... WHERE`` through the txn log — the row-level
+    write surface between ``delete`` and ``merge``: customers land as
+    four segment-hash commits, then ONE update floors negative
+    BUILDING balances at zero. Copy-on-write at directory granularity:
+    the probe finds the directories containing matches and only those
+    rewrite; the rest survive by reference — at 100 TB an UPDATE
+    touching one segment rewrites the commits that segment lives in,
+    not the table.
+
+    SELF-CHECKS: (a) directories with no matching rows survived BY
+    REFERENCE (same manifest entries); (b) a SET that retypes refuses
+    and commits nothing; (c) a SET targeting an unknown column refuses
+    (UPDATE never evolves schema); (d) a no-match WHERE returns None
+    with no empty commit; (e) cdc=True staged pre/post-image rows,
+    count-symmetric."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import SchemaMismatch, TxnTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_update_")
+    try:
+        table = TxnTable(work)
+        # segment-clustered commits (the natural load layout), so the
+        # UPDATE's matches live in a strict subset of directories and
+        # the by-reference survival is observable; coalesce keeps NULL
+        # segments in a bucket instead of dropping them
+        seg_bucket = F.pmod(
+            F.xxhash64(F.coalesce(F.col("c_mktsegment"), F.lit("~null~"))),
+            F.lit(4),
+        )
+        for i in range(4):
+            part = cust.filter(seg_bucket == i)
+            table.write(part, mode="overwrite" if i == 0 else "append")
+        files_before = table.snapshot()["files"]
+        v = table.update(
+            spark,
+            set={"bal": "CAST(0.0 AS DOUBLE)"},
+            where="c_mktsegment = 'BUILDING' AND bal < 0",
+            cdc=True,
+        )
+        snap = table.snapshot()
+        # (a) only match-bearing directories rewrote; the rest survive
+        # by reference (v is None when the fixture has no negative
+        # BUILDING balances at all — then the whole ladder is a no-op
+        # and the oracle equality still holds)
+        if v is not None:
+            surv = set(files_before) & set(snap["files"])
+            if not surv or snap.get("op") != "update":
+                raise AssertionError("update rewrote every directory")
+            # (e) the cdc sidecar is pre/post-symmetric
+            cdf = spark.read.parquet(_os.path.join(work, snap["cdc"]))
+            pre = cdf.where("_change_type = 'update_preimage'").count()
+            post = cdf.where("_change_type = 'update_postimage'").count()
+            if pre != post or pre == 0:
+                raise AssertionError(f"asymmetric cdc: {pre} pre, {post} post")
+        # (b) retyping SET refuses, commits nothing
+        try:
+            table.update(spark, set={"bal": "'oops'"}, where="bal = 0.0")
+            raise AssertionError("retyping SET did not raise")
+        except SchemaMismatch:
+            pass
+        # (c) unknown-column SET refuses
+        try:
+            table.update(spark, set={"nope": "1"}, where="bal = 0.0")
+            raise AssertionError("unknown-column SET did not raise")
+        except SchemaMismatch:
+            pass
+        # (d) no-match WHERE is a no-op returning None
+        before = table.latest_version()
+        if table.update(spark, set={"bal": "bal"}, where="FALSE") is not None:
+            raise AssertionError("no-match update committed")
+        if table.latest_version() != before:
+            raise AssertionError("no-op update advanced the version")
+        result = table.read(spark)
+        _record_inner_plan("txn_update_where", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "txn_checkpointed_manifest_pruning",
+    # Closed-form top-decile probe: the engine computes it through a
+    # CHECKPOINTED manifest (per-directory state in a parquet sidecar,
+    # O(1) JSON stub) with manifest-level pruning; equality holds only
+    # if the checkpoint round-tripped every stats entry and the prune's
+    # one-sided proof kept every matching commit.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderkey >= (SELECT min(o_orderkey)
+                           + ((max(o_orderkey) - min(o_orderkey) + 1) * 9) // 10
+                         FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("txn", "checkpoint", "data-skipping", "scale", "acid"),
+)
+def txn_checkpointed_manifest_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANIFEST CHECKPOINTING under load: ``orders`` lands as 12
+    key-range commits on a table whose ``checkpoint_at`` threshold is
+    8 directories, so the later manifests spill their per-directory
+    state (file list, row counts, [min,max] stats) into parquet
+    CHECKPOINT sidecars with an O(1) JSON stub — Delta's
+    checkpoint.parquet at directory granularity, the piece that keeps
+    driver-side manifest work bounded when a 100 TB table accumulates
+    millions of commits. The gated read is a top-decile probe THROUGH
+    the checkpointed manifest: ``prune()`` streams the sidecar batch
+    by batch (never materializing the directory dict) and the scan
+    plans over the surviving commits only.
+
+    SELF-CHECKS: (a) the latest manifest on disk is a stub (no inline
+    file list) pointing at an existing checkpoint; (b) early
+    sub-threshold manifests stayed inline JSON; (c) the probe skipped
+    at least 9 of the 12 range commits; (d) ``count()`` stays a
+    metadata answer through the checkpoint; (e) ``manifest_df`` scans
+    the sidecar with per-directory rows summing to the table count."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    mn, mx = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    span = mx - mn + 1
+    probe = mn + (span * 9) // 10
+    work = tempfile.mkdtemp(prefix="ceneton_txn_ckpt_")
+    try:
+        table = TxnTable(work, stats_cols=("o_orderkey",), checkpoint_at=8)
+        for i in range(12):
+            lo = mn + (span * i) // 12
+            hi = mn + (span * (i + 1)) // 12
+            part = orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            )
+            table.write(part, mode="overwrite" if i == 0 else "append")
+        latest = table.latest_version()
+        with open(table._manifest_path(latest)) as f:
+            stub = _json.load(f)
+        # (a) O(1) stub + live checkpoint sidecar
+        if "files" in stub or "stats" in stub:
+            raise AssertionError("large manifest did not spill to checkpoint")
+        if not _os.path.exists(
+            _os.path.join(table.log_dir, stub["files_checkpoint"])
+        ):
+            raise AssertionError("checkpoint sidecar missing")
+        # (b) sub-threshold manifests stayed inline
+        with open(table._manifest_path(0)) as f:
+            if "files" not in _json.load(f):
+                raise AssertionError("small manifest checkpointed too early")
+        # (c) pruning through the checkpoint skips the other ranges
+        kept, skipped = table.prune([("o_orderkey", ">=", int(probe))])
+        if len(kept) + len(skipped) != 12 or len(skipped) < 9:
+            raise AssertionError(
+                f"top-decile probe should skip >= 9 of 12 ranges; kept "
+                f"{len(kept)}, skipped {len(skipped)}"
+            )
+        # (d) count() is still a metadata answer
+        n_meta = table.count()
+        if n_meta is None:
+            raise AssertionError("checkpoint lost the row counts")
+        # (e) the manifest scans as a DataFrame, rows summing to count
+        mdf = table.manifest_df(spark)
+        if mdf.agg(F.sum("rows")).first()[0] != n_meta:
+            raise AssertionError("manifest_df rows disagree with count()")
+        result = (
+            table.read_pruned(spark, [("o_orderkey", ">=", int(probe))])
+            .where(F.col("o_orderkey") >= probe)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.expr(
+                    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)"
+                    " AS DOUBLE)"
+                ).alias("revenue"),
+            )
+        )
+        _record_inner_plan("txn_checkpointed_manifest_pruning", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_delete_dv",
     # Closed-form survivor set: equality holds only if the tombstones
     # hit exactly the predicate's rows and reads merge them out.

@@ -2818,6 +2818,7 @@ class TxnTable:
         key: str,
         max_retries: int = 10,
         cdc: bool | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Upsert ``updates`` by ``key`` with Delta-style COPY-ON-WRITE
         at directory granularity (the same shape as :meth:`delete`):
@@ -2851,7 +2852,15 @@ class TxnTable:
         CDF stream crossing a merge commit raises toward the batch
         feed. The default (``cdc=None``) follows the table's
         ``enableChangeDataFeed`` property (:meth:`set_properties`);
-        an explicit ``False`` opts one commit out."""
+        an explicit ``False`` opts one commit out.
+
+        ``merge_schema=True`` is Delta's MERGE ``withSchemaEvolution``:
+        updates may carry NEW columns (appended nullable, exactly the
+        append-path evolution rule — no retypes, no retired-name
+        revival) and may omit existing ones; surviving rows keep their
+        values, rewritten/inserted rows read omitted columns as NULL.
+        Without it, a schema difference raises :class:`SchemaMismatch`
+        up front, before anything stages."""
         from pyspark.sql import functions as F
 
         n_rows, n_nonnull, n_keys = updates.agg(
@@ -2891,10 +2900,17 @@ class TxnTable:
                 merged, kept, txns = updates, [], {}
             else:
                 snap = self.snapshot(current)
-                schema = snap.get("schema") or upd_schema
-                # loud up-front check, same rule as append: a MERGE
-                # never evolves the schema
-                self._evolve_schema(snap.get("schema"), upd_schema, False)
+                # loud up-front check, same rule as append: schema
+                # differences refuse unless merge_schema evolves them
+                schema = (
+                    self._evolve_schema(
+                        snap.get("schema"),
+                        upd_schema,
+                        merge_schema,
+                        reserved=self._reserved_names(snap),
+                    )
+                    or upd_schema
+                )
                 pending = {
                     k: e
                     for k, e in snap.get("constraints", {}).items()
@@ -2943,7 +2959,13 @@ class TxnTable:
                     survivors = self._read_live(spark, snap, touched).join(
                         keys, key, "left_anti"
                     )
-                    merged = survivors.unionByName(updates)
+                    # allowMissingColumns carries an evolution: the
+                    # side lacking a column (survivors for ADDED ones,
+                    # updates for OMITTED ones) fills NULL, matching
+                    # the append path's by-name read semantics
+                    merged = survivors.unionByName(
+                        updates, allowMissingColumns=True
+                    )
                 else:
                     # insert-only merge: nothing rewritten, pure append
                     merged = updates
@@ -2970,11 +2992,13 @@ class TxnTable:
                             updates.join(matched_keys, key, "semi")
                             .withColumn(
                                 "_change_type", F.lit("update_postimage")
-                            )
+                            ),
+                            allowMissingColumns=True,
                         )
                         .unionByName(
                             updates.join(matched_keys, key, "left_anti")
-                            .withColumn("_change_type", F.lit("insert"))
+                            .withColumn("_change_type", F.lit("insert")),
+                            allowMissingColumns=True,
                         )
                     )
                 else:
@@ -3129,6 +3153,164 @@ class TxnTable:
             if cdc_rel is not None:
                 self._discard_staged(cdc_rel)
         raise CommitConflict(f"lost {max_retries} delete races on {self.path}")
+
+    def update(
+        self,
+        spark: SparkSession,
+        set: dict[str, str],
+        where: str,
+        max_retries: int = 10,
+        cdc: bool | None = None,
+    ) -> int | None:
+        """``UPDATE table SET col = expr, ... WHERE predicate`` with
+        Delta-style COPY-ON-WRITE at directory granularity — the same
+        probe/rewrite shape as :meth:`delete`: ONE pushed-down scan
+        finds the directories containing matches, untouched directories
+        survive BY REFERENCE, and only the touched ones are re-read
+        with the SET expressions applied to matching rows (non-matching
+        rows in a touched directory pass through byte-identical values).
+
+        Guards, all LOUD and all before anything stages: every SET
+        target must be an existing column (UPDATE never evolves the
+        schema — that's :meth:`merge` with ``merge_schema``); a SET
+        expression may not change the column's type (Delta refuses the
+        same); and the POST-IMAGE rows re-validate every CHECK
+        constraint — an update that would write violating values
+        commits nothing.
+
+        ``cdc`` stages Delta's ``update_preimage``/``update_postimage``
+        change rows exactly like :meth:`merge`; default follows the
+        table's ``enableChangeDataFeed`` property. Returns the committed
+        version, or ``None`` when no row matches (no empty commit)."""
+        from pyspark.sql import functions as F
+
+        assignments = dict(set)  # `set` reads as SQL; alias off the builtin
+        if not assignments:
+            raise ValueError("update: empty SET clause")
+        match_expr = f"coalesce(({where}), FALSE)"
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                return None
+            snap = self.snapshot(current)
+            schema = snap.get("schema")
+            if schema is not None:
+                known = {f["name"] for f in schema["fields"]}
+                bad = sorted(c for c in assignments if c not in known)
+                if bad:
+                    raise SchemaMismatch(
+                        f"UPDATE SET targets unknown column(s) {bad}; "
+                        "UPDATE never adds columns — use merge(..., "
+                        "merge_schema=True) to evolve"
+                    )
+            from urllib.parse import unquote
+
+            hit_dirs = {
+                unquote(r.d)
+                for r in (
+                    self._live_keyed(spark, snap)
+                    .where(where)
+                    .select(
+                        F.regexp_extract(
+                            "__file", r"(data/.+)/[^/]+$", 1
+                        ).alias("d")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            }
+            kept = [rel for rel in snap["files"] if rel not in hit_dirs]
+            touched = [rel for rel in snap["files"] if rel in hit_dirs]
+            if not touched:
+                return None
+            live = self._read_live(spark, snap, touched)
+            # match is decided on the PRE-IMAGE (SQL UPDATE semantics:
+            # SET right-hand sides and the WHERE both read old values);
+            # the flag rides the rewrite so the post-image is exactly
+            # the rewritten versions of the matched rows — re-testing
+            # the predicate after the rewrite would miss every row the
+            # update itself moved out of the match set
+            # type guard BEFORE any job: each SET expression must
+            # already carry its column's exact type — checked on the
+            # expression ALONE, because when/otherwise would silently
+            # coerce (a string landing in a double column passes the
+            # coerced plan's type check and then explodes, or worse
+            # silently NULLs, executor-side at stage time)
+            probe = live.select(
+                *[F.expr(e).alias(c) for c, e in assignments.items()]
+            )
+            live_types = {f.name: f.dataType for f in live.schema.fields}
+            for f in probe.schema.fields:
+                if f.dataType != live_types[f.name]:
+                    raise SchemaMismatch(
+                        f"UPDATE SET retypes {f.name!r} "
+                        f"({live_types[f.name].simpleString()} -> "
+                        f"{f.dataType.simpleString()}); cast the "
+                        "expression to the column's type"
+                    )
+            flagged = live.withColumn("__upd", F.expr(match_expr))
+            rewritten_all = flagged.select(
+                *[
+                    F.when(F.col("__upd"), F.expr(assignments[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in live.columns
+                ],
+                "__upd",
+            )
+            rewritten = rewritten_all.drop("__upd")
+            post_image = rewritten_all.where("__upd").drop("__upd")
+            cons = snap.get("constraints", {})
+            if cons:
+                # only the post-image needs checking: untouched rows
+                # were validated when they landed
+                self._validate_constraints(post_image, cons)
+            staged, staged_n = self._stage_write(rewritten)
+            cdc_rel = None
+            use_cdc = (
+                cdc
+                if cdc is not None
+                else bool((snap.get("props") or {}).get(
+                    "enableChangeDataFeed"
+                ))
+            )
+            if use_cdc:
+                changes = (
+                    live.where(match_expr)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        post_image.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                )
+                cdc_rel = self._stage_cdc(changes)
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "update",
+                "files": kept + [staged],
+                "txns": dict(snap.get("txns", {})),
+            }
+            if cdc_rel is not None:
+                manifest["cdc"] = cdc_rel
+            if schema is not None:
+                manifest["schema"] = schema
+            self._carry_layout(snap, manifest, kept, {staged: staged_n})
+            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+            if stats:
+                manifest["stats"] = stats
+            blooms = self._commit_blooms(spark, snap, kept + [staged], [staged])
+            if blooms:
+                manifest["blooms"] = blooms
+            if self._try_commit(version, manifest):
+                return version
+            self._discard_staged(staged)
+            if cdc_rel is not None:
+                self._discard_staged(cdc_rel)
+        raise CommitConflict(f"lost {max_retries} update races on {self.path}")
 
     def _stage_cdc(self, df: DataFrame) -> str:
         """Stage a commit's CHANGE-DATA rows (table columns plus
@@ -3582,6 +3764,165 @@ class TxnTable:
             self._discard_staged(staged)
         raise CommitConflict(
             f"lost {max_retries} optimize races on {self.path}"
+        )
+
+    def optimize_zorder(
+        self,
+        spark: SparkSession,
+        zorder_by: tuple[str, str],
+        buckets: int = 16,
+        max_retries: int = 10,
+    ) -> int:
+        """``OPTIMIZE ... ZORDER BY (a, b)`` through the log — Delta's
+        multi-dimensional re-clustering as just another optimistic
+        rewrite commit: the snapshot's LIVE rows (tombstones
+        materialized, like :meth:`optimize`) are re-laid-out in MORTON
+        ORDER over the two key columns and staged as ``buckets``
+        z-range directories, each its own manifest entry whose
+        [min, max] on BOTH columns is a tight RECTANGLE in key space —
+        so :meth:`read_pruned` under a two-dimensional predicate skips
+        to the few directories whose box intersects, where a linear
+        layout prunes on one dimension only (the standalone layout
+        demo is ``operators/scale.py scale_zorder_layout``; this is the
+        same bit-interleave wired into the table format). Stats on the
+        z-order columns are recorded for the rewrite directories even
+        when the table declared no ``stats_cols`` — a ZORDER whose
+        rectangles nothing can probe would be pointless.
+
+        Row content is IDENTICAL to the predecessor (concurrent
+        readers keep their snapshots; the streaming change feed passes
+        over ``optimize`` commits). Exactly two columns — the Morton
+        spread is the 2-D 16-bit interleave; one-dimensional
+        clustering is :meth:`write_clustered`. Refused on partitioned
+        tables (the directory layout is the partition proof). Exact
+        integer bucket arithmetic, zero UDFs, ONE range exchange."""
+        from pyspark.sql import functions as F
+
+        if len(tuple(zorder_by)) != 2:
+            raise ValueError(
+                f"zorder_by takes exactly 2 columns (2-D Morton "
+                f"interleave), got {tuple(zorder_by)}"
+            )
+        if buckets < 2:
+            raise ValueError(f"buckets must be >= 2, got {buckets}")
+        ca, cb = zorder_by
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                raise FileNotFoundError(
+                    f"no committed version in {self.log_dir}"
+                )
+            snap = self.snapshot(current)
+            if snap.get("partition_by"):
+                raise ValueError(
+                    "table is partitioned by "
+                    f"{tuple(snap['partition_by'])}; ZORDER re-layout "
+                    "would break the partition proof — drop to an "
+                    "unpartitioned overwrite first"
+                )
+            live = self._read_live(spark, snap)
+            # bounded collect: 4 scalars (the trained-artifact pattern)
+            b = live.agg(
+                F.min(ca), F.max(ca), F.min(cb), F.max(cb)
+            ).first()
+            if b[0] is None or b[2] is None:
+                raise ValueError(
+                    f"cannot ZORDER on ({ca}, {cb}): no non-null values"
+                )
+            mna, mxa, mnb, mxb = (int(v) for v in b)
+            span_a, span_b = mxa - mna + 1, mxb - mnb + 1
+
+            def _bucket(col: str, mn: int, span: int):
+                # exact integer 16-bit bucket, engine-stable
+                return (
+                    (F.col(col).cast("long") - F.lit(mn))
+                    * F.lit(65536)
+                    / F.lit(span)
+                ).cast("long")
+
+            def _spread(x):
+                # interleave-ready bit spread: 16 data bits -> 32 bits
+                x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+                x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+                x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+                x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+                return x
+
+            zval = _spread(_bucket(ca, mna, span_a)).bitwiseOR(
+                F.shiftleft(_spread(_bucket(cb, mnb, span_b)), 1)
+            )
+            staged = f"data/{uuid.uuid4().hex}"
+            (
+                live.withColumn("_z", zval)
+                .repartitionByRange(buckets, "_z")
+                .withColumn("_range_bucket", F.spark_partition_id())
+                .drop("_z")  # layout artifact, never part of the data
+                .write.partitionBy("_range_bucket")
+                .parquet(os.path.join(self.path, staged))
+            )
+            staged_dirs = sorted(
+                f"{staged}/{d}"
+                for d in os.listdir(os.path.join(self.path, staged))
+                if d.startswith("_range_bucket=")
+            )
+            if not staged_dirs:
+                staged_dirs = [staged]
+            # ONE grouped agg: per-directory row counts + rectangle
+            # stats on the zorder columns (plus any declared stats
+            # columns present)
+            sdf = spark.read.parquet(os.path.join(self.path, staged))
+            cols = sorted(
+                {ca, cb} | {c for c in self.stats_cols if c in sdf.columns}
+            )
+            staged_rows: dict[str, int] = {}
+            staged_stats: dict[str, dict] = {}
+            if staged_dirs != [staged]:
+                for r in (
+                    sdf.groupBy("_range_bucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+                        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+                    )
+                    .collect()
+                ):
+                    rel = f"{staged}/_range_bucket={r['_range_bucket']}"
+                    staged_rows[rel] = int(r["__n"])
+                    staged_stats[rel] = {
+                        c: [
+                            self._json_stat(r[f"__lo_{i}"]),
+                            self._json_stat(r[f"__hi_{i}"]),
+                        ]
+                        for i, c in enumerate(cols)
+                    }
+            else:
+                staged_rows[staged] = 0
+            staged_blooms = (
+                self._collect_blooms(spark, staged_dirs)
+                if self.bloom_cols
+                else {}
+            )
+            version = current + 1
+            manifest = {
+                "version": version,
+                "op": "optimize",
+                "files": staged_dirs,
+                "txns": dict(snap.get("txns", {})),
+            }
+            if snap.get("schema") is not None:
+                manifest["schema"] = snap["schema"]
+            self._carry_props(snap, manifest, staged_rows)
+            if staged_stats:
+                manifest["stats"] = staged_stats
+            if staged_blooms:
+                manifest["blooms"] = staged_blooms
+            if self._try_commit(version, manifest):
+                return version
+            # lost the race: this re-layout was computed against a
+            # stale snapshot — discard and rebase
+            self._discard_staged(staged)
+        raise CommitConflict(
+            f"lost {max_retries} optimize_zorder races on {self.path}"
         )
 
     def truncate_log(self, retain_versions: int = 1) -> list[int]:

@@ -641,7 +641,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 ),
             )
             return
-        if op in ("delete", "merge") and m.get("cdc"):
+        if op in ("delete", "merge", "update") and m.get("cdc"):
             add_cdc(m["cdc"], v)
             return
         if op == "drop_partitions":

@@ -1677,3 +1677,76 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_stream_static_txn_join",
+    # The oracle joins events to the dimension the pipeline stores in
+    # the transactional table (distinct users with their rank bucket)
+    # and rolls revenue up per bucket — exactly once despite the
+    # dimension living in a versioned table and the fact side being a
+    # replayed stream.
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 10 AS cohort
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT d.cohort,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort
+    """,
+    tags=("streaming", "txn", "join", "stream-static"),
+)
+def streaming_stream_static_txn_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC JOIN against a transactional-table dimension —
+    the standard enrichment shape at 100 TB: facts arrive as a stream,
+    the dimension lives in a versioned table (here written through
+    TxnTable and read back through the pure DataSource face inside the
+    streaming query), and Spark re-plans the static side per
+    micro-batch, broadcasting it under AQE. The aggregation after the
+    join is a plain streaming group-by (complete mode through the
+    harness), so the oracle states the whole pipeline in closed form.
+
+    No stream-stream state is involved — the static side is a snapshot
+    read per micro-batch, which is exactly the semantics a slowly-
+    changing enrichment table wants (a mid-stream dimension update
+    applies from the next micro-batch on)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.catalog import load_table
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
+
+    register_txn_source(spark)
+    work = tempfile.mkdtemp(prefix="ceneton_stream_dim_")
+    try:
+        dim = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id")
+            .distinct()
+            .withColumn("cohort", F.col("user_id") % 10)
+        )
+        table = TxnTable(os.path.join(work, "dim"))
+        table.write(dim, mode="overwrite")
+        static = (
+            spark.read.format("txntable")
+            .option("path", table.path)
+            .load()
+        )
+        agg = (
+            events_stream(spark, sf_dir)
+            .join(static, "user_id")  # inner: NULL user_id drops, as in the oracle
+            .groupBy("cohort")
+            .agg(F.count("*").alias("n_events"), _sum_value_expr("sum_value"))
+        )
+        return run_stream_to_batch(agg).select("cohort", "n_events", "sum_value")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

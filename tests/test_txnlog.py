@@ -13,6 +13,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.sinks.txnlog import (
     CommitConflict,
@@ -1856,3 +1857,205 @@ def test_stats_null_counts_prune_is_null(spark, tmp_path):
     assert by_seg[None]["seg"] == [None, None, 1]
     k, s = t2.prune([("seg", "IS NULL", None)])
     assert (len(k), len(s)) == (1, 1)
+
+
+# -- MERGE schema evolution + OPTIMIZE ZORDER (round 11) -------------------
+
+
+def test_merge_schema_evolution_rules(spark, tmp_path):
+    """merge(merge_schema=True) follows the append-path evolution rules
+    exactly: new columns append nullable, omitted columns read NULL,
+    retypes refuse, and a name retired by drop_column cannot revive."""
+    t = TxnTable(str(tmp_path))
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.write(base, mode="overwrite")
+    wide = spark.range(5, 15).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.format_string("x%d", "id").alias("tag"),
+    )
+    # refuses without the flag, nothing committed
+    with pytest.raises(SchemaMismatch):
+        t.merge(spark, wide, key="k")
+    assert t.latest_version() == 0
+    v1 = t.merge(spark, wide, key="k", merge_schema=True)
+    assert v1 == 1
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got[0] == (0, None)  # survivor: NULL-filled new column
+    assert got[7] == (21, "x7")  # matched: updated + tagged
+    assert got[14] == (42, "x14")  # inserted
+    assert len(got) == 15
+    # retype refuses even with the flag
+    with pytest.raises(SchemaMismatch, match="retype"):
+        t.merge(
+            spark,
+            wide.withColumn("v", F.lit("s")),
+            key="k",
+            merge_schema=True,
+        )
+    # a retired name cannot revive through MERGE either
+    t.drop_column("tag")
+    with pytest.raises(SchemaMismatch, match="retired"):
+        t.merge(spark, wide, key="k", merge_schema=True)
+
+
+def test_merge_schema_evolution_cdc_unified(spark, tmp_path):
+    """A cdc=True evolving merge stages its change rows under the
+    UNIFIED schema (pre-images NULL-fill the new column), so the
+    streaming change feed crossing the commit stays well-typed."""
+    t = TxnTable(str(tmp_path))
+    t.write(
+        spark.range(4).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        mode="overwrite",
+    )
+    upd = spark.range(2, 6).select(
+        F.col("id").alias("k"),
+        F.lit(9).alias("v"),
+        F.lit("n").alias("note"),
+    )
+    t.merge(spark, upd, key="k", merge_schema=True, cdc=True)
+    cdc_rel = t.snapshot().get("cdc")
+    assert cdc_rel
+    import os as _os
+
+    cdf = spark.read.parquet(_os.path.join(str(tmp_path), cdc_rel))
+    assert set(cdf.columns) == {"k", "v", "note", "_change_type"}
+    by_type = {
+        r["_change_type"]: r["cnt"]
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_type == {
+        "update_preimage": 2,
+        "update_postimage": 2,
+        "insert": 2,
+    }
+    # pre-images carry NULL for the evolved column
+    pres = cdf.where("_change_type = 'update_preimage'").collect()
+    assert all(r["note"] is None for r in pres)
+
+
+def test_optimize_zorder_refusals_and_identity(spark, tmp_path):
+    t = TxnTable(str(tmp_path))
+    df = spark.range(1000).select(
+        F.col("id").alias("a"),
+        ((F.col("id") * 37) % 1000).alias("b"),
+    )
+    t.write(df, mode="overwrite")
+    with pytest.raises(ValueError, match="exactly 2"):
+        t.optimize_zorder(spark, ("a",))
+    with pytest.raises(ValueError, match="buckets"):
+        t.optimize_zorder(spark, ("a", "b"), buckets=1)
+    before = sorted(t.read(spark).collect())
+    v = t.optimize_zorder(spark, ("a", "b"), buckets=8)
+    assert v == 1 and t.snapshot()["op"] == "optimize"
+    assert sorted(t.read(spark).collect()) == before
+    assert len(t.snapshot()["files"]) == 8
+    # zorder stats recorded on BOTH dims even without stats_cols
+    st = t.snapshot()["stats"]
+    assert all({"a", "b"} <= set(cols) for cols in st.values())
+    # partitioned tables refuse
+    tp = TxnTable(str(tmp_path / "p"))
+    tp.write_partitioned(
+        spark.range(10).select(
+            F.col("id").alias("a"), (F.col("id") % 2).alias("p")
+        ),
+        partition_by=("p",),
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        tp.optimize_zorder(spark, ("a", "p"))
+
+
+def test_optimize_zorder_materializes_tombstones(spark, tmp_path):
+    """ZORDER over a table with deletion vectors materializes the
+    tombstones (live rows only land) and drops the sidecar list."""
+    t = TxnTable(str(tmp_path))
+    t.write(
+        spark.range(100).select(
+            F.col("id").alias("a"), (F.col("id") % 10).alias("b")
+        ),
+        mode="overwrite",
+    )
+    t.delete_dv(spark, "a < 10")
+    assert t.count() == 90
+    t.optimize_zorder(spark, ("a", "b"), buckets=4)
+    snap = t.snapshot()
+    assert not snap.get("dvs") and t.count() == 90
+    assert t.read(spark).where("a < 10").count() == 0
+
+
+def test_update_where_constraints_and_mapping(spark, tmp_path):
+    """UPDATE validates the post-image against CHECK constraints (a
+    violating SET commits nothing), and composes with column mapping
+    (rename first, update under the new name, pre-rename rows rewrite
+    correctly)."""
+    t = TxnTable(str(tmp_path))
+    t.write(
+        spark.range(20).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("bal")
+        ),
+        mode="overwrite",
+    )
+    from ceneton_database_tools_spark.sinks.txnlog import ConstraintViolation
+
+    t.add_constraint(spark, "nonneg", "bal >= 0")
+    before = t.latest_version()
+    with pytest.raises(ConstraintViolation):
+        t.update(spark, set={"bal": "CAST(-1 AS BIGINT)"}, where="k < 5")
+    assert t.latest_version() == before  # nothing committed
+    # non-violating update passes the constraint
+    t.update(spark, set={"bal": "bal + CAST(100 AS BIGINT)"}, where="k < 5")
+    got = {r["k"]: r["bal"] for r in t.read(spark).collect()}
+    assert got[0] == 100 and got[4] == 108 and got[5] == 10
+    # through a rename: predicate and SET use the NEW logical name,
+    # the touched directory physically carries the old one
+    t.drop_constraint("nonneg")
+    t.rename_column("bal", "balance")
+    t.update(
+        spark, set={"balance": "CAST(0 AS BIGINT)"}, where="balance > 100"
+    )
+    got = {r["k"]: r["balance"] for r in t.read(spark).collect()}
+    assert got[0] == 100 and got[4] == 0 and got[19] == 38
+
+
+def test_update_cdc_streams_through_change_feed(spark, tmp_path):
+    """A cdc=True UPDATE's sidecar streams through readchangefeed as
+    pre/post-image rows, like merge."""
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path))
+    t.write(
+        spark.range(6).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        ),
+        mode="overwrite",
+    )
+    t.update(spark, set={"v": "CAST(9 AS BIGINT)"}, where="k >= 4", cdc=True)
+    q = (
+        spark.readStream.format("txntable")
+        .option("path", str(tmp_path))
+        .option("readchangefeed", "true")
+        .option("startingversion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("upd_cdf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT k, v, change_type FROM upd_cdf WHERE change_type LIKE 'update%'"
+        " ORDER BY change_type, k"
+    ).collect()
+    # lexicographic: 'update_postimage' sorts before 'update_preimage'
+    assert [(r["k"], r["v"], r["change_type"]) for r in rows] == [
+        (4, 9, "update_postimage"),
+        (5, 9, "update_postimage"),
+        (4, 1, "update_preimage"),
+        (5, 1, "update_preimage"),
+    ]
