@@ -2191,6 +2191,25 @@ class TxnTable:
             staged_rows = {d: 0 for d in staged_dirs}
         return staged, staged_dirs, new_parts, staged_stats, staged_rows
 
+    def _stage_rewrite(
+        self, snap: dict | None, df: DataFrame
+    ) -> tuple[str, list[str], dict, dict, dict]:
+        """Stage a row-level-rewrite directory (delete/update/merge),
+        PARTITION-PRESERVING when the table is partitioned: the rewrite
+        lands as one leaf per partition tuple with exact manifest
+        values (via :meth:`_stage_partitioned`), so
+        :meth:`drop_partitions`' two-sided proof keeps working after
+        row-level writes — no :meth:`optimize` repair needed.
+        Unpartitioned tables stage one directory as before. Returns
+        ``(root, dirs, new_parts, staged_stats, staged_rows)``."""
+        spec = list((snap or {}).get("partition_by") or [])
+        if spec:
+            schema = (snap or {}).get("schema") or self._schema_of(df)
+            type_of = {f["name"]: f["type"] for f in schema["fields"]}
+            return self._stage_partitioned(df, spec, type_of)
+        staged, n = self._stage_write(df)
+        return staged, [staged], {}, {}, {staged: n}
+
     def write_partitioned(
         self,
         df: DataFrame,
@@ -3008,25 +3027,37 @@ class TxnTable:
                         "_change_type", F.lit("insert")
                     )
                 cdc_rel = self._stage_cdc(changes)
-            staged, staged_n = self._stage_write(merged)
+            staged, staged_dirs, new_parts, staged_stats, staged_rows = (
+                self._stage_rewrite(snap, merged)
+            )
             version = 0 if current is None else current + 1
             manifest = {
                 "version": version,
                 "op": "merge",
-                "files": kept + [staged],
+                "files": kept + staged_dirs,
                 "txns": txns,
                 "schema": schema,
             }
             if cdc_rel is not None:
                 manifest["cdc"] = cdc_rel
             if snap is not None:
-                self._carry_layout(snap, manifest, kept, {staged: staged_n})
+                self._carry_layout(snap, manifest, kept, staged_rows)
             else:
-                self._carry_props(None, manifest, {staged: staged_n})
-            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+                self._carry_props(None, manifest, staged_rows)
+            if new_parts:
+                manifest["parts"] = {**manifest.get("parts", {}), **new_parts}
+                carried = (snap or {}).get("stats", {})
+                stats = {d: carried[d] for d in kept if d in carried}
+                stats.update({d: s for d, s in staged_stats.items() if s})
+            else:
+                stats = self._commit_stats(
+                    spark, snap, kept + staged_dirs, staged_dirs
+                )
             if stats:
                 manifest["stats"] = stats
-            blooms = self._commit_blooms(spark, snap, kept + [staged], [staged])
+            blooms = self._commit_blooms(
+                spark, snap, kept + staged_dirs, staged_dirs
+            )
             if blooms:
                 manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
@@ -3113,7 +3144,9 @@ class TxnTable:
                 self._read_live(spark, snap, touched)
                 .where(f"NOT coalesce(({predicate}), FALSE)")
             )
-            staged, staged_n = self._stage_write(survivors)
+            staged, staged_dirs, new_parts, staged_stats, staged_rows = (
+                self._stage_rewrite(snap, survivors)
+            )
             cdc_rel = None
             use_cdc = (
                 cdc
@@ -3133,18 +3166,28 @@ class TxnTable:
             manifest = {
                 "version": version,
                 "op": "delete",
-                "files": kept + [staged],
+                "files": kept + staged_dirs,
                 "txns": dict(snap.get("txns", {})),
             }
             if cdc_rel is not None:
                 manifest["cdc"] = cdc_rel
             if snap.get("schema") is not None:
                 manifest["schema"] = snap["schema"]
-            self._carry_layout(snap, manifest, kept, {staged: staged_n})
-            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+            self._carry_layout(snap, manifest, kept, staged_rows)
+            if new_parts:
+                manifest["parts"] = {**manifest.get("parts", {}), **new_parts}
+                carried = snap.get("stats", {})
+                stats = {d: carried[d] for d in kept if d in carried}
+                stats.update({d: s for d, s in staged_stats.items() if s})
+            else:
+                stats = self._commit_stats(
+                    spark, snap, kept + staged_dirs, staged_dirs
+                )
             if stats:
                 manifest["stats"] = stats
-            blooms = self._commit_blooms(spark, snap, kept + [staged], [staged])
+            blooms = self._commit_blooms(
+                spark, snap, kept + staged_dirs, staged_dirs
+            )
             if blooms:
                 manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
@@ -3267,7 +3310,9 @@ class TxnTable:
                 # only the post-image needs checking: untouched rows
                 # were validated when they landed
                 self._validate_constraints(post_image, cons)
-            staged, staged_n = self._stage_write(rewritten)
+            staged, staged_dirs, new_parts, staged_stats, staged_rows = (
+                self._stage_rewrite(snap, rewritten)
+            )
             cdc_rel = None
             use_cdc = (
                 cdc
@@ -3291,18 +3336,28 @@ class TxnTable:
             manifest = {
                 "version": version,
                 "op": "update",
-                "files": kept + [staged],
+                "files": kept + staged_dirs,
                 "txns": dict(snap.get("txns", {})),
             }
             if cdc_rel is not None:
                 manifest["cdc"] = cdc_rel
             if schema is not None:
                 manifest["schema"] = schema
-            self._carry_layout(snap, manifest, kept, {staged: staged_n})
-            stats = self._commit_stats(spark, snap, kept + [staged], [staged])
+            self._carry_layout(snap, manifest, kept, staged_rows)
+            if new_parts:
+                manifest["parts"] = {**manifest.get("parts", {}), **new_parts}
+                carried = snap.get("stats", {})
+                stats = {d: carried[d] for d in kept if d in carried}
+                stats.update({d: s for d, s in staged_stats.items() if s})
+            else:
+                stats = self._commit_stats(
+                    spark, snap, kept + staged_dirs, staged_dirs
+                )
             if stats:
                 manifest["stats"] = stats
-            blooms = self._commit_blooms(spark, snap, kept + [staged], [staged])
+            blooms = self._commit_blooms(
+                spark, snap, kept + staged_dirs, staged_dirs
+            )
             if blooms:
                 manifest["blooms"] = blooms
             if self._try_commit(version, manifest):

@@ -830,20 +830,23 @@ def test_partitioned_guards(spark, tmp_path):
     assert _data_dirs(t) >= {f.split("/")[1] for f in t.snapshot()["files"]}
 
 
-def test_drop_partitions_refuses_unprovable_rewrites(spark, tmp_path):
-    """A merge/delete stages an unpartitioned rewrite directory; a later
-    drop_partitions must NOT silently keep rows it was asked to drop —
-    it either proves the rewrite unaffected from stats or raises."""
+def test_drop_partitions_works_after_partition_preserving_merge(
+    spark, tmp_path
+):
+    """Round 11: merge/delete/update stage their rewrites as
+    per-partition leaves with exact manifest values (_stage_rewrite),
+    so drop_partitions' two-sided proof holds IMMEDIATELY after a
+    row-level rewrite — the pre-r11 behavior (unpartitioned rewrite
+    dir → drop refuses until optimize repairs) is gone from the API
+    paths."""
     t = TxnTable(str(tmp_path / "t"))
     t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
     t.merge(spark, _pdf(spark, [(0, "A", "merged")]), key="id")
     snap = t.snapshot()
     assert snap["partition_by"] == ["seg"]  # spec survives the merge
-    assert len(snap.get("parts", {})) == len(snap["files"]) - 1
-    with pytest.raises(ValueError, match="no partition metadata"):
-        t.drop_partitions([("seg", "=", "A")])
-    # row-level delete still works as the documented fallback
-    t.delete(spark, "seg = 'A'")
+    # every directory — including the rewrite leaves — carries values
+    assert set(snap.get("parts", {})) == set(snap["files"])
+    assert t.drop_partitions([("seg", "=", "A")]) is not None
     assert t.read(spark).where("seg = 'A'").count() == 0
 
 
@@ -888,15 +891,21 @@ def test_partitioned_int_keys_and_empty_write(spark, tmp_path):
 def test_optimize_preserves_and_repairs_partition_layout(spark, tmp_path):
     """OPTIMIZE on a partitioned table compacts per partition tuple
     (exact values restaged into the manifest) and — because partition
-    columns live in the data — re-derives values for a merge's
-    unpartitioned rewrite directory, repairing drop_partitions."""
+    columns live in the data — re-derives values for a directory with
+    MISSING partition metadata (a pre-r11 rewrite, or an external
+    writer), repairing drop_partitions."""
     t = TxnTable(str(tmp_path / "t"))
     t.write_partitioned(_pdf(spark, _PROWS), ("seg",), mode="overwrite")
     t.write_partitioned(
         _pdf(spark, [(100, "A", "x"), (101, "B", "y")]), ("seg",)
     )
-    # a merge stages an unpartitioned rewrite: the fast path is broken
     t.merge(spark, _pdf(spark, [(0, "A", "merged")]), key="id")
+    # simulate a legacy (pre-r11) rewrite: strip one directory's
+    # partition values from the manifest, as an older writer left them
+    snap = t.snapshot()
+    doctored = {**snap, "version": snap["version"] + 1, "op": "merge"}
+    doctored["parts"] = dict(list(snap["parts"].items())[1:])
+    assert t._try_commit(snap["version"] + 1, doctored)
     with pytest.raises(ValueError, match="no partition metadata"):
         t.drop_partitions([("seg", "=", "B")])
     n_before = t.read(spark).count()
@@ -2059,3 +2068,69 @@ def test_update_cdc_streams_through_change_feed(spark, tmp_path):
         (4, 1, "update_preimage"),
         (5, 1, "update_preimage"),
     ]
+
+
+def test_row_level_rewrites_preserve_partition_metadata(spark, tmp_path):
+    """delete/update/merge on a partitioned table stage their rewrite
+    as per-partition leaves with exact manifest values, so
+    drop_partitions' two-sided proof keeps working WITHOUT an optimize
+    repair (round-11: previously the rewrite directory carried no
+    partition values and drop_partitions raised)."""
+    t = TxnTable(str(tmp_path))
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.write_partitioned(df, partition_by=("p",), mode="overwrite")
+    # COW delete: only partitions containing victims rewrite
+    t.delete(spark, "k < 4")  # victims live in every partition (k%4)
+    snap = t.snapshot()
+    assert all("p" in vals for vals in snap["parts"].values())
+    assert t.read(spark).count() == 36
+    # update: rewrite leaves carry exact values too
+    t.update(spark, set={"v": "CAST(0 AS BIGINT)"}, where="k >= 36")
+    snap = t.snapshot()
+    assert set(snap["files"]) == set(snap["parts"])
+    # merge: upsert + inserts through the partitioned layout
+    src = spark.range(38, 44).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        F.lit(99).cast("long").alias("v"),
+    )
+    t.merge(spark, src, key="k")
+    snap = t.snapshot()
+    assert set(snap["files"]) == set(snap["parts"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[39] == 99 and got[43] == 99 and got[10] == 20
+    # the proof: a metadata-only partition drop works right after
+    # row-level rewrites, with no optimize in between
+    v = t.drop_partitions([("p", "=", 1)])
+    assert v is not None
+    assert t.read(spark).where("p = 1").count() == 0
+    assert t.read(spark).where("p = 0").count() > 0
+
+
+def test_partitioned_update_stats_prune_after_rewrite(spark, tmp_path):
+    """Rewrite leaves re-measure their stats columns, so manifest
+    pruning stays exact after a partitioned UPDATE."""
+    t = TxnTable(str(tmp_path), stats_cols=("v",))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        F.col("id").alias("v"),
+    )
+    t.write_partitioned(df, partition_by=("p",), mode="overwrite")
+    t.update(
+        spark,
+        set={"v": "v + CAST(1000 AS BIGINT)"},
+        where="v >= 90 AND p = 0",
+    )
+    kept, skipped = t.prune([("v", ">=", 1000)])
+    # the untouched p=1 leaf (v <= 99) is provably irrelevant; the
+    # rewritten p=0 leaf spans [0, 1098] and must survive
+    assert skipped, "stats should prune the untouched leaf"
+    assert (
+        t.read_pruned(spark, [("v", ">=", 1000)]).where("v >= 1000").count()
+        == 5
+    )
