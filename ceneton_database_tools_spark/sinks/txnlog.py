@@ -507,6 +507,11 @@ class TxnTable:
             )
         return self._live_keyed(spark, snap, rels).drop("__file", "__pos")
 
+    # MERGE collects its distinct update keys for manifest pre-pruning
+    # only up to this many — bounds both the collect and the
+    # driver-side dirs×keys proof work
+    _MERGE_PRUNE_KEYS = 1024
+
     # above this many sidecars, delete_dv coalesces them into one —
     # bounds every read's tombstone union at O(1) files instead of
     # O(point deletes ever) (Delta keeps one DV file per data file for
@@ -546,8 +551,12 @@ class TxnTable:
             if current is None:
                 return None
             snap = self.snapshot(current)
+            # manifest pre-prune before the probe job (see delete)
+            cand = self._probe_candidates(snap, predicate)
+            if not cand:
+                return None  # provably nothing matches: no job, no commit
             matches = (
-                self._live_keyed(spark, snap)
+                self._live_keyed(spark, snap, cand)
                 .where(predicate)
                 .select("__file", "__pos")
             )
@@ -2191,6 +2200,37 @@ class TxnTable:
             staged_rows = {d: 0 for d in staged_dirs}
         return staged, staged_dirs, new_parts, staged_stats, staged_rows
 
+    def _probe_candidates(self, snap: dict, predicate: str) -> list[str]:
+        """Directories that MAY contain rows matching ``predicate``,
+        proven from the manifest's stats/blooms BEFORE any Spark job —
+        the same one-sided proof :meth:`prune` applies to reads, here
+        shrinking the delete/update PROBE scan. A predicate the shared
+        option grammar cannot parse (arbitrary SQL is allowed on the
+        row-level ops) keeps every directory: no proof, no skip. At
+        100 TB this turns a retention delete's probe from a full-table
+        scan into a scan of the commits its time range lives in."""
+        files = snap["files"]
+        stats = snap.get("stats")
+        blooms = snap.get("blooms")
+        if not stats and not blooms:
+            return list(files)
+        try:
+            from ceneton_database_tools_spark.sources.txn_stream import (
+                _ast_may_match,
+                _parse_where_option,
+            )
+
+            ast = _parse_where_option(predicate)
+        except Exception:
+            return list(files)
+        return [
+            d
+            for d in files
+            if _ast_may_match(
+                (stats or {}).get(d), (blooms or {}).get(d), ast
+            )
+        ]
+
     def _stage_rewrite(
         self, snap: dict | None, df: DataFrame
     ) -> tuple[str, list[str], dict, dict, dict]:
@@ -2908,6 +2948,18 @@ class TxnTable:
             )
         upd_schema = self._schema_of(updates)
         keys = updates.select(key).distinct()
+        # a BOUNDED update-key set collects once so the probe can
+        # pre-prune with the manifest proof (Delta's MERGE file
+        # pruning): a point upsert into a 100 TB table then probes
+        # only the directories whose stats/bloom admit some key. The
+        # cap bounds the collect AND the driver-side proof work;
+        # larger update sets keep the full-table probe (one job either
+        # way — pruning just shrinks its scan).
+        key_vals = (
+            [r[0] for r in keys.collect()]
+            if n_keys <= self._MERGE_PRUNE_KEYS
+            else None
+        )
         validated: set[tuple[str, str]] = set()
         for _ in range(max_retries):
             current = self.latest_version()
@@ -2954,22 +3006,47 @@ class TxnTable:
                 # the on-disk manifest key — bounded driver work
                 from urllib.parse import unquote
 
-                hit_dirs = {
-                    unquote(r.d)
-                    for r in (
-                        self._live_keyed(spark, snap)
-                        .select(
-                            key,
-                            F.regexp_extract(
-                                "__file", r"(data/.+)/[^/]+$", 1
-                            ).alias("d"),
+                # manifest pre-prune: with a bounded key set, a
+                # directory whose stats range and bloom admit NO update
+                # key cannot hold a match — drop it from the probe
+                # before Spark plans the scan
+                cand = list(snap["files"])
+                if key_vals is not None:
+                    stats_m = snap.get("stats", {})
+                    blooms_m = snap.get("blooms", {})
+                    if stats_m or blooms_m:
+                        cand = [
+                            d
+                            for d in cand
+                            if any(
+                                self._dir_may_match(
+                                    stats_m.get(d),
+                                    [(key, "=", v)],
+                                    blooms_m.get(d),
+                                )
+                                for v in key_vals
+                            )
+                        ]
+                hit_dirs = (
+                    {
+                        unquote(r.d)
+                        for r in (
+                            self._live_keyed(spark, snap, cand)
+                            .select(
+                                key,
+                                F.regexp_extract(
+                                    "__file", r"(data/.+)/[^/]+$", 1
+                                ).alias("d"),
+                            )
+                            .join(keys, key, "semi")
+                            .select("d")
+                            .distinct()
+                            .collect()
                         )
-                        .join(keys, key, "semi")
-                        .select("d")
-                        .distinct()
-                        .collect()
-                    )
-                }
+                    }
+                    if cand
+                    else set()  # proof: no key can live anywhere
+                )
                 kept = [rel for rel in snap["files"] if rel not in hit_dirs]
                 touched = [rel for rel in snap["files"] if rel in hit_dirs]
                 if touched:
@@ -3111,19 +3188,25 @@ class TxnTable:
             if current is None:
                 return None
             snap = self.snapshot(current)
-            # ONE probe job over all directories (not one per commit):
-            # push the predicate into a single scan and aggregate the
-            # distinct "data/<uuid>" parents of matching files — result
-            # size is O(directories with victims), never O(rows)
+            # manifest pre-prune, then ONE probe job over the CANDIDATE
+            # directories (not one per commit, not the whole table):
+            # stats/blooms prove some directories cannot hold victims
+            # before Spark plans anything, the pushed-down predicate
+            # scan aggregates the distinct "data/<uuid>" parents of
+            # matching files — result size is O(directories with
+            # victims), never O(rows)
             from urllib.parse import unquote
 
+            cand = self._probe_candidates(snap, predicate)
+            if not cand:
+                return None  # provably nothing matches: no job, no commit
             hit_dirs = {
                 # directory from __file (projected at scan time by
                 # _live_keyed); unquote: the key is URI-encoded,
                 # manifest keys are on-disk names (hive-escaped differ)
                 unquote(r.d)
                 for r in (
-                    self._live_keyed(spark, snap)
+                    self._live_keyed(spark, snap, cand)
                     .where(predicate)
                     .select(
                         F.regexp_extract(
@@ -3248,10 +3331,14 @@ class TxnTable:
                     )
             from urllib.parse import unquote
 
+            # manifest pre-prune before the probe job (see delete)
+            cand = self._probe_candidates(snap, where)
+            if not cand:
+                return None  # provably nothing matches: no job, no commit
             hit_dirs = {
                 unquote(r.d)
                 for r in (
-                    self._live_keyed(spark, snap)
+                    self._live_keyed(spark, snap, cand)
                     .where(where)
                     .select(
                         F.regexp_extract(
