@@ -1485,7 +1485,10 @@ class TxnTable:
         TRAVEL to a pre-rename version still reads under that
         version's own names (each manifest carries its own mapping).
         Directory stats and bloom entries re-key in the same commit,
-        so data skipping keeps working on the new name.
+        so data skipping keeps working on the new name. (``stats_cols``
+        / ``bloom_cols`` are WRITER configuration, not table state:
+        after renaming a measured column, construct future writers
+        with the NEW name or their commits measure nothing for it.)
 
         Refused loudly where the rename cannot keep its promises:
         partition columns (directory layout and ``parts`` metadata

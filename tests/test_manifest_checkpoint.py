@@ -187,3 +187,73 @@ def test_checkpoint_disabled_keeps_inline_json(spark, tmp_path):
         m = json.load(f)
     assert "files" in m and "files_checkpoint" not in m
     assert load_manifest(t.log_dir, 4)["files"] == m["files"]
+
+
+def test_checkpoint_roundtrips_column_mapping_state(spark, tmp_path):
+    """Composition: a RENAMED table that later checkpoints must carry
+    the rename history and the re-keyed stats through the parquet
+    sidecar — reads, pruning, and time travel all resolve through
+    both layers at once."""
+    t = TxnTable(str(tmp_path), stats_cols=("v",), checkpoint_at=6)
+    t.write(
+        spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ),
+        mode="overwrite",
+    )
+    t.rename_column("v", "val")  # pure-metadata commit (1 dir: inline)
+    # stats_cols is WRITER config: after the rename, writers declare
+    # the NEW name (the rename commit re-keyed the recorded stats)
+    t = TxnTable(str(tmp_path), stats_cols=("val",), checkpoint_at=6)
+    for i in range(1, 8):  # appends under the NEW name; crosses the
+        t.write(  # checkpoint threshold at 6 directories
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id").alias("k"), F.col("id").alias("val")
+            )
+        )
+    import json as _json
+
+    with open(t._manifest_path(t.latest_version())) as f:
+        stub = _json.load(f)
+    assert "files_checkpoint" in stub  # the big manifest checkpointed
+    snap = t.snapshot()
+    # mapping + re-keyed stats survive the sidecar round-trip
+    assert snap["column_names"] == {"val": ["val", "v"]}
+    assert all("val" in cols for cols in snap["stats"].values())
+    # reads coalesce the pre-rename directory through the checkpoint
+    got = t.read(spark)
+    assert got.columns == ["k", "val"]
+    assert got.count() == 800
+    assert got.where("val < 100").count() == 100  # the renamed epoch
+    # pruning through checkpoint + rename at once
+    kept, skipped = t.prune([("val", ">=", 700)])
+    assert len(kept) == 1 and len(skipped) == 7
+    # time travel to the pre-rename inline-era version
+    assert t.read(spark, 0).columns == ["k", "v"]
+
+
+def test_checkpoint_survives_restore_and_vacuum(spark, tmp_path):
+    """restore() of a checkpointed version republishes its state; a
+    vacuum after truncation walks checkpointed manifests for the live
+    set (load_manifest, not raw JSON) and reclaims only dead data."""
+    t = TxnTable(str(tmp_path), checkpoint_at=4)
+    for i in range(6):
+        t.write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k")
+            ),
+            mode="overwrite" if i == 0 else "append",
+        )
+    t.delete(spark, "k < 10")  # rewrite drops the first directory
+    assert t.read(spark).count() == 50
+    v = t.restore(5)  # back to the pre-delete (checkpointed) snapshot
+    assert v is not None and t.read(spark).count() == 60
+    # truncate + vacuum: live set comes from checkpointed manifests
+    t.truncate_log(retain_versions=2)
+    removed = t.vacuum(retain_versions=2, retain_hours=0)
+    assert t.read(spark).count() == 60  # nothing live was reclaimed
+    # every directory the latest (checkpointed) manifest lists exists
+    import os as _os
+
+    for rel in t.snapshot()["files"]:
+        assert _os.path.exists(_os.path.join(str(tmp_path), rel)), rel
