@@ -2336,3 +2336,159 @@ def test_optimize_zorder_refuses_non_integral_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="integral"):
         t.optimize_zorder(spark, ("a", "missing"))
     assert t.latest_version() == 0  # nothing committed by the refusals
+
+
+def test_streamed_delta_append_never_materializes_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #2: committing an append onto a CHECKPOINTED
+    manifest must stream the prior sidecar batch-by-batch — never
+    rebuild the per-directory dicts on the driver. Traced via
+    load_manifest: the whole append plans from the O(1) stub."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",), checkpoint_at=4)
+    for i in range(5):
+        t.write(_df(spark, [(i, "x")]), mode="append")
+    with open(t._manifest_path(t.latest_version())) as f:
+        assert "files_checkpoint" in json.load(f)
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    from ceneton_database_tools_spark.sinks.txnlog import ConstraintViolation
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    v = t.write(_df(spark, [(99, "z")]), mode="append")
+    assert calls == [], "append materialized a manifest on the commit path"
+    monkeypatch.undo()
+    # the streamed carry committed an EXACT snapshot: every prior dir
+    # survives, row counts and stats carried, the new dir measured
+    snap = t.snapshot(v)
+    assert len(snap["files"]) == 6
+    assert t.count() == 6
+    kept, _ = t.prune([("id", "=", 99)])
+    assert len(kept) == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 4, 99,
+    ]
+    # constraints/props still ride the streamed commit verbatim
+    t.add_constraint(spark, "id_nonneg", "id >= 0")
+    t.write(_df(spark, [(7, "y")]), mode="append")
+    with pytest.raises(ConstraintViolation):
+        t.write(_df(spark, [(-1, "bad")]), mode="append")
+    assert t.snapshot()["constraints"] == {"id_nonneg": "id >= 0"}
+
+
+def test_commit_race_on_checkpointed_manifest_rebases(spark, tmp_path):
+    """VERDICT r11 #5: the raced-protocol tests predate checkpointed
+    manifests — two writers racing the same version on a CHECKPOINTED
+    table must leave exactly one winner, the loser rebases by
+    STREAMING the winner's checkpoint, and no manifest/sidecar is
+    corrupted (the loser's pre-written orphan stays unreferenced)."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",), checkpoint_at=3)
+    for i in range(4):
+        t.write(_df(spark, [(i, "x")]), mode="append")
+    with open(t._manifest_path(3)) as f:
+        assert "files_checkpoint" in json.load(f)
+    real = t._try_commit_streamed
+    stolen = {"done": False}
+
+    def steal(version, stub_m, prior_cp, adds, drop=frozenset()):
+        if not stolen["done"]:
+            stolen["done"] = True
+            other = TxnTable(t.path, stats_cols=("id",), checkpoint_at=3)
+            got = other.write(_df(spark, [(100, "race")]), mode="append")
+            assert got == version
+        return real(version, stub_m, prior_cp, adds, drop)
+
+    t._try_commit_streamed = steal
+    v = t.write(_df(spark, [(200, "mine")]), mode="append")
+    assert v == 5  # v4 stolen, rebased onto it
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        0, 1, 2, 3, 100, 200,
+    ]
+    snap = t.snapshot()
+    assert len(snap["files"]) == 6
+    # exactly one checkpoint is referenced per version; the loser's
+    # first attempt pre-wrote a sidecar for the CONTESTED version (4)
+    # that nothing references — never corrupting, GC'd by truncate_log
+    with open(t._manifest_path(4)) as f:
+        cp4 = json.load(f)["files_checkpoint"]
+    orphans = [
+        f
+        for f in os.listdir(t.log_dir)
+        if f.startswith(f"{4:011d}.") and f.endswith(".checkpoint.parquet")
+        and f != cp4
+    ]
+    assert len(orphans) == 1, "loser should have left one unreferenced sidecar"
+    # pruning proves from the winner chain's streamed checkpoint
+    kept, _ = t.prune([("id", "=", 200)])
+    assert len(kept) == 1
+
+
+def test_rename_column_races_append_on_checkpointed_table(spark, tmp_path):
+    """VERDICT r11 #5: a column-mapping rename lands between an
+    append's snapshot read and its commit. The append must lose the
+    version race, rebase onto the renamed table, and the committed
+    manifest must carry the rename history — old directories keep
+    serving rows under the new logical name, streamed carry included."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",), checkpoint_at=3)
+    for i in range(4):
+        t.write(_df(spark, [(i, "x")]), mode="append")
+    real = t._try_commit_streamed
+    raced = {"done": False}
+
+    def steal(version, stub_m, prior_cp, adds, drop=frozenset()):
+        if not raced["done"]:
+            raced["done"] = True
+            other = TxnTable(t.path, stats_cols=("id",), checkpoint_at=3)
+            assert other.rename_column("v", "label") == version
+        return real(version, stub_m, prior_cp, adds, drop)
+
+    t._try_commit_streamed = steal
+    # the append stages under the OLD schema (id, v): after the rename
+    # wins the race, the rebase re-checks the schema and must refuse —
+    # silently landing a 'v' directory in a 'label' table would fork
+    # the mapping
+    with pytest.raises(SchemaMismatch):
+        t.write(_df(spark, [(50, "stale")]), mode="append")
+    # a writer reading the CURRENT schema appends cleanly
+    ok = spark.createDataFrame([(50, "fresh")], "id long, label string")
+    v = t.write(ok, mode="append")
+    snap = t.snapshot(v)
+    assert "column_names" in snap and "label" in snap["column_names"]
+    got = {(r.id, r.label) for r in t.read(spark).collect()}
+    assert (0, "x") in got and (50, "fresh") in got and len(got) == 5
+
+
+def test_rename_partition_column_refused_by_design(spark, tmp_path):
+    """VERDICT r11 #4, decided: renaming a PARTITION column stays a
+    loud refusal (Delta refuses the same without a full rewrite). A
+    metadata-only rename would need directory-name indirection — the
+    hive-escaped directory names and the manifest's ``parts`` entries
+    embed the physical name, and both the exact-equality partition
+    proof and drop_partitions' two-sided proof read them — so the
+    supported path is an overwrite under the new layout. This test
+    PINS the refusal and that nothing commits."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, seg string, v long"
+    )
+    t.write_partitioned(df, ("seg",), mode="overwrite")
+    v_before = t.latest_version()
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("seg", "segment")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("seg")
+    assert t.latest_version() == v_before  # refusals commit nothing
+    # the supported path: overwrite re-layouts under the new name
+    t.write_partitioned(
+        df.withColumnRenamed("seg", "segment"), ("segment",),
+        mode="overwrite",
+    )
+    assert t.snapshot().get("partition_by") == ["segment"]
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
