@@ -2549,6 +2549,120 @@ class TxnTable:
             dir_stats, [(col, op, cv[0])], dir_blooms if cv[1] else None
         )
 
+    def _probe_candidates_streamed(
+        self, stub: dict, predicate: str
+    ) -> list[str]:
+        """:meth:`_probe_candidates` over a CHECKPOINTED manifest: the
+        typed proof evaluates per checkpoint record batch, so driver
+        memory is O(batch) + O(candidate names) — the full stats/bloom
+        dicts are never built. The returned list is directory NAMES
+        only (the probe scan needs the explicit path list anyway)."""
+        import pyarrow.parquet as pq
+
+        schema = stub.get("schema")
+        ast = None
+        if schema is not None:
+            try:
+                from ceneton_database_tools_spark.sources.txn_stream import (
+                    _parse_where_lenient,
+                )
+
+                ast = _parse_where_lenient(predicate)
+            except Exception:
+                ast = None
+        type_of = (
+            {f["name"]: f["type"] for f in schema["fields"]}
+            if schema is not None
+            else {}
+        )
+        out: list[str] = []
+        src = pq.ParquetFile(
+            os.path.join(self.log_dir, stub["files_checkpoint"])
+        )
+        for batch in src.iter_batches(columns=["dir", "stats", "blooms"]):
+            for d, s, b in zip(
+                batch.column("dir").to_pylist(),
+                batch.column("stats").to_pylist(),
+                batch.column("blooms").to_pylist(),
+            ):
+                if ast is None or self._typed_ast_may_match(
+                    json.loads(s) if s else None,
+                    json.loads(b) if b else None,
+                    ast,
+                    type_of,
+                ):
+                    out.append(d)
+        return out
+
+    def _staged_add_rows(
+        self,
+        spark: SparkSession,
+        staged_dirs: list[str],
+        new_parts: dict,
+        staged_stats: dict,
+        staged_rows: dict,
+    ) -> list[dict]:
+        """Checkpoint ADD rows for freshly staged rewrite directories —
+        the cell encoding :meth:`_write_checkpoint` uses, measured the
+        same way :meth:`_commit_stats` / :meth:`_commit_blooms` measure
+        new directories (partitioned rewrites arrive pre-measured from
+        :meth:`_stage_partitioned`)."""
+        blooms = (
+            self._collect_blooms(spark, staged_dirs)
+            if self.bloom_cols
+            else {}
+        )
+        adds: list[dict] = []
+        for d in staged_dirs:
+            st = staged_stats.get(d)
+            if not st and self.stats_cols:
+                st = self._collect_dir_stats(spark, d)
+            adds.append(
+                {
+                    "dir": d,
+                    "rows": (
+                        int(staged_rows[d]) if d in staged_rows else None
+                    ),
+                    "dv_rows": None,
+                    "stats": json.dumps(st) if st else None,
+                    "blooms": (
+                        json.dumps(blooms[d]) if blooms.get(d) else None
+                    ),
+                    "parts": (
+                        json.dumps(new_parts[d]) if d in new_parts else None
+                    ),
+                }
+            )
+        return adds
+
+    def _rewrite_stub_manifest(
+        self, stub: dict, version: int, op: str
+    ) -> dict:
+        """Table-level manifest keys for a STREAMED rewrite commit:
+        everything rides verbatim from the prior stub. ``dvs`` carries
+        verbatim too — a touched directory leaves the checkpoint and
+        its sidecar entries anti-join as no-ops (documented contract);
+        :meth:`optimize` is the compaction that clears dead sidecars."""
+        m2 = {
+            "version": version,
+            "op": op,
+            "txns": dict(stub.get("txns", {})),
+        }
+        if stub.get("schema") is not None:
+            m2["schema"] = stub["schema"]
+        if stub.get("partition_by"):
+            m2["partition_by"] = list(stub["partition_by"])
+        for k in (
+            "constraints",
+            "props",
+            "column_names",
+            "retired_columns",
+            "dvs",
+        ):
+            if stub.get(k):
+                m2[k] = stub[k]
+        return m2
+
     def _probe_candidates(self, snap: dict, predicate: str) -> list[str]:
         """Directories that MAY contain rows matching ``predicate``,
         proven from the manifest's stats/blooms BEFORE any Spark job —
@@ -3565,7 +3679,17 @@ class TxnTable:
             current = self.latest_version()
             if current is None:
                 return None
-            snap = self.snapshot(current)
+            # CHECKPOINTED manifests take the STREAMED path end-to-end
+            # (round 12): the probe proof iterates the sidecar per
+            # record batch, the live scan plans from the O(1) stub
+            # (it only needs schema / column mapping / dv sidecars plus
+            # the explicit candidate list), and the commit streams the
+            # prior checkpoint minus the touched set — per-directory
+            # dicts are never built on the driver.
+            snap = self._stub(current)
+            streamed = "files_checkpoint" in snap
+            if not streamed:
+                snap = self.snapshot(current)
             # manifest pre-prune, then ONE probe job over the CANDIDATE
             # directories (not one per commit, not the whole table):
             # stats/blooms prove some directories cannot hold victims
@@ -3575,7 +3699,11 @@ class TxnTable:
             # victims), never O(rows)
             from urllib.parse import unquote
 
-            cand = self._probe_candidates(snap, predicate)
+            cand = (
+                self._probe_candidates_streamed(snap, predicate)
+                if streamed
+                else self._probe_candidates(snap, predicate)
+            )
             if not cand:
                 return None  # provably nothing matches: no job, no commit
             hit_dirs = {
@@ -3595,8 +3723,13 @@ class TxnTable:
                     .collect()
                 )
             }
-            kept = [rel for rel in snap["files"] if rel not in hit_dirs]
-            touched = [rel for rel in snap["files"] if rel in hit_dirs]
+            all_dirs = cand if streamed else snap["files"]
+            kept = (
+                None
+                if streamed
+                else [rel for rel in all_dirs if rel not in hit_dirs]
+            )
+            touched = [rel for rel in all_dirs if rel in hit_dirs]
             if not touched:
                 return None
             # live rows only: the rewrite also materializes any
@@ -3624,6 +3757,25 @@ class TxnTable:
                 )
                 cdc_rel = self._stage_cdc(victims)
             version = current + 1
+            if streamed:
+                m2 = self._rewrite_stub_manifest(snap, version, "delete")
+                if cdc_rel is not None:
+                    m2["cdc"] = cdc_rel
+                adds = self._staged_add_rows(
+                    spark, staged_dirs, new_parts, staged_stats, staged_rows
+                )
+                if self._try_commit_streamed(
+                    version,
+                    m2,
+                    snap["files_checkpoint"],
+                    adds,
+                    drop=frozenset(touched),
+                ):
+                    return version
+                self._discard_staged(staged)
+                if cdc_rel is not None:
+                    self._discard_staged(cdc_rel)
+                continue
             manifest = {
                 "version": version,
                 "op": "delete",
@@ -3696,7 +3848,13 @@ class TxnTable:
             current = self.latest_version()
             if current is None:
                 return None
-            snap = self.snapshot(current)
+            # streamed end-to-end on checkpointed manifests, like
+            # delete(): stub-planned scans, batch-iterated probe proof,
+            # checkpoint-carry commit — no per-directory dicts
+            snap = self._stub(current)
+            streamed = "files_checkpoint" in snap
+            if not streamed:
+                snap = self.snapshot(current)
             schema = snap.get("schema")
             if schema is not None:
                 known = {f["name"] for f in schema["fields"]}
@@ -3710,7 +3868,11 @@ class TxnTable:
             from urllib.parse import unquote
 
             # manifest pre-prune before the probe job (see delete)
-            cand = self._probe_candidates(snap, where)
+            cand = (
+                self._probe_candidates_streamed(snap, where)
+                if streamed
+                else self._probe_candidates(snap, where)
+            )
             if not cand:
                 return None  # provably nothing matches: no job, no commit
             hit_dirs = {
@@ -3727,8 +3889,13 @@ class TxnTable:
                     .collect()
                 )
             }
-            kept = [rel for rel in snap["files"] if rel not in hit_dirs]
-            touched = [rel for rel in snap["files"] if rel in hit_dirs]
+            all_dirs = cand if streamed else snap["files"]
+            kept = (
+                None
+                if streamed
+                else [rel for rel in all_dirs if rel not in hit_dirs]
+            )
+            touched = [rel for rel in all_dirs if rel in hit_dirs]
             if not touched:
                 return None
             live = self._read_live(spark, snap, touched)
@@ -3798,6 +3965,25 @@ class TxnTable:
                 )
                 cdc_rel = self._stage_cdc(changes)
             version = current + 1
+            if streamed:
+                m2 = self._rewrite_stub_manifest(snap, version, "update")
+                if cdc_rel is not None:
+                    m2["cdc"] = cdc_rel
+                adds = self._staged_add_rows(
+                    spark, staged_dirs, new_parts, staged_stats, staged_rows
+                )
+                if self._try_commit_streamed(
+                    version,
+                    m2,
+                    snap["files_checkpoint"],
+                    adds,
+                    drop=frozenset(touched),
+                ):
+                    return version
+                self._discard_staged(staged)
+                if cdc_rel is not None:
+                    self._discard_staged(cdc_rel)
+                continue
             manifest = {
                 "version": version,
                 "op": "update",
