@@ -563,9 +563,19 @@ class TxnTable:
             current = self.latest_version()
             if current is None:
                 return None
-            snap = self.snapshot(current)
+            # streamed on checkpointed manifests: stub-planned probe +
+            # scan, and the commit patches the bounded touched dirs'
+            # tombstone counts IN the checkpoint stream (dv_increment)
+            snap = self._stub(current)
+            streamed = "files_checkpoint" in snap
+            if not streamed:
+                snap = self.snapshot(current)
             # manifest pre-prune before the probe job (see delete)
-            cand = self._probe_candidates(snap, predicate)
+            cand = (
+                self._probe_candidates_streamed(snap, predicate)
+                if streamed
+                else self._probe_candidates(snap, predicate)
+            )
             if not cand:
                 return None  # provably nothing matches: no job, no commit
             matches = (
@@ -597,18 +607,25 @@ class TxnTable:
                 )
             }
             version = current + 1
-            manifest = {
-                "version": version,
-                "op": "delete_dv",
-                "files": list(snap["files"]),
-                "txns": dict(snap.get("txns", {})),
-            }
-            for k in ("schema", "stats", "blooms", "partition_by", "parts"):
-                if snap.get(k) is not None:
-                    manifest[k] = snap[k]
-            dvr = dict(snap.get("dv_rows", {}))
-            for d, c in dir_counts.items():
-                dvr[d] = dvr.get(d, 0) + c
+            if streamed:
+                manifest = self._rewrite_stub_manifest(
+                    snap, version, "delete_dv"
+                )
+            else:
+                manifest = {
+                    "version": version,
+                    "op": "delete_dv",
+                    "files": list(snap["files"]),
+                    "txns": dict(snap.get("txns", {})),
+                }
+                for k in (
+                    "schema", "stats", "blooms", "partition_by", "parts",
+                ):
+                    if snap.get(k) is not None:
+                        manifest[k] = snap[k]
+                dvr = dict(snap.get("dv_rows", {}))
+                for d, c in dir_counts.items():
+                    dvr[d] = dvr.get(d, 0) + c
             new_dvs = list(snap.get("dvs", [])) + [sidecar]
             discard_on_loss = [sidecar]
             if len(new_dvs) > self._DV_COALESCE_AT:
@@ -626,6 +643,20 @@ class TxnTable:
                 self._discard_staged(sidecar)
                 new_dvs, discard_on_loss = [merged], [merged]
             manifest["dvs"] = new_dvs
+            if streamed:
+                # tombstone counts land as bounded in-stream patches;
+                # everything else carries through the checkpoint copy
+                if self._try_commit_streamed(
+                    version,
+                    manifest,
+                    snap["files_checkpoint"],
+                    adds=[],
+                    dv_increment=dict(dir_counts),
+                ):
+                    return version
+                for rel in discard_on_loss:
+                    self._discard_staged(rel)
+                continue
             manifest["dv_rows"] = dvr
             self._carry_props(snap, manifest, carry_dvs=False)
             if self._try_commit(version, manifest):
@@ -1769,17 +1800,20 @@ class TxnTable:
         prior_cp: str,
         adds: list[dict],
         drop: frozenset = frozenset(),
+        dv_increment: dict | None = None,
     ) -> tuple[str, int]:
         """Build ``version``'s checkpoint sidecar by STREAMING the
         prior checkpoint record-batch by record-batch — filter the
-        (bounded) ``drop`` set, append the ``adds`` rows — so the
-        COMMIT path is O(record batch) in driver memory, exactly like
-        :meth:`prune` already is on the read side (VERDICT r11 #2:
-        past ~10⁶ directories, materializing per-directory dicts to
-        carry them forward made the write path the bottleneck the
-        checkpoint was built to remove). ``adds`` rows carry the
-        sidecar's own cell encoding (stats/blooms/parts already
-        JSON-encoded, or None). Returns ``(name, n_dirs)``."""
+        (bounded) ``drop`` set, apply the (bounded) ``dv_increment``
+        per-directory tombstone-count deltas in place, append the
+        ``adds`` rows — so the COMMIT path is O(record batch) in
+        driver memory, exactly like :meth:`prune` already is on the
+        read side (VERDICT r11 #2: past ~10⁶ directories,
+        materializing per-directory dicts to carry them forward made
+        the write path the bottleneck the checkpoint was built to
+        remove). ``adds`` rows carry the sidecar's own cell encoding
+        (stats/blooms/parts already JSON-encoded, or None). Returns
+        ``(name, n_dirs)``."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -1798,6 +1832,11 @@ class TxnTable:
             ]
         )
         drop_arr = pa.array(sorted(drop), pa.string()) if drop else None
+        inc_arr = (
+            pa.array(sorted(dv_increment), pa.string())
+            if dv_increment
+            else None
+        )
         n = 0
         src = pq.ParquetFile(os.path.join(self.log_dir, prior_cp))
         with pq.ParquetWriter(
@@ -1811,6 +1850,25 @@ class TxnTable:
                                 batch.column("dir"), value_set=drop_arr
                             )
                         )
+                    )
+                if inc_arr is not None and batch.num_rows and pc.any(
+                    pc.is_in(batch.column("dir"), value_set=inc_arr)
+                ).as_py():
+                    # bounded in-place patch: only batches holding a
+                    # touched directory materialize (O(batch) rows)
+                    cols = batch.to_pydict()
+                    cols["dv_rows"] = [
+                        (dv or 0) + dv_increment[d]
+                        if d in dv_increment
+                        else dv
+                        for d, dv in zip(cols["dir"], cols["dv_rows"])
+                    ]
+                    batch = pa.record_batch(
+                        [
+                            pa.array(cols[f.name], f.type)
+                            for f in schema
+                        ],
+                        schema=schema,
                     )
                 if batch.num_rows:
                     w.write_batch(batch)
@@ -1837,6 +1895,7 @@ class TxnTable:
         prior_cp: str,
         adds: list[dict],
         drop: frozenset = frozenset(),
+        dv_increment: dict | None = None,
     ) -> bool:
         """:meth:`_try_commit` for a DELTA against a checkpointed
         prior: ``stub_manifest`` holds only table-level keys, the
@@ -1848,7 +1907,7 @@ class TxnTable:
         import time
 
         cp_name, n_dirs = self._stream_checkpoint_carry(
-            version, prior_cp, adds, drop
+            version, prior_cp, adds, drop, dv_increment
         )
         manifest = {
             **stub_manifest,
@@ -2590,6 +2649,44 @@ class TxnTable:
                     json.loads(b) if b else None,
                     ast,
                     type_of,
+                ):
+                    out.append(d)
+        return out
+
+    def _merge_probe_streamed(
+        self, stub: dict, key: str, key_vals: list | None
+    ) -> list[str]:
+        """MERGE's key pre-prune over a CHECKPOINTED manifest: the
+        range gate + per-key stat/bloom probes evaluate per checkpoint
+        record batch (O(batch) + O(candidates) driver memory). With no
+        bounded key set, every directory is a candidate — streamed to
+        a name list, never a stats dict."""
+        import pyarrow.parquet as pq
+
+        src = pq.ParquetFile(
+            os.path.join(self.log_dir, stub["files_checkpoint"])
+        )
+        out: list[str] = []
+        if key_vals is None:
+            for batch in src.iter_batches(columns=["dir"]):
+                out.extend(batch.column("dir").to_pylist())
+            return out
+        kmin, kmax = min(key_vals), max(key_vals)
+        for batch in src.iter_batches(columns=["dir", "stats", "blooms"]):
+            for d, s, b in zip(
+                batch.column("dir").to_pylist(),
+                batch.column("stats").to_pylist(),
+                batch.column("blooms").to_pylist(),
+            ):
+                st = json.loads(s) if s else None
+                if not self._dir_may_match(
+                    st, [(key, ">=", kmin), (key, "<=", kmax)], None
+                ):
+                    continue
+                bl = json.loads(b) if b else None
+                if any(
+                    self._dir_may_match(st, [(key, "=", v)], bl)
+                    for v in key_vals
                 ):
                     out.append(d)
         return out
@@ -3437,12 +3534,19 @@ class TxnTable:
             current = self.latest_version()
             snap: dict | None = None
             schema = upd_schema
+            streamed = False
             if current is None:
                 # empty table: MERGE degenerates to insert-only (every
                 # update row is unmatched) — commit updates as v0
                 merged, kept, txns = updates, [], {}
             else:
-                snap = self.snapshot(current)
+                # streamed end-to-end on checkpointed manifests, like
+                # delete()/update(): stub-planned scans, batch-iterated
+                # key probes, checkpoint-carry commit
+                snap = self._stub(current)
+                streamed = "files_checkpoint" in snap
+                if not streamed:
+                    snap = self.snapshot(current)
                 # loud up-front check, same rule as append: schema
                 # differences refuse unless merge_schema evolves them
                 schema = (
@@ -3482,8 +3586,12 @@ class TxnTable:
                 # directory whose stats range and bloom admit NO update
                 # key cannot hold a match — drop it from the probe
                 # before Spark plans the scan
-                cand = list(snap["files"])
-                if key_vals is not None:
+                cand = (
+                    self._merge_probe_streamed(snap, key, key_vals)
+                    if streamed
+                    else list(snap["files"])
+                )
+                if not streamed and key_vals is not None:
                     stats_m = snap.get("stats", {})
                     blooms_m = snap.get("blooms", {})
                     if stats_m or blooms_m:
@@ -3539,8 +3647,13 @@ class TxnTable:
                     if cand
                     else set()  # proof: no key can live anywhere
                 )
-                kept = [rel for rel in snap["files"] if rel not in hit_dirs]
-                touched = [rel for rel in snap["files"] if rel in hit_dirs]
+                all_dirs = cand if streamed else snap["files"]
+                kept = (
+                    None
+                    if streamed
+                    else [rel for rel in all_dirs if rel not in hit_dirs]
+                )
+                touched = [rel for rel in all_dirs if rel in hit_dirs]
                 if touched:
                     # rewrite reads the LIVE rows: touched directories'
                     # tombstones are MATERIALIZED by the copy-on-write
@@ -3600,6 +3713,26 @@ class TxnTable:
                 self._stage_rewrite(snap, merged)
             )
             version = 0 if current is None else current + 1
+            if streamed:
+                m2 = self._rewrite_stub_manifest(snap, version, "merge")
+                m2["schema"] = schema  # carries any merge_schema evolution
+                if cdc_rel is not None:
+                    m2["cdc"] = cdc_rel
+                adds = self._staged_add_rows(
+                    spark, staged_dirs, new_parts, staged_stats, staged_rows
+                )
+                if self._try_commit_streamed(
+                    version,
+                    m2,
+                    snap["files_checkpoint"],
+                    adds,
+                    drop=frozenset(touched),
+                ):
+                    return version
+                self._discard_staged(staged)
+                if cdc_rel is not None:
+                    self._discard_staged(cdc_rel)
+                continue
             manifest = {
                 "version": version,
                 "op": "merge",

@@ -2549,3 +2549,64 @@ def test_streamed_delete_update_on_checkpointed_manifest(
     assert t.delete(spark, "id >= 1000") is None
     assert t.update(spark, set={"v": "'n'"}, where="id >= 1000") is None
     assert t.latest_version() == 7
+
+
+def test_streamed_merge_delete_dv_on_checkpointed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """merge() and delete_dv() on a CHECKPOINTED manifest also run
+    stub-planned end-to-end: the key pre-prune and predicate probe
+    iterate the sidecar per record batch, the merge commit streams
+    the carry minus the touched set, and delete_dv patches the bounded
+    touched dirs' tombstone counts IN the checkpoint stream. Traced:
+    load_manifest is never called."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",), checkpoint_at=4)
+    for i in range(6):
+        t.write(
+            _df(spark, [(i * 10 + j, "x") for j in range(10)]),
+            mode="append",
+        )
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    # bounded key set: the streamed probe prunes to the one directory
+    # whose range admits id=5; id=100 matches nothing (pure insert)
+    v_m = t.merge(spark, _df(spark, [(5, "M"), (100, "NEW")]), key="id")
+    v_dv = t.delete_dv(spark, "id = 23")
+    assert calls == [], "merge/delete_dv materialized a manifest"
+    monkeypatch.undo()
+    assert (v_m, v_dv) == (6, 7)
+    got = {(r.id, r.v) for r in t.read(spark).collect()}
+    assert (5, "M") in got and (100, "NEW") in got
+    assert not any(i == 23 for i, _ in got)
+    assert len(got) == 60  # 60 - 1 tombstoned + 1 insert
+    assert t.count() == 60
+    snap = t.snapshot()
+    assert snap["op"] == "delete_dv" and snap["dvs"]
+    assert sum(snap["dv_rows"].values()) == 1
+    # merge swapped exactly the one touched dir (6 dirs before, the
+    # rewrite replaces dir0 and adds nothing else: 5 kept + 1 staged)
+    assert len(snap["files"]) == 6
+    # insert-only merge on the checkpointed table: zero dirs rewritten
+    before = set(t.snapshot()["files"])
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    t.merge(spark, _df(spark, [(200, "I")]), key="id")
+    assert calls == []
+    monkeypatch.undo()
+    after = t.snapshot()
+    assert before <= set(after["files"]) and len(after["files"]) == 7
+    # time travel: pre-merge snapshot intact
+    assert len(t.read(spark, 5).collect()) == 60
+    # a COW rewrite on the checkpointed table still materializes the
+    # carried tombstone (delete touches the dv'd directory)
+    t.delete(spark, "id >= 20 AND id < 30")
+    assert sorted(i for i, _ in {(r.id, r.v) for r in t.read(spark).collect()}
+                  if 20 <= i < 30) == []
+    assert t.count() == 52  # 61 live - 9 more deleted (23 already gone)
