@@ -1876,6 +1876,129 @@ def txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_checkpointed_row_ops",
+    # Closed-form final snapshot after a retention DELETE (whose
+    # predicate carries a function the prune grammar can't parse — the
+    # lenient conjunct does the skipping) and an UPDATE, both executed
+    # against a CHECKPOINTED manifest through the streamed commit
+    # path. The split threshold is DERIVED identically on both engines
+    # (max key // 2), so the oracle is sf-independent.
+    oracle="""
+    WITH seed AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)
+               AS bal
+      FROM customer
+    ),
+    thr AS (SELECT max(c_custkey) // 2 AS t FROM customer)
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' AND bal < 0
+                THEN 0.0 ELSE bal END AS bal
+    FROM seed, thr
+    WHERE NOT (c_custkey >= thr.t AND c_custkey % 10 = 3)
+    """,
+    tags=("txn", "checkpoint", "delete", "update", "acid"),
+)
+def txn_checkpointed_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 composition query: row-level ops against a manifest
+    PAST ``checkpoint_at`` — the shape where the round's streamed
+    machinery is load-bearing. ``customer`` lands as 10 key-range
+    commits under ``checkpoint_at=8`` (so the table is checkpointed
+    well before the ops run); a retention DELETE whose predicate
+    carries a function the prune grammar cannot parse
+    (``pmod(c_custkey, 10) = 3``) must still prune on its parsable
+    range conjunct via the LENIENT parse + batch-iterated checkpoint
+    proof; then an UPDATE floors negative BUILDING balances. Both
+    commits stream the prior checkpoint (no per-directory dict on the
+    driver — trace-pinned in tests/test_txnlog.py); the gated result
+    is the table read-back.
+
+    The delete threshold derives from the data (``max(c_custkey) //
+    2``) with the identical closed form in the oracle, so the query is
+    sf-independent AND the pruning self-check below is guaranteed
+    non-vacuous: the low half of the key-range directories provably
+    cannot hold victims.
+
+    SELF-CHECKS: (a) the manifest is genuinely checkpointed before and
+    after both ops (O(1) stubs with ``files_checkpoint``); (b) the
+    streamed probe PRUNED — the candidate list for the delete
+    predicate is a strict subset of the directories; (c) untouched
+    directories survived both commits BY REFERENCE."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("bal"),
+    )
+    mx = cust.agg(F.max("c_custkey")).collect()[0][0]  # 1-row guard
+    thr = int(mx) // 2
+    work = tempfile.mkdtemp(prefix="ceneton_txn_ckpt_ops_")
+    try:
+        table = TxnTable(work, stats_cols=("c_custkey",), checkpoint_at=8)
+        chunked = cust.withColumn(
+            "__c", F.ntile(10).over(W.orderBy("c_custkey"))
+        )
+        for i in range(10):
+            table.write(
+                chunked.where(F.col("__c") == i + 1).drop("__c"),
+                mode="overwrite" if i == 0 else "append",
+            )
+
+        def _stub(v):
+            with open(table._manifest_path(v)) as fh:
+                return _json.load(fh)
+
+        if "files_checkpoint" not in _stub(table.latest_version()):
+            raise AssertionError("fixture never crossed checkpoint_at")
+        files_before = list(table.snapshot()["files"])
+        predicate = f"c_custkey >= {thr} AND pmod(c_custkey, 10) = 3"
+        # (b) the lenient conjunct prunes: low-half range directories
+        # provably cannot hold victims
+        cand = table._probe_candidates_streamed(
+            table._stub(table.latest_version()), predicate
+        )
+        if not (0 < len(cand) < len(files_before)):
+            raise AssertionError(
+                f"streamed probe did not prune: {len(cand)} of "
+                f"{len(files_before)} directories kept"
+            )
+        v_del = table.delete(spark, predicate)
+        # (c) by-reference survival through the streamed DELETE: the
+        # low-half key-range directories provably hold no victim and
+        # must carry forward untouched (the UPDATE after this may
+        # legitimately rewrite everything — BUILDING customers live in
+        # every key range)
+        if v_del is not None:
+            surv = set(files_before) & set(table.snapshot()["files"])
+            if not surv:
+                raise AssertionError("delete rewrote every directory")
+        table.update(
+            spark,
+            set={"bal": "CAST(0.0 AS DOUBLE)"},
+            where="c_mktsegment = 'BUILDING' AND bal < 0",
+        )
+        final = _stub(table.latest_version())
+        if "files_checkpoint" not in final:
+            raise AssertionError("row-level commits lost the checkpoint")
+        result = table.read(spark).select("c_custkey", "bal")
+        _record_inner_plan("txn_checkpointed_row_ops", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_checkpointed_manifest_pruning",
     # Closed-form top-decile probe: the engine computes it through a
     # CHECKPOINTED manifest (per-directory state in a parquet sidecar,
