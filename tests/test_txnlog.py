@@ -2610,3 +2610,43 @@ def test_streamed_merge_delete_dv_on_checkpointed_manifest(
     assert sorted(i for i, _ in {(r.id, r.v) for r in t.read(spark).collect()}
                   if 20 <= i < 30) == []
     assert t.count() == 52  # 61 live - 9 more deleted (23 already gone)
+
+
+def test_streamed_row_ops_respect_column_mapping(spark, tmp_path, monkeypatch):
+    """Composition: a column-mapping rename on a CHECKPOINTED table,
+    then streamed row-level ops under the NEW logical name. The rename
+    itself is an admin op (it re-keys per-dir stats, so it
+    materializes — acceptable); the subsequent update/delete must stay
+    stub-planned, read pre-rename directories through the name
+    history, and carry the mapping verbatim through the streamed
+    commits."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",), checkpoint_at=4)
+    for i in range(5):
+        t.write(
+            _df(spark, [(i * 10 + j, "x") for j in range(10)]),
+            mode="append",
+        )
+    t.rename_column("v", "label")
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    t.update(spark, set={"label": "'u'"}, where="id = 12")
+    t.delete(spark, "id = 44")
+    assert calls == [], "mapped row-level op materialized a manifest"
+    monkeypatch.undo()
+    got = {(r.id, r.label) for r in t.read(spark).collect()}
+    assert (12, "u") in got and (12, "x") not in got
+    assert not any(i == 44 for i, _ in got)
+    assert len(got) == 49
+    snap = t.snapshot()
+    assert "label" in snap.get("column_names", {})
+    # pre-rename directories (ids 0-9 never rewritten) still serve
+    # under the new logical name through the carried history
+    assert (0, "x") in got
