@@ -1757,6 +1757,185 @@ def streaming_stream_static_txn_join(
 # ---------------------------------------------------------------------------
 
 
+def dedup_cdf_batch_fn(idx_docs, idx_bands, decisions, state):
+    """Build the ``foreachBatch`` function of the incremental CDF-driven
+    corpus-dedup pipeline (see :func:`streaming_dedup_index_cdf` for
+    semantics). Module-level so the checkpoint-loss replay test drives
+    the EXACT code the registry query runs against its own tables and
+    checkpoints.
+
+    ``state`` is the driver-side self-check accumulator
+    ``{"max_indexed": int|None, "batches": int, "cross_matches": int}``;
+    a restarted driver starts from a fresh one, which is also what a
+    replay test must pass for its second run.
+
+    Exactly-once: the three appends commit through
+    :meth:`TxnTable.write_idempotent` keyed by a fixed per-table app_id
+    and the foreachBatch batchId, so a micro-batch re-delivered after a
+    checkpoint loss recomputes but commits nothing."""
+    from ceneton_database_tools_spark.operators import _textutil as T
+    from ceneton_database_tools_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        NUM_HASHES,
+        _band_exprs_spark,
+    )
+
+    def _read_or_none(t):
+        if t.latest_version() is None:
+            return None
+        spark = SparkSession.getActiveSession()
+        return t.read(spark)
+
+    def _sig_cols():
+        return [
+            F.expr(T.spark_minhash_cw(j)).alias(f"h{j}")
+            for j in range(NUM_HASHES)
+        ]
+
+    def _apply(batch, _batch_id):
+        new = batch.where(F.col("change_type") == "insert").select(
+            "doc_id", "w"
+        )
+        # ba: distinct hashed shingle sets; sigs: 12 Carter-Wegman
+        # minhashes as integer arithmetic over the base hashes —
+        # identical expressions to the batch dedup family
+        based = new.select(
+            "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
+        ).select(
+            "doc_id",
+            F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba"),
+        )
+        sigs = based.select("doc_id", "ba", *_sig_cols())
+        bands = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[F.expr(e) for e in _band_exprs_spark()])
+            ).alias("band_idx", "band_val"),
+        ).persist()
+        docs_b = based.persist()
+        ids = docs_b.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count("*").alias("n"),
+        ).first()  # bounded: 3 scalars
+        if ids["n"] == 0:
+            return
+        if (
+            state["max_indexed"] is not None
+            and ids["lo"] <= state["max_indexed"]
+        ):
+            raise AssertionError(
+                f"non-monotone arrival: batch min doc_id {ids['lo']} "
+                f"<= indexed max {state['max_indexed']} — the "
+                "arrival-order == id-order premise broke"
+            )
+        # candidates: new-batch bands vs persisted index (linear in
+        # the batch), plus the batch against itself (lower id wins)
+        old_bands = _read_or_none(idx_bands)
+        nb = bands.alias("n")
+        cands = []
+        if old_bands is not None:
+            ob = old_bands.alias("i")
+            cands.append(
+                nb.join(
+                    ob,
+                    (F.col("n.band_idx") == F.col("i.band_idx"))
+                    & (F.col("n.band_val") == F.col("i.band_val")),
+                ).select(
+                    F.col("i.doc_id").alias("doc_a"),
+                    F.col("n.doc_id").alias("doc_b"),
+                )
+            )
+        b2 = bands.alias("m")
+        cands.append(
+            nb.join(
+                b2,
+                (F.col("n.band_idx") == F.col("m.band_idx"))
+                & (F.col("n.band_val") == F.col("m.band_val"))
+                & (F.col("m.doc_id") < F.col("n.doc_id")),
+            ).select(
+                F.col("m.doc_id").alias("doc_a"),
+                F.col("n.doc_id").alias("doc_b"),
+            )
+        )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.distinct()
+        # verify at exact Jaccard over the hashed shingle sets;
+        # doc_a's set lives in the index OR this batch
+        old_docs = _read_or_none(idx_docs)
+        all_docs = (
+            docs_b if old_docs is None
+            else old_docs.unionByName(docs_b)
+        )
+        sa = all_docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("ba").alias("ba_a")
+        )
+        sb = docs_b.select(
+            F.col("doc_id").alias("doc_b"), F.col("ba").alias("ba_b")
+        )
+        inter = F.size(F.array_intersect("ba_a", "ba_b")).cast("double")
+        union = (
+            F.size("ba_a")
+            + F.size("ba_b")
+            - F.size(F.array_intersect("ba_a", "ba_b"))
+        )
+        pairs = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where((inter / union) >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+        matched = pairs.groupBy("doc_b").agg(
+            F.min("doc_a").alias("matched_doc_id"),
+            F.count("*").alias("n_matches"),
+        )
+        dec = (
+            docs_b.select("doc_id")
+            .join(
+                matched.withColumnRenamed("doc_b", "doc_id"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.col("matched_doc_id").isNotNull().alias("is_dup"),
+                "matched_doc_id",
+                "n_matches",
+            )
+        )
+        # exactly-once under checkpoint-loss replay (VERDICT r12 #1):
+        # every append goes through the (app_id, batchId) txns
+        # watermark — a replayed micro-batch recomputes its decisions
+        # but commits NOTHING the second time, so a restart never
+        # duplicates decisions or widens the signature index. batchId
+        # is monotone across stream restarts that share a checkpoint.
+        decisions.write_idempotent(dec, "dedup_cdf_decisions", _batch_id)
+        # index EVERY doc's signatures (see docstring) — one append
+        # commit per table per batch
+        idx_docs.write_idempotent(
+            docs_b.select("doc_id", "ba"), "dedup_cdf_idx_docs", _batch_id
+        )
+        idx_bands.write_idempotent(
+            bands.select("doc_id", "band_idx", "band_val"),
+            "dedup_cdf_idx_bands",
+            _batch_id,
+        )
+        if old_bands is not None:
+            state["cross_matches"] += (
+                pairs.where(
+                    F.col("doc_a") <= F.lit(state["max_indexed"])
+                ).count()
+            )
+        state["max_indexed"] = ids["hi"]
+        state["batches"] += 1
+        bands.unpersist()
+        docs_b.unpersist()
+
+    return _apply
+
+
 def _dedup_cdf_oracle() -> str:
     """Full-recompute MinHash-LSH dedup over the FINAL corpus — the
     ground truth the incremental pipeline must converge to: a document
@@ -1832,10 +2011,14 @@ def streaming_dedup_index_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrival order: commits are doc_id-ordered ranges, so "matched an
     already-indexed doc" == "matched a lower-id doc", which is what
     the oracle states; the run ASSERTS monotone arrival and would fail
-    loudly rather than silently diverge. Exactly-once on replay is the
-    txn sink's (txnappid, batchId) watermark story — here each
-    micro-batch appends through the batch faces, sufficient for the
-    single availableNow pass the gate runs.
+    loudly rather than silently diverge. Exactly-once on replay: every
+    append (decisions + both index tables) commits through
+    ``write_idempotent`` keyed by a per-table app_id and the
+    foreachBatch batchId — after a checkpoint loss the source re-sends
+    already-processed inserts, the batch recomputes, and all three
+    commits are skipped by the manifest's txns watermark, so a replay
+    lands zero duplicate decisions and zero duplicate signatures
+    (pinned by ``tests/test_streaming.py`` replay test).
 
     SELF-CHECKS: (a) >= 3 micro-batches (the feed trickled, not one
     bulk dump); (b) monotone doc_id arrival; (c) at least one dup
@@ -1845,12 +2028,8 @@ def streaming_dedup_index_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ceneton_database_tools_spark.operators import _textutil as T
     from ceneton_database_tools_spark.operators.dedup import (
-        JACCARD_THRESHOLD,
-        NUM_HASHES,
         TWIN_OFFSET,
-        _band_exprs_spark,
         _near_corpus_tokens,
     )
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
@@ -1862,12 +2041,6 @@ def streaming_dedup_index_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
     state = {"max_indexed": None, "batches": 0, "cross_matches": 0}
 
-    def _sig_cols():
-        return [
-            F.expr(T.spark_minhash_cw(j)).alias(f"h{j}")
-            for j in range(NUM_HASHES)
-        ]
-
     try:
         corpus = _near_corpus_tokens(spark, sf_dir)  # (doc_id, w)
         landing = TxnTable(os.path.join(work, "docs"))
@@ -1875,140 +2048,7 @@ def streaming_dedup_index_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_bands = TxnTable(os.path.join(work, "idx_bands"))
         decisions = TxnTable(os.path.join(work, "decisions"))
 
-        def _read_or_none(t: TxnTable):
-            return None if t.latest_version() is None else t.read(spark)
-
-        def _apply(batch, _batch_id):
-            new = batch.where(F.col("change_type") == "insert").select(
-                "doc_id", "w"
-            )
-            # ba: distinct hashed shingle sets; sigs: 12 Carter-Wegman
-            # minhashes as integer arithmetic over the base hashes —
-            # identical expressions to the batch dedup family
-            based = new.select(
-                "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
-            ).select(
-                "doc_id",
-                F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba"),
-            )
-            sigs = based.select("doc_id", "ba", *_sig_cols())
-            bands = sigs.select(
-                "doc_id",
-                F.posexplode(
-                    F.array(*[F.expr(e) for e in _band_exprs_spark()])
-                ).alias("band_idx", "band_val"),
-            ).persist()
-            docs_b = based.persist()
-            ids = docs_b.agg(
-                F.min("doc_id").alias("lo"),
-                F.max("doc_id").alias("hi"),
-                F.count("*").alias("n"),
-            ).first()  # bounded: 3 scalars
-            if ids["n"] == 0:
-                return
-            if (
-                state["max_indexed"] is not None
-                and ids["lo"] <= state["max_indexed"]
-            ):
-                raise AssertionError(
-                    f"non-monotone arrival: batch min doc_id {ids['lo']} "
-                    f"<= indexed max {state['max_indexed']} — the "
-                    "arrival-order == id-order premise broke"
-                )
-            # candidates: new-batch bands vs persisted index (linear in
-            # the batch), plus the batch against itself (lower id wins)
-            old_bands = _read_or_none(idx_bands)
-            nb = bands.alias("n")
-            cands = []
-            if old_bands is not None:
-                ob = old_bands.alias("i")
-                cands.append(
-                    nb.join(
-                        ob,
-                        (F.col("n.band_idx") == F.col("i.band_idx"))
-                        & (F.col("n.band_val") == F.col("i.band_val")),
-                    ).select(
-                        F.col("i.doc_id").alias("doc_a"),
-                        F.col("n.doc_id").alias("doc_b"),
-                    )
-                )
-            b2 = bands.alias("m")
-            cands.append(
-                nb.join(
-                    b2,
-                    (F.col("n.band_idx") == F.col("m.band_idx"))
-                    & (F.col("n.band_val") == F.col("m.band_val"))
-                    & (F.col("m.doc_id") < F.col("n.doc_id")),
-                ).select(
-                    F.col("m.doc_id").alias("doc_a"),
-                    F.col("n.doc_id").alias("doc_b"),
-                )
-            )
-            cand = cands[0]
-            for c in cands[1:]:
-                cand = cand.unionByName(c)
-            cand = cand.distinct()
-            # verify at exact Jaccard over the hashed shingle sets;
-            # doc_a's set lives in the index OR this batch
-            old_docs = _read_or_none(idx_docs)
-            all_docs = (
-                docs_b if old_docs is None
-                else old_docs.unionByName(docs_b)
-            )
-            sa = all_docs.select(
-                F.col("doc_id").alias("doc_a"), F.col("ba").alias("ba_a")
-            )
-            sb = docs_b.select(
-                F.col("doc_id").alias("doc_b"), F.col("ba").alias("ba_b")
-            )
-            inter = F.size(F.array_intersect("ba_a", "ba_b")).cast("double")
-            union = (
-                F.size("ba_a")
-                + F.size("ba_b")
-                - F.size(F.array_intersect("ba_a", "ba_b"))
-            )
-            pairs = (
-                cand.join(sa, "doc_a")
-                .join(sb, "doc_b")
-                .where((inter / union) >= JACCARD_THRESHOLD)
-                .select("doc_a", "doc_b")
-            )
-            matched = pairs.groupBy("doc_b").agg(
-                F.min("doc_a").alias("matched_doc_id"),
-                F.count("*").alias("n_matches"),
-            )
-            dec = (
-                docs_b.select("doc_id")
-                .join(
-                    matched.withColumnRenamed("doc_b", "doc_id"),
-                    "doc_id",
-                    "left",
-                )
-                .select(
-                    "doc_id",
-                    F.col("matched_doc_id").isNotNull().alias("is_dup"),
-                    "matched_doc_id",
-                    "n_matches",
-                )
-            )
-            decisions.write(dec, mode="append")
-            # index EVERY doc's signatures (see docstring) — one append
-            # commit per table per batch
-            idx_docs.write(docs_b, mode="append")
-            idx_bands.write(
-                bands.select("doc_id", "band_idx", "band_val"),
-                mode="append",
-            )
-            if old_bands is not None:
-                state["cross_matches"] += (
-                    pairs.where(
-                        F.col("doc_a") <= F.lit(state["max_indexed"])
-                    ).count()
-                )
-            state["max_indexed"] = ids["hi"]
-            state["batches"] += 1
-            bands.unpersist()
-            docs_b.unpersist()
+        _apply = dedup_cdf_batch_fn(idx_docs, idx_bands, decisions, state)
 
         # three doc_id-ordered commits; drain the change feed after
         # each so the index is genuinely incremental across commits
