@@ -257,3 +257,249 @@ def test_checkpoint_survives_restore_and_vacuum(spark, tmp_path):
 
     for rel in t.snapshot()["files"]:
         assert _os.path.exists(_os.path.join(str(tmp_path), rel)), rel
+
+
+def test_optimize_streams_on_checkpointed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 #2: OPTIMIZE on a checkpointed table — the admin op
+    users run on exactly the tables big enough to be checkpointed —
+    must plan from the O(1) stub, pick by streaming the sidecar, and
+    commit via the streamed carry: load_manifest is never called on
+    the op path. Content stays identical, time travel still reaches
+    the un-compacted layout, and a bounded max_picked sweeps the table
+    incrementally until nothing qualifies."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = _build(spark, str(tmp_path), n_commits=8, checkpoint_at=4)
+    pre = t.latest_version()
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    # bounded pick: only the 2 front directories compact this call
+    v1 = t.optimize(spark, max_picked=2)
+    assert calls == [], "streamed optimize materialized a manifest"
+    monkeypatch.undo()
+    assert v1 == pre + 1
+    with open(t._manifest_path(v1)) as f:
+        stub = json.load(f)
+    assert stub["op"] == "optimize"
+    assert "files_checkpoint" in stub
+    assert stub["n_dirs"] == 8 - 2 + 1
+    assert t.count() == 80
+    # loop-until-None sweeps the rest; content identical throughout
+    while t.optimize(spark, max_picked=4) is not None:
+        pass
+    snap = t.snapshot()
+    assert len(snap["files"]) == 1
+    assert t.count() == 80
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(80))
+    # stats survived the rewrite: a point lookup prunes to the one dir
+    kept, _ = t.prune([("k", "=", 5)])
+    assert len(kept) == 1
+    # time travel to the pre-optimize checkpointed layout still works
+    assert t.read(spark, pre).count() == 80
+    assert len(t.snapshot(pre)["files"]) == 8
+
+
+def test_optimize_streamed_partition_preserving(spark, tmp_path):
+    """Streamed OPTIMIZE on a checkpointed PARTITIONED table restages
+    one directory per partition tuple with exact manifest values, so
+    drop_partitions' metadata-only proof keeps working afterwards."""
+    t = TxnTable(str(tmp_path), checkpoint_at=3)
+    for i in range(5):
+        rows = [(i * 10 + j, ["A", "B"][j % 2]) for j in range(10)]
+        t.write_partitioned(
+            spark.createDataFrame(rows, "k long, seg string"),
+            ("seg",),
+            mode="overwrite" if i == 0 else "append",
+        )
+    with open(t._manifest_path(t.latest_version())) as f:
+        assert "files_checkpoint" in json.load(f)
+    v = t.optimize(spark)
+    assert v is not None
+    snap = t.snapshot()
+    assert t.partition_spec() == ("seg",)
+    # one compacted leaf per partition tuple, each with exact values
+    assert len(snap["files"]) == 2
+    assert {tuple(p.items()) for p in snap["parts"].values()} == {
+        (("seg", "A"),),
+        (("seg", "B"),),
+    }
+    assert t.count() == 50
+    assert t.drop_partitions([("seg", "=", "B")]) is not None
+    assert sorted(r.k for r in t.read(spark).collect()) == list(
+        range(0, 50, 2)
+    )
+
+
+def test_optimize_streamed_drops_dead_dv_sidecars(spark, tmp_path):
+    """ADVICE r12 + the _rewrite_stub_manifest contract note: streamed
+    rewrites carry the dvs sidecar list verbatim, and OPTIMIZE is the
+    GC. A partial optimize that leaves a tombstoned directory alive
+    must keep the list; the optimize that rewrites the LAST tombstoned
+    directory drops it — and the deleted rows stay deleted (the
+    rewrite materialized the tombstones before the list died)."""
+    t = _build(spark, str(tmp_path), n_commits=6, checkpoint_at=3)
+    assert t.delete_dv(spark, "k = 7 or k = 55") is not None
+    stub0 = t._stub(t.latest_version())
+    assert stub0.get("dvs"), "merge-on-read sidecar must be recorded"
+    assert t.count() == 58
+    # partial optimize: the last directory (holding k=55's tombstone)
+    # survives, so the sidecar list must ride along
+    v1 = t.optimize(spark, max_picked=5)
+    assert v1 is not None
+    stub1 = t._stub(v1)
+    assert stub1.get("dvs"), "a live tombstone's sidecar list was dropped"
+    assert t.count() == 58
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        k for k in range(60) if k not in (7, 55)
+    ]
+    # the sweep that rewrites the last tombstoned directory drops it
+    while t.optimize(spark, max_picked=5) is not None:
+        pass
+    stub2 = t._stub(t.latest_version())
+    assert "dvs" not in stub2, "dead dvs sidecar list survived optimize"
+    assert t.count() == 58
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        k for k in range(60) if k not in (7, 55)
+    ]
+
+
+def test_checkpoint_machinery_sized_at_1e5_dirs(tmp_path):
+    """VERDICT r12 #3: the O(batch) claims, SIZED. A synthetic
+    checkpointed manifest with 100,000 directory entries (manifest
+    only — probe and carry never open data files), driven through the
+    two commit-path workhorses:
+
+    - ``_probe_candidates_streamed`` with a point predicate — typed
+      stat proof per record batch; measured ~0.9 s wall / ~11 MB peak
+      traced Python heap on the dev host.
+    - ``_stream_checkpoint_carry`` with a drop + a dv increment + one
+      add — record-batch filter/patch/append; measured ~0.3 s wall /
+      ~0 MB traced (the work stays in Arrow buffers, whose unit is the
+      64Ki-row record batch, not the table).
+
+    Budgets are ~10x the measured numbers so a loaded CI host never
+    flakes; what the test actually pins is the SHAPE — sub-linear
+    driver memory and seconds-not-minutes wall at 10^5 dirs, where a
+    driver-side dict rebuild would be the bottleneck the checkpoint
+    exists to remove."""
+    import time
+    import tracemalloc
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    t = TxnTable(str(tmp_path), stats_cols=("k",), checkpoint_at=1)
+    os.makedirs(t.log_dir, exist_ok=True)
+    n_dirs = 100_000
+    cp = "00000000000.aaaaaaaa.checkpoint.parquet"
+    schema = pa.schema(
+        [
+            ("dir", pa.string()),
+            ("rows", pa.int64()),
+            ("dv_rows", pa.int64()),
+            ("stats", pa.string()),
+            ("blooms", pa.string()),
+            ("parts", pa.string()),
+        ]
+    )
+    with pq.ParquetWriter(os.path.join(t.log_dir, cp), schema) as w:
+        step = 10_000
+        for s0 in range(0, n_dirs, step):
+            w.write_batch(
+                pa.record_batch(
+                    [
+                        pa.array(
+                            [f"data/{i:08x}" for i in range(s0, s0 + step)]
+                        ),
+                        pa.array([1000] * step, pa.int64()),
+                        pa.array([None] * step, pa.int64()),
+                        pa.array(
+                            [
+                                json.dumps(
+                                    {"k": [i * 1000, (i + 1) * 1000 - 1, 0]}
+                                )
+                                for i in range(s0, s0 + step)
+                            ]
+                        ),
+                        pa.array([None] * step, pa.string()),
+                        pa.array([None] * step, pa.string()),
+                    ],
+                    schema=schema,
+                )
+            )
+    stub = {
+        "version": 0,
+        "op": "overwrite",
+        "files_checkpoint": cp,
+        "n_dirs": n_dirs,
+        "schema": {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        },
+        "txns": {},
+    }
+    with open(t._manifest_path(0), "w") as f:
+        json.dump(stub, f)
+
+    # wall pass (tracemalloc off: it multiplies allocation cost ~4x)
+    t0 = time.perf_counter()
+    cand = t._probe_candidates_streamed(stub, "k = 12345678")
+    probe_wall = time.perf_counter() - t0
+    assert cand == ["data/00003039"], "typed proof must keep exactly one dir"
+    t0 = time.perf_counter()
+    name, n, any_dv = t._stream_checkpoint_carry(
+        1,
+        cp,
+        adds=[
+            {
+                "dir": "data/new1",
+                "rows": 2000,
+                "dv_rows": None,
+                "stats": None,
+                "blooms": None,
+                "parts": None,
+            }
+        ],
+        drop=frozenset({"data/00000000", "data/00000001"}),
+        dv_increment={"data/00000002": 5},
+    )
+    carry_wall = time.perf_counter() - t0
+    assert n == n_dirs - 2 + 1
+    assert any_dv, "the dv increment must register as a live tombstone"
+    # the carried sidecar is readable and exact
+    got = pq.read_table(os.path.join(t.log_dir, name))
+    assert got.num_rows == n
+    os.unlink(os.path.join(t.log_dir, name))
+    assert probe_wall < 10.0, f"probe took {probe_wall:.2f}s at 1e5 dirs"
+    assert carry_wall < 5.0, f"carry took {carry_wall:.2f}s at 1e5 dirs"
+
+    # memory pass: peak traced Python heap stays O(record batch)
+    tracemalloc.start()
+    t._probe_candidates_streamed(stub, "k = 12345678")
+    _, probe_peak = tracemalloc.get_traced_memory()
+    tracemalloc.reset_peak()
+    name2, _, _ = t._stream_checkpoint_carry(
+        2, cp, adds=[], drop=frozenset({"data/00000000"})
+    )
+    _, carry_peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    os.unlink(os.path.join(t.log_dir, name2))
+    assert probe_peak < 100 * 1024 * 1024, f"probe peak {probe_peak}"
+    assert carry_peak < 50 * 1024 * 1024, f"carry peak {carry_peak}"

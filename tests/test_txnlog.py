@@ -2415,7 +2415,8 @@ def test_commit_race_on_checkpointed_manifest_rebases(spark, tmp_path):
     assert len(snap["files"]) == 6
     # exactly one checkpoint is referenced per version; the loser's
     # first attempt pre-wrote a sidecar for the CONTESTED version (4)
-    # that nothing references — never corrupting, GC'd by truncate_log
+    # and UNLINKED it on the lost coin flip (ADVICE r12) — contended
+    # writers must not accumulate full-size orphans until truncate_log
     with open(t._manifest_path(4)) as f:
         cp4 = json.load(f)["files_checkpoint"]
     orphans = [
@@ -2424,7 +2425,7 @@ def test_commit_race_on_checkpointed_manifest_rebases(spark, tmp_path):
         if f.startswith(f"{4:011d}.") and f.endswith(".checkpoint.parquet")
         and f != cp4
     ]
-    assert len(orphans) == 1, "loser should have left one unreferenced sidecar"
+    assert orphans == [], "loser must unlink its own unreferenced sidecar"
     # pruning proves from the winner chain's streamed checkpoint
     kept, _ = t.prune([("id", "=", 200)])
     assert len(kept) == 1
