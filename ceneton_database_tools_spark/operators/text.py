@@ -23,13 +23,13 @@ from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
 from ceneton_database_tools_spark.operators import _textutil as T
-from ceneton_database_tools_spark.operators.dedup import assert_twin_headroom
 from ceneton_database_tools_spark.operators.registry import register
 
 TOP_TOKENS = 20
 PROFILE_SIZE = 10
 FINGERPRINT_TOKENS = 5
-TWIN_OFFSET = 1_000_000
+# twin ids are DERIVED (T.derived_twin_offset / T.DUCK_TWIN_OFFSET_DOCS
+# in the oracles) — see the contract note in operators/dedup.py
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +343,7 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + {TWIN_OFFSET}, upper(text) FROM documents
+      SELECT doc_id + {T.DUCK_TWIN_OFFSET_DOCS}, upper(text) FROM documents
     ),
     fps AS (
       SELECT doc_id,
@@ -366,9 +366,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle carries only (fingerprint, doc_id); min/count are partial
     map-side — the same scale shape as dedup_exact."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    assert_twin_headroom(docs, sf_dir)
+    off = T.derived_twin_offset(spark, sf_dir)
     twins = docs.select(
-        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"), F.upper("text").alias("text")
+        (F.col("doc_id") + off).alias("doc_id"), F.upper("text").alias("text")
     )
     corpus = docs.unionByName(twins)
     fp = F.md5(F.array_join(F.slice(F.expr(T.SPARK_TOKENS), 1, FINGERPRINT_TOKENS), " "))
@@ -451,7 +451,7 @@ _ASTRAL = "[\\x{10000}-\\x{10FFFF}]"
     WITH corpus AS (
       SELECT doc_id, {_DUCK_NORM} AS txt FROM documents
       UNION ALL
-      SELECT doc_id + {TWIN_OFFSET},
+      SELECT doc_id + {T.DUCK_TWIN_OFFSET_DOCS},
              {T.DUCK_DROP_FIRST_TOKEN}
       FROM documents
     ),
@@ -466,7 +466,7 @@ _ASTRAL = "[\\x{10000}-\\x{10FFFF}]"
              len(b.fp) AS n_fp_twin,
              len(list_intersect(a.fp, b.fp))::DOUBLE /
                (len(a.fp) + len(b.fp) - len(list_intersect(a.fp, b.fp))) AS j
-      FROM fps a JOIN fps b ON b.doc_id = a.doc_id + {TWIN_OFFSET}
+      FROM fps a JOIN fps b ON b.doc_id = a.doc_id + {T.DUCK_TWIN_OFFSET_DOCS}
       WHERE len(a.fp) > 0 AND len(b.fp) > 0
     )
     SELECT doc_id,
@@ -496,10 +496,10 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the LSH-bucket shape dedup_minhash_lsh already implements.
     """
     docs = _docs(spark, sf_dir)
-    assert_twin_headroom(docs, sf_dir)
+    off = T.derived_twin_offset(spark, sf_dir)
     base = docs.select("doc_id", F.expr(_SPARK_NORM).alias("txt"))
     twins = docs.select(
-        (F.col("doc_id") + TWIN_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + off).alias("doc_id"),
         F.expr(T.SPARK_DROP_FIRST_TOKEN).alias("txt"),
     )
     # Plan-shape discipline: the winnowing expression tree is LARGE (an
@@ -536,7 +536,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per join side)
     fps = winnow(base)
     b = winnow(twins).select(
-        (F.col("doc_id") - TWIN_OFFSET).alias("doc_id"), F.col("fp").alias("fp_b")
+        (F.col("doc_id") - off).alias("doc_id"), F.col("fp").alias("fp_b")
     )
     sized = (
         fps.join(b, "doc_id")

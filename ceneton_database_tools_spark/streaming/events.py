@@ -2028,14 +2028,17 @@ def streaming_dedup_index_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ceneton_database_tools_spark.operators import _textutil as T
     from ceneton_database_tools_spark.operators.dedup import (
-        TWIN_OFFSET,
         _near_corpus_tokens,
     )
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
     from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
 
     register_txn_source(spark)
+    # derived twin offset: the corpus twins live at doc_id + off, so
+    # the commit-range splits below must use the same derived value
+    off = T.derived_twin_offset(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="ceneton_dedup_cdf_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
@@ -2055,8 +2058,8 @@ def streaming_dedup_index_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         splits = [
             F.col("doc_id") < 300,
             (F.col("doc_id") >= 300)
-            & (F.col("doc_id") < TWIN_OFFSET + 250),
-            F.col("doc_id") >= TWIN_OFFSET + 250,
+            & (F.col("doc_id") < off + 250),
+            F.col("doc_id") >= off + 250,
         ]
         ck = os.path.join(work, "ck")
         q = None
