@@ -1543,6 +1543,13 @@ def streaming_txn_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFram
     GROUP BY 1, 2
     """,
     tags=("streaming", "txn", "sink", "window-agg", "acid"),
+    # timed bench leg (VERDICT r12 #4): the streaming subsystem changes
+    # every round with zero round-over-round timing signal — this leg
+    # times the full production path (stream spin-up + watermarked agg
+    # + exactly-once txn sink + table read-back), so its absolute
+    # number includes fixed stream-start overhead, and its VALUE is the
+    # round-over-round delta, not comparison against batch legs
+    bench=True,
 )
 def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION streaming-aggregation path end-to-end: a
