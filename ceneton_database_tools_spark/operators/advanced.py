@@ -1999,6 +1999,131 @@ def txn_checkpointed_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_checkpointed_admin_ops",
+    # Closed-form final snapshot after the full ADMIN lifecycle on a
+    # CHECKPOINTED manifest: rename + drop (metadata-only ALTERs that
+    # re-key every directory's stats through the streamed carry), a
+    # merge-on-read delete, OPTIMIZE (compaction that materializes the
+    # tombstones and GCs the dead dvs list), then RESTORE back to the
+    # post-ALTER snapshot — which resurrects the deleted rows by
+    # RE-REFERENCING the target's immutable sidecar. Net data effect:
+    # identity under the renamed schema.
+    oracle="""
+    SELECT c_custkey,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS acct
+    FROM customer
+    """,
+    tags=("txn", "checkpoint", "rename", "optimize", "restore", "acid"),
+)
+def txn_checkpointed_admin_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 composition query: the ADMIN ops against a manifest
+    past ``checkpoint_at`` — the shape where this round's streamed
+    machinery (rename/drop cell re-key, optimize pick + carry, O(1)
+    restore) is load-bearing. ``customer`` lands as 10 key-range
+    commits under ``checkpoint_at=8``; then ``rename_column`` and
+    ``drop_column`` commit metadata-only ALTERs (per-directory
+    stats/bloom cells re-keyed batch-by-batch in the sidecar carry —
+    trace-pinned in tests/test_manifest_checkpoint.py), ``delete_dv``
+    tombstones every 7th customer merge-on-read, ``optimize``
+    compacts the table (materializing the tombstones and dropping the
+    then-dead ``dvs`` sidecar list), and ``restore`` rolls back to
+    the post-ALTER snapshot by re-referencing its checkpoint sidecar
+    — an O(1) commit that must resurrect the deleted rows exactly.
+
+    SELF-CHECKS: (a) the manifest is checkpointed before any admin op
+    and stays checkpointed through all five; (b) metadata counts track
+    each transition (full → -victims → -victims → full); (c) optimize
+    drops the dead ``dvs`` list; (d) the restore stub RE-REFERENCES
+    the ALTER snapshot's sidecar byte-for-byte (no copy); (e) data
+    skipping still prunes on the RENAMED column through the re-keyed
+    checkpoint."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("bal"),
+    )
+    work = tempfile.mkdtemp(prefix="ceneton_txn_ckpt_admin_")
+    try:
+        table = TxnTable(
+            work, stats_cols=("c_custkey", "bal"), checkpoint_at=8
+        )
+        chunked = cust.withColumn(
+            "__c", F.ntile(10).over(W.orderBy("c_custkey"))
+        )
+        for i in range(10):
+            table.write(
+                chunked.where(F.col("__c") == i + 1).drop("__c"),
+                mode="overwrite" if i == 0 else "append",
+            )
+
+        def _stub(v):
+            with open(table._manifest_path(v)) as fh:
+                return _json.load(fh)
+
+        if "files_checkpoint" not in _stub(table.latest_version()):
+            raise AssertionError("fixture never crossed checkpoint_at")
+        n_full = table.count()
+        table.rename_column("bal", "acct")
+        v_alter = table.drop_column("c_name")
+        alter_stub = _stub(v_alter)
+        if "files_checkpoint" not in alter_stub:
+            raise AssertionError("metadata ALTERs lost the checkpoint")
+        # (e) every directory's stats cell re-keyed bal->acct through
+        # the streamed carry patch (c_name never had stats to strip)
+        if not all(
+            set(c) == {"c_custkey", "acct"}
+            for c in table.snapshot(v_alter)["stats"].values()
+        ):
+            raise AssertionError("ALTERs did not re-key the stats cells")
+        # ... and skipping still prunes through the re-keyed checkpoint
+        kept, skipped = table.prune(
+            [("c_custkey", "=", int(cust.agg(F.min("c_custkey")).first()[0]))]
+        )
+        if not (len(kept) == 1 and len(skipped) == 9):
+            raise AssertionError(
+                f"re-keyed checkpoint lost pruning: {len(kept)}/{len(skipped)}"
+            )
+        v_dv = table.delete_dv(spark, "c_custkey % 7 = 0")
+        if v_dv is None or not _stub(v_dv).get("dvs"):
+            raise AssertionError("merge-on-read delete recorded no sidecar")
+        n_after_dv = table.count()
+        if not (n_after_dv < n_full):
+            raise AssertionError("tombstones did not shrink the count")
+        v_opt = table.optimize(spark)
+        if v_opt is None:
+            raise AssertionError("optimize found nothing to compact")
+        opt_stub = _stub(v_opt)
+        if "dvs" in opt_stub:
+            raise AssertionError("optimize left a dead dvs sidecar list")
+        if table.count() != n_after_dv:
+            raise AssertionError("optimize changed the live row count")
+        v_res = table.restore(v_alter)
+        res_stub = _stub(v_res)
+        # (d) O(1) restore: the stub re-references the target's sidecar
+        if res_stub.get("files_checkpoint") != alter_stub["files_checkpoint"]:
+            raise AssertionError("restore did not re-reference the sidecar")
+        if table.count() != n_full:
+            raise AssertionError("restore did not resurrect deleted rows")
+        result = table.read(spark).select("c_custkey", "acct")
+        _record_inner_plan("txn_checkpointed_admin_ops", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_checkpointed_manifest_pruning",
     # Closed-form top-decile probe: the engine computes it through a
     # CHECKPOINTED manifest (per-directory state in a parquet sidecar,

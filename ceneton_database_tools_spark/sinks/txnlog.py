@@ -319,6 +319,45 @@ class TxnTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    def _iter_manifest_dirs(self, stub: dict):
+        """Yield a manifest's data-directory names in commit order
+        WITHOUT materializing per-directory state: inline manifests
+        yield their ``files`` list, checkpointed manifests stream the
+        sidecar's ``dir`` column record-batch by record-batch — the
+        dirs-only walk behind :meth:`restore`'s vacuumed-data check
+        and :meth:`vacuum`'s live set, where :func:`load_manifest`
+        would JSON-decode every directory's stats just to read names."""
+        cp = stub.get("files_checkpoint")
+        if cp is None:
+            yield from stub.get("files", [])
+            return
+        import pyarrow.parquet as pq
+
+        src = pq.ParquetFile(os.path.join(self.log_dir, cp))
+        for batch in src.iter_batches(columns=["dir"]):
+            yield from batch.column("dir").to_pylist()
+
+    def _same_manifest_dirs(self, a: dict, b: dict) -> bool:
+        """Whether two manifests (as stubs) list the SAME directories
+        in the same order, never materializing either: equal sidecar
+        pointers are trivially equal (sidecars are immutable),
+        mismatched ``n_dirs`` trivially unequal, anything else is a
+        streamed pairwise walk."""
+        ca, cb = a.get("files_checkpoint"), b.get("files_checkpoint")
+        if ca is not None and cb is not None:
+            if ca == cb:
+                return True
+            if a.get("n_dirs") != b.get("n_dirs"):
+                return False
+        from itertools import zip_longest
+
+        return all(
+            x == y
+            for x, y in zip_longest(
+                self._iter_manifest_dirs(a), self._iter_manifest_dirs(b)
+            )
+        )
+
     # -- schema (recorded in the manifest, validated on append) ------------
 
     @staticmethod
@@ -1563,7 +1602,11 @@ class TxnTable:
                     f"no committed version in {self.log_dir}: write the "
                     "table before renaming columns"
                 )
-            snap = self.snapshot(current)
+            # every validation below reads TABLE-LEVEL keys only, so
+            # the stub suffices (== the whole manifest when inline);
+            # on a checkpointed table the per-directory re-key then
+            # streams instead of materializing the manifest
+            snap = self._stub(current)
             schema = snap.get("schema")
             if schema is None:
                 raise SchemaMismatch(
@@ -1601,6 +1644,23 @@ class TxnTable:
             new_fields = [
                 {**f, "name": new} if f["name"] == old else f for f in fields
             ]
+            if "files_checkpoint" in snap:
+                # checkpointed manifest: the stats/bloom re-key rides
+                # the streamed carry as a per-record-batch cell patch —
+                # the per-directory dict is never built on the driver
+                version = current + 1
+                m2 = self._rewrite_stub_manifest(snap, version, "rename_column")
+                m2["schema"] = {**schema, "fields": new_fields}
+                m2["column_names"] = mapping
+                if self._try_commit_streamed(
+                    version,
+                    m2,
+                    snap["files_checkpoint"],
+                    adds=[],
+                    patch=self._rekey_cells_patch({old: new}),
+                ):
+                    return version
+                continue  # lost the race: rebase and re-validate
             # data skipping follows the rename: per-directory stats and
             # bloom entries were recorded under the write-time name
             # (== the physical name), so re-keying old→new keeps
@@ -1656,7 +1716,9 @@ class TxnTable:
                     f"no committed version in {self.log_dir}: write the "
                     "table before dropping columns"
                 )
-            snap = self.snapshot(current)
+            # stub-only validation + streamed re-key on checkpointed
+            # manifests, exactly like rename_column above
+            snap = self._stub(current)
             schema = snap.get("schema")
             if schema is None:
                 raise SchemaMismatch(
@@ -1686,6 +1748,27 @@ class TxnTable:
             retired = sorted(
                 set(snap.get("retired_columns", [])) | set(history)
             )
+            if "files_checkpoint" in snap:
+                version = current + 1
+                m2 = self._rewrite_stub_manifest(snap, version, "drop_column")
+                m2["schema"] = {
+                    **schema,
+                    "fields": [f for f in fields if f["name"] != name],
+                }
+                if mapping:
+                    m2["column_names"] = mapping
+                else:
+                    m2.pop("column_names", None)
+                m2["retired_columns"] = retired
+                if self._try_commit_streamed(
+                    version,
+                    m2,
+                    snap["files_checkpoint"],
+                    adds=[],
+                    patch=self._rekey_cells_patch({name: None}),
+                ):
+                    return version
+                continue  # lost the race: rebase and re-validate
             stats = {
                 d: {c: v for c, v in cols.items() if c != name}
                 for d, cols in snap.get("stats", {}).items()
@@ -1794,6 +1877,41 @@ class TxnTable:
         stub["n_dirs"] = len(files)
         return stub
 
+    @staticmethod
+    def _rekey_cells_patch(names: dict):
+        """A :meth:`_stream_checkpoint_carry` ``patch`` that re-keys
+        every directory's ``stats``/``blooms`` JSON cells: map key
+        ``old -> names[old]``, or strip the key when the mapped value
+        is ``None`` (drop_column). A cell whose dict empties encodes
+        as NULL — the same absence the inline path produces. O(batch)
+        memory; per-cell JSON decode/encode is the entire CPU cost of
+        a metadata-only ALTER at directory scale."""
+        import pyarrow as pa
+
+        def _cell(v):
+            if v is None:
+                return None
+            d = json.loads(v)
+            if not any(k in d for k in names):
+                return v
+            out = {}
+            for k, val in d.items():
+                nk = names.get(k, k)
+                if nk is not None:
+                    out[nk] = val
+            return json.dumps(out) if out else None
+
+        def patch(batch):
+            cols = batch.to_pydict()
+            cols["stats"] = [_cell(v) for v in cols["stats"]]
+            cols["blooms"] = [_cell(v) for v in cols["blooms"]]
+            return pa.record_batch(
+                [pa.array(cols[f.name], f.type) for f in batch.schema],
+                schema=batch.schema,
+            )
+
+        return patch
+
     def _stream_checkpoint_carry(
         self,
         version: int,
@@ -1801,6 +1919,7 @@ class TxnTable:
         adds: list[dict],
         drop: frozenset = frozenset(),
         dv_increment: dict | None = None,
+        patch=None,
     ) -> tuple[str, int]:
         """Build ``version``'s checkpoint sidecar by STREAMING the
         prior checkpoint record-batch by record-batch — filter the
@@ -1818,7 +1937,13 @@ class TxnTable:
         batches stream anyway so the commit can drop a dead ``dvs``
         sidecar list the moment no surviving directory references it
         (otherwise every future read pays the tombstone anti-join
-        against sidecars whose keys are all dead until optimize runs)."""
+        against sidecars whose keys are all dead until optimize runs).
+        ``patch``, when given, is applied to each surviving record
+        batch just before it is written (same schema in and out) — the
+        hook that lets PURE-METADATA schema commits (rename_column /
+        drop_column re-keying every directory's stats and bloom cells)
+        ride the same O(record batch) stream instead of materializing
+        the per-directory dicts."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -1877,6 +2002,8 @@ class TxnTable:
                         schema=schema,
                     )
                 if batch.num_rows:
+                    if patch is not None:
+                        batch = patch(batch)
                     w.write_batch(batch)
                     n += batch.num_rows
                     if not any_dv and pc.any(
@@ -1908,6 +2035,7 @@ class TxnTable:
         adds: list[dict],
         drop: frozenset = frozenset(),
         dv_increment: dict | None = None,
+        patch=None,
     ) -> bool:
         """:meth:`_try_commit` for a DELTA against a checkpointed
         prior: ``stub_manifest`` holds only table-level keys, the
@@ -1923,7 +2051,7 @@ class TxnTable:
         import time
 
         cp_name, n_dirs, any_dv = self._stream_checkpoint_carry(
-            version, prior_cp, adds, drop, dv_increment
+            version, prior_cp, adds, drop, dv_increment, patch
         )
         manifest = {
             **stub_manifest,
@@ -4449,11 +4577,23 @@ class TxnTable:
         restore target is already the latest state (no empty commit).
 
         Fails loudly if the target's data was vacuumed away — a
-        restore must republish directories that still exist."""
-        target = self.snapshot(version)  # raises if truncated away
+        restore must republish directories that still exist.
+
+        On CHECKPOINTED manifests the whole op is O(1) driver memory
+        and O(1) I/O: sidecars are immutable and uniquely named, so
+        the restore commit RE-REFERENCES the target's existing
+        checkpoint parquet (``files_checkpoint``) instead of copying
+        it — truncate_log keeps any sidecar a retained stub names, so
+        the shared file lives exactly as long as a manifest references
+        it. The vacuumed-data check and the already-at-target
+        equality check stream the sidecar's ``dir`` column instead of
+        materializing the per-directory manifest."""
+        import time
+
+        tstub = self._stub(version)  # raises if truncated away
         missing = [
             rel
-            for rel in target["files"]
+            for rel in self._iter_manifest_dirs(tstub)
             if not os.path.isdir(os.path.join(self.path, rel))
         ]
         if missing:
@@ -4462,25 +4602,62 @@ class TxnTable:
             )
         for _ in range(max_retries):
             current = self.latest_version()
-            snap = self.snapshot(current)
+            cstub = self._stub(current)
             if (
-                snap["files"] == target["files"]
-                and snap.get("dvs", []) == target.get("dvs", [])
+                self._same_manifest_dirs(cstub, tstub)
+                and cstub.get("dvs", []) == tstub.get("dvs", [])
                 # schema state is restorable too: a rename/drop commit
                 # changes no files, but restoring across it must still
                 # commit the target's schema + column mapping back
-                and snap.get("schema") == target.get("schema")
-                and snap.get("column_names") == target.get("column_names")
-                and snap.get("retired_columns")
-                == target.get("retired_columns")
+                and cstub.get("schema") == tstub.get("schema")
+                and cstub.get("column_names") == tstub.get("column_names")
+                and cstub.get("retired_columns")
+                == tstub.get("retired_columns")
             ):
                 return None
             new_version = current + 1
+            if "files_checkpoint" in tstub:
+                # O(1) restore: republish the target's immutable
+                # sidecar under a new stub — per-directory state
+                # (files, rows, stats, blooms, parts, dv_rows) rides
+                # in the re-referenced parquet untouched
+                manifest = {
+                    "version": new_version,
+                    "op": "restore",
+                    "ts": time.time(),
+                    "files_checkpoint": tstub["files_checkpoint"],
+                    "n_dirs": tstub["n_dirs"],
+                    # writer watermarks carry from LATEST (rolling data
+                    # back must not let a landed micro-batch replay)
+                    "txns": dict(cstub.get("txns", {})),
+                }
+                # DATA state from the target; POLICY from latest
+                for k in ("schema", "partition_by", "dvs",
+                          "column_names", "retired_columns"):
+                    if tstub.get(k) is not None:
+                        manifest[k] = tstub[k]
+                for k in ("constraints", "props"):
+                    if cstub.get(k):
+                        manifest[k] = cstub[k]
+                if self.store.put_if_absent(
+                    self._manifest_path(new_version),
+                    json.dumps(manifest).encode("utf-8"),
+                ):
+                    try:
+                        self.store.replace(
+                            os.path.join(self.log_dir, "_latest.hint"),
+                            str(new_version).encode("ascii"),
+                        )
+                    except OSError:
+                        pass
+                    return new_version
+                continue  # lost the race: rebase
+            target = self.snapshot(version)  # inline: small JSON
             manifest = {
                 "version": new_version,
                 "op": "restore",
                 "files": list(target["files"]),
-                "txns": dict(snap.get("txns", {})),
+                "txns": dict(cstub.get("txns", {})),
             }
             for k in ("schema", "stats", "partition_by", "parts", "blooms",
                       "dvs", "dv_rows"):
@@ -4493,10 +4670,10 @@ class TxnTable:
             # copied above, and carry_dvs=False keeps latest's
             # tombstones from leaking into the restored snapshot.
             # Row counts come from the TARGET manifest (it already
-            # recorded every restored directory); latest's map only
-            # knows the directories the two snapshots share.
+            # recorded every restored directory — latest's map is not
+            # consulted, so a checkpointed latest costs nothing here).
             self._carry_props(
-                snap, manifest, new_rows=target.get("rows"), carry_dvs=False
+                cstub, manifest, new_rows=target.get("rows"), carry_dvs=False
             )
             # the column-mapping rename history is DATA state, like the
             # schema: the restored directories read under the TARGET's
@@ -5004,13 +5181,16 @@ class TxnTable:
         live_dvs: set[str] = set()
         for f in os.listdir(self.log_dir):
             if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) >= keep_start:
-                # load_manifest, not raw JSON: a checkpointed manifest
-                # keeps its file list in the parquet sidecar
-                m = load_manifest(self.log_dir, int(f[:-5]))
-                live.update(m["files"])
-                live_dvs.update(m.get("dvs", []))
-                if m.get("cdc"):
-                    live_dvs.add(m["cdc"])
+                # dirs-only walk, NOT load_manifest: a checkpointed
+                # manifest streams its sidecar's dir column — the live
+                # SET is inherently O(total dirs) in names (it must
+                # anti-join the data listing below), but nothing here
+                # JSON-decodes per-directory stats to learn a name
+                stub = self._stub(int(f[:-5]))
+                live.update(self._iter_manifest_dirs(stub))
+                live_dvs.update(stub.get("dvs", []))
+                if stub.get("cdc"):
+                    live_dvs.add(stub["cdc"])
         cutoff = time.time() - retain_hours * 3600.0
         removed = []
         for d in os.listdir(self.data_dir):

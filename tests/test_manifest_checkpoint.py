@@ -490,6 +490,22 @@ def test_checkpoint_machinery_sized_at_1e5_dirs(tmp_path):
     assert probe_wall < 10.0, f"probe took {probe_wall:.2f}s at 1e5 dirs"
     assert carry_wall < 5.0, f"carry took {carry_wall:.2f}s at 1e5 dirs"
 
+    # the ALTER patch (rename re-key) at the same scale: JSON decode +
+    # re-key + encode of every stats cell is the whole CPU cost —
+    # measured ~0.6 s wall on the dev host; budget ~10x
+    t0 = time.perf_counter()
+    name3, n3, _ = t._stream_checkpoint_carry(
+        3, cp, adds=[], patch=TxnTable._rekey_cells_patch({"k": "key"})
+    )
+    patch_wall = time.perf_counter() - t0
+    assert n3 == n_dirs
+    got3 = pq.read_table(
+        os.path.join(t.log_dir, name3), columns=["stats"]
+    ).column("stats").to_pylist()
+    assert all('"key"' in s for s in got3[:100])
+    os.unlink(os.path.join(t.log_dir, name3))
+    assert patch_wall < 10.0, f"rename patch took {patch_wall:.2f}s at 1e5"
+
     # memory pass: peak traced Python heap stays O(record batch)
     tracemalloc.start()
     t._probe_candidates_streamed(stub, "k = 12345678")
@@ -503,3 +519,131 @@ def test_checkpoint_machinery_sized_at_1e5_dirs(tmp_path):
     os.unlink(os.path.join(t.log_dir, name2))
     assert probe_peak < 100 * 1024 * 1024, f"probe peak {probe_peak}"
     assert carry_peak < 50 * 1024 * 1024, f"carry peak {carry_peak}"
+
+
+def test_rename_and_drop_column_stream_on_checkpointed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: the metadata-only ALTERs (rename_column /
+    drop_column) on a checkpointed table validate from the O(1) stub
+    and re-key every directory's stats/bloom cells as a per-record-
+    batch patch on the streamed carry — load_manifest is never called
+    on the op path, and data skipping keeps working on the new name."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = TxnTable(str(tmp_path), stats_cols=("k", "v"), checkpoint_at=4)
+    for i in range(8):
+        t.write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            mode="overwrite" if i == 0 else "append",
+        )
+    pre = t.latest_version()
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    v1 = t.rename_column("k", "key")
+    v2 = t.drop_column("v")
+    assert calls == [], "streamed ALTER materialized a manifest"
+    monkeypatch.undo()
+    assert (v1, v2) == (pre + 1, pre + 2)
+    with open(t._manifest_path(v2)) as f:
+        stub = json.load(f)
+    assert stub["op"] == "drop_column" and "files_checkpoint" in stub
+    # schema + mapping landed; stats re-keyed k->key, v stripped
+    snap = t.snapshot()
+    assert [f["name"] for f in snap["schema"]["fields"]] == ["key"]
+    assert snap["column_names"]["key"] == ["key", "k"]
+    assert "v" in snap["retired_columns"]
+    assert all(set(c) == {"key"} for c in snap["stats"].values())
+    # data skipping on the NEW name, through the re-keyed sidecar
+    kept, skipped = t.prune([("key", "=", 5)])
+    assert len(kept) == 1 and len(skipped) == 7
+    got = t.read(spark)
+    assert got.columns == ["key"]
+    assert got.count() == 80
+    # time travel to the pre-ALTER layout still reads both columns
+    assert t.read(spark, pre).columns == ["k", "v"]
+
+
+def test_restore_reuses_checkpoint_sidecar(spark, tmp_path, monkeypatch):
+    """Round 13: restore() of a checkpointed snapshot is O(1) — the
+    new stub RE-REFERENCES the target's immutable sidecar (no copy,
+    no manifest materialization), and truncate_log keeps any sidecar
+    a retained stub names, so the shared file outlives its original
+    version's truncation."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = _build(spark, str(tmp_path), n_commits=8, checkpoint_at=4)
+    pre = t.latest_version()
+    with open(t._manifest_path(pre)) as f:
+        pre_cp = json.load(f)["files_checkpoint"]
+    assert t.delete(spark, "k < 10") is not None
+    assert t.count() == 70
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    v = t.restore(pre)
+    # already-at-target detects through the shared sidecar pointer
+    assert t.restore(pre) is None
+    assert calls == [], "streamed restore materialized a manifest"
+    monkeypatch.undo()
+    assert v == pre + 2
+    with open(t._manifest_path(v)) as f:
+        stub = json.load(f)
+    assert stub["op"] == "restore"
+    assert stub["files_checkpoint"] == pre_cp, "sidecar must be shared"
+    assert t.count() == 80
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(80))
+    # the shared sidecar (named under PRE's version) survives log
+    # truncation because the retained restore stub references it
+    t.truncate_log(retain_versions=1)
+    assert not os.path.exists(t._manifest_path(pre))
+    assert os.path.exists(os.path.join(t.log_dir, pre_cp))
+    t.vacuum(retain_versions=1, retain_hours=0)
+    assert t.count() == 80
+    assert t.read(spark).count() == 80
+
+
+def test_vacuum_live_set_streams_on_checkpointed_manifests(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: vacuum's live set comes from a dirs-only streamed
+    walk of each retained manifest (never load_manifest's full
+    per-directory decode); dead directories still reclaim and live
+    ones survive."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = _build(spark, str(tmp_path), n_commits=6, checkpoint_at=3)
+    dead = list(t.snapshot()["files"])
+    t.write(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        mode="overwrite",
+    )
+    t.truncate_log(retain_versions=1)
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    removed = t.vacuum(retain_versions=1, retain_hours=0)
+    assert calls == [], "vacuum materialized a manifest for its live set"
+    monkeypatch.undo()
+    assert set(dead) <= set(removed)
+    assert t.read(spark).count() == 10
+    for rel in t.snapshot()["files"]:
+        assert os.path.exists(os.path.join(str(tmp_path), rel)), rel
