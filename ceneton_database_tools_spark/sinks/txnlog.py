@@ -319,6 +319,71 @@ class TxnTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    def _stub_at(self, version: int | None = None) -> dict:
+        """:meth:`_stub`, resolving ``None`` to the latest version —
+        the entry point for every read-side answer that only needs
+        table-level keys (or streams per-directory state itself)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(
+                    f"no committed version in {self.log_dir}"
+                )
+        return self._stub(version)
+
+    def _dv_rows_map(self, stub: dict) -> dict[str, int]:
+        """Per-directory TOMBSTONE counts only — O(tombstoned
+        directories) driver memory, not O(all directories): a
+        checkpointed manifest streams its sidecar's (dir, dv_rows)
+        columns and keeps just the non-null rows (the overwhelmingly
+        common dv-free directory contributes nothing)."""
+        cp = stub.get("files_checkpoint")
+        if cp is None:
+            return stub.get("dv_rows", {})
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        src = pq.ParquetFile(os.path.join(self.log_dir, cp))
+        for batch in src.iter_batches(columns=["dir", "dv_rows"]):
+            for d, v in zip(
+                batch.column("dir").to_pylist(),
+                batch.column("dv_rows").to_pylist(),
+            ):
+                if v:
+                    out[d] = int(v)
+        return out
+
+    def _count_from_stub(self, stub: dict) -> int | None:
+        """:meth:`count` for one manifest: a checkpointed sidecar sums
+        its rows/dv_rows columns batch-by-batch (no JSON stats decode,
+        O(record batch) memory); any directory without a recorded
+        count makes the answer ``None`` (honest), same as inline."""
+        cp = stub.get("files_checkpoint")
+        if cp is None:
+            rows = stub.get("rows")
+            if rows is None or any(
+                d not in rows for d in stub.get("files", ())
+            ):
+                return None
+            dvr = stub.get("dv_rows", {})
+            return sum(rows[d] for d in stub["files"]) - sum(
+                dvr.get(d, 0) for d in stub["files"]
+            )
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        total = 0
+        src = pq.ParquetFile(os.path.join(self.log_dir, cp))
+        for batch in src.iter_batches(columns=["rows", "dv_rows"]):
+            rows = batch.column("rows")
+            if rows.null_count:
+                return None
+            total += pc.sum(rows).as_py()
+            dv = pc.sum(batch.column("dv_rows")).as_py()
+            if dv:
+                total -= dv
+        return total
+
     def _iter_manifest_dirs(self, stub: dict):
         """Yield a manifest's data-directory names in commit order
         WITHOUT materializing per-directory state: inline manifests
@@ -1325,16 +1390,12 @@ class TxnTable:
 
     def count(self, version: int | None = None) -> int | None:
         """The snapshot's row count straight from the manifest — zero
-        Spark jobs, O(directories). ``None`` for legacy manifests
-        committed before counts were recorded."""
-        m = self.snapshot(version)
-        rows = m.get("rows")
-        if rows is None or any(d not in rows for d in m["files"]):
-            return None
-        dvr = m.get("dv_rows", {})
-        return sum(rows[d] for d in m["files"]) - sum(
-            dvr.get(d, 0) for d in m["files"]
-        )
+        Spark jobs. ``None`` for legacy manifests committed before
+        counts were recorded. Checkpointed manifests sum the sidecar's
+        rows/dv_rows columns batch-by-batch (O(record batch) driver
+        memory — the most common metadata question must not pay the
+        full per-directory materialization)."""
+        return self._count_from_stub(self._stub_at(version))
 
     @staticmethod
     def _validate_constraints(df: DataFrame, constraints: dict) -> None:
@@ -1464,7 +1525,7 @@ class TxnTable:
 
     def constraints(self, version: int | None = None) -> dict:
         """The CHECK constraints of a snapshot, ``{name: sql_expr}``."""
-        return dict(self.snapshot(version).get("constraints", {}))
+        return dict(self._stub_at(version).get("constraints", {}))
 
     # -- free-form table properties (policy riding every commit) -----------
 
@@ -1474,7 +1535,7 @@ class TxnTable:
         truthy, :meth:`delete` and :meth:`merge` default to
         ``cdc=True`` and stage Delta-style ``_change_data`` sidecars,
         so the STREAMING change feed can represent every rewrite."""
-        return dict(self.snapshot(version).get("props", {}))
+        return dict(self._stub_at(version).get("props", {}))
 
     def set_properties(
         self, props: dict, max_retries: int = 10
@@ -2531,7 +2592,7 @@ class TxnTable:
     def partition_spec(self, version: int | None = None) -> tuple[str, ...]:
         """The partition columns of a snapshot (empty for unpartitioned
         tables or legacy manifests)."""
-        return tuple(self.snapshot(version).get("partition_by", ()))
+        return tuple(self._stub_at(version).get("partition_by", ()))
 
     def _stage_partitioned(
         self, df: DataFrame, pcols: list[str], type_of: dict
@@ -3297,7 +3358,10 @@ class TxnTable:
         Delta's txn actions."""
         current = self.latest_version()
         if current is not None:
-            seen = self.snapshot(current).get("txns", {}).get(app_id)
+            # watermarks are table-level: the per-micro-batch dup check
+            # must stay O(1) on a checkpointed table — this is the
+            # streaming sink's hot path
+            seen = self._stub(current).get("txns", {}).get(app_id)
             if seen is not None and txn_version <= seen:
                 return None
         new_schema = self._schema_of(df)
@@ -3402,9 +3466,16 @@ class TxnTable:
         travels to any unvacuumed historical snapshot, each read under
         ITS OWN manifest schema (a pre-evolution snapshot keeps its
         narrow schema; post-evolution snapshots fill old directories'
-        missing columns with NULL by name)."""
-        manifest = self.snapshot(version)
-        return self._read_live(spark, manifest)
+        missing columns with NULL by name). Checkpointed manifests
+        plan the scan from the stub plus a dirs-only sidecar walk —
+        the path LIST is inherently O(directories), the per-directory
+        stats decode is not paid."""
+        stub = self._stub_at(version)
+        if "files_checkpoint" in stub:
+            return self._read_live(
+                spark, stub, list(self._iter_manifest_dirs(stub))
+            )
+        return self._read_live(spark, stub)
 
     # -- manifest-level data skipping --------------------------------------
 
@@ -3559,8 +3630,9 @@ class TxnTable:
 
             return self.read(spark, version).where(F.lit(False))
         # tombstones still merge out on the pruned scan (sidecars for
-        # skipped directories anti-join as no-ops)
-        return self._read_live(spark, self.snapshot(version), kept)
+        # skipped directories anti-join as no-ops); _read_live only
+        # needs table-level keys when given an explicit rels list
+        return self._read_live(spark, self._stub_at(version), kept)
 
     _WHERE_OPS = {
         "=": lambda c, v: c == v,
@@ -4356,11 +4428,15 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         out: DataFrame | None = None
+        # each pair's state is table-level stubs plus NAME SETS (a
+        # checkpointed manifest streams its sidecar's dir column —
+        # per-directory stats are never decoded); the TO side of one
+        # step is the PREV side of the next, built once
+        prev_snap = self._stub(v_from)
+        prev_files = set(self._iter_manifest_dirs(prev_snap))
         for v in range(v_from, v_to):
-            prev_snap = self.snapshot(v)
-            prev_files = set(prev_snap["files"])
-            to_snap = self.snapshot(v + 1)
-            new_files = set(to_snap["files"])
+            to_snap = self._stub(v + 1)
+            new_files = set(self._iter_manifest_dirs(to_snap))
             removed = sorted(prev_files - new_files)
             added = sorted(new_files - prev_files)
             commit = F.lit(v + 1).cast("bigint").alias("commit_version")
@@ -4371,22 +4447,24 @@ class TxnTable:
                     if sc not in set(prev_snap.get("dvs", []))
                 ]
                 if not added_dvs:
+                    prev_snap, prev_files = to_snap, new_files
                     continue
                 # merge-on-read delete: the commit's tombstone sidecars
                 # ARE the deleted rows — semi-join the PRE-commit live
                 # view against them, O(tombstones) build side. Only the
                 # directories whose dv_rows count grew can hold victims,
-                # so the probe side scans those, not the whole snapshot.
+                # so the probe side scans those, not the whole snapshot
+                # (_dv_rows_map is O(tombstoned dirs), not O(all dirs)).
                 tomb = spark.read.parquet(
                     *[os.path.join(self.path, sc) for sc in added_dvs]
                 ).select("__file", "__pos")
-                dvr_to = to_snap.get("dv_rows", {})
-                dvr_prev = prev_snap.get("dv_rows", {})
+                dvr_to = self._dv_rows_map(to_snap)
+                dvr_prev = self._dv_rows_map(prev_snap)
                 touched = sorted(
                     d for d in dvr_to if dvr_to[d] > dvr_prev.get(d, 0)
                 )
                 pre_live = self._live_keyed(
-                    spark, prev_snap, touched or None
+                    spark, prev_snap, touched or sorted(prev_files)
                 )
                 cols = [
                     c for c in pre_live.columns if c not in ("__file", "__pos")
@@ -4398,6 +4476,7 @@ class TxnTable:
                     )
                 )
                 out = piece if out is None else out.unionByName(piece)
+                prev_snap, prev_files = to_snap, new_files
                 continue
             # both sides read under the TO-version schema, so a commit
             # that straddles an evolution diffs over aligned columns
@@ -4490,6 +4569,7 @@ class TxnTable:
                     .select("c.row.*", "c.change_type", commit)
                 )
             out = piece if out is None else out.unionByName(piece)
+            prev_snap, prev_files = to_snap, new_files
         if out is None:
             raise ValueError("no change directories in range")
         return out
@@ -4503,35 +4583,36 @@ class TxnTable:
         predecessor (when the predecessor manifest survives
         truncation). Driver-side metadata only — no Spark job."""
         versions = sorted(
-            (
-                int(f[:-5])
-                for f in os.listdir(self.log_dir)
-                if f.endswith(".json") and f[:-5].isdigit()
-            ),
-            reverse=True,
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
         )
-        manifests = {v: self.snapshot(v) for v in versions}
+        vset = set(versions)
         out = []
+        prev_files: set[str] | None = None
+        # ascending walk so each version's NAME SET (the only
+        # per-directory state history needs) is built once and handed
+        # to its successor's delta — checkpointed manifests stream
+        # their sidecar's dir column; stats are never decoded
         for v in versions:
-            m = manifests[v]
+            stub = self._stub(v)
+            files = set(self._iter_manifest_dirs(stub))
             row = {
                 "version": v,
-                "op": m.get("op"),
-                "num_dirs": len(m["files"]),
+                "op": stub.get("op"),
+                "num_dirs": stub.get("n_dirs", len(files)),
             }
-            if m.get("ts") is not None:
-                row["ts"] = m["ts"]
-            rows_map = m.get("rows")
-            if rows_map is not None and all(d in rows_map for d in m["files"]):
-                dvr = m.get("dv_rows", {})
-                row["num_rows"] = sum(rows_map[d] for d in m["files"]) - sum(
-                    dvr.get(d, 0) for d in m["files"]
-                )
-            prev = manifests.get(v - 1)
-            if prev is not None:
-                row["dirs_added"] = len(set(m["files"]) - set(prev["files"]))
-                row["dirs_removed"] = len(set(prev["files"]) - set(m["files"]))
+            if stub.get("ts") is not None:
+                row["ts"] = stub["ts"]
+            n = self._count_from_stub(stub)
+            if n is not None:
+                row["num_rows"] = n
+            if (v - 1) in vset and prev_files is not None:
+                row["dirs_added"] = len(files - prev_files)
+                row["dirs_removed"] = len(prev_files - files)
+            prev_files = files
             out.append(row)
+        out.reverse()
         return out
 
     def version_as_of(self, ts: float) -> int:
@@ -4550,7 +4631,8 @@ class TxnTable:
         )
         pick = None
         for v in versions:
-            if self.snapshot(v).get("ts", float("inf")) <= ts:
+            # ts is a table-level stamp: the stub answers in O(1)
+            if self._stub(v).get("ts", float("inf")) <= ts:
                 pick = v
         if pick is None:
             raise ValueError(
@@ -4692,9 +4774,12 @@ class TxnTable:
 
     def dir_sizes(self, version: int | None = None) -> dict[str, int]:
         """On-disk bytes per data directory of a snapshot — the input
-        to an OPTIMIZE small-file policy."""
+        to an OPTIMIZE small-file policy. (The returned dict is
+        O(directories) by contract; the streamed OPTIMIZE path sizes
+        directories as they pass instead — see
+        :meth:`_pick_small_dirs_streamed`.)"""
         out: dict[str, int] = {}
-        for rel in self.snapshot(version)["files"]:
+        for rel in self._iter_manifest_dirs(self._stub_at(version)):
             total = 0
             for root, _, names in os.walk(os.path.join(self.path, rel)):
                 for n in names:

@@ -647,3 +647,50 @@ def test_vacuum_live_set_streams_on_checkpointed_manifests(
     assert t.read(spark).count() == 10
     for rel in t.snapshot()["files"]:
         assert os.path.exists(os.path.join(str(tmp_path), rel)), rel
+
+
+def test_read_side_metadata_streams_on_checkpointed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: the everyday read-side answers — count, history,
+    version_as_of, the policy getters, dir_sizes, the snapshot read
+    plan, and the change feed — come from the O(1) stub plus dirs-only
+    or columnar sidecar walks. load_manifest (the full per-directory
+    decode) is never called; count/num_rows additionally verify the
+    columnar rows/dv_rows sum against the known data."""
+    import time as _time
+
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = _build(spark, str(tmp_path), n_commits=8, checkpoint_at=4)
+    v_dv = t.delete_dv(spark, "k = 7")
+    assert v_dv is not None
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    assert t.count() == 79  # columnar rows/dv_rows sum
+    assert t.partition_spec() == ()
+    assert t.constraints() == {}
+    assert t.properties() == {}
+    assert t.version_as_of(_time.time()) == v_dv
+    h = t.history()
+    assert h[0]["version"] == v_dv and h[0]["op"] == "delete_dv"
+    assert h[0]["num_dirs"] == 8 and h[0]["num_rows"] == 79
+    assert (h[0]["dirs_added"], h[0]["dirs_removed"]) == (0, 0)
+    assert h[1]["num_rows"] == 80
+    assert (h[1]["dirs_added"], h[1]["dirs_removed"]) == (1, 0)
+    sizes = t.dir_sizes()
+    assert len(sizes) == 8 and all(b > 0 for b in sizes.values())
+    # snapshot read and CDF plans build from stubs + dirs-only walks
+    scan = t.read(spark)
+    feed = t.changes(spark, "k", v_dv - 1, v_dv)
+    assert calls == [], f"read-side materialized manifests: {calls}"
+    monkeypatch.undo()
+    assert scan.count() == 79
+    rows = feed.collect()
+    assert [(r.k, r.change_type) for r in rows] == [(7, "delete")]
