@@ -3197,6 +3197,69 @@ class TxnTable:
             f"lost {max_retries} partitioned-commit races on {self.path}"
         )
 
+    def _drop_partitions_streamed(
+        self,
+        current: int,
+        stub: dict,
+        predicates: list[tuple[str, str, object]],
+    ) -> int | None | bool:
+        """One :meth:`drop_partitions` attempt against a CHECKPOINTED
+        manifest: the per-directory proof (exact partition-value
+        match, zero-row keep, stats no-match keep, loud raise on
+        unprovable) runs as the sidecar's columns stream past, and the
+        commit carries ``drop=<dropped>`` through the streamed
+        checkpoint — only the dropped list (the op's own output size)
+        lives on the driver. Returns the committed version, ``None``
+        when nothing matches, ``False`` on a lost commit race."""
+        import pyarrow.parquet as pq
+
+        range_preds = [p for p in predicates if p[1] != "is_null"]
+        dropped: list[str] = []
+        src = pq.ParquetFile(
+            os.path.join(self.log_dir, stub["files_checkpoint"])
+        )
+        for batch in src.iter_batches(
+            columns=["dir", "rows", "stats", "parts"]
+        ):
+            for rel, rows_v, st, pv in zip(
+                batch.column("dir").to_pylist(),
+                batch.column("rows").to_pylist(),
+                batch.column("stats").to_pylist(),
+                batch.column("parts").to_pylist(),
+            ):
+                vals = json.loads(pv) if pv is not None else None
+                if vals is not None and all(
+                    c in vals for c, _, _ in predicates
+                ):
+                    if self._part_matches(vals, predicates):
+                        dropped.append(rel)
+                    continue
+                if rows_v == 0:
+                    continue
+                if range_preds and not self._dir_may_match(
+                    json.loads(st) if st is not None else None, range_preds
+                ):
+                    continue
+                raise ValueError(
+                    f"directory {rel!r} has no partition metadata and its "
+                    "stats cannot prove it unaffected — it may hold "
+                    "matching rows (staged by merge/delete/optimize?); "
+                    "use delete() for a row-level rewrite"
+                )
+        if not dropped:
+            return None
+        version = current + 1
+        m2 = self._rewrite_stub_manifest(stub, version, "drop_partitions")
+        if self._try_commit_streamed(
+            version,
+            m2,
+            stub["files_checkpoint"],
+            adds=[],
+            drop=frozenset(dropped),
+        ):
+            return version
+        return False
+
     def drop_partitions(
         self,
         predicates: list[tuple[str, str, object]],
@@ -3229,7 +3292,7 @@ class TxnTable:
             current = self.latest_version()
             if current is None:
                 return None
-            snap = self.snapshot(current)
+            snap = self._stub(current)  # == the manifest when inline
             spec = tuple(snap.get("partition_by", ()))
             if not spec:
                 raise ValueError(
@@ -3242,6 +3305,16 @@ class TxnTable:
                     f"predicate columns {unknown} are not partition "
                     f"columns {spec}; use delete() for row-level predicates"
                 )
+            if "files_checkpoint" in snap:
+                # checkpointed: the same per-directory two-sided proof,
+                # decided as the sidecar's (dir, rows, stats, parts)
+                # columns stream past — driver state is O(dropped)
+                got = self._drop_partitions_streamed(
+                    current, snap, predicates
+                )
+                if got is not False:
+                    return got
+                continue  # lost the commit race: rebase and re-prove
             parts = snap.get("parts", {})
             stats = snap.get("stats", {})
             dropped, kept = [], []

@@ -694,3 +694,44 @@ def test_read_side_metadata_streams_on_checkpointed_manifest(
     assert scan.count() == 79
     rows = feed.collect()
     assert [(r.k, r.change_type) for r in rows] == [(7, "delete")]
+
+
+def test_drop_partitions_streams_on_checkpointed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: drop_partitions on a checkpointed table runs its
+    two-sided proof as the sidecar columns stream past and commits
+    drop=<dropped> through the streamed carry — zero load_manifest
+    calls, exact-values drops only, unprovable directories still
+    raise loudly."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = TxnTable(str(tmp_path), checkpoint_at=3)
+    for i in range(5):
+        t.write_partitioned(
+            spark.createDataFrame(
+                [(i * 10 + j, ["A", "B"][j % 2]) for j in range(10)],
+                "k long, seg string",
+            ),
+            ("seg",),
+            mode="overwrite" if i == 0 else "append",
+        )
+    assert "files_checkpoint" in t._stub(t.latest_version())
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    v = t.drop_partitions([("seg", "=", "B")])
+    assert t.drop_partitions([("seg", "=", "B")]) is None  # idempotent
+    assert calls == [], "streamed drop_partitions materialized a manifest"
+    monkeypatch.undo()
+    assert v is not None
+    assert t.count() == 25
+    assert sorted(r.k for r in t.read(spark).collect()) == list(
+        range(0, 50, 2)
+    )
+    assert t.partition_spec() == ("seg",)
