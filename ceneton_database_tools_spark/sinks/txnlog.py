@@ -3457,9 +3457,14 @@ class TxnTable:
             snap: dict | None = None
             schema = new_schema
             if current is not None:
-                snap = self.snapshot(current)
+                # stub-first: the validations below are table-level,
+                # and on a CHECKPOINTED table this loop is the
+                # streaming sink's PER-MICRO-BATCH commit — it must
+                # stream the sidecar carry like write()'s append does,
+                # never materialize (and re-spill!) the per-directory
+                # manifest once per trigger
+                snap = self._stub(current)
                 txns.update(snap.get("txns", {}))
-                files = list(snap["files"])
                 seen = txns.get(app_id)
                 if seen is not None and txn_version <= seen:
                     # a racing replay of the same batch won the commit:
@@ -3502,6 +3507,47 @@ class TxnTable:
                         self._discard_staged(staged)
                         raise
                     validated.update(pending.items())
+                if "files_checkpoint" in snap:
+                    version = current + 1
+                    m2 = {
+                        "version": version,
+                        "op": "append",
+                        "txns": {**txns, app_id: txn_version},
+                        "schema": schema,
+                    }
+                    for k in (
+                        "constraints",
+                        "props",
+                        "column_names",
+                        "retired_columns",
+                        "dvs",
+                    ):
+                        if snap.get(k):
+                            m2[k] = snap[k]
+                    adds = [
+                        {
+                            "dir": staged,
+                            "rows": int(staged_n),
+                            "dv_rows": None,
+                            "stats": (
+                                json.dumps(staged_stats)
+                                if staged_stats
+                                else None
+                            ),
+                            "blooms": (
+                                json.dumps(staged_blooms[staged])
+                                if staged_blooms.get(staged)
+                                else None
+                            ),
+                            "parts": None,
+                        }
+                    ]
+                    if self._try_commit_streamed(
+                        version, m2, snap["files_checkpoint"], adds
+                    ):
+                        return version
+                    continue  # lost the race: rebase onto new latest
+                files = list(snap["files"])  # inline: stub == manifest
             txns[app_id] = txn_version
             version = 0 if current is None else current + 1
             manifest = {

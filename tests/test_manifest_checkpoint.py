@@ -735,3 +735,41 @@ def test_drop_partitions_streams_on_checkpointed_manifest(
         range(0, 50, 2)
     )
     assert t.partition_spec() == ("seg",)
+
+
+def test_idempotent_sink_commit_streams_on_checkpointed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: write_idempotent — the exactly-once streaming sink's
+    PER-MICRO-BATCH commit — plans from the stub and streams the
+    sidecar carry on a checkpointed table: zero load_manifest calls
+    for both the landed batch and the replayed duplicate, watermarks
+    advance, and the duplicate lands zero rows."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = _build(spark, str(tmp_path), n_commits=8, checkpoint_at=4)
+    batch = spark.range(80, 95).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    v = t.write_idempotent(batch, "appA", 1)
+    assert t.write_idempotent(batch, "appA", 1) is None  # replay no-op
+    assert t.count() == 95
+    assert calls == [], "idempotent sink commit materialized a manifest"
+    monkeypatch.undo()
+    assert v is not None
+    with open(t._manifest_path(v)) as f:
+        stub = json.load(f)
+    assert "files_checkpoint" in stub and stub["n_dirs"] == 9
+    assert stub["txns"] == {"appA": 1}
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(95))
+    # stats for the landed batch rode the carry: point prune still works
+    kept, skipped = t.prune([("k", "=", 90)])
+    assert len(kept) == 1 and len(skipped) == 8
