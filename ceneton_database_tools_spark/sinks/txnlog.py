@@ -384,6 +384,44 @@ class TxnTable:
                 total -= dv
         return total
 
+    def _try_commit_policy(
+        self, version: int, stub: dict, op: str, update: dict,
+        drop_keys: tuple = (),
+    ) -> bool:
+        """O(1) commit for a PURE-POLICY change (constraints, props)
+        against a CHECKPOINTED prior: the per-directory sidecar is
+        untouched and immutable, so the new stub carries every
+        table-level key — including the ``files_checkpoint`` pointer —
+        verbatim, applies ``update``/``drop_keys``, and publishes.
+        Nothing per-directory is read, copied, or re-spilled."""
+        import time
+
+        manifest = {
+            **stub,
+            "version": version,
+            "op": op,
+            "ts": time.time(),
+            **update,
+        }
+        # a cdc pointer names the PRIOR commit's change-data sidecar;
+        # a policy commit changes no rows and must not re-claim it
+        manifest.pop("cdc", None)
+        for k in drop_keys:
+            manifest.pop(k, None)
+        if not self.store.put_if_absent(
+            self._manifest_path(version),
+            json.dumps(manifest).encode("utf-8"),
+        ):
+            return False
+        try:
+            self.store.replace(
+                os.path.join(self.log_dir, "_latest.hint"),
+                str(version).encode("ascii"),
+            )
+        except OSError:
+            pass
+        return True
+
     def _iter_manifest_dirs(self, stub: dict):
         """Yield a manifest's data-directory names in commit order
         WITHOUT materializing per-directory state: inline manifests
@@ -1452,7 +1490,7 @@ class TxnTable:
                 raise FileNotFoundError(
                     "cannot add a constraint to a table with no commits"
                 )
-            snap = self.snapshot(current)
+            snap = self._stub(current)  # == the manifest when inline
             cons = dict(snap.get("constraints", {}))
             if cons.get(name) == expr:
                 return None
@@ -1461,9 +1499,10 @@ class TxnTable:
                     f"constraint {name!r} already exists with a different "
                     f"expression ({cons[name]!r}); drop_constraint first"
                 )
-            if snap["files"]:
+            dirs = list(self._iter_manifest_dirs(snap))
+            if dirs:
                 n_bad = (
-                    self._read_live(spark, snap)
+                    self._read_live(spark, snap, dirs)
                     .where(f"NOT coalesce(({expr}), TRUE)")
                     .count()
                 )
@@ -1473,6 +1512,14 @@ class TxnTable:
                         f"fail ({expr})"
                     )
             version = current + 1
+            if "files_checkpoint" in snap:
+                # pure-policy O(1) commit: the sidecar carries verbatim
+                cons[name] = expr
+                if self._try_commit_policy(
+                    version, snap, "add_constraint", {"constraints": cons}
+                ):
+                    return version
+                continue  # lost the race: rebase and re-validate
             manifest = {
                 "version": version,
                 "op": "add_constraint",
@@ -1498,12 +1545,27 @@ class TxnTable:
             current = self.latest_version()
             if current is None:
                 return None
-            snap = self.snapshot(current)
+            snap = self._stub(current)  # == the manifest when inline
             cons = dict(snap.get("constraints", {}))
             if name not in cons:
                 return None
             del cons[name]
             version = current + 1
+            if "files_checkpoint" in snap:
+                ok = (
+                    self._try_commit_policy(
+                        version, snap, "drop_constraint",
+                        {"constraints": cons},
+                    )
+                    if cons
+                    else self._try_commit_policy(
+                        version, snap, "drop_constraint", {},
+                        drop_keys=("constraints",),
+                    )
+                )
+                if ok:
+                    return version
+                continue  # lost the race: rebase
             manifest = {
                 "version": version,
                 "op": "drop_constraint",
@@ -1557,13 +1619,27 @@ class TxnTable:
                     f"no committed version in {self.log_dir}: write the "
                     "table before setting properties"
                 )
-            snap = self.snapshot(current)
+            snap = self._stub(current)  # == the manifest when inline
             merged = dict(snap.get("props", {}))
             merged.update(props)
             merged = {k: v for k, v in merged.items() if v is not None}
             if merged == snap.get("props", {}):
                 return None
             version = current + 1
+            if "files_checkpoint" in snap:
+                ok = (
+                    self._try_commit_policy(
+                        version, snap, "set_properties", {"props": merged}
+                    )
+                    if merged
+                    else self._try_commit_policy(
+                        version, snap, "set_properties", {},
+                        drop_keys=("props",),
+                    )
+                )
+                if ok:
+                    return version
+                continue  # lost the race: rebase
             manifest = {
                 "version": version,
                 "op": "set_properties",

@@ -773,3 +773,48 @@ def test_idempotent_sink_commit_streams_on_checkpointed_manifest(
     # stats for the landed batch rode the carry: point prune still works
     kept, skipped = t.prune([("k", "=", 90)])
     assert len(kept) == 1 and len(skipped) == 8
+
+
+def test_policy_commits_reuse_sidecar_on_checkpointed_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Round 13: pure-policy commits (add/drop constraint,
+    set_properties) on a checkpointed table are O(1) — the new stub
+    re-references the prior sidecar verbatim (the per-directory table
+    is untouched), and load_manifest is never called. The
+    add_constraint validation scan plans from a dirs-only walk."""
+    from ceneton_database_tools_spark.sinks import txnlog as mod
+
+    t = _build(spark, str(tmp_path), n_commits=8, checkpoint_at=4)
+    pre = t.latest_version()
+    with open(t._manifest_path(pre)) as f:
+        pre_cp = json.load(f)["files_checkpoint"]
+    calls: list[int] = []
+    real = mod.load_manifest
+
+    def traced(log_dir, version):
+        calls.append(version)
+        return real(log_dir, version)
+
+    monkeypatch.setattr(mod, "load_manifest", traced)
+    v1 = t.add_constraint(spark, "k_nonneg", "k >= 0")
+    v2 = t.set_properties({"enableChangeDataFeed": True})
+    v3 = t.drop_constraint("k_nonneg")
+    assert calls == [], "policy commit materialized a manifest"
+    monkeypatch.undo()
+    assert (v1, v2, v3) == (pre + 1, pre + 2, pre + 3)
+    for v in (v1, v2, v3):
+        with open(t._manifest_path(v)) as f:
+            stub = json.load(f)
+        assert stub["files_checkpoint"] == pre_cp, "sidecar must be shared"
+    assert t.constraints() == {}
+    assert t.properties() == {"enableChangeDataFeed": True}
+    assert t.count() == 80
+    # an existing-rows violation still fails loudly through the
+    # dirs-only validation scan
+    import pytest as _pytest
+
+    from ceneton_database_tools_spark.sinks.txnlog import ConstraintViolation
+
+    with _pytest.raises(ConstraintViolation):
+        t.add_constraint(spark, "k_small", "k < 10")
