@@ -317,6 +317,85 @@ def _manifest(table_path: str, version: int) -> dict:
         ) from None
 
 
+def _stub_of(table_path: str, version: int) -> dict:
+    """One manifest's TABLE-LEVEL keys (the O(1) stub), with the same
+    truncation error contract as :func:`_manifest`."""
+    import json
+
+    try:
+        with open(
+            os.path.join(table_path, "_txnlog", f"{version:011d}.json")
+        ) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"cannot stream version {version} of {table_path}: its manifest "
+            "is gone (truncate_log/vacuum dropped it) — restart the query "
+            "from a fresh checkpoint to begin at the current snapshot"
+        ) from None
+
+
+def _manifest_light(table_path: str, version: int) -> dict:
+    """The streaming planner's view of one manifest WITHOUT the full
+    per-directory decode: table-level keys verbatim, ``files`` from a
+    dirs-only sidecar walk, ``dv_rows`` nonnull-only (O(tombstoned
+    dirs)). stats/bloom cells are NOT materialized — the planner
+    fetches the bounded per-commit delta's cells with
+    :func:`_stats_blooms_for`. Inline manifests (below
+    ``checkpoint_at``) are returned whole — already small."""
+    stub = _stub_of(table_path, version)
+    cp = stub.get("files_checkpoint")
+    if cp is None:
+        return _manifest(table_path, version)
+    import pyarrow.parquet as pq
+
+    m = dict(stub)
+    m["_cp"] = os.path.join(table_path, "_txnlog", cp)
+    files: list[str] = []
+    dvr: dict[str, int] = {}
+    for batch in pq.ParquetFile(m["_cp"]).iter_batches(
+        columns=["dir", "dv_rows"]
+    ):
+        dirs = batch.column("dir").to_pylist()
+        files.extend(dirs)
+        for rel, v in zip(dirs, batch.column("dv_rows").to_pylist()):
+            if v:
+                dvr[rel] = int(v)
+    m["files"] = files
+    if dvr:
+        m["dv_rows"] = dvr
+    return m
+
+
+def _stats_blooms_for(m: dict, rels) -> tuple[dict, dict]:
+    """stats/bloom cells for JUST ``rels`` (a commit's bounded delta,
+    or one snapshot pass): light manifests stream the sidecar and
+    decode only matching rows; inline manifests return their dicts."""
+    if "_cp" not in m:
+        return m.get("stats", {}), m.get("blooms", {})
+    import json
+
+    import pyarrow.parquet as pq
+
+    want = set(rels)
+    stats: dict = {}
+    blooms: dict = {}
+    for batch in pq.ParquetFile(m["_cp"]).iter_batches(
+        columns=["dir", "stats", "blooms"]
+    ):
+        for rel, st, bl in zip(
+            batch.column("dir").to_pylist(),
+            batch.column("stats").to_pylist(),
+            batch.column("blooms").to_pylist(),
+        ):
+            if rel in want:
+                if st is not None:
+                    stats[rel] = json.loads(st)
+                if bl is not None:
+                    blooms[rel] = json.loads(bl)
+    return stats, blooms
+
+
 def _latest_version(table_path: str) -> int | None:
     log_dir = os.path.join(table_path, "_txnlog")
     try:
@@ -451,7 +530,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         # any file ≤ hi carries (a rename AFTER the stream's declared
         # schema is a restart situation, as in Delta)
         range_hist = (
-            _manifest(self.path, hi).get("column_names") if hi >= 0 else None
+            _stub_of(self.path, hi).get("column_names") if hi >= 0 else None
         )
 
         def add_dirs(
@@ -466,9 +545,9 @@ class TxnTableStreamReader(DataSourceStreamReader):
             if self.where_ast is not None and manifest is not None:
                 # one-sided commit-level skipping: a directory whose
                 # recorded stats/blooms disprove the predicate never
-                # plans a task (the row filter re-applies it exactly)
-                stats = manifest.get("stats", {})
-                blooms = manifest.get("blooms", {})
+                # plans a task (the row filter re-applies it exactly);
+                # light manifests fetch only these rels' cells
+                stats, blooms = _stats_blooms_for(manifest, rels)
                 rels = [
                     r
                     for r in rels
@@ -534,7 +613,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
             # starts on today's table. In CDF mode those rows carry
             # change_type 'insert' at the snapshot version.
             if hi >= 0:
-                m = _manifest(self.path, hi)
+                m = _manifest_light(self.path, hi)
                 add_dirs(sorted(m["files"]), m, "insert", hi, manifest=m)
             return parts
         if lo == -1:
@@ -542,10 +621,10 @@ class TxnTableStreamReader(DataSourceStreamReader):
             # commit — version 0 diffs against the empty table
             prev: dict = {"files": []}
         else:
-            prev = _manifest(self.path, lo)
+            prev = _manifest_light(self.path, lo)
         prev_files = set(prev["files"])
         for v in range(lo + 1, hi + 1):
-            m = _manifest(self.path, v)
+            m = _manifest_light(self.path, v)
             cur = set(m["files"])
             op = m.get("op")
             if self.cdf:
@@ -1233,7 +1312,7 @@ class TxnTableBatchReader(DataSourceReader):
             pick = _latest_version(self.path)
         if pick is None:
             raise ValueError(f"no committed version under {self.path!r}")
-        m = _manifest(self.path, pick)
+        m = _stub_of(self.path, pick)  # schema is table-level
         if m.get("schema") is None:
             raise ValueError(
                 f"version {pick} of {self.path} has no recorded schema; "
@@ -1297,7 +1376,34 @@ class TxnTableBatchReader(DataSourceReader):
             return table.version_as_of(self.ts)
         return self.version
 
+    def _keep_dir(self, st: dict | None, bl: dict | None) -> bool:
+        """The one-sided directory proof every batch-read plan applies:
+        pushed-down predicates, the lenient-parsed ``where`` AST, and
+        disjunctive IN probes — a directory survives unless some proof
+        shows no row can match."""
+        from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+        return (
+            (
+                not self.predicates
+                or TxnTable._dir_may_match(st, self.predicates, bl)
+            )
+            and (
+                self.where_ast is None
+                or _ast_may_match(st, bl, self.where_ast)
+            )
+            and all(
+                any(
+                    TxnTable._dir_may_match(st, [(col, "=", v)], bl)
+                    for v in values
+                )
+                for col, values in self.in_predicates
+            )
+        )
+
     def partitions(self) -> Sequence[InputPartition]:
+        import json
+
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
         table = TxnTable(self.path)
@@ -1308,41 +1414,45 @@ class TxnTableBatchReader(DataSourceReader):
         version = self._resolve_version(table)
         if version is None:
             version = table.latest_version()
-        snap = table.snapshot(version)
-        stats, blooms = snap.get("stats", {}), snap.get("blooms", {})
-        kept = [
-            rel
-            for rel in snap["files"]
-            if (
-                not self.predicates
-                or TxnTable._dir_may_match(
-                    stats.get(rel), self.predicates, blooms.get(rel)
+        stub = table._stub(version)
+        kept_dv: list[tuple[str, bool]] = []
+        if "files_checkpoint" in stub:
+            # checkpointed: decide keep/skip as the sidecar's columns
+            # stream past — driver state is O(kept), never the full
+            # per-directory dict (the read plan's output is O(kept
+            # files) regardless)
+            import pyarrow.parquet as pq
+
+            src = pq.ParquetFile(
+                os.path.join(
+                    self.path, "_txnlog", stub["files_checkpoint"]
                 )
             )
-            and (
-                self.where_ast is None
-                or _ast_may_match(
-                    stats.get(rel), blooms.get(rel), self.where_ast
-                )
-            )
-        ]
-        if self.in_predicates and kept:
-            kept = [
-                rel
-                for rel in kept
-                if all(
-                    any(
-                        TxnTable._dir_may_match(
-                            stats.get(rel), [(col, "=", v)], blooms.get(rel)
-                        )
-                        for v in values
-                    )
-                    for col, values in self.in_predicates
-                )
+            for batch in src.iter_batches(
+                columns=["dir", "dv_rows", "stats", "blooms"]
+            ):
+                for rel, dv, st, bl in zip(
+                    batch.column("dir").to_pylist(),
+                    batch.column("dv_rows").to_pylist(),
+                    batch.column("stats").to_pylist(),
+                    batch.column("blooms").to_pylist(),
+                ):
+                    if self._keep_dir(
+                        json.loads(st) if st is not None else None,
+                        json.loads(bl) if bl is not None else None,
+                    ):
+                        kept_dv.append((rel, bool(dv)))
+        else:
+            snap = stub  # inline: the stub IS the manifest
+            stats, blooms = snap.get("stats", {}), snap.get("blooms", {})
+            dvr = snap.get("dv_rows", {})
+            kept_dv = [
+                (rel, bool(dvr.get(rel)))
+                for rel in snap["files"]
+                if self._keep_dir(stats.get(rel), blooms.get(rel))
             ]
-        dvr = snap.get("dv_rows", {})
         sidecars = tuple(
-            os.path.join(self.path, s) for s in snap.get("dvs", [])
+            os.path.join(self.path, s) for s in stub.get("dvs", [])
         )
         return [
             TxnFilePartition(
@@ -1350,10 +1460,10 @@ class TxnTableBatchReader(DataSourceReader):
                 self.read_columns,
                 self.arrow_types,
                 os.path.relpath(f, self.path),
-                sidecars if dvr.get(rel) else (),
-                name_history=snap.get("column_names"),
+                sidecars if has_dv else (),
+                name_history=stub.get("column_names"),
             )
-            for rel in kept
+            for rel, has_dv in kept_dv
             for f in _parquet_files(os.path.join(self.path, rel))
         ]
 
@@ -1504,7 +1614,7 @@ def _parse_table_checks(path: str, schema: SqlT.StructType) -> dict:
     latest = _latest_version(path)
     if latest is None:
         return {}
-    m = _manifest(path, latest)
+    m = _stub_of(path, latest)  # constraints are table-level
     names = set(schema.fieldNames())
     out: dict = {}
     for name, expr in (m.get("constraints") or {}).items():
@@ -2339,7 +2449,7 @@ class TxnTableDataSource(DataSource):
                     pick = TxnTable(path).version_as_of(float(ts))
                 else:
                     pick = latest
-                m = _manifest(path, pick)
+                m = _stub_of(path, pick)  # schema is table-level
                 if m.get("schema") is not None:
                     st = SqlT.StructType.fromJson(m["schema"])
                     want = [

@@ -818,3 +818,37 @@ def test_policy_commits_reuse_sidecar_on_checkpointed_manifest(
 
     with _pytest.raises(ConstraintViolation):
         t.add_constraint(spark, "k_small", "k < 10")
+
+
+def test_stream_planner_light_manifest_parity(spark, tmp_path):
+    """Round 13: the streaming source's planner view
+    (_manifest_light + _stats_blooms_for) must agree with the full
+    load_manifest decode on a checkpointed table — same files in the
+    same order, same nonnull tombstone counts, same stats/bloom cells
+    for a bounded delta — while never building the full per-directory
+    dict (no 'stats' key at rest on the light view)."""
+    from ceneton_database_tools_spark.sinks.txnlog import load_manifest
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        _manifest_light,
+        _stats_blooms_for,
+        _stub_of,
+    )
+
+    t = _build(spark, str(tmp_path), n_commits=8, checkpoint_at=4)
+    t.delete_dv(spark, "k = 13")
+    v = t.latest_version()
+    full = load_manifest(t.log_dir, v)
+    light = _manifest_light(str(tmp_path), v)
+    assert light["files"] == full["files"]
+    assert light.get("dv_rows", {}) == full.get("dv_rows", {})
+    assert light.get("dvs") == full.get("dvs")
+    assert "stats" not in light, "light view materialized all stats"
+    delta = full["files"][-2:]
+    st, bl = _stats_blooms_for(light, delta)
+    assert st == {d: full["stats"][d] for d in delta}
+    assert bl == {}
+    assert _stub_of(str(tmp_path), v).get("schema") == full.get("schema")
+    # truncated version keeps the loud error contract
+    t.truncate_log(retain_versions=1)
+    with pytest.raises(RuntimeError, match="manifest is gone"):
+        _manifest_light(str(tmp_path), 0)
