@@ -1496,7 +1496,11 @@ class _TxnTaskMessage(WriterCommitMessage):
     uniquely-named temp file it wrote under ``tmpstream/`` (None for an
     empty task), its row count, per-column min/max, and — when the
     writer was configured with bloom columns — the task's folded
-    per-column bloom bitmap bytes. Must stay picklable — plain
+    per-column bloom bitmap bytes. ``nbytes`` is the temp file's size,
+    measured TASK-SIDE right after close (the executor just wrote the
+    file — a free stat there, one LIST per commit on the driver
+    otherwise), so the manifest's per-directory byte sizes cost the
+    commit worker zero filesystem calls. Must stay picklable — plain
     attributes only."""
 
     def __init__(
@@ -1506,18 +1510,21 @@ class _TxnTaskMessage(WriterCommitMessage):
         stats: dict,
         blooms: dict | None = None,
         violations: dict | None = None,
+        nbytes: int | None = None,
     ):
         self.tmp_file = tmp_file
         self.rows = rows
         self.stats = stats
         self.blooms = blooms or {}
         self.violations = violations or {}
+        self.nbytes = nbytes
 
 
 class _TxnPartTaskMessage(WriterCommitMessage):
     """A PARTITIONED write task's contribution: one entry per distinct
     partition tuple the task saw — ``(parts, tmp_file, rows, stats,
-    blooms)`` with ``parts`` the manifest-representation value dict."""
+    blooms, nbytes)`` with ``parts`` the manifest-representation value
+    dict and ``nbytes`` the temp file's task-side measured size."""
 
     def __init__(self, entries: list, violations: dict | None = None):
         self.entries = entries
@@ -1765,10 +1772,10 @@ def _assemble_partitioned_leaves(
     for m in messages:
         if m is None:
             continue
-        for parts, tmp_file, rows, stats, blooms in m.entries:
+        for parts, tmp_file, rows, stats, blooms, nbytes in m.entries:
             key = tuple(parts[c] for c in pcols)
             by_key.setdefault(key, []).append(
-                (parts, tmp_file, rows, stats, blooms)
+                (parts, tmp_file, rows, stats, blooms, nbytes)
             )
     leaves: dict = {}
     for key, entries in by_key.items():
@@ -1785,12 +1792,14 @@ def _assemble_partitioned_leaves(
         hi: dict = {}
         nc: dict = {}
         rows_total = 0
-        for parts, tmp_file, rows, stats, _ in entries:
+        bytes_total = 0
+        for parts, tmp_file, rows, stats, _, nbytes in entries:
             os.rename(
                 os.path.join(path, "tmpstream", tmp_file),
                 os.path.join(out_dir, tmp_file),
             )
             rows_total += rows
+            bytes_total += int(nbytes)
             for c, (bl, bh, bn) in stats.items():
                 if bl is not None and (c not in lo or bl < lo[c]):
                     lo[c] = bl
@@ -1800,6 +1809,7 @@ def _assemble_partitioned_leaves(
         leaves[rel] = {
             "parts": entries[0][0],
             "rows": rows_total,
+            "bytes": bytes_total,
             "stats": _stats_entries(lo, hi, nc, TxnTable._json_stat),
             "blooms": _fold_bloom_payloads(
                 [e[4] for e in entries if e[4]], bloom_bits, bloom_k
@@ -1902,6 +1912,11 @@ def _write_task_tmpfile(
         },
         bloom.payload() if bloom is not None else None,
         viol,
+        nbytes=(
+            os.path.getsize(os.path.join(tmp_dir, tmp_file))
+            if tmp_file
+            else 0
+        ),
     )
 
 
@@ -1994,6 +2009,9 @@ def _write_task_partitioned(
                     if c in st[3] or n
                 },
                 st[5].payload() if st[5] is not None else {},
+                # task-side size of the group's closed temp file — the
+                # free stat that keeps the commit worker metadata-only
+                os.path.getsize(os.path.join(tmp_dir, st[0])),
             )
             for key, st in state.items()
         ],
@@ -2001,12 +2019,22 @@ def _write_task_partitioned(
     )
 
 
-def _fold_task_stats(messages) -> tuple[list[str], int, dict, dict, dict]:
+def _fold_task_stats(
+    messages,
+) -> tuple[list[str], int, dict, dict, dict, int | None]:
     """Driver half shared by both write faces: the successful tasks'
-    temp-file names, total row count, and folded per-column
-    (lo, hi, null count)."""
+    temp-file names, total row count, folded per-column
+    (lo, hi, null count), and summed task-reported byte sizes (None
+    when any task predates the nbytes field — the commit then falls
+    back to sizing the staged directory once)."""
     files = [m.tmp_file for m in messages if m is not None and m.tmp_file]
     total = sum(m.rows for m in messages if m is not None)
+    sizes = [
+        getattr(m, "nbytes", None)
+        for m in messages
+        if m is not None and m.tmp_file
+    ]
+    nbytes = sum(sizes) if all(s is not None for s in sizes) else None
     lo: dict = {}
     hi: dict = {}
     nc: dict = {}
@@ -2019,7 +2047,7 @@ def _fold_task_stats(messages) -> tuple[list[str], int, dict, dict, dict]:
             if bh is not None and (c not in hi or bh > hi[c]):
                 hi[c] = bh
             nc[c] = nc.get(c, 0) + bn
-    return files, total, lo, hi, nc
+    return files, total, lo, hi, nc, nbytes
 
 
 def _stats_entries(lo: dict, hi: dict, nc: dict, json_stat) -> dict:
@@ -2154,7 +2182,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
 
         from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
-        files, total, lo, hi, nc = _fold_task_stats(messages)
+        files, total, lo, hi, nc, nbytes = _fold_task_stats(messages)
         table = TxnTable(self.path)
         stats = _stats_entries(lo, hi, nc, table._json_stat)
         blooms = (
@@ -2176,6 +2204,11 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             )
         if not files:
             self._write_empty_leaf(out_dir)
+            if nbytes is not None:
+                # the one driver-written file; its stat is free here
+                nbytes += os.path.getsize(
+                    os.path.join(out_dir, "part-empty.parquet")
+                )
         table.commit_staged(
             staged,
             total,
@@ -2186,6 +2219,7 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             staged_blooms=blooms or None,
             set_props=self.set_props,
             validated_constraints=set(self.checks),
+            staged_bytes=nbytes,
         )
 
     def _write_empty_leaf(self, out_dir: str) -> None:
@@ -2230,7 +2264,13 @@ class TxnTableArrowWriter(DataSourceArrowWriter):
             # empty input: stage the bare root (one zero-row file, no
             # partition values) — the same shape the Python API leaves
             self._write_empty_leaf(os.path.join(self.path, staged))
-            leaves[staged] = {"parts": {}, "rows": 0}
+            leaves[staged] = {
+                "parts": {},
+                "rows": 0,
+                "bytes": os.path.getsize(
+                    os.path.join(self.path, staged, "part-empty.parquet")
+                ),
+            }
         table.commit_staged_partitioned(
             staged,
             leaves,
@@ -2369,7 +2409,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
                 validated_constraints=set(self.checks),
             )
             return
-        files, total, lo, hi, nc = _fold_task_stats(messages)
+        files, total, lo, hi, nc, nbytes = _fold_task_stats(messages)
         if not files:
             return  # empty micro-batch: nothing staged, nothing to commit
         blooms = (
@@ -2401,6 +2441,7 @@ class TxnTableStreamSink(DataSourceStreamArrowWriter):
             app_id=self.app_id,
             txn_version=int(batchId),
             validated_constraints=set(self.checks),
+            staged_bytes=nbytes,
         )
 
     def abort(self, messages, batchId: int) -> None:

@@ -520,6 +520,48 @@ def test_checkpoint_machinery_sized_at_1e5_dirs(tmp_path):
     assert probe_peak < 100 * 1024 * 1024, f"probe peak {probe_peak}"
     assert carry_peak < 50 * 1024 * 1024, f"carry peak {carry_peak}"
 
+    # the METADATA-ONLY optimize pick at the same scale (VERDICT r13
+    # #1): a bytes-bearing sidecar (what every producer now writes —
+    # the legacy one above pins the walk-fallback shape instead) must
+    # pick without ONE filesystem call; none of the 10^5 directories
+    # exist on disk, so any walk fallback would size them all to 0 and
+    # overselect. Measured ~0.1 s wall on the dev host; budget ~20x.
+    cpb = "00000004000.bbbbbbbb.checkpoint.parquet"
+    schema_b = schema.insert(2, pa.field("bytes", pa.int64()))
+    with pq.ParquetWriter(os.path.join(t.log_dir, cpb), schema_b) as w:
+        step = 10_000
+        for s0 in range(0, n_dirs, step):
+            w.write_batch(
+                pa.record_batch(
+                    [
+                        pa.array(
+                            [f"data/{i:08x}" for i in range(s0, s0 + step)]
+                        ),
+                        pa.array([1000] * step, pa.int64()),
+                        # alternating small/large: exactly half qualify
+                        pa.array(
+                            [
+                                100 if i % 2 == 0 else 10_000_000
+                                for i in range(s0, s0 + step)
+                            ],
+                            pa.int64(),
+                        ),
+                        pa.array([None] * step, pa.int64()),
+                        pa.array([None] * step, pa.string()),
+                        pa.array([None] * step, pa.string()),
+                        pa.array([None] * step, pa.string()),
+                    ],
+                    schema=schema_b,
+                )
+            )
+    t0 = time.perf_counter()
+    picked = t._pick_small_dirs_streamed(cpb, 1_000_000, bound=n_dirs)
+    pick_wall = time.perf_counter() - t0
+    assert len(picked) == n_dirs // 2, "pick must use the bytes column"
+    assert all(int(p.split("/")[1], 16) % 2 == 0 for p in picked[:100])
+    os.unlink(os.path.join(t.log_dir, cpb))
+    assert pick_wall < 2.0, f"metadata pick took {pick_wall:.2f}s at 1e5"
+
 
 def test_rename_and_drop_column_stream_on_checkpointed_manifest(
     spark, tmp_path, monkeypatch
@@ -852,3 +894,125 @@ def test_stream_planner_light_manifest_parity(spark, tmp_path):
     t.truncate_log(retain_versions=1)
     with pytest.raises(RuntimeError, match="manifest is gone"):
         _manifest_light(str(tmp_path), 0)
+
+
+def test_manifest_records_dir_bytes_metadata_only_sizing(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #1: every producer records its staged directories'
+    byte sizes in the manifest (Delta's `size` per add action), so
+    dir_sizes() and the OPTIMIZE pick are METADATA-ONLY — at 10^6
+    directories on object storage, sizing at pick time was millions
+    of serial LIST calls per compaction pass."""
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    t = _build(spark, str(tmp_path), n_commits=10, checkpoint_at=8)
+    # recorded sizes agree exactly with a fresh filesystem walk
+    walked = {
+        rel: TxnTable._dir_bytes(t, rel)
+        for rel in t.snapshot()["files"]
+    }
+    assert walked and all(v > 0 for v in walked.values())
+    assert t.dir_sizes() == walked
+    # ... and answering does not touch the filesystem at all
+    def _boom(self, rel):
+        raise AssertionError(f"dir_sizes walked the filesystem: {rel}")
+
+    monkeypatch.setattr(TxnTable, "_dir_bytes", _boom)
+    assert t.dir_sizes() == walked
+    # the streamed OPTIMIZE pick reads the sidecar's bytes column only
+    stub = t._stub(t.latest_version())
+    threshold = max(walked.values()) + 1
+    picked = t._pick_small_dirs_streamed(
+        stub["files_checkpoint"], threshold, bound=1024
+    )
+    assert sorted(picked) == sorted(walked)
+    assert (
+        t._pick_small_dirs_streamed(
+            stub["files_checkpoint"], min(walked.values()), bound=1024
+        )
+        == []
+    ) if len(set(walked.values())) == 1 else True
+    monkeypatch.undo()
+    # inline (below checkpoint_at) manifests record bytes the same way
+    small = _build(
+        spark, str(tmp_path / "small"), n_commits=3, checkpoint_at=512
+    )
+    snap = small.snapshot()
+    assert set(snap["bytes"]) == set(snap["files"])
+    monkeypatch.setattr(TxnTable, "_dir_bytes", _boom)
+    sizes = small.dir_sizes()
+    assert sizes == {d: snap["bytes"][d] for d in snap["files"]}
+
+
+def test_dir_bytes_survive_rewrites_and_restore(spark, tmp_path):
+    """Byte sizes ride every commit class: carried for surviving
+    directories, measured for staged rewrites, target-side on
+    restore, and OPTIMIZE compacts purely from recorded sizes."""
+    t = _build(spark, str(tmp_path), n_commits=6, checkpoint_at=4)
+    v_before = t.latest_version()
+    t.delete(spark, "k < 5")  # rewrites commit 0's directory
+    snap = t.snapshot()
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    assert set(snap.get("bytes", {})) == set(snap["files"])
+    for rel in snap["files"]:
+        assert snap["bytes"][rel] == TxnTable._dir_bytes(t, rel)
+    # restore re-references the target's recorded sizes
+    t.restore(v_before)
+    snap_r = t.snapshot()
+    assert set(snap_r.get("bytes", {})) == set(snap_r["files"])
+    # optimize picks from metadata and records the compacted dir's size
+    v_opt = t.optimize(spark)
+    snap_o = t.snapshot(v_opt)
+    assert set(snap_o.get("bytes", {})) == set(snap_o["files"])
+    for rel in snap_o["files"]:
+        assert snap_o["bytes"][rel] == TxnTable._dir_bytes(t, rel)
+    assert t.read(spark).count() == 60
+
+
+def test_legacy_sidecar_without_bytes_column_still_works(spark, tmp_path):
+    """A pre-r14 checkpoint sidecar (no bytes column) keeps every
+    contract: reads, count, the pick (walk fallback), and the first
+    carry WIDENS the schema with NULL cells so subsequent commits
+    record sizes for their own dirs."""
+    import pyarrow.parquet as pq
+
+    t = _build(spark, str(tmp_path), n_commits=6, checkpoint_at=4)
+    v = t.latest_version()
+    stub = t._stub(v)
+    cp = os.path.join(t.log_dir, stub["files_checkpoint"])
+    # rewrite the sidecar WITHOUT the bytes column (legacy layout)
+    tbl = pq.read_table(cp)
+    pq.write_table(tbl.drop_columns(["bytes"]), cp)
+    assert "bytes" not in pq.ParquetFile(cp).schema_arrow.names
+    # metadata reads stay correct; sizing falls back to the walk
+    assert t.count() == 60
+    sizes = t.dir_sizes()
+    assert len(sizes) == 6 and all(v > 0 for v in sizes.values())
+    picked = t._pick_small_dirs_streamed(
+        stub["files_checkpoint"], max(sizes.values()) + 1, bound=99
+    )
+    assert len(picked) == 6
+    # an append CARRIES the legacy rows as NULL-bytes and records its
+    # own directory's size
+    from pyspark.sql import functions as F
+
+    t.write(
+        spark.range(60, 70).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    stub2 = t._stub(t.latest_version())
+    got = pq.read_table(
+        os.path.join(t.log_dir, stub2["files_checkpoint"]),
+        columns=["dir", "bytes"],
+    )
+    by_dir = dict(
+        zip(got.column("dir").to_pylist(), got.column("bytes").to_pylist())
+    )
+    legacy_null = [b for b in by_dir.values() if b is None]
+    assert len(legacy_null) == 6, "legacy dirs must stay unsized (honest)"
+    new_dir = [d for d in by_dir if by_dir[d] is not None]
+    assert len(new_dir) == 1 and by_dir[new_dir[0]] > 0
+    assert t.count() == 70

@@ -1835,3 +1835,78 @@ def test_vacuum_and_optimize_on_face_partitioned_layout(spark, tmp_path):
     assert all(v2 == {"seg": "A"} for v2 in snap["parts"].values())
     assert t.count() == 6
     assert t.drop_partitions([("seg", "=", "A")]) is not None  # proof held
+
+
+def test_write_faces_record_bytes_task_side(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #1, face half: executor tasks stat their own temp
+    files (nbytes in the commit message), so a DataSource-face commit
+    records exact per-directory byte sizes with ZERO driver-side
+    filesystem sizing — pinned by making the driver's walk fallback
+    raise for the whole test. Covers the batch face (unpartitioned +
+    empty append + partitioned) and the streaming sink face."""
+    import os as _os
+
+    register_txn_source(spark)
+
+    # the stream's source table is Python-API-written (that path sizes
+    # its own staged dir, legitimately) — stage it before the tripwire
+    src = TxnTable(str(tmp_path / "src"))
+    src.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+
+    def _boom(self, rel):
+        raise AssertionError(f"driver sized {rel} on a face commit")
+
+    monkeypatch.setattr(TxnTable, "_dir_bytes", _boom)
+
+    def _walk_bytes(root):
+        total = 0
+        for r, _, names in _os.walk(root):
+            total += sum(_os.path.getsize(_os.path.join(r, n)) for n in names)
+        return total
+
+    # batch face, unpartitioned + an empty append (driver-staged leaf)
+    p = str(tmp_path / "t")
+    _df(spark, [(i, f"r{i}") for i in range(100)]).write.format(
+        "txntable"
+    ).mode("append").save(p)
+    _df(spark, []).write.format("txntable").mode("append").save(p)
+    t = TxnTable(p)
+    snap = t.snapshot()
+    assert set(snap["bytes"]) == set(snap["files"]) and len(snap["files"]) == 2
+    for rel in snap["files"]:
+        assert snap["bytes"][rel] == _walk_bytes(_os.path.join(p, rel))
+
+    # batch face, partitioned: one recorded size per leaf
+    pp = str(tmp_path / "tp")
+    _df(spark, [(i, f"s{i % 3}") for i in range(60)]).write.format(
+        "txntable"
+    ).option("partitionby", "v").mode("append").save(pp)
+    tp = TxnTable(pp)
+    snap_p = tp.snapshot()
+    assert len(snap_p["files"]) == 3
+    assert set(snap_p["bytes"]) == set(snap_p["files"])
+    for rel in snap_p["files"]:
+        assert snap_p["bytes"][rel] == _walk_bytes(_os.path.join(pp, rel))
+
+    # streaming sink face: per-micro-batch commits record their sizes
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("txntable")
+        .load(src.path)
+        .writeStream.format("txntable")
+        .option("path", sink)
+        .option("txnappid", "bytes-face-test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    ts = TxnTable(sink)
+    snap_s = ts.snapshot()
+    assert snap_s["files"], "sink face committed nothing"
+    assert set(snap_s["bytes"]) == set(snap_s["files"])
+    for rel in snap_s["files"]:
+        assert snap_s["bytes"][rel] == _walk_bytes(_os.path.join(sink, rel))
