@@ -54,6 +54,17 @@ STREAM_SHUFFLE_PARTITIONS = "8"
 # counts from it — the same guard every batch query gets.
 LAST_STREAM_PLAN: dict[str, str] = {}
 
+# Sub-phase wall timings of the LAST streaming_agg_to_txn_table run
+# (VERDICT r13 #2): that bench leg's absolute number is dominated by
+# fixture prep (5 coalesce(1) parquet writes + a global ntile sort)
+# and fixed stream spin-up, so a real streaming-engine regression of
+# 1-2s would vanish inside the 12s total. The query times its phases
+# inline — prep_sec (fixture materialization), stream_sec (stream
+# start through awaitTermination), readback_sec (history check +
+# table read-back) — and bench.py surfaces them in the JSON line so
+# round-over-round deltas attribute to the phase that moved.
+LAST_BENCH_SUBPHASES: dict[str, float] = {}
+
 
 def _sum_value_expr(alias: str):
     """Exact money sum — the ONE shared rendering (_textutil.money_sum;
@@ -1602,6 +1613,9 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
     try:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
@@ -1632,6 +1646,7 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst = os.path.join(landing, f"{i:04d}.parquet")
             shutil.move(part, dst)
             os.utime(dst, (base_mtime + i, base_mtime + i))
+        _t_prep = _time.perf_counter()
         schema = spark.read.parquet(landing).schema
         agg = (
             spark.readStream.schema(schema)
@@ -1671,6 +1686,7 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             LAST_STREAM_PLAN["plan"] = q._jsq.explainInternal(False)
         finally:
             q.stop()
+        _t_stream = _time.perf_counter()
         appends = [h for h in table.history() if h["op"] == "append"]
         if len(appends) < 2:
             raise AssertionError(
@@ -1680,7 +1696,17 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = table.read(spark)
         if result.where("event_type = '__sentinel__'").count() != 0:
             raise AssertionError("sentinel window leaked into the table")
-        return spark.createDataFrame(result.collect(), schema=result.schema)
+        out = spark.createDataFrame(result.collect(), schema=result.schema)
+        _t_end = _time.perf_counter()
+        LAST_BENCH_SUBPHASES.clear()
+        LAST_BENCH_SUBPHASES.update(
+            {
+                "prep_sec": round(_t_prep - _t0, 3),
+                "stream_sec": round(_t_stream - _t_prep, 3),
+                "readback_sec": round(_t_end - _t_stream, 3),
+            }
+        )
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
@@ -1776,10 +1802,21 @@ def dedup_cdf_batch_fn(idx_docs, idx_bands, decisions, state):
     a restarted driver starts from a fresh one, which is also what a
     replay test must pass for its second run.
 
-    Exactly-once: the three appends commit through
-    :meth:`TxnTable.write_idempotent` keyed by a fixed per-table app_id
-    and the foreachBatch batchId, so a micro-batch re-delivered after a
-    checkpoint loss recomputes but commits nothing."""
+    Exactly-once UNDER ANY RE-BATCHING (VERDICT r13 #3): the three
+    appends commit through :meth:`TxnTable.write_idempotent` keyed by
+    a fixed per-table app_id and the batch's max SOURCE
+    ``commit_version`` — NOT the foreachBatch batchId, which is
+    batching-sensitive: a fresh-checkpoint replay that re-slices the
+    feed finer (``maxversionspertrigger`` added on restart) would
+    carry already-committed rows under higher batchIds and re-append
+    them. Source versions identify the data itself, so any replay
+    slicing dedupes exactly. Each batch is additionally PRE-FILTERED
+    to versions above the three tables' minimum
+    :meth:`TxnTable.txn_watermark` (Delta's documented
+    CDF-idempotency pattern): that keeps a batch that STRADDLES the
+    watermark — coarser re-batching after a run that crashed between
+    the three table commits — exactly-once too, with the lagging
+    tables catching up and the committed ones skipping."""
     from ceneton_database_tools_spark.operators import _textutil as T
     from ceneton_database_tools_spark.operators.dedup import (
         JACCARD_THRESHOLD,
@@ -1800,6 +1837,23 @@ def dedup_cdf_batch_fn(idx_docs, idx_bands, decisions, state):
         ]
 
     def _apply(batch, _batch_id):
+        # replay floor: versions at or below EVERY table's watermark
+        # are fully committed — drop them before recomputing, so a
+        # batch straddling the watermark (re-batched replay) appends
+        # only its genuinely new versions. min() because the three
+        # commits below are sequential: a crash between them leaves
+        # decisions >= idx_docs >= idx_bands, and the lagging tables
+        # must still see the versions the leading ones already have.
+        wms = [
+            t.txn_watermark(a)
+            for t, a in (
+                (decisions, "dedup_cdf_decisions"),
+                (idx_docs, "dedup_cdf_idx_docs"),
+                (idx_bands, "dedup_cdf_idx_bands"),
+            )
+        ]
+        if all(w is not None for w in wms):
+            batch = batch.where(F.col("commit_version") > min(wms))
         new = batch.where(F.col("change_type") == "insert").select(
             "doc_id", "w"
         )
@@ -1912,22 +1966,28 @@ def dedup_cdf_batch_fn(idx_docs, idx_bands, decisions, state):
                 "n_matches",
             )
         )
-        # exactly-once under checkpoint-loss replay (VERDICT r12 #1):
-        # every append goes through the (app_id, batchId) txns
-        # watermark — a replayed micro-batch recomputes its decisions
-        # but commits NOTHING the second time, so a restart never
-        # duplicates decisions or widens the signature index. batchId
-        # is monotone across stream restarts that share a checkpoint.
-        decisions.write_idempotent(dec, "dedup_cdf_decisions", _batch_id)
+        # exactly-once under checkpoint-loss replay (VERDICT r12 #1)
+        # AND under re-batched replay (VERDICT r13 #3): every append
+        # goes through the txns watermark keyed by the batch's max
+        # SOURCE commit_version — stable whatever the trigger's
+        # batching, unlike the foreachBatch batchId (see the factory
+        # docstring). The feed slices at whole-version granularity
+        # (maxversionspertrigger), so version ranges never straddle
+        # batches and max(commit_version) identifies the slice.
+        wm_row = batch.agg(
+            F.max("commit_version").alias("wm")
+        ).first()  # bounded: 1 scalar over the pruned version column
+        src_wm = int(wm_row["wm"])
+        decisions.write_idempotent(dec, "dedup_cdf_decisions", src_wm)
         # index EVERY doc's signatures (see docstring) — one append
         # commit per table per batch
         idx_docs.write_idempotent(
-            docs_b.select("doc_id", "ba"), "dedup_cdf_idx_docs", _batch_id
+            docs_b.select("doc_id", "ba"), "dedup_cdf_idx_docs", src_wm
         )
         idx_bands.write_idempotent(
             bands.select("doc_id", "band_idx", "band_val"),
             "dedup_cdf_idx_bands",
-            _batch_id,
+            src_wm,
         )
         if old_bands is not None:
             state["cross_matches"] += (
@@ -2020,12 +2080,17 @@ def streaming_dedup_index_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle states; the run ASSERTS monotone arrival and would fail
     loudly rather than silently diverge. Exactly-once on replay: every
     append (decisions + both index tables) commits through
-    ``write_idempotent`` keyed by a per-table app_id and the
-    foreachBatch batchId — after a checkpoint loss the source re-sends
-    already-processed inserts, the batch recomputes, and all three
-    commits are skipped by the manifest's txns watermark, so a replay
-    lands zero duplicate decisions and zero duplicate signatures
-    (pinned by ``tests/test_streaming.py`` replay test).
+    ``write_idempotent`` keyed by a per-table app_id and the batch's
+    max source ``commit_version`` (NOT the batching-sensitive
+    foreachBatch batchId — VERDICT r13 #3), with each batch
+    pre-filtered to versions above the tables' minimum watermark —
+    after a checkpoint loss the source re-sends already-processed
+    inserts under WHATEVER batching the restart configured, the batch
+    recomputes only what no table has, and every duplicate commit is
+    skipped by the manifest's txns watermark, so a replay lands zero
+    duplicate decisions and zero duplicate signatures (pinned by the
+    ``tests/test_streaming.py`` replay tests, including a
+    finer-than-original ``maxversionspertrigger=1`` replay).
 
     SELF-CHECKS: (a) >= 3 micro-batches (the feed trickled, not one
     bulk dump); (b) monotone doc_id arrival; (c) at least one dup

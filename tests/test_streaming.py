@@ -311,3 +311,123 @@ def test_dedup_cdf_replay_after_checkpoint_loss(spark, sf_smoke, tmp_path):
         .count()
         == 0
     ), "a document was decided twice"
+
+
+def test_dedup_cdf_replay_with_finer_batching(spark, sf_smoke, tmp_path):
+    """VERDICT r13 #3 — the re-batching boundary, pinned: the ORIGINAL
+    run drains the whole two-commit feed in ONE micro-batch; the
+    fresh-checkpoint replay re-slices it FINER with
+    maxversionspertrigger=1 (one commit per batch). Under the old
+    (app_id, batchId) keying the second replay batch carried
+    already-committed rows under a higher batchId and re-appended
+    them; keying on the batch's max source commit_version (plus the
+    watermark pre-filter) lands zero duplicates whatever the slicing.
+    A third pass replays COARSER again over a now-partial overlap
+    surface (same single batch straddling both committed versions) —
+    the pre-filter must make it a no-op too."""
+    from ceneton_database_tools_spark.operators.dedup import (
+        TWIN_OFFSET,
+        _near_corpus_tokens,
+    )
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+    from ceneton_database_tools_spark.streaming.events import (
+        dedup_cdf_batch_fn,
+    )
+
+    register_txn_source(spark)
+    corpus = _near_corpus_tokens(spark, sf_smoke).where(
+        (F.col("doc_id") < 80)
+        | (
+            (F.col("doc_id") >= TWIN_OFFSET)
+            & (F.col("doc_id") < TWIN_OFFSET + 80)
+        )
+    )
+    landing = TxnTable(str(tmp_path / "docs"))
+    idx_docs = TxnTable(str(tmp_path / "idx_docs"))
+    idx_bands = TxnTable(str(tmp_path / "idx_bands"))
+    decisions = TxnTable(str(tmp_path / "decisions"))
+
+    def _drain(ck: str, state: dict, max_versions: str | None) -> None:
+        apply_fn = dedup_cdf_batch_fn(idx_docs, idx_bands, decisions, state)
+        reader = (
+            spark.readStream.format("txntable")
+            .option("readchangefeed", "true")
+        )
+        if max_versions is not None:
+            reader = reader.option("maxversionspertrigger", max_versions)
+        q = (
+            reader.load(landing.path)
+            .writeStream.foreachBatch(apply_fn)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    # both commits land BEFORE the first drain: the original run
+    # processes versions 0 and 1 in one micro-batch (coarse)
+    landing.write(corpus.where(F.col("doc_id") < TWIN_OFFSET), mode="overwrite")
+    landing.write(corpus.where(F.col("doc_id") >= TWIN_OFFSET), mode="append")
+    state = {"max_indexed": None, "batches": 0, "cross_matches": 0}
+    _drain(str(tmp_path / "ck1"), state, None)
+    assert state["batches"] == 1, "original run must be ONE coarse batch"
+
+    n_corpus = corpus.count()
+    before = (
+        decisions.count(),
+        idx_docs.count(),
+        idx_bands.count(),
+        decisions.latest_version(),
+        idx_docs.latest_version(),
+        idx_bands.latest_version(),
+    )
+    assert before[0] == n_corpus
+    # the recorded watermark is the SOURCE version, not a batch id
+    assert decisions.txn_watermark("dedup_cdf_decisions") == 1
+
+    # checkpoint loss + FINER replay: one source version per batch
+    _drain(
+        str(tmp_path / "ck2"),
+        {"max_indexed": None, "batches": 0, "cross_matches": 0},
+        "1",
+    )
+    mid = (
+        decisions.count(),
+        idx_docs.count(),
+        idx_bands.count(),
+        decisions.latest_version(),
+        idx_docs.latest_version(),
+        idx_bands.latest_version(),
+    )
+    assert mid == before, f"finer replay mutated the tables: {before} -> {mid}"
+
+    # checkpoint loss + COARSE replay again (batch straddles both
+    # committed versions): the watermark pre-filter empties it
+    _drain(
+        str(tmp_path / "ck3"),
+        {"max_indexed": None, "batches": 0, "cross_matches": 0},
+        None,
+    )
+    after = (
+        decisions.count(),
+        idx_docs.count(),
+        idx_bands.count(),
+        decisions.latest_version(),
+        idx_docs.latest_version(),
+        idx_bands.latest_version(),
+    )
+    assert after == before, f"coarse replay mutated the tables: {before} -> {after}"
+    assert (
+        decisions.read(spark)
+        .groupBy("doc_id")
+        .count()
+        .where("count > 1")
+        .count()
+        == 0
+    ), "a document was decided twice"
