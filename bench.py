@@ -62,6 +62,9 @@ def main() -> int:
     # per query). The minimum of the post-warm-up runs is the
     # reproducible engine cost the round-over-round comparison wants.
     timings: dict[str, float] = {}
+    sub_phases: dict[str, dict[str, float]] = {}
+    from ceneton_database_tools_spark.streaming import events as _events
+
     for name, spec in sorted(bench_specs.items()):
         spec.fn(spark, sf_dir).count()  # untimed: codegen compile + JIT
         best, n = float("inf"), 0
@@ -69,9 +72,27 @@ def main() -> int:
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            took = time.perf_counter() - t0
+            if took < best:
+                best = took
+                # sub-phase attribution (VERDICT r13 #2): queries that
+                # time their internal phases publish them module-side;
+                # keep the split belonging to the run that set `best`
+                if _events.LAST_BENCH_SUBPHASES:
+                    sub_phases[name] = dict(_events.LAST_BENCH_SUBPHASES)
+            _events.LAST_BENCH_SUBPHASES.clear()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        extra = (
+            " [" + ", ".join(
+                f"{k}={v:.3f}" for k, v in sub_phases[name].items()
+            ) + "]"
+            if name in sub_phases
+            else ""
+        )
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows){extra}",
+            file=sys.stderr,
+        )
 
     # FMP-XML parse throughput on a reference-shaped export (12,500
     # records × 126 TEXT columns — the dataset scale in BASELINE.md;
@@ -101,6 +122,10 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query sub-phase splits (not additional legs: each
+                # dict decomposes its query's own wall above) so a
+                # streaming regression isn't masked by fixture noise
+                "sub_phases": sub_phases,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "fmp_parse_rec_per_s": fmp_rate,
                 "fmp_parse_sharded_rec_per_s": fmp_shard_rate,

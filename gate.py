@@ -15,6 +15,16 @@ Legs, in the driver's order:
      the plan-drift lints.
 
 Usage:  python gate.py [--skip-pytest]   (or: make gate)
+        python gate.py --sf01 -k txn_,dedup_   # targeted sf0.1 parity
+
+The ``--sf01`` mode (VERDICT r13 #4) re-runs the CONTRACT leg only,
+against /root/testdata/sf0.1 instead of sf0.01, restricted to query
+names containing any ``-k`` substring (comma-separated; required —
+the FULL registry at sf0.1 takes >2h, dominated by the DuckDB LSH
+oracle recompute, and does not fit a round). Every oracle is
+scale-portable (key/twin offsets are derived closed-form on both
+engines), so the round exit runs this on whatever families the round
+touched.
 """
 
 from __future__ import annotations
@@ -24,7 +34,9 @@ import subprocess
 import sys
 
 
-def leg_contract() -> str | None:
+def leg_contract(
+    sf_dir: str | None = None, keys: list[str] | None = None
+) -> str | None:
     import importlib
 
     mod = importlib.import_module("__spark_entry__")
@@ -32,27 +44,40 @@ def leg_contract() -> str | None:
     from ceneton_database_tools_spark.session import get_spark
     from tests.oracle_harness import duck_con
 
+    sf = sf_dir or DRIVER_SF_DIR
     spark = get_spark(app_name="gate-contract", cpus=8)
     try:
-        if len(mod.entry(spark).collect()) <= 0:
+        if keys is None and len(mod.entry(spark).collect()) <= 0:
             return "entry() returned 0 rows"
         qs, osql = mod.queries(), mod.oracle_sql()
         if not set(osql) <= set(qs):
             return f"oracle_sql keys not in queries(): {sorted(set(osql) - set(qs))}"
+        if keys is not None:
+            qs = {
+                n: f
+                for n, f in qs.items()
+                if any(k.lower() in n.lower() for k in keys)
+            }
+            if not qs:
+                return f"-k {keys} matched no registry query"
+            print(
+                f"gate: sf leg {sf}: {len(qs)} queries: {sorted(qs)}",
+                file=sys.stderr,
+                flush=True,
+            )
         # view set + sf dir come from the same catalog the test harness
         # uses — a hand-copied table tuple here would silently miss the
         # next table added to the catalog and fail every oracle that
         # references it
-        con = duck_con(DRIVER_SF_DIR)
+        con = duck_con(sf)
         bad = []
         for name, fn in qs.items():
             try:
                 if name not in osql:
-                    fn(spark, DRIVER_SF_DIR).count()
+                    fn(spark, sf).count()
                     continue
                 srows = sorted(
-                    tuple(map(str, r))
-                    for r in fn(spark, DRIVER_SF_DIR).collect()
+                    tuple(map(str, r)) for r in fn(spark, sf).collect()
                 )
                 drows = sorted(
                     tuple(map(str, r)) for r in con.sql(osql[name]).fetchall()
@@ -95,7 +120,21 @@ def leg_pytest() -> str | None:
 
 
 def main() -> int:
-    skip_pytest = "--skip-pytest" in sys.argv[1:]
+    argv = sys.argv[1:]
+    skip_pytest = "--skip-pytest" in argv
+    if "--sf01" in argv:
+        if "-k" not in argv or argv.index("-k") + 1 >= len(argv):
+            print("GATE FAIL (--sf01 requires -k <substr>[,<substr>...])")
+            return 2
+        keys = [
+            k for k in argv[argv.index("-k") + 1].split(",") if k.strip()
+        ]
+        err = leg_contract(sf_dir="/root/testdata/sf0.1", keys=keys)
+        if err:
+            print(f"GATE FAIL (sf0.1 contract: {err})")
+            return 1
+        print("GATE PASS (sf0.1 targeted)")
+        return 0
     failures: list[str] = []
     for name, leg in (
         ("contract", leg_contract),
