@@ -1280,6 +1280,116 @@ def txn_optimize_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_optimize_binpack",
+    # The oracle is the PLAIN full projection — equality holds only if
+    # the bin-packed compaction preserved every row across its multiple
+    # bounded outputs. The storage-level shape (bins, bounded sizes,
+    # metadata-only pick) is gated by the self-checks below.
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS acctbal
+    FROM customer
+    """,
+    tags=("txn", "optimize", "binpack", "bytes-metadata", "acid"),
+)
+def txn_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN-PACKED COMPACTION from manifest byte metadata (round 14):
+    ``customer`` lands as 8 equal key-range commits on a CHECKPOINTED
+    table, then ``optimize(target_bytes=2.5x median)`` packs them in
+    commit order into bins of recorded size <= target and rewrites
+    each bin into its own directory IN ONE COMMIT — Delta's OPTIMIZE
+    maxFileSize shape, instead of fusing everything into one monster
+    directory whose own future rewrite would be a full scan. The pick
+    and the packing read ONLY the sidecar's ``bytes`` column (every
+    commit records the sizes it staged, task-side on the DataSource
+    faces); at 10^6 directories on object storage the pre-r14
+    walk-per-pick was millions of serial LIST calls per compaction.
+
+    SELF-CHECKS: (a) exactly ONE optimize commit produced exactly 4
+    bounded outputs from the 8 inputs; (b) the change feed across it
+    is EMPTY (row-identical rewrite); (c) every output's recorded size
+    stays near the target (bounded, not fused); (d) ``size_bytes()``
+    answers O(manifest) and matches the recorded sum; (e) no
+    pre-existing directory was sized from the filesystem during the
+    pick (metadata-only, asserted via a spy on the walk fallback)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    raw = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)").alias(
+            "acctbal"
+        ),
+    )
+    b = raw.agg(F.min("c_custkey"), F.max("c_custkey")).first()  # 2 scalars
+    lo, hi = int(b[0]), int(b[1])
+    eighth = max(1, (hi - lo + 1) // 8)
+    work = tempfile.mkdtemp(prefix="ceneton_txn_binpack_")
+    try:
+        table = TxnTable(
+            os.path.join(work, "t"), stats_cols=("c_custkey",),
+            checkpoint_at=4,
+        )
+        key = F.col("c_custkey")
+        for i in range(8):
+            s_lo = lo + i * eighth
+            s_hi = hi + 1 if i == 7 else lo + (i + 1) * eighth
+            table.write(
+                raw.filter((key >= s_lo) & (key < s_hi)), mode="append"
+            )
+        n_before = table.read(spark).count()
+        sizes = table.dir_sizes()  # metadata-only on this table
+        target = int(2.5 * sorted(sizes.values())[len(sizes) // 2])
+        # (e) the pick must never size a pre-existing directory from
+        # the filesystem — only freshly staged outputs are measured
+        pre_existing = set(sizes)
+        sized: list = []
+        real_db = TxnTable._dir_bytes
+        TxnTable._dir_bytes = lambda self, rel: (
+            sized.append(rel) or real_db(self, rel)
+        )
+        try:
+            v_opt = table.optimize(spark, target_bytes=target)
+        finally:
+            TxnTable._dir_bytes = real_db
+        if set(sized) & pre_existing:
+            raise AssertionError(
+                f"pick walked pre-existing dirs: {set(sized) & pre_existing}"
+            )
+        snap = table.snapshot(v_opt)
+        # (a) one commit, 8 inputs -> 4 bounded outputs
+        if v_opt != 8 or len(snap["files"]) != 4:
+            raise AssertionError(
+                f"expected v8 with 4 binned outputs, got v{v_opt} with "
+                f"{len(snap['files'])} dirs"
+            )
+        # (b) row-identical: empty change feed, same count
+        if table.changes(spark, "c_custkey", v_opt - 1, v_opt).count() != 0:
+            raise AssertionError("binpack optimize changed row content")
+        if table.read(spark).count() != n_before:
+            raise AssertionError("binpack optimize changed the row count")
+        # (c) outputs bounded near the target, none fused everything
+        for rel, nb in snap["bytes"].items():
+            if nb > 1.5 * target:
+                raise AssertionError(
+                    f"output {rel} is {nb}B — not bounded by ~{target}B"
+                )
+        # (d) O(manifest) size answer matches the recorded layout
+        if table.size_bytes() != sum(snap["bytes"].values()):
+            raise AssertionError("size_bytes() disagrees with the manifest")
+        result = table.read(spark)
+        _record_inner_plan("txn_optimize_binpack", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_clustered_load_pruning",
     # Equality vs the plain filtered projection gates: the clustered
     # bulk load preserved every row, and within-commit range pruning

@@ -1507,6 +1507,37 @@ class TxnTable:
         full per-directory materialization)."""
         return self._count_from_stub(self._stub_at(version))
 
+    def size_bytes(self, version: int | None = None) -> int | None:
+        """The snapshot's total on-disk bytes straight from the
+        manifest (Delta's DESCRIBE DETAIL ``sizeInBytes``) — zero
+        filesystem calls: :meth:`count`'s twin over the per-directory
+        ``bytes`` the producers record at commit. ``None`` when any
+        directory predates byte recording (honest, like count);
+        :meth:`dir_sizes` walks exactly those if the answer is worth
+        the LISTs. Checkpointed manifests sum the sidecar column
+        batch-by-batch."""
+        stub = self._stub_at(version)
+        cp = stub.get("files_checkpoint")
+        if cp is None:
+            b = stub.get("bytes")
+            files = stub.get("files", ())
+            if b is None or any(d not in b for d in files):
+                return None
+            return sum(int(b[d]) for d in files)
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        src = pq.ParquetFile(os.path.join(self.log_dir, cp))
+        if "bytes" not in src.schema_arrow.names:  # legacy sidecar
+            return None
+        total = 0
+        for batch in src.iter_batches(columns=["bytes"]):
+            col = batch.column("bytes")
+            if col.null_count:
+                return None
+            total += pc.sum(col).as_py() or 0
+        return total
+
     @staticmethod
     def _validate_constraints(df: DataFrame, constraints: dict) -> None:
         """ONE agg job counting violations of every pending CHECK over
@@ -5150,8 +5181,12 @@ class TxnTable:
     _OPTIMIZE_MAX_PICKED = 1024
 
     def _pick_small_dirs_streamed(
-        self, prior_cp: str, small_bytes: int | None, bound: int
-    ) -> list[str]:
+        self,
+        prior_cp: str,
+        small_bytes: int | None,
+        bound: int,
+        need_sizes: bool = False,
+    ) -> list[tuple[str, int | None]]:
         """The OPTIMIZE pick over a CHECKPOINTED manifest: stream the
         sidecar's ``(dir, bytes)`` columns record-batch by
         record-batch and stop at ``bound`` picked — METADATA-ONLY
@@ -5163,10 +5198,14 @@ class TxnTable:
         object storage the per-pick walk was millions of serial LIST
         calls per compaction pass). Never an O(directories) dict in
         driver MEMORY either way. Sidecar order == commit order, so
-        repeated bounded calls sweep the table front to back."""
+        repeated bounded calls sweep the table front to back. Returns
+        ``(dir, size)`` pairs; the size is resolved (metadata or walk)
+        whenever the pick filtered on it or the caller asked
+        (``need_sizes`` — the bin-packing compaction needs sizes even
+        with no ``small_bytes`` floor), else None."""
         import pyarrow.parquet as pq
 
-        picked: list[str] = []
+        picked: list[tuple[str, int | None]] = []
         src = pq.ParquetFile(os.path.join(self.log_dir, prior_cp))
         has_bytes = "bytes" in src.schema_arrow.names
         cols = ["dir", "bytes"] if has_bytes else ["dir"]
@@ -5177,16 +5216,50 @@ class TxnTable:
                 else [None] * batch.num_rows
             )
             for rel, b in zip(batch.column("dir").to_pylist(), sizes):
-                if small_bytes is not None:
+                total: int | None = None
+                if small_bytes is not None or need_sizes:
                     total = (
                         int(b) if b is not None else self._dir_bytes(rel)
                     )
-                    if total >= small_bytes:
-                        continue
-                picked.append(rel)
+                if small_bytes is not None and total >= small_bytes:
+                    continue
+                picked.append((rel, total))
                 if len(picked) >= bound:
                     return picked
         return picked
+
+    @staticmethod
+    def _binpack(
+        pairs: list[tuple[str, int | None]], target_bytes: int | None
+    ) -> list[list[str]]:
+        """Group the picked ``(dir, size)`` pairs into compaction bins.
+        With no ``target_bytes`` everything compacts into ONE bin
+        (the pre-r14 behavior). With a target, greedy first-fit in
+        COMMIT ORDER — the same pass the sidecar streams in, so the
+        pick never re-sorts O(directories) on the driver — closing a
+        bin when adding the next directory would exceed the target:
+        compaction output stays bounded near the target instead of
+        fusing 1024 small directories into one monster (Delta's
+        OPTIMIZE bin-packs to maxFileSize for the same reason — a
+        bounded output directory is what keeps FUTURE rewrites of that
+        data cheap). Single-directory bins are dropped: rewriting one
+        directory alone buys nothing."""
+        if target_bytes is None:
+            dirs = [d for d, _ in pairs]
+            return [dirs] if len(dirs) >= 2 else []
+        bins: list[list[str]] = []
+        cur: list[str] = []
+        cur_sz = 0
+        for d, sz in pairs:
+            sz = int(sz or 0)
+            if cur and cur_sz + sz > target_bytes:
+                bins.append(cur)
+                cur, cur_sz = [], 0
+            cur.append(d)
+            cur_sz += sz
+        if cur:
+            bins.append(cur)
+        return [b for b in bins if len(b) >= 2]
 
     def _optimize_streamed(
         self,
@@ -5195,43 +5268,57 @@ class TxnTable:
         stub: dict,
         small_bytes: int | None,
         max_picked: int | None,
+        target_bytes: int | None = None,
     ) -> int | None | bool:
         """One OPTIMIZE attempt against a CHECKPOINTED manifest,
         end-to-end streamed (see :meth:`optimize` docstring): bounded
-        pick from the sidecar, live rows of the picked directories
-        restaged partition-preserving from the O(1) stub, commit via
-        :meth:`_stream_checkpoint_carry` with ``drop=picked`` — the
-        per-directory dict is never built on the driver. Returns the
-        committed version, ``None`` when fewer than two directories
-        qualify, or ``False`` on a lost commit race (caller rebases)."""
+        pick from the sidecar (metadata-only sizes), bin-packed when
+        ``target_bytes`` is given, live rows of each bin restaged
+        partition-preserving from the O(1) stub, one commit via
+        :meth:`_stream_checkpoint_carry` dropping every compacted
+        directory — the per-directory dict is never built on the
+        driver. Returns the committed version, ``None`` when no bin
+        has two directories, or ``False`` on a lost commit race
+        (caller rebases)."""
         bound = (
             max_picked if max_picked is not None else self._OPTIMIZE_MAX_PICKED
         )
-        picked = self._pick_small_dirs_streamed(
-            stub["files_checkpoint"], small_bytes, bound
+        pairs = self._pick_small_dirs_streamed(
+            stub["files_checkpoint"],
+            small_bytes,
+            bound,
+            need_sizes=target_bytes is not None,
         )
-        if len(picked) < 2:
+        bins = self._binpack(pairs, target_bytes)
+        if not bins:
             return None
-        # live rows only: the rewrite materializes the picked
-        # directories' tombstones, same as the non-streamed path
-        picked_df = self._read_live(spark, stub, picked)
-        staged, staged_dirs, new_parts, staged_stats, staged_rows = (
-            self._stage_rewrite(stub, picked_df)
-        )
         version = current + 1
         m2 = self._rewrite_stub_manifest(stub, version, "optimize")
-        adds = self._staged_add_rows(
-            spark, staged_dirs, new_parts, staged_stats, staged_rows
-        )
+        staged_roots: list[str] = []
+        adds: list[dict] = []
+        dropped: list[str] = []
+        for bin_dirs in bins:
+            # live rows only: the rewrite materializes the picked
+            # directories' tombstones, same as the non-streamed path
+            picked_df = self._read_live(spark, stub, bin_dirs)
+            staged, staged_dirs, new_parts, staged_stats, staged_rows = (
+                self._stage_rewrite(stub, picked_df)
+            )
+            staged_roots.append(staged)
+            adds += self._staged_add_rows(
+                spark, staged_dirs, new_parts, staged_stats, staged_rows
+            )
+            dropped += bin_dirs
         if self._try_commit_streamed(
             version,
             m2,
             stub["files_checkpoint"],
             adds,
-            drop=frozenset(picked),
+            drop=frozenset(dropped),
         ):
             return version
-        self._discard_staged(staged)
+        for staged in staged_roots:
+            self._discard_staged(staged)
         return False
 
     def optimize(
@@ -5240,6 +5327,7 @@ class TxnTable:
         small_bytes: int | None = None,
         max_retries: int = 10,
         max_picked: int | None = None,
+        target_bytes: int | None = None,
     ) -> int | None:
         """Compaction THROUGH the log: rewrite many small data
         directories (every directory under ``small_bytes``; all of
@@ -5281,7 +5369,17 @@ class TxnTable:
         surviving tombstone counts, an optimize that rewrites the last
         tombstoned directory also drops the dead ``dvs`` sidecar list,
         making it the documented GC for merge-on-read sidecars on big
-        tables."""
+        tables.
+
+        ``target_bytes`` turns the single-output compaction into
+        BIN-PACKING (Delta's OPTIMIZE maxFileSize): picked directories
+        are greedily grouped in commit order into bins of recorded
+        size <= target, each bin rewriting into its own directory in
+        the SAME commit, so compacting 10^3 small directories yields
+        bounded-size outputs instead of one monster whose own future
+        rewrite would be a full-bin scan. Sizes come from the
+        manifest's per-directory bytes (metadata-only on post-r14
+        commits); single-directory bins are left untouched."""
         for _ in range(max_retries):
             current = self.latest_version()
             if current is None:
@@ -5289,22 +5387,25 @@ class TxnTable:
             stub = self._stub(current)
             if "files_checkpoint" in stub:
                 got = self._optimize_streamed(
-                    spark, current, stub, small_bytes, max_picked
+                    spark, current, stub, small_bytes, max_picked,
+                    target_bytes,
                 )
                 if got is not False:
                     return got
                 continue  # lost the commit race: rebase and re-pick
             snap = self.snapshot(current)
             sizes = self.dir_sizes(current)
-            picked = [
-                rel
+            pairs = [
+                (rel, sizes.get(rel, 0))
                 for rel in snap["files"]
                 if small_bytes is None or sizes.get(rel, 0) < small_bytes
             ]
             if max_picked is not None:
-                picked = picked[:max_picked]
-            if len(picked) < 2:
+                pairs = pairs[:max_picked]
+            bins = self._binpack(pairs, target_bytes)
+            if not bins:
                 return None
+            picked = {rel for b in bins for rel in b}
             kept = [rel for rel in snap["files"] if rel not in picked]
             # rewrite under the snapshot schema: compacting directories
             # that straddle an evolution materializes the evolved
@@ -5312,24 +5413,21 @@ class TxnTable:
             # LIVE rows: compaction materializes the picked
             # directories' tombstones — OPTIMIZE is the documented
             # clean-up for a tombstone-heavy table
-            picked_df = self._read_live(spark, snap, picked)
             spec = list(snap.get("partition_by", ()))
-            if spec:
-                # PARTITION-PRESERVING compaction: restage the picked
-                # rows as one directory per partition tuple, each with
-                # exact values — because the partition columns live in
-                # the DATA (not only the paths), this also re-derives
-                # values for rewrite directories a merge/delete staged
-                # without them, REPAIRING drop_partitions' proof.
-                schema = snap.get("schema") or self._schema_of(picked_df)
-                type_of = {f["name"]: f["type"] for f in schema["fields"]}
-                staged, staged_dirs, new_parts, staged_stats, staged_rows = (
-                    self._stage_partitioned(picked_df, spec, type_of)
+            staged_roots: list[str] = []
+            staged_dirs: list[str] = []
+            new_parts: dict = {}
+            staged_stats: dict = {}
+            staged_rows: dict = {}
+            for bin_dirs in bins:
+                staged, sd, np_, ss, sr = self._stage_optimize_bin(
+                    spark, snap, spec, bin_dirs
                 )
-            else:
-                staged, staged_n = self._stage_write(picked_df)
-                staged_dirs, new_parts, staged_stats = [staged], {}, {}
-                staged_rows = {staged: staged_n}
+                staged_roots.append(staged)
+                staged_dirs += sd
+                new_parts.update(np_)
+                staged_stats.update(ss)
+                staged_rows.update(sr)
             version = current + 1
             manifest = {
                 "version": version,
@@ -5359,10 +5457,34 @@ class TxnTable:
                 manifest["blooms"] = blooms
             if self._try_commit(version, manifest):
                 return version
-            self._discard_staged(staged)
+            for staged in staged_roots:
+                self._discard_staged(staged)
         raise CommitConflict(
             f"lost {max_retries} optimize races on {self.path}"
         )
+
+    def _stage_optimize_bin(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        spec: list,
+        bin_dirs: list[str],
+    ) -> tuple[str, list[str], dict, dict, dict]:
+        """Stage ONE compaction bin's live rows (tombstones
+        materialized) under the snapshot schema — partition-preserving
+        on a partitioned table (each bin restages one directory per
+        partition tuple with exact values, re-deriving values for
+        rewrite directories a prior merge/delete staged without them,
+        REPAIRING drop_partitions' proof); a single directory
+        otherwise. Compacting directories that straddle a schema
+        evolution materializes the evolved (NULL-filled) columns."""
+        picked_df = self._read_live(spark, snap, bin_dirs)
+        if spec:
+            schema = snap.get("schema") or self._schema_of(picked_df)
+            type_of = {f["name"]: f["type"] for f in schema["fields"]}
+            return self._stage_partitioned(picked_df, spec, type_of)
+        staged, staged_n = self._stage_write(picked_df)
+        return staged, [staged], {}, {}, {staged: staged_n}
 
     def optimize_zorder(
         self,

@@ -558,7 +558,8 @@ def test_checkpoint_machinery_sized_at_1e5_dirs(tmp_path):
     picked = t._pick_small_dirs_streamed(cpb, 1_000_000, bound=n_dirs)
     pick_wall = time.perf_counter() - t0
     assert len(picked) == n_dirs // 2, "pick must use the bytes column"
-    assert all(int(p.split("/")[1], 16) % 2 == 0 for p in picked[:100])
+    assert all(int(p.split("/")[1], 16) % 2 == 0 for p, _ in picked[:100])
+    assert all(sz == 100 for _, sz in picked[:100])
     os.unlink(os.path.join(t.log_dir, cpb))
     assert pick_wall < 2.0, f"metadata pick took {pick_wall:.2f}s at 1e5"
 
@@ -926,13 +927,10 @@ def test_manifest_records_dir_bytes_metadata_only_sizing(
     picked = t._pick_small_dirs_streamed(
         stub["files_checkpoint"], threshold, bound=1024
     )
-    assert sorted(picked) == sorted(walked)
-    assert (
-        t._pick_small_dirs_streamed(
-            stub["files_checkpoint"], min(walked.values()), bound=1024
-        )
-        == []
-    ) if len(set(walked.values())) == 1 else True
+    assert sorted(d for d, _ in picked) == sorted(walked)
+    assert all(sz == walked[d] for d, sz in picked)
+    # size_bytes() is the O(manifest) rollup of the same column
+    assert t.size_bytes() == sum(walked.values())
     monkeypatch.undo()
     # inline (below checkpoint_at) manifests record bytes the same way
     small = _build(
@@ -988,12 +986,13 @@ def test_legacy_sidecar_without_bytes_column_still_works(spark, tmp_path):
     assert "bytes" not in pq.ParquetFile(cp).schema_arrow.names
     # metadata reads stay correct; sizing falls back to the walk
     assert t.count() == 60
+    assert t.size_bytes() is None, "legacy sidecar must answer honestly"
     sizes = t.dir_sizes()
     assert len(sizes) == 6 and all(v > 0 for v in sizes.values())
     picked = t._pick_small_dirs_streamed(
         stub["files_checkpoint"], max(sizes.values()) + 1, bound=99
     )
-    assert len(picked) == 6
+    assert len(picked) == 6 and all(sz == sizes[d] for d, sz in picked)
     # an append CARRIES the legacy rows as NULL-bytes and records its
     # own directory's size
     from pyspark.sql import functions as F
@@ -1016,3 +1015,97 @@ def test_legacy_sidecar_without_bytes_column_still_works(spark, tmp_path):
     new_dir = [d for d in by_dir if by_dir[d] is not None]
     assert len(new_dir) == 1 and by_dir[new_dir[0]] > 0
     assert t.count() == 70
+
+
+def test_optimize_binpack_bounds_output_dirs(spark, tmp_path):
+    """optimize(target_bytes=...) bin-packs the picked directories in
+    commit order (Delta's OPTIMIZE maxFileSize): one ROW-IDENTICAL
+    commit whose outputs each fuse ~target worth of inputs, instead of
+    one monster directory — on both the inline and the checkpointed
+    manifest, with sizes taken from the recorded metadata."""
+    # inline manifest: 8 equal small commits
+    t = TxnTable(str(tmp_path / "inline"), checkpoint_at=512)
+    for i in range(8):
+        t.write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k")
+            ),
+            mode="overwrite" if i == 0 else "append",
+        )
+    sizes = t.snapshot()["bytes"]
+    typical = sorted(sizes.values())[len(sizes) // 2]
+    v = t.optimize(spark, target_bytes=int(2.2 * typical))
+    assert v == 8
+    snap = t.snapshot(v)
+    # 8 inputs fused pairwise: 4 bounded outputs, not 1 monster
+    assert len(snap["files"]) == 4
+    assert t.read(spark).count() == 80
+    assert t.count() == 80
+    # row-identical commit: empty change feed over the optimize
+    assert t.changes(spark, "k", v - 1, v).count() == 0
+    # every output's recorded size is a real measurement
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable as TT
+
+    for rel in snap["files"]:
+        assert snap["bytes"][rel] == TT._dir_bytes(t, rel) > 0
+    assert t.size_bytes() == sum(snap["bytes"].values())
+
+    # checkpointed manifest: same contract through the streamed path,
+    # with the pick+pack reading ONLY sidecar metadata
+    tc = TxnTable(str(tmp_path / "ckpt"), checkpoint_at=2)
+    for i in range(8):
+        tc.write(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k")
+            ),
+            mode="overwrite" if i == 0 else "append",
+        )
+    sizes_c = tc.dir_sizes()
+    typical_c = sorted(sizes_c.values())[len(sizes_c) // 2]
+    # the pick+pack must read ONLY sidecar metadata: the sole
+    # legitimate sizing is of the freshly STAGED output dirs (their
+    # commit records them for the next round of metadata answers)
+    sized: list[str] = []
+    real_db = TT._dir_bytes
+
+    def _spy(self, rel):
+        sized.append(rel)
+        return real_db(self, rel)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(TT, "_dir_bytes", _spy):
+        vc = tc.optimize(spark, target_bytes=int(2.2 * typical_c))
+    assert vc == 8
+    pre_existing = set(sizes_c)
+    assert not (set(sized) & pre_existing), (
+        f"pick walked pre-existing dirs: {set(sized) & pre_existing}"
+    )
+    snap_c = tc.snapshot(vc)
+    assert len(snap_c["files"]) == 4
+    assert tc.count() == 80 and tc.read(spark).count() == 80
+    assert [h["op"] for h in tc.history()][0] == "optimize"
+
+    # a target below any pair's fused size -> every bin is a single
+    # directory -> nothing qualifies, no empty commit
+    assert t.optimize(spark, target_bytes=1) is None
+
+
+def test_binpack_grouping_rules():
+    """The greedy commit-order packing: close a bin when the next
+    directory would overflow the target; drop single-directory bins;
+    no target = the single pre-r14 bin."""
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    pack = TxnTable._binpack
+    pairs = [("a", 60), ("b", 50), ("c", 10), ("d", 10), ("e", 100)]
+    # a alone overflows with b -> [a] dropped (len 1); b+c+d fit 100;
+    # e opens a fresh bin and ends alone -> dropped
+    assert pack(pairs, 100) == [["b", "c", "d"]]
+    # everything fits one bin
+    assert pack(pairs, 10_000) == [["a", "b", "c", "d", "e"]]
+    # no target: single bin, pre-r14 semantics
+    assert pack(pairs, None) == [["a", "b", "c", "d", "e"]]
+    assert pack([("x", 5)], None) == []
+    # None sizes count as 0 (legacy unsized dirs pack together)
+    assert pack([("x", None), ("y", None)], 100) == [["x", "y"]]
