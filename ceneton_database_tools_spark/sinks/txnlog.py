@@ -5173,6 +5173,86 @@ class TxnTable:
                 out[rel] = int(b) if b is not None else self._dir_bytes(rel)
         return out
 
+    def backfill_bytes(self, max_retries: int = 10) -> int | None:
+        """ONE-TIME size migration for tables with pre-r14 history:
+        walk every directory the manifest never sized (exactly once —
+        the walk OPTIMIZE's pick would otherwise pay on EVERY
+        compaction pass) and commit the sizes as a metadata-only
+        version. Row content is untouched: the change feed across the
+        commit is empty, snapshots and time travel are unaffected.
+        Returns the committed version, or None when nothing is
+        missing (no empty commit). On a CHECKPOINTED manifest the
+        commit streams: the carry's ``patch`` hook fills NULL bytes
+        cells batch-by-batch (walking only the unsized directories),
+        O(record batch) driver memory like every other commit."""
+        import pyarrow.parquet as pq
+
+        for _ in range(max_retries):
+            current = self.latest_version()
+            if current is None:
+                return None
+            stub = self._stub(current)
+            version = current + 1
+            cp = stub.get("files_checkpoint")
+            if cp is not None:
+                src = pq.ParquetFile(os.path.join(self.log_dir, cp))
+                if "bytes" in src.schema_arrow.names:
+                    missing = 0
+                    for batch in src.iter_batches(columns=["bytes"]):
+                        missing += batch.column("bytes").null_count
+                    if missing == 0:
+                        return None
+                m2 = self._rewrite_stub_manifest(
+                    stub, version, "backfill_bytes"
+                )
+
+                def _fill(batch):
+                    import pyarrow as pa
+
+                    cols = batch.to_pydict()
+                    if all(v is not None for v in cols["bytes"]):
+                        return batch
+                    cols["bytes"] = [
+                        v if v is not None else self._dir_bytes(d)
+                        for d, v in zip(cols["dir"], cols["bytes"])
+                    ]
+                    return pa.record_batch(
+                        [
+                            pa.array(cols[f.name], f.type)
+                            for f in batch.schema
+                        ],
+                        schema=batch.schema,
+                    )
+
+                if self._try_commit_streamed(
+                    version, m2, cp, adds=[], patch=_fill
+                ):
+                    return version
+                continue  # lost the race: rebase
+            snap = self.snapshot(current)
+            b = dict(snap.get("bytes", {}))
+            unsized = [d for d in snap["files"] if d not in b]
+            if not unsized:
+                return None
+            for d in unsized:
+                b[d] = self._dir_bytes(d)
+            manifest = {
+                "version": version,
+                "op": "backfill_bytes",
+                "files": list(snap["files"]),
+                "txns": dict(snap.get("txns", {})),
+            }
+            for k in ("schema", "stats", "blooms", "partition_by", "parts"):
+                if snap.get(k) is not None:
+                    manifest[k] = snap[k]
+            self._carry_props(snap, manifest)
+            manifest["bytes"] = b
+            if self._try_commit(version, manifest):
+                return version
+        raise CommitConflict(
+            f"lost {max_retries} backfill_bytes races on {self.path}"
+        )
+
     # streamed OPTIMIZE picks at most this many directories per call
     # when the caller gives no bound — keeps the picked list (the only
     # O(picked) driver state on the streamed path) bounded; callers

@@ -634,6 +634,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 "add_constraint",
                 "drop_constraint",
                 "set_properties",
+                "backfill_bytes",
                 "rename_column",
                 "drop_column",
             ) or (
@@ -696,6 +697,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
             "add_constraint",
             "drop_constraint",
             "set_properties",
+            "backfill_bytes",
             "rename_column",
             "drop_column",
         ):

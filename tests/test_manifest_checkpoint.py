@@ -1109,3 +1109,90 @@ def test_binpack_grouping_rules():
     assert pack([("x", 5)], None) == []
     # None sizes count as 0 (legacy unsized dirs pack together)
     assert pack([("x", None), ("y", None)], 100) == [["x", "y"]]
+
+
+def test_backfill_bytes_migrates_legacy_tables(spark, tmp_path, monkeypatch):
+    """backfill_bytes(): the one-time migration that sizes every
+    directory the manifest never recorded and commits the sizes as a
+    metadata-only version — after it, dir_sizes/size_bytes/the
+    OPTIMIZE pick answer from metadata on tables with pre-r14 history.
+    Covered on both manifest layouts; idempotent (second call is None,
+    no empty commit); row-identical (empty change feed)."""
+    import pyarrow.parquet as pq
+
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    # checkpointed layout with a legacy (no bytes column) sidecar
+    t = _build(spark, str(tmp_path), n_commits=6, checkpoint_at=4)
+    stub = t._stub(t.latest_version())
+    cp = os.path.join(t.log_dir, stub["files_checkpoint"])
+    pq.write_table(pq.read_table(cp).drop_columns(["bytes"]), cp)
+    assert t.size_bytes() is None
+    v = t.backfill_bytes()
+    assert v == t.latest_version()
+    hist = t.history()
+    assert hist[0]["op"] == "backfill_bytes"
+    walked = {rel: TxnTable._dir_bytes(t, rel) for rel in t.snapshot()["files"]}
+    assert t.size_bytes() == sum(walked.values())
+    # row-identical: same directories, same data (a zero-new-dir
+    # commit has nothing for the change feed to even diff — same
+    # contract as the other pure-policy commits)
+    assert t.snapshot(v)["files"] == t.snapshot(v - 1)["files"]
+    assert t.count() == 60 and t.read(spark).count() == 60
+    # idempotent: nothing missing, no empty commit
+    assert t.backfill_bytes() is None
+    # the pick is now metadata-only (walk fallback forbidden)
+    def _boom(self, rel):
+        raise AssertionError(f"walked {rel} after backfill")
+
+    monkeypatch.setattr(TxnTable, "_dir_bytes", _boom)
+    assert t.dir_sizes() == walked
+    stub2 = t._stub(t.latest_version())
+    got = t._pick_small_dirs_streamed(
+        stub2["files_checkpoint"], max(walked.values()) + 1, bound=99
+    )
+    assert sorted(d for d, _ in got) == sorted(walked)
+    monkeypatch.undo()
+
+    # a backfill commit mid-history is POLICY to the stream faces:
+    # the plain source moves past it (nothing added, nothing raised),
+    # like constraint/property commits
+    from ceneton_database_tools_spark.sources.txn_stream import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    t.write(
+        spark.range(60, 70).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    # startingversion=0 forces the commit-by-commit history replay
+    # THROUGH the backfill commit (a latest-snapshot start would never
+    # classify it)
+    q = (
+        spark.readStream.format("txntable")
+        .option("path", str(tmp_path))
+        .option("startingversion", "0")
+        .load()
+        .writeStream.format("memory")
+        .queryName("backfill_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (
+        spark.sql("SELECT count(*) n FROM backfill_stream").first()["n"] == 70
+    )
+
+    # inline layout whose manifests predate byte recording
+    ti = _build(spark, str(tmp_path / "inline"), n_commits=3, checkpoint_at=512)
+    mp = ti._manifest_path(ti.latest_version())
+    m = json.load(open(mp))
+    del m["bytes"]
+    json.dump(m, open(mp, "w"))
+    assert ti.size_bytes() is None
+    vi = ti.backfill_bytes()
+    assert vi is not None and ti.size_bytes() is not None
+    assert ti.backfill_bytes() is None
+    assert ti.count() == 30
