@@ -2039,8 +2039,6 @@ def txn_checkpointed_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window as W
-
     from ceneton_database_tools_spark.operators.scale import _record_inner_plan
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
@@ -2056,13 +2054,19 @@ def txn_checkpointed_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="ceneton_txn_ckpt_ops_")
     try:
         table = TxnTable(work, stats_cols=("c_custkey",), checkpoint_at=8)
-        chunked = cust.withColumn(
-            "__c", F.ntile(10).over(W.orderBy("c_custkey"))
-        )
+        # Ten disjoint c_custkey-RANGE commits derived from the max
+        # key — same per-directory range-stat disjointness the probe
+        # below relies on, but each write is a pushed-down range scan
+        # instead of an ntile window (whose global sort funnels the
+        # table through one partition, once per chunk).
         for i in range(10):
+            lo, hi = i * int(mx) // 10, (i + 1) * int(mx) // 10
+            # chunk 1 is unbounded below: the synthetic keys start at 0
+            pred = F.col("c_custkey") <= hi
+            if i > 0:
+                pred = (F.col("c_custkey") > lo) & pred
             table.write(
-                chunked.where(F.col("__c") == i + 1).drop("__c"),
-                mode="overwrite" if i == 0 else "append",
+                cust.where(pred), mode="overwrite" if i == 0 else "append"
             )
 
         def _stub(v):
@@ -2152,8 +2156,6 @@ def txn_checkpointed_admin_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window as W
-
     from ceneton_database_tools_spark.operators.scale import _record_inner_plan
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
 
@@ -2169,13 +2171,18 @@ def txn_checkpointed_admin_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = TxnTable(
             work, stats_cols=("c_custkey", "bal"), checkpoint_at=8
         )
-        chunked = cust.withColumn(
-            "__c", F.ntile(10).over(W.orderBy("c_custkey"))
-        )
+        # Ten disjoint c_custkey-range commits (cf.
+        # txn_checkpointed_row_ops): pushed-down range scans, no
+        # single-partition ntile sort.
+        mx = cust.agg(F.max("c_custkey")).collect()[0][0]  # 1-row guard
         for i in range(10):
+            lo, hi = i * int(mx) // 10, (i + 1) * int(mx) // 10
+            # chunk 1 is unbounded below: the synthetic keys start at 0
+            pred = F.col("c_custkey") <= hi
+            if i > 0:
+                pred = (F.col("c_custkey") > lo) & pred
             table.write(
-                chunked.where(F.col("__c") == i + 1).drop("__c"),
-                mode="overwrite" if i == 0 else "append",
+                cust.where(pred), mode="overwrite" if i == 0 else "append"
             )
 
         def _stub(v):

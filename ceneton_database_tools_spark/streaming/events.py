@@ -56,7 +56,7 @@ LAST_STREAM_PLAN: dict[str, str] = {}
 
 # Sub-phase wall timings of the LAST streaming_agg_to_txn_table run
 # (VERDICT r13 #2): that bench leg's absolute number is dominated by
-# fixture prep (5 coalesce(1) parquet writes + a global ntile sort)
+# fixture prep (5 coalesce(1) parquet writes + ts-range slicing)
 # and fixed stream spin-up, so a real streaming-engine regression of
 # 1-2s would vanish inside the 12s total. The query times its phases
 # inline — prep_sec (fixture materialization), stream_sec (stream
@@ -1599,8 +1599,6 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window as W
-
     from ceneton_database_tools_spark.catalog import load_table
     from ceneton_database_tools_spark.sinks.txnlog import TxnTable
     from ceneton_database_tools_spark.sources.txn_stream import register_txn_source
@@ -1619,27 +1617,39 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
-        # four ts-ordered chunks: the file stream replays them oldest
-        # mtime first, so the watermark advances monotonically
-        chunked = ev.withColumn(
-            "__chunk", F.ntile(4).over(W.orderBy("ts", "event_id"))
-        )
-        max_ts_row = ev.agg(F.max("ts").alias("m")).first()  # 1-row guard
+        # Four ts-RANGE chunks (every row of chunk i precedes chunk
+        # i+1): the file stream replays them oldest mtime first, so
+        # the watermark advances monotonically.  The cut points come
+        # from one 1-row percentile aggregate (map-side partials) —
+        # NOT an ntile window, whose global sort funnels the whole
+        # table through a single partition.  Chunk membership cannot
+        # change the result: ts stays monotone across files, so no
+        # row is ever late relative to the 1 h watermark.
+        bounds_row = ev.agg(
+            F.expr(
+                "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))"
+            ).alias("cuts"),
+            F.max("ts").alias("m"),
+        ).first()  # 1-row guard
+        cuts = [int(c) for c in bounds_row["cuts"]]
+        ts_us = F.unix_micros(F.col("ts"))
+        chunk_preds = [
+            ts_us <= F.lit(cuts[0]),
+            (ts_us > F.lit(cuts[0])) & (ts_us <= F.lit(cuts[1])),
+            (ts_us > F.lit(cuts[1])) & (ts_us <= F.lit(cuts[2])),
+            ts_us > F.lit(cuts[2]),
+        ]
         sentinel = spark.createDataFrame(
             [("__sentinel__",)], "event_type string"
         ).select(
             F.lit("sentinel-0").alias("event_id"),
-            (F.lit(max_ts_row["m"]) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            (F.lit(bounds_row["m"]) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
             "event_type",
             F.lit(0.0).alias("value"),
         )
         base_mtime = 1_000_000_000
         for i in range(5):
-            piece = (
-                chunked.where(F.col("__chunk") == i + 1).drop("__chunk")
-                if i < 4
-                else sentinel
-            )
+            piece = ev.where(chunk_preds[i]) if i < 4 else sentinel
             tmp = os.path.join(work, f"tmp{i}")
             piece.coalesce(1).write.parquet(tmp)
             part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
