@@ -1390,6 +1390,133 @@ def txn_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_reorg_purge",
+    # The oracle is the post-delete live view in closed form (the
+    # delete threshold derives from the data identically on both
+    # engines). Equality gates that the purge materialized EXACTLY
+    # the tombstones - nothing resurrected, nothing extra dropped;
+    # the storage-level shape (tombstoned-dirs-only rewrite, by-ref
+    # survival, dvs GC) is gated by the self-checks below.
+    oracle="""
+    WITH b AS (SELECT max(c_custkey) // 3 AS thr FROM customer)
+    SELECT c_custkey,
+           CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE) AS bal
+    FROM customer, b
+    WHERE NOT (c_custkey <= b.thr AND c_custkey % 5 = 0)
+    """,
+    tags=("txn", "reorg", "purge", "dv", "acid"),
+)
+def txn_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG ... APPLY (PURGE) on a CHECKPOINTED table (round 14):
+    ``customer`` lands as 6 key-range commits past ``checkpoint_at``,
+    a merge-on-read ``delete_dv`` tombstones every 5th key in the low
+    third (only the low directories carry tombstones), then
+    :meth:`reorg_purge` rewrites EXACTLY those directories —
+    materializing their deletes and shedding the tombstone anti-join
+    every future read would otherwise pay forever, since optimize's
+    size-based pick never touches a large tombstoned directory
+    (Delta's REORG, likewise a specialized OPTIMIZE). The pick is
+    metadata-only: the sidecar's ``dv_rows`` column streamed
+    record-batch by record-batch, no filesystem sizing at all.
+
+    SELF-CHECKS: (a) the purge commits as op ``reorg`` and stays
+    checkpointed; (b) every untombstoned directory survives BY
+    REFERENCE and exactly the tombstoned ones rewrite; (c) the dead
+    ``dvs`` sidecar list drops with the last tombstone; (d) the live
+    count is unchanged across the purge and the change feed over it
+    is EMPTY (row-identical by contract); (e) no pre-existing
+    directory is sized from the filesystem during the pick (spy on
+    the walk fallback — only freshly staged outputs measure)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    raw = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(
+            "CAST(round(CAST(c_acctbal AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("bal"),
+    )
+    mx = int(raw.agg(F.max("c_custkey")).first()[0])  # 1-row guard
+    thr = mx // 3
+    work = tempfile.mkdtemp(prefix="ceneton_txn_reorg_")
+    try:
+        table = TxnTable(
+            os.path.join(work, "t"), stats_cols=("c_custkey",),
+            checkpoint_at=4,
+        )
+        for i in range(6):
+            lo, hi = i * mx // 6, (i + 1) * mx // 6
+            # chunk 1 unbounded below: the synthetic keys start at 0
+            pred = F.col("c_custkey") <= hi
+            if i > 0:
+                pred = (F.col("c_custkey") > lo) & pred
+            table.write(raw.where(pred), mode="append")
+        if "files_checkpoint" not in table._stub(table.latest_version()):
+            raise AssertionError("fixture never crossed checkpoint_at")
+        n_full = table.count()
+        v_dv = table.delete_dv(
+            spark, f"c_custkey <= {thr} AND pmod(c_custkey, 5) = 0"
+        )
+        if v_dv is None:
+            raise AssertionError("merge-on-read delete matched nothing")
+        dv_dirs = set(table._dv_rows_map(table._stub(v_dv)))
+        if not dv_dirs or len(dv_dirs) >= 6:
+            raise AssertionError(
+                f"expected a strict subset of dirs tombstoned: {dv_dirs}"
+            )
+        n_live = table.count()
+        files_before = set(table.snapshot()["files"])
+        # (e) purge must never size a pre-existing directory — its
+        # pick reads only the sidecar's dv_rows column
+        sized: list = []
+        real_db = TxnTable._dir_bytes
+        TxnTable._dir_bytes = lambda self, rel: (
+            sized.append(rel) or real_db(self, rel)
+        )
+        try:
+            v_purge = table.reorg_purge(spark)
+        finally:
+            TxnTable._dir_bytes = real_db
+        if set(sized) & files_before:
+            raise AssertionError(
+                f"purge pick walked pre-existing dirs: "
+                f"{set(sized) & files_before}"
+            )
+        if v_purge is None:
+            raise AssertionError("purge found nothing despite tombstones")
+        stub = table._stub(v_purge)
+        # (a) honest history, checkpoint preserved
+        if stub.get("op") != "reorg" or "files_checkpoint" not in stub:
+            raise AssertionError(f"bad purge commit: {stub.get('op')}")
+        # (b) by-reference survival of exactly the untombstoned dirs
+        if set(table.snapshot()["files"]) & files_before != (
+            files_before - dv_dirs
+        ):
+            raise AssertionError("purge rewrote an untombstoned directory")
+        # (c) tombstone accounting fully GC'd
+        if "dvs" in stub or table._dv_rows_map(stub):
+            raise AssertionError("purge left tombstone accounting behind")
+        # (d) row-identical on the live view
+        if table.count() != n_live or n_live >= n_full:
+            raise AssertionError("purge changed the live row count")
+        if table.changes(
+            spark, "c_custkey", v_purge - 1, v_purge
+        ).count() != 0:
+            raise AssertionError("purge commit emitted row changes")
+        if table.reorg_purge(spark) is not None:
+            raise AssertionError("second purge found phantom tombstones")
+        result = table.read(spark).select("c_custkey", "bal")
+        _record_inner_plan("txn_reorg_purge", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_clustered_load_pruning",
     # Equality vs the plain filtered projection gates: the clustered
     # bulk load preserved every row, and within-commit range pruning

@@ -5266,6 +5266,7 @@ class TxnTable:
         small_bytes: int | None,
         bound: int,
         need_sizes: bool = False,
+        dv_only: bool = False,
     ) -> list[tuple[str, int | None]]:
         """The OPTIMIZE pick over a CHECKPOINTED manifest: stream the
         sidecar's ``(dir, bytes)`` columns record-batch by
@@ -5282,20 +5283,36 @@ class TxnTable:
         ``(dir, size)`` pairs; the size is resolved (metadata or walk)
         whenever the pick filtered on it or the caller asked
         (``need_sizes`` — the bin-packing compaction needs sizes even
-        with no ``small_bytes`` floor), else None."""
+        with no ``small_bytes`` floor), else None.
+
+        ``dv_only`` restricts the pick to directories carrying
+        merge-on-read tombstones (``dv_rows`` non-null in the same
+        sidecar stream) — the REORG/PURGE pick: size is irrelevant,
+        what matters is shedding the tombstone anti-join."""
         import pyarrow.parquet as pq
 
         picked: list[tuple[str, int | None]] = []
         src = pq.ParquetFile(os.path.join(self.log_dir, prior_cp))
         has_bytes = "bytes" in src.schema_arrow.names
         cols = ["dir", "bytes"] if has_bytes else ["dir"]
+        if dv_only:
+            cols = cols + ["dv_rows"]
         for batch in src.iter_batches(columns=cols):
             sizes = (
                 batch.column("bytes").to_pylist()
                 if has_bytes
                 else [None] * batch.num_rows
             )
-            for rel, b in zip(batch.column("dir").to_pylist(), sizes):
+            dvs = (
+                batch.column("dv_rows").to_pylist()
+                if dv_only
+                else [1] * batch.num_rows
+            )
+            for rel, b, dv in zip(
+                batch.column("dir").to_pylist(), sizes, dvs
+            ):
+                if not dv:
+                    continue
                 total: int | None = None
                 if small_bytes is not None or need_sizes:
                     total = (
@@ -5310,7 +5327,9 @@ class TxnTable:
 
     @staticmethod
     def _binpack(
-        pairs: list[tuple[str, int | None]], target_bytes: int | None
+        pairs: list[tuple[str, int | None]],
+        target_bytes: int | None,
+        keep_singletons: bool = False,
     ) -> list[list[str]]:
         """Group the picked ``(dir, size)`` pairs into compaction bins.
         With no ``target_bytes`` everything compacts into ONE bin
@@ -5323,8 +5342,15 @@ class TxnTable:
         OPTIMIZE bin-packs to maxFileSize for the same reason — a
         bounded output directory is what keeps FUTURE rewrites of that
         data cheap). Single-directory bins are dropped: rewriting one
-        directory alone buys nothing."""
+        directory alone buys nothing — EXCEPT under
+        ``keep_singletons`` (the PURGE pick), where rewriting a single
+        directory is the whole point: it materializes that directory's
+        tombstones and sheds the anti-join every future read pays."""
         if target_bytes is None:
+            if keep_singletons:
+                # PURGE default: one bin per directory — each rewrite
+                # bounded by its input, no incidental small-file fusing
+                return [[d] for d, _ in pairs]
             dirs = [d for d, _ in pairs]
             return [dirs] if len(dirs) >= 2 else []
         bins: list[list[str]] = []
@@ -5339,6 +5365,8 @@ class TxnTable:
             cur_sz += sz
         if cur:
             bins.append(cur)
+        if keep_singletons:
+            return bins
         return [b for b in bins if len(b) >= 2]
 
     def _optimize_streamed(
@@ -5349,6 +5377,7 @@ class TxnTable:
         small_bytes: int | None,
         max_picked: int | None,
         target_bytes: int | None = None,
+        purge: bool = False,
     ) -> int | None | bool:
         """One OPTIMIZE attempt against a CHECKPOINTED manifest,
         end-to-end streamed (see :meth:`optimize` docstring): bounded
@@ -5368,12 +5397,15 @@ class TxnTable:
             small_bytes,
             bound,
             need_sizes=target_bytes is not None,
+            dv_only=purge,
         )
-        bins = self._binpack(pairs, target_bytes)
+        bins = self._binpack(pairs, target_bytes, keep_singletons=purge)
         if not bins:
             return None
         version = current + 1
-        m2 = self._rewrite_stub_manifest(stub, version, "optimize")
+        m2 = self._rewrite_stub_manifest(
+            stub, version, "reorg" if purge else "optimize"
+        )
         staged_roots: list[str] = []
         adds: list[dict] = []
         dropped: list[str] = []
@@ -5384,10 +5416,16 @@ class TxnTable:
             staged, staged_dirs, new_parts, staged_stats, staged_rows = (
                 self._stage_rewrite(stub, picked_df)
             )
-            staged_roots.append(staged)
-            adds += self._staged_add_rows(
-                spark, staged_dirs, new_parts, staged_stats, staged_rows
-            )
+            if sum(staged_rows.values()) == 0:
+                # every picked row was tombstoned (the PURGE of a
+                # fully-deleted directory): the rewrite adds nothing —
+                # the commit just drops the dead directory
+                self._discard_staged(staged)
+            else:
+                staged_roots.append(staged)
+                adds += self._staged_add_rows(
+                    spark, staged_dirs, new_parts, staged_stats, staged_rows
+                )
             dropped += bin_dirs
         if self._try_commit_streamed(
             version,
@@ -5408,6 +5446,7 @@ class TxnTable:
         max_retries: int = 10,
         max_picked: int | None = None,
         target_bytes: int | None = None,
+        purge: bool = False,
     ) -> int | None:
         """Compaction THROUGH the log: rewrite many small data
         directories (every directory under ``small_bytes``; all of
@@ -5459,7 +5498,18 @@ class TxnTable:
         bounded-size outputs instead of one monster whose own future
         rewrite would be a full-bin scan. Sizes come from the
         manifest's per-directory bytes (metadata-only on post-r14
-        commits); single-directory bins are left untouched."""
+        commits); single-directory bins are left untouched.
+
+        ``purge`` flips the pick from small directories to TOMBSTONED
+        directories (:meth:`reorg_purge` — Delta's ``REORG TABLE ...
+        APPLY (PURGE)``, which is likewise a specialized OPTIMIZE):
+        only directories carrying ``dv_rows`` qualify, whatever their
+        size; single-directory bins are KEPT (rewriting one directory
+        is the point — it materializes that directory's tombstones);
+        a fully-tombstoned directory is dropped with no replacement;
+        and the commit lands as op ``reorg`` so history shows the
+        purge. Like optimize, the commit is row-identical on the live
+        view — the change feed over it is empty by contract."""
         for _ in range(max_retries):
             current = self.latest_version()
             if current is None:
@@ -5468,21 +5518,23 @@ class TxnTable:
             if "files_checkpoint" in stub:
                 got = self._optimize_streamed(
                     spark, current, stub, small_bytes, max_picked,
-                    target_bytes,
+                    target_bytes, purge=purge,
                 )
                 if got is not False:
                     return got
                 continue  # lost the commit race: rebase and re-pick
             snap = self.snapshot(current)
             sizes = self.dir_sizes(current)
+            dvr = snap.get("dv_rows", {}) if purge else None
             pairs = [
                 (rel, sizes.get(rel, 0))
                 for rel in snap["files"]
-                if small_bytes is None or sizes.get(rel, 0) < small_bytes
+                if (small_bytes is None or sizes.get(rel, 0) < small_bytes)
+                and (dvr is None or dvr.get(rel))
             ]
             if max_picked is not None:
                 pairs = pairs[:max_picked]
-            bins = self._binpack(pairs, target_bytes)
+            bins = self._binpack(pairs, target_bytes, keep_singletons=purge)
             if not bins:
                 return None
             picked = {rel for b in bins for rel in b}
@@ -5503,6 +5555,10 @@ class TxnTable:
                 staged, sd, np_, ss, sr = self._stage_optimize_bin(
                     spark, snap, spec, bin_dirs
                 )
+                if sum(sr.values()) == 0:
+                    # fully-tombstoned bin (PURGE): drop, add nothing
+                    self._discard_staged(staged)
+                    continue
                 staged_roots.append(staged)
                 staged_dirs += sd
                 new_parts.update(np_)
@@ -5511,7 +5567,7 @@ class TxnTable:
             version = current + 1
             manifest = {
                 "version": version,
-                "op": "optimize",
+                "op": "reorg" if purge else "optimize",
                 "files": kept + staged_dirs,
                 "txns": dict(snap.get("txns", {})),
             }
@@ -5541,6 +5597,44 @@ class TxnTable:
                 self._discard_staged(staged)
         raise CommitConflict(
             f"lost {max_retries} optimize races on {self.path}"
+        )
+
+    def reorg_purge(
+        self,
+        spark: SparkSession,
+        max_retries: int = 10,
+        max_picked: int | None = None,
+        target_bytes: int | None = None,
+    ) -> int | None:
+        """Rewrite ONLY the directories carrying merge-on-read
+        tombstones, materializing their deletes — Delta's ``REORG
+        TABLE ... APPLY (PURGE)``, implemented (as Delta does) as a
+        specialized :meth:`optimize`. :meth:`optimize` never touches a
+        LARGE tombstoned directory — its pick is size-based — so on a
+        table maintained by ``delete_dv`` the tombstone anti-join
+        would otherwise tax every future read forever. The purge pick
+        is metadata-only (``dv_rows`` from the manifest — streamed
+        from the sidecar on checkpointed tables), each picked
+        directory rewrites alone (single-directory bins kept: bounded
+        output, no small-file fusing as a side effect), a
+        fully-tombstoned directory is dropped with no replacement,
+        and once no surviving directory carries tombstones the dead
+        ``dvs`` sidecar list drops from the manifest — after which
+        :meth:`vacuum` reclaims the sidecar files with their history.
+        Row-identical on the live view (commits as op ``reorg``; the
+        change feed over it is empty by contract). Returns the
+        committed version, or ``None`` when no directory carries
+        tombstones. ``max_picked`` bounds one pass front-to-back in
+        commit order — loop until ``None`` for a full purge;
+        ``target_bytes`` additionally bin-packs adjacent picked
+        directories like optimize."""
+        return self.optimize(
+            spark,
+            small_bytes=None,
+            max_retries=max_retries,
+            max_picked=max_picked,
+            target_bytes=target_bytes,
+            purge=True,
         )
 
     def _stage_optimize_bin(

@@ -677,7 +677,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
           sidecar coalescing)
         * ``drop_partitions`` → the dropped directories' live rows as
           'delete' (a metadata delete is still a delete)
-        * ``optimize`` → nothing (row-identical by contract)
+        * ``optimize`` / ``reorg`` → nothing (row-identical by
+          contract)
         * constraint commits → nothing (policy, not data)
         * ``delete``/``merge`` committed with ``cdc=True`` → the
           commit's ``cdf/`` sidecar IS the change set (Delta's
@@ -694,6 +695,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         op = m.get("op")
         if op in (
             "optimize",
+            "reorg",  # purge: row-identical on the live view, like optimize
             "add_constraint",
             "drop_constraint",
             "set_properties",

@@ -371,6 +371,47 @@ def test_optimize_streamed_drops_dead_dv_sidecars(spark, tmp_path):
     ]
 
 
+def test_reorg_purge_streams_on_checkpointed_manifest(spark, tmp_path):
+    """REORG/PURGE on a checkpointed manifest: the pick streams the
+    sidecar's (dir, dv_rows) columns — no filesystem sizing, no
+    per-directory dict — rewrites ONLY the tombstoned directories
+    (singleton bins: optimize's >=2 floor does not apply), carries
+    the rest by reference, drops the dead dvs list, and the commit
+    stays checkpointed. The batch change feed over the purge commit
+    is empty (row-identical by contract)."""
+    t = _build(spark, str(tmp_path), n_commits=6, checkpoint_at=3)
+    assert t.delete_dv(spark, "k = 7 or k = 55") is not None
+    v_dv = t.latest_version()
+    stub0 = t._stub(v_dv)
+    assert "files_checkpoint" in stub0
+    # the streamed pick finds exactly the two tombstoned directories
+    dv_dirs = sorted(t._dv_rows_map(stub0))
+    picked = t._pick_small_dirs_streamed(
+        stub0["files_checkpoint"], None, bound=1024, dv_only=True
+    )
+    assert sorted(d for d, _ in picked) == dv_dirs
+    files_before = set(t.snapshot()["files"])
+    v = t.reorg_purge(spark)
+    assert v is not None
+    stub1 = t._stub(v)
+    assert "files_checkpoint" in stub1, "purge lost the checkpoint"
+    assert stub1["op"] == "reorg"
+    snap = t.snapshot()
+    # 4 untouched dirs by reference + 2 rewritten outputs
+    assert len(files_before & set(snap["files"])) == 4
+    assert len(snap["files"]) == 6
+    assert not t._dv_rows_map(stub1)
+    assert "dvs" not in stub1, "dead dvs sidecar list survived the purge"
+    assert t.count() == 58
+    assert sorted(r.k for r in t.read(spark).collect()) == [
+        k for k in range(60) if k not in (7, 55)
+    ]
+    # the purge commit is row-identical: the change feed nets nothing
+    assert t.changes(spark, "k", v - 1, v).count() == 0
+    # nothing left to purge
+    assert t.reorg_purge(spark) is None
+
+
 def test_checkpoint_machinery_sized_at_1e5_dirs(tmp_path):
     """VERDICT r12 #3: the O(batch) claims, SIZED. A synthetic
     checkpointed manifest with 100,000 directory entries (manifest

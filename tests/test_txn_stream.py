@@ -603,6 +603,38 @@ def test_cdf_stream_appends_and_dv_deletes(spark, tmp_path):
     assert sorted(got3) == [(5, "delete", 3), (20, "delete", 3)]
 
 
+def test_cdf_stream_silent_over_reorg_purge(spark, tmp_path):
+    """A ``reorg`` (PURGE) commit is row-identical on the live view,
+    so the change-feed stream must skip it silently — same contract
+    as ``optimize`` — and keep streaming subsequent commits. A
+    non-whitelisted op would kill the running stream loudly."""
+    register_txn_source(spark)
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(i, f"r{i}") for i in range(10)]), mode="overwrite")
+    ck = str(tmp_path / "ck")
+    got: list = []
+    _drain_cdf(
+        spark, t, ck,
+        lambda b, _: got.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert len(got) == 10  # initial snapshot
+    t.delete_dv(spark, "id IN (2, 8)")
+    assert t.reorg_purge(spark) is not None
+    t.write(_df(spark, [(30, "z")]), mode="append")
+    got2: list = []
+    _drain_cdf(
+        spark, t, ck,
+        lambda b, _: got2.extend(
+            (r.id, r.change_type, r.commit_version) for r in b.collect()
+        ),
+    )
+    assert sorted(got2) == [
+        (2, "delete", 1), (8, "delete", 1), (30, "insert", 3)
+    ]
+
+
 def test_cdf_stream_drop_partitions_and_cow_raises(spark, tmp_path):
     """drop_partitions streams the dropped directories' live rows as
     'delete' (a metadata delete is still a delete); a copy-on-write

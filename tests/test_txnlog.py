@@ -1721,6 +1721,113 @@ def test_delete_dv_sidecars_coalesce(spark, tmp_path):
     assert t.count(3) == 197
 
 
+def test_reorg_purge_rewrites_only_tombstoned_dirs(spark, tmp_path):
+    """REORG/PURGE (Delta's ``REORG TABLE ... APPLY (PURGE)``): the
+    pick is tombstone-carrying directories, whatever their size —
+    untouched directories survive BY REFERENCE — and once nothing
+    carries tombstones the dvs sidecar list drops, after which vacuum
+    reclaims the sidecar files with their history."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 400).selectExpr("id", "CAST(id AS STRING) AS v")
+    for i in range(4):
+        t.write(
+            df.where(f"id >= {i * 100} AND id < {(i + 1) * 100}"),
+            mode="overwrite" if i == 0 else "append",
+        )
+    # nothing tombstoned: nothing to purge, no empty commit
+    assert t.reorg_purge(spark) is None
+    t.delete_dv(spark, "id IN (5, 105)")  # tombstones in dirs 0 and 1
+    files_before = list(t.snapshot()["files"])
+    assert len(t.snapshot()["dv_rows"]) == 2
+    v = t.reorg_purge(spark)
+    assert v is not None
+    assert t.history()[0]["op"] == "reorg"
+    snap = t.snapshot()
+    # the two untombstoned dirs carried by reference; the two
+    # tombstoned ones rewrote (one output each: singleton bins)
+    assert len(set(files_before) & set(snap["files"])) == 2
+    assert len(snap["files"]) == 4
+    assert "dvs" not in snap and "dv_rows" not in snap
+    assert t.count() == 398
+    assert t.read(spark).where("id IN (5, 105)").count() == 0
+    assert t.read(spark).count() == 398
+    # time travel still reaches the merge-on-read layout
+    assert t.count(v - 1) == 398
+    assert len(t.snapshot(v - 1)["dvs"]) == 1
+    # purge is idempotent: a clean table has nothing to rewrite
+    assert t.reorg_purge(spark) is None
+
+
+def test_reorg_purge_drops_fully_tombstoned_dir(spark, tmp_path):
+    """A directory whose every row is tombstoned purges to NOTHING —
+    dropped from the manifest with no replacement directory (Delta
+    drops a fully-deleted file the same way)."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 200).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df.where("id < 100"), mode="overwrite")
+    t.write(df.where("id >= 100"), mode="append")
+    dir0 = t.snapshot()["files"][0]
+    t.delete_dv(spark, "id >= 100")
+    assert t.count() == 100
+    v = t.reorg_purge(spark)
+    assert v is not None
+    snap = t.snapshot()
+    assert snap["files"] == [dir0], "dead directory must drop, not rewrite"
+    assert "dvs" not in snap and "dv_rows" not in snap
+    assert t.count() == 100
+    assert t.read(spark).count() == 100
+
+
+def test_reorg_purge_bounded_pass_keeps_remaining_dvs(spark, tmp_path):
+    """``max_picked`` bounds one purge pass in commit order; a pass
+    that leaves a tombstoned directory alive must keep the sidecar
+    list (its tombstones still apply). Loop-until-None completes the
+    purge, exactly like bounded optimize sweeps."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 300).selectExpr("id", "CAST(id AS STRING) AS v")
+    for i in range(3):
+        t.write(
+            df.where(f"id >= {i * 100} AND id < {(i + 1) * 100}"),
+            mode="overwrite" if i == 0 else "append",
+        )
+    t.delete_dv(spark, "id IN (10, 210)")  # dirs 0 and 2
+    v1 = t.reorg_purge(spark, max_picked=1)
+    assert v1 is not None
+    snap1 = t.snapshot()
+    assert len(snap1["dv_rows"]) == 1, "one tombstoned dir must remain"
+    assert snap1.get("dvs"), "a live tombstone's sidecar list was dropped"
+    assert t.count() == 298
+    while t.reorg_purge(spark, max_picked=1) is not None:
+        pass
+    snap2 = t.snapshot()
+    assert "dvs" not in snap2 and "dv_rows" not in snap2
+    assert t.count() == 298
+    assert t.read(spark).where("id IN (10, 210)").count() == 0
+
+
+def test_reorg_purge_partitioned_table(spark, tmp_path):
+    """Purge is partition-preserving: the rewritten leaf keeps exact
+    partition values in the manifest, so drop_partitions' metadata
+    proof still works afterwards."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, ["A", "B"][i % 2], f"r{i}") for i in range(10)],
+        "id long, seg string, v string",
+    )
+    t.write_partitioned(df, ("seg",), mode="overwrite")
+    t.delete_dv(spark, "id = 4")  # lives in seg=A
+    v = t.reorg_purge(spark)
+    assert v is not None
+    snap = t.snapshot()
+    assert "dvs" not in snap
+    assert set(snap["parts"]) == set(snap["files"]), (
+        "rewritten leaf lost its partition values"
+    )
+    assert t.count() == 9
+    t.drop_partitions([("seg", "=", "A")])
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+
+
 def test_changes_pre_image_is_live_after_dv_tombstones(spark, tmp_path):
     """A row tombstoned by delete_dv is reported as 'delete' exactly
     ONCE. When a later COW rewrite (delete / optimize) removes the
