@@ -4972,6 +4972,37 @@ class TxnTable:
         out.reverse()
         return out
 
+    def detail(self, version: int | None = None) -> dict:
+        """One metadata dict for a snapshot — Delta's ``DESCRIBE
+        DETAIL``: zero Spark jobs, zero filesystem walks; counts and
+        sizes come from the manifest (``None`` where a legacy
+        directory was never measured, same honesty as
+        :meth:`count`/:meth:`size_bytes`), and checkpointed manifests
+        stream their sidecar columns instead of materializing the
+        per-directory dict."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.log_dir}")
+        stub = self._stub(v)
+        schema = stub.get("schema")
+        return {
+            "path": self.path,
+            "version": v,
+            "op": stub.get("op"),
+            "ts": stub.get("ts"),
+            "num_dirs": stub.get("n_dirs", len(stub.get("files", ()))),
+            "num_rows": self._count_from_stub(stub),
+            "size_bytes": self.size_bytes(v),
+            "partition_by": list(stub.get("partition_by", ())),
+            "columns": (
+                [f["name"] for f in schema["fields"]] if schema else None
+            ),
+            "constraints": dict(stub.get("constraints", {})),
+            "properties": dict(stub.get("props", {})),
+            "num_tombstoned_dirs": len(self._dv_rows_map(stub)),
+            "checkpointed": "files_checkpoint" in stub,
+        }
+
     def version_as_of(self, ts: float) -> int:
         """The newest version committed AT OR BEFORE wall-clock ``ts``
         (Delta's TIMESTAMP AS OF). Commit stamps are the committers'
@@ -5260,6 +5291,32 @@ class TxnTable:
     # the same incremental contract as Delta's OPTIMIZE bin-packing
     _OPTIMIZE_MAX_PICKED = 1024
 
+    # compaction bins stage CONCURRENTLY up to this many Spark jobs
+    # (Delta's OPTIMIZE thread pool): one bin's rewrite is a small job
+    # that nowhere near saturates a big cluster, so a sequential
+    # bin loop leaves most executors idle for the whole compaction
+    _OPTIMIZE_BIN_THREADS = 8
+
+    def _map_bins(self, fn, bins: list[list[str]]) -> list:
+        """Run ``fn`` over the compaction bins — concurrently through
+        a bounded thread pool when there is more than one bin (Spark
+        job submission is thread-safe; each bin stages into its own
+        uuid directory and touches only per-call state), sequentially
+        otherwise. Results come back IN BIN ORDER, so the committed
+        manifest is byte-identical whichever path ran. A bin that
+        raises fails the optimize; its already-staged siblings are
+        crash-orphans the vacuum retention window reclaims — the same
+        story as any writer that dies between stage and commit."""
+        pool = min(len(bins), self._OPTIMIZE_BIN_THREADS)
+        if pool <= 1:
+            return [fn(b) for b in bins]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=pool, thread_name_prefix="optimize-bin"
+        ) as ex:
+            return list(ex.map(fn, bins))
+
     def _pick_small_dirs_streamed(
         self,
         prior_cp: str,
@@ -5406,10 +5463,8 @@ class TxnTable:
         m2 = self._rewrite_stub_manifest(
             stub, version, "reorg" if purge else "optimize"
         )
-        staged_roots: list[str] = []
-        adds: list[dict] = []
-        dropped: list[str] = []
-        for bin_dirs in bins:
+
+        def _stage_bin(bin_dirs: list[str]):
             # live rows only: the rewrite materializes the picked
             # directories' tombstones, same as the non-streamed path
             picked_df = self._read_live(spark, stub, bin_dirs)
@@ -5421,11 +5476,20 @@ class TxnTable:
                 # fully-deleted directory): the rewrite adds nothing —
                 # the commit just drops the dead directory
                 self._discard_staged(staged)
-            else:
+                return None, []
+            return staged, self._staged_add_rows(
+                spark, staged_dirs, new_parts, staged_stats, staged_rows
+            )
+
+        staged_roots: list[str] = []
+        adds: list[dict] = []
+        dropped: list[str] = []
+        for bin_dirs, (staged, bin_adds) in zip(
+            bins, self._map_bins(_stage_bin, bins)
+        ):
+            if staged is not None:
                 staged_roots.append(staged)
-                adds += self._staged_add_rows(
-                    spark, staged_dirs, new_parts, staged_stats, staged_rows
-                )
+                adds += bin_adds
             dropped += bin_dirs
         if self._try_commit_streamed(
             version,
@@ -5498,7 +5562,12 @@ class TxnTable:
         bounded-size outputs instead of one monster whose own future
         rewrite would be a full-bin scan. Sizes come from the
         manifest's per-directory bytes (metadata-only on post-r14
-        commits); single-directory bins are left untouched.
+        commits); single-directory bins are left untouched. Bins
+        stage CONCURRENTLY (up to ``_OPTIMIZE_BIN_THREADS`` Spark
+        jobs at a time via :meth:`_map_bins` — Delta's OPTIMIZE
+        thread pool: one bin's rewrite is far too small to saturate a
+        big cluster alone); results collect in bin order, so the
+        committed manifest is identical to the sequential one's.
 
         ``purge`` flips the pick from small directories to TOMBSTONED
         directories (:meth:`reorg_purge` — Delta's ``REORG TABLE ...
@@ -5551,10 +5620,10 @@ class TxnTable:
             new_parts: dict = {}
             staged_stats: dict = {}
             staged_rows: dict = {}
-            for bin_dirs in bins:
-                staged, sd, np_, ss, sr = self._stage_optimize_bin(
-                    spark, snap, spec, bin_dirs
-                )
+            for staged, sd, np_, ss, sr in self._map_bins(
+                lambda b: self._stage_optimize_bin(spark, snap, spec, b),
+                bins,
+            ):
                 if sum(sr.values()) == 0:
                     # fully-tombstoned bin (PURGE): drop, add nothing
                     self._discard_staged(staged)
@@ -5886,7 +5955,10 @@ class TxnTable:
         return sorted(removed)
 
     def vacuum(
-        self, retain_versions: int = 1, retain_hours: float = 168.0
+        self,
+        retain_versions: int = 1,
+        retain_hours: float = 168.0,
+        spark: SparkSession | None = None,
     ) -> list[str]:
         """Delete data directories unreferenced by the newest
         ``retain_versions`` manifests (and truncate older manifests):
@@ -5899,8 +5971,16 @@ class TxnTable:
         directory younger than the window may belong to an in-flight
         commit and is NOT removed. The default (7 days) is safe against
         any realistic stage→commit gap; pass ``0`` only when no writer
-        can be concurrent (tests, single-writer maintenance)."""
-        import shutil
+        can be concurrent (tests, single-writer maintenance).
+
+        Pass ``spark`` to delete IN PARALLEL on the executors (Delta's
+        vacuum parallel delete): the retention DECISIONS stay exactly
+        as above on the driver, but a large doomed set is deleted as
+        one Spark job instead of O(dead objects) sequential driver
+        round-trips — on an object store at 10^6 dead directories the
+        serial loop is hours of latency, not bandwidth. Deletion is
+        idempotent (ignore-missing), so task retries are safe. Small
+        batches stay driver-side either way (a job has fixed cost)."""
         import time
 
         if retain_versions < 1:
@@ -5929,6 +6009,11 @@ class TxnTable:
                 if stub.get("cdc"):
                     live_dvs.add(stub["cdc"])
         cutoff = time.time() - retain_hours * 3600.0
+        # one O(live x depth) ancestor index up front: the per-candidate
+        # "does this root shelter a live descendant?" probe is O(1)
+        # instead of a scan of the live set — the scan is quadratic
+        # exactly when vacuum has real work (many dead roots)
+        anc = self._live_ancestor_index(live)
         removed = []
         for d in os.listdir(self.data_dir):
             rel = f"data/{d}"
@@ -5940,8 +6025,8 @@ class TxnTable:
             # sibling stays referenced — i.e. forever)
             if rel in live:
                 continue  # root directly referenced: all contents live
-            if any(e.startswith(rel + "/") for e in live):
-                removed += self._vacuum_dead_leaves(rel, live, cutoff)
+            if rel in anc:
+                removed += self._vacuum_dead_leaves(rel, live, anc, cutoff)
                 continue
             full = os.path.join(self.data_dir, d)
             try:
@@ -5949,7 +6034,6 @@ class TxnTable:
                     continue  # possibly staged by an in-flight writer
             except FileNotFoundError:
                 continue
-            shutil.rmtree(full, ignore_errors=True)
             removed.append(rel)
         # stream-sink temp files orphaned by crashed tasks (committed
         # batches RENAME their files out of tmpstream, so anything old
@@ -5961,7 +6045,6 @@ class TxnTable:
                 try:
                     if os.stat(full).st_mtime > cutoff:
                         continue
-                    os.remove(full)
                 except FileNotFoundError:
                     continue
                 removed.append(f"tmpstream/{f}")
@@ -5983,24 +6066,76 @@ class TxnTable:
                         continue
                 except FileNotFoundError:
                     continue
-                shutil.rmtree(full, ignore_errors=True)
                 removed.append(rel)
+        self._bulk_remove(removed, spark)
         self.truncate_log(retain_versions)
         return removed
 
-    def _vacuum_dead_leaves(
-        self, rel_root: str, live: set[str], cutoff: float
-    ) -> list[str]:
-        """Reclaim dead subtrees inside a partially-live staged root.
-        A published root never gains new leaves (every write stages a
-        FRESH uuid root), so any subdirectory that no retained manifest
-        references — and that is not an ancestor of one (multi-column
-        partitions) — is garbage; the mtime cutoff is kept for symmetry
-        with the top-level rule. Loose files at intermediate levels
-        (_SUCCESS markers) are left alone."""
-        import shutil
+    @staticmethod
+    def _live_ancestor_index(live: set[str]) -> set[str]:
+        """Every proper path PREFIX of a live manifest entry (for
+        ``data/<uuid>/k=a/k2=b``: ``data/<uuid>`` and
+        ``data/<uuid>/k=a``). The vacuum walk asks "does this
+        unreferenced directory shelter a live descendant?" once per
+        candidate; scanning the live set to answer is
+        O(candidates x live) — quadratic exactly when vacuum has real
+        work (many dead roots over a large table). One
+        O(live x depth) pass up front makes each ask a set probe."""
+        anc: set[str] = set()
+        for e in live:
+            parts = e.split("/")
+            for i in range(2, len(parts)):
+                anc.add("/".join(parts[:i]))
+        return anc
 
-        removed: list[str] = []
+    _VACUUM_PARALLEL_AT = 64
+
+    def _bulk_remove(
+        self, rels: list[str], spark: SparkSession | None
+    ) -> None:
+        """Delete the doomed paths — serially on the driver for small
+        batches, as ONE Spark job when ``spark`` is passed and the
+        batch is large (Delta's vacuum parallel delete). The retention
+        DECISIONS already happened; deletion commutes and is
+        idempotent (ignore-missing), so executor task retries are
+        safe. Directories rmtree; loose files (tmpstream orphans)
+        unlink."""
+        base = self.path
+
+        def _rm(rel: str) -> None:
+            import os as _os
+            import shutil as _sh
+
+            full = _os.path.join(base, rel)
+            if _os.path.isdir(full):
+                _sh.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    _os.remove(full)
+                except FileNotFoundError:
+                    pass
+
+        if spark is not None and len(rels) >= self._VACUUM_PARALLEL_AT:
+            sc = spark.sparkContext
+            slices = max(1, min(len(rels), sc.defaultParallelism * 2))
+            sc.parallelize(list(rels), slices).foreach(_rm)
+        else:
+            for rel in rels:
+                _rm(rel)
+
+    def _vacuum_dead_leaves(
+        self, rel_root: str, live: set[str], anc: set[str], cutoff: float
+    ) -> list[str]:
+        """Collect dead subtrees inside a partially-live staged root
+        (deletion happens in the caller's one bulk pass). A published
+        root never gains new leaves (every write stages a FRESH uuid
+        root), so any subdirectory that no retained manifest
+        references — and that is not an ancestor of one (multi-column
+        partitions, probed via the precomputed ``anc`` index) — is
+        garbage; the mtime cutoff is kept for symmetry with the
+        top-level rule. Loose files at intermediate levels (_SUCCESS
+        markers) are left alone."""
+        doomed: list[str] = []
         stack = [rel_root]
         while stack:
             cur = stack.pop()
@@ -6015,7 +6150,7 @@ class TxnTable:
                     continue
                 if sub in live:
                     continue
-                if any(e.startswith(sub + "/") for e in live):
+                if sub in anc:
                     stack.append(sub)
                     continue
                 try:
@@ -6023,6 +6158,5 @@ class TxnTable:
                         continue
                 except FileNotFoundError:
                     continue
-                shutil.rmtree(full, ignore_errors=True)
-                removed.append(sub)
-        return removed
+                doomed.append(sub)
+        return doomed

@@ -1053,6 +1053,145 @@ def test_vacuum_reclaims_dead_leaves_in_live_roots(spark, tmp_path):
     assert t.read(spark).count() == 10
 
 
+def test_vacuum_parallel_delete_matches_serial(spark, tmp_path):
+    """``vacuum(spark=...)`` deletes the SAME doomed set as the serial
+    driver loop, just as one Spark job (Delta's vacuum parallel
+    delete) — the retention decisions are identical, only the
+    deletion transport changes. Forced over the parallel path by
+    dropping the batch-size floor."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v")
+    # 5 overwrites: 4 dead directories + 1 live
+    for i in range(5):
+        t.write(df.where(f"id >= {i * 20} AND id < {(i + 1) * 20}"),
+                mode="overwrite")
+    dead = [d for d in os.listdir(t.data_dir)
+            if f"data/{d}" not in set(t.snapshot()["files"])]
+    assert len(dead) == 4
+    orig_floor = TxnTable._VACUUM_PARALLEL_AT
+    TxnTable._VACUUM_PARALLEL_AT = 1  # force the Spark-job path
+    try:
+        removed = t.vacuum(retain_versions=1, retain_hours=0.0, spark=spark)
+    finally:
+        TxnTable._VACUUM_PARALLEL_AT = orig_floor
+    assert sorted(removed) == sorted(f"data/{d}" for d in dead)
+    for rel in removed:
+        assert not os.path.exists(os.path.join(t.path, rel)), rel
+    # the live directory is intact and the table still reads
+    assert t.read(spark).count() == 20
+    assert sorted(r.id for r in t.read(spark).collect()) == list(
+        range(80, 100)
+    )
+    # idempotent: a second parallel vacuum finds nothing
+    assert t.vacuum(retain_versions=1, retain_hours=0.0, spark=spark) == []
+
+
+def test_optimize_bins_stage_concurrently(spark, tmp_path, monkeypatch):
+    """Compaction bins stage through a bounded thread pool (Delta's
+    OPTIMIZE thread pool): one bin's rewrite job is far too small to
+    saturate a big cluster alone, so bins submit concurrently —
+    results collect in bin order, and the committed content is
+    identical to the sequential path's."""
+    import threading
+
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 80).selectExpr("id", "CAST(id AS STRING) AS v")
+    for i in range(8):
+        t.write(
+            df.where(f"id >= {i * 10} AND id < {(i + 1) * 10}"),
+            mode="overwrite" if i == 0 else "append",
+        )
+    seen: set = set()
+    real = TxnTable._stage_optimize_bin
+
+    def spy(self, spark_, snap, spec, bin_dirs):
+        seen.add(threading.current_thread().name)
+        return real(self, spark_, snap, spec, bin_dirs)
+
+    monkeypatch.setattr(TxnTable, "_stage_optimize_bin", spy)
+    sizes = t.dir_sizes()
+    target = int(2.5 * sorted(sizes.values())[len(sizes) // 2])
+    v = t.optimize(spark, target_bytes=target)
+    assert v is not None
+    assert any(n.startswith("optimize-bin") for n in seen), seen
+    assert 1 < len(t.snapshot()["files"]) < 8  # binned, not fused
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(80))
+
+
+def test_reorg_purge_stages_dirs_concurrently(spark, tmp_path, monkeypatch):
+    """PURGE's singleton bins ride the same pool: two tombstoned
+    directories rewrite as two concurrent jobs on the streamed
+    (checkpointed) path, with identical committed content."""
+    import threading
+
+    t = TxnTable(str(tmp_path / "t"), checkpoint_at=2)
+    df = spark.range(0, 300).selectExpr("id", "CAST(id AS STRING) AS v")
+    for i in range(3):
+        t.write(
+            df.where(f"id >= {i * 100} AND id < {(i + 1) * 100}"),
+            mode="overwrite" if i == 0 else "append",
+        )
+    assert "files_checkpoint" in t._stub(t.latest_version())
+    t.delete_dv(spark, "id IN (10, 210)")  # dirs 0 and 2
+    seen: set = set()
+    real = TxnTable._stage_rewrite
+
+    def spy(self, snap, df_):
+        seen.add(threading.current_thread().name)
+        return real(self, snap, df_)
+
+    monkeypatch.setattr(TxnTable, "_stage_rewrite", spy)
+    v = t.reorg_purge(spark)
+    assert v is not None
+    pool_threads = {n for n in seen if n.startswith("optimize-bin")}
+    assert len(pool_threads) >= 1, seen
+    snap = t.snapshot()
+    assert "dvs" not in snap
+    assert t.count() == 298
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        i for i in range(300) if i not in (10, 210)
+    ]
+
+
+def test_describe_detail(spark, tmp_path):
+    """``detail()`` — DESCRIBE DETAIL as one metadata dict: counts,
+    sizes, layout and policy straight from the manifest, zero jobs,
+    correct across checkpointed and inline manifests and across
+    versions."""
+    t = TxnTable(str(tmp_path / "t"), checkpoint_at=2)
+    df = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df.where("id < 50"), mode="overwrite")
+    t.write(df.where("id >= 50"), mode="append")
+    t.add_constraint(spark, "id_nonneg", "id >= 0")
+    t.delete_dv(spark, "id = 7")
+    d = t.detail()
+    assert d["version"] == 3 and d["op"] == "delete_dv"
+    assert d["num_dirs"] == 2 and d["num_rows"] == 99
+    assert d["size_bytes"] == t.size_bytes()
+    assert d["columns"] == ["id", "v"]
+    assert d["constraints"] == {"id_nonneg": "id >= 0"}
+    assert d["num_tombstoned_dirs"] == 1
+    assert d["checkpointed"] is True
+    assert d["partition_by"] == []
+    # version-addressed detail reflects that snapshot, not the tip
+    d0 = t.detail(0)
+    assert d0["num_dirs"] == 1 and d0["num_rows"] == 50
+    assert d0["num_tombstoned_dirs"] == 0
+    assert d0["checkpointed"] is False
+
+
+def test_vacuum_live_ancestor_index(spark, tmp_path):
+    """The ancestor index answers exactly the question the old
+    per-candidate live-set scan did — every proper prefix of a live
+    entry, nothing else — so partially-live roots descend and fully
+    dead roots delete whole."""
+    anc = TxnTable._live_ancestor_index(
+        {"data/u1", "data/u2/seg=A/b=1", "data/u2/seg=B"}
+    )
+    assert anc == {"data/u2", "data/u2/seg=A"}
+    assert "data/u1" not in anc  # depth-2 entries have no ancestors
+
+
 def test_multi_column_partitioning(spark, tmp_path):
     """Two partition levels: exact values for both columns, conjunct
     drops, leaf-granular vacuum descending THROUGH a live ancestor
