@@ -1517,6 +1517,118 @@ def txn_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txn_reorg_vacuum_lifecycle",
+    # Post-delete live view in closed form (threshold derived from the
+    # data on both engines). Equality gates the WHOLE maintenance
+    # lifecycle: purge materialized exactly the tombstones, the
+    # parallel vacuum deleted only dead storage, and the survivors
+    # still read complete.
+    oracle="""
+    WITH b AS (SELECT max(o_orderkey) // 3 AS thr FROM orders)
+    SELECT o_orderkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+             AS total
+    FROM orders, b
+    WHERE NOT (o_orderkey <= b.thr AND o_orderkey % 11 = 0)
+    """,
+    tags=("txn", "reorg", "vacuum", "detail", "maintenance", "acid"),
+)
+def txn_reorg_vacuum_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MAINTENANCE lifecycle a production table cycles
+    through (round 14): ``orders`` lands as 6 key-range commits past
+    ``checkpoint_at``; ``detail()`` answers DESCRIBE DETAIL off the
+    manifest with zero jobs; ``delete_dv`` tombstones every 11th key
+    in the low third merge-on-read; :meth:`reorg_purge` rewrites
+    exactly the tombstoned directories (concurrent singleton bins);
+    then ``vacuum(spark=...)`` reclaims the dead predecessors AS ONE
+    SPARK JOB (Delta's vacuum parallel delete — forced over the
+    parallel path via the instance-level batch floor) plus the now
+    globally-dead dv sidecar, under ``retain_versions=1``.
+
+    SELF-CHECKS: (a) detail() before/after tracks the transition
+    (tombstoned-dirs count 0 after purge, row count = live count,
+    size_bytes consistent with the recorded layout); (b) vacuum
+    removed EXACTLY the purged predecessor directories and the dv
+    sidecar — every surviving directory still exists on disk; (c) the
+    table reads completely after GC (nothing live was deleted)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ceneton_database_tools_spark.operators.scale import _record_inner_plan
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    raw = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)"
+        ).alias("total"),
+    )
+    mx = int(raw.agg(F.max("o_orderkey")).first()[0])  # 1-row guard
+    thr = mx // 3
+    work = tempfile.mkdtemp(prefix="ceneton_txn_lifecycle_")
+    try:
+        table = TxnTable(
+            os.path.join(work, "t"), stats_cols=("o_orderkey",),
+            checkpoint_at=4,
+        )
+        for i in range(6):
+            lo, hi = i * mx // 6, (i + 1) * mx // 6
+            # chunk 1 unbounded below: the synthetic keys start at 0
+            pred = F.col("o_orderkey") <= hi
+            if i > 0:
+                pred = (F.col("o_orderkey") > lo) & pred
+            table.write(raw.where(pred), mode="append")
+        d0 = table.detail()
+        if not (
+            d0["checkpointed"]
+            and d0["num_dirs"] == 6
+            and d0["num_rows"] == table.count()
+            and d0["num_tombstoned_dirs"] == 0
+        ):
+            raise AssertionError(f"detail() misreported the load: {d0}")
+        if table.delete_dv(
+            spark, f"o_orderkey <= {thr} AND pmod(o_orderkey, 11) = 0"
+        ) is None:
+            raise AssertionError("merge-on-read delete matched nothing")
+        dv_dirs = set(
+            table._dv_rows_map(table._stub(table.latest_version()))
+        )
+        if not dv_dirs or len(dv_dirs) >= 6:
+            raise AssertionError(
+                f"expected a strict subset of dirs tombstoned: {dv_dirs}"
+            )
+        if table.reorg_purge(spark) is None:
+            raise AssertionError("purge found nothing despite tombstones")
+        d1 = table.detail()
+        if d1["num_tombstoned_dirs"] != 0 or d1["num_rows"] is None:
+            raise AssertionError(f"detail() misreported the purge: {d1}")
+        if d1["size_bytes"] is None:
+            raise AssertionError("purge lost the byte metadata")
+        # (b) parallel GC: exactly the purged predecessors + the dv
+        # sidecar die; instance-level floor forces the Spark-job path
+        table._VACUUM_PARALLEL_AT = 1
+        removed = table.vacuum(
+            retain_versions=1, retain_hours=0.0, spark=spark
+        )
+        got_dirs = {r for r in removed if r.startswith("data/")}
+        if got_dirs != dv_dirs:
+            raise AssertionError(
+                f"vacuum removed {got_dirs}, expected exactly {dv_dirs}"
+            )
+        if not any(r.startswith("dv/") for r in removed):
+            raise AssertionError("dead dv sidecar survived the vacuum")
+        for rel in table.snapshot()["files"]:
+            if not os.path.isdir(os.path.join(table.path, rel)):
+                raise AssertionError(f"vacuum deleted live storage: {rel}")
+        result = table.read(spark).select("o_orderkey", "total")
+        _record_inner_plan("txn_reorg_vacuum_lifecycle", result)
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "txn_clustered_load_pruning",
     # Equality vs the plain filtered projection gates: the clustered
     # bulk load preserved every row, and within-commit range pruning

@@ -234,3 +234,54 @@ def test_split_scan_equals_whole_scan(tmp_path_factory, data, cut_fracs):
                     tuple(flat[i * width : (i + 1) * width]) for i in range(n_rows)
                 )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# _binpack: the OPTIMIZE/PURGE bin grouper is pure driver logic — pin
+# its invariants over arbitrary (dir, size) sequences
+
+
+@given(
+    sizes=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=1 << 40)),
+        max_size=200,
+    ),
+    target=st.one_of(
+        st.none(), st.integers(min_value=1, max_value=1 << 32)
+    ),
+    keep_singletons=st.booleans(),
+)
+def test_binpack_invariants(sizes, target, keep_singletons):
+    """No directory is ever lost or duplicated across bins; commit
+    order is preserved within and across bins; every multi-item bin's
+    PREFIX stays under the target (greedy first-fit: the bin closed
+    before the item that would overflow it); singleton bins appear
+    only under keep_singletons (the PURGE pick) except the documented
+    oversized-single-dir case."""
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    pairs = [(f"data/d{i}", sz) for i, sz in enumerate(sizes)]
+    bins = TxnTable._binpack(pairs, target, keep_singletons=keep_singletons)
+    flat = [d for b in bins for d in b]
+    # subset, no dups, order preserved (subsequence of commit order)
+    assert len(flat) == len(set(flat))
+    order = {d: i for i, (d, _) in enumerate(pairs)}
+    assert all(order[a] < order[b] for a, b in zip(flat, flat[1:]))
+    by_dir = dict(pairs)
+    if keep_singletons:
+        # PURGE: every picked dir must be rewritten — nothing dropped
+        assert flat == [d for d, _ in pairs]
+    else:
+        assert all(len(b) >= 2 for b in bins)
+    if target is None:
+        if keep_singletons:
+            assert all(len(b) == 1 for b in bins)  # one bin per dir
+        else:
+            assert len(bins) <= 1  # single fused bin (or nothing)
+    else:
+        for b in bins:
+            # greedy close rule: all but the last item fit under target
+            run = 0
+            for d in b[:-1]:
+                run += int(by_dir[d] or 0)
+            assert run <= target or len(b) == 1
