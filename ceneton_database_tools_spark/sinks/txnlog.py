@@ -6026,13 +6026,7 @@ class TxnTable:
             if rel in live:
                 continue  # root directly referenced: all contents live
             if rel in anc:
-                removed += self._vacuum_dead_leaves(rel, live, anc, cutoff)
-                continue
-            full = os.path.join(self.data_dir, d)
-            try:
-                if os.stat(full).st_mtime > cutoff:
-                    continue  # possibly staged by an in-flight writer
-            except FileNotFoundError:
+                removed += self._vacuum_dead_leaves(rel, live, anc)
                 continue
             removed.append(rel)
         # stream-sink temp files orphaned by crashed tasks (committed
@@ -6041,12 +6035,6 @@ class TxnTable:
         tmp_root = os.path.join(self.path, "tmpstream")
         if os.path.isdir(tmp_root):
             for f in os.listdir(tmp_root):
-                full = os.path.join(tmp_root, f)
-                try:
-                    if os.stat(full).st_mtime > cutoff:
-                        continue
-                except FileNotFoundError:
-                    continue
                 removed.append(f"tmpstream/{f}")
         # deletion-vector and change-data sidecars GC under the same
         # retention rules: referenced by a retained manifest -> live;
@@ -6060,14 +6048,8 @@ class TxnTable:
                 rel = f"{sub}/{d}"
                 if rel in live_dvs:
                     continue
-                full = os.path.join(root, d)
-                try:
-                    if os.stat(full).st_mtime > cutoff:
-                        continue
-                except FileNotFoundError:
-                    continue
                 removed.append(rel)
-        self._bulk_remove(removed, spark)
+        removed = self._bulk_remove(removed, spark, cutoff)
         self.truncate_log(retain_versions)
         return removed
 
@@ -6091,22 +6073,32 @@ class TxnTable:
     _VACUUM_PARALLEL_AT = 64
 
     def _bulk_remove(
-        self, rels: list[str], spark: SparkSession | None
-    ) -> None:
-        """Delete the doomed paths — serially on the driver for small
-        batches, as ONE Spark job when ``spark`` is passed and the
-        batch is large (Delta's vacuum parallel delete). The retention
-        DECISIONS already happened; deletion commutes and is
-        idempotent (ignore-missing), so executor task retries are
-        safe. Directories rmtree; loose files (tmpstream orphans)
-        unlink."""
+        self, rels: list[str], spark: SparkSession | None, cutoff: float
+    ) -> list[str]:
+        """Apply the mtime safety window and delete the surviving
+        candidates — serially on the driver for small batches, as ONE
+        Spark job when ``spark`` is passed and the batch is large
+        (Delta's vacuum parallel delete). The liveness DECISIONS
+        already happened on the driver; the PER-PATH stat rides with
+        the delete because at 10^6 dead objects a serial driver-side
+        stat pass is the same sequential-round-trip wall the parallel
+        delete exists to remove. Deletion commutes and is idempotent
+        (ignore-missing), so executor task retries are safe; ``map``
+        preserves input order, so the returned removed-list is
+        deterministic on both paths. Directories rmtree; loose files
+        (tmpstream orphans) unlink."""
         base = self.path
 
-        def _rm(rel: str) -> None:
+        def _rm(rel: str) -> str | None:
             import os as _os
             import shutil as _sh
 
             full = _os.path.join(base, rel)
+            try:
+                if _os.stat(full).st_mtime > cutoff:
+                    return None  # possibly staged by an in-flight writer
+            except FileNotFoundError:
+                return None
             if _os.path.isdir(full):
                 _sh.rmtree(full, ignore_errors=True)
             else:
@@ -6114,27 +6106,27 @@ class TxnTable:
                     _os.remove(full)
                 except FileNotFoundError:
                     pass
+            return rel
 
         if spark is not None and len(rels) >= self._VACUUM_PARALLEL_AT:
             sc = spark.sparkContext
             slices = max(1, min(len(rels), sc.defaultParallelism * 2))
-            sc.parallelize(list(rels), slices).foreach(_rm)
+            out = sc.parallelize(list(rels), slices).map(_rm).collect()
         else:
-            for rel in rels:
-                _rm(rel)
+            out = [_rm(rel) for rel in rels]
+        return [r for r in out if r is not None]
 
     def _vacuum_dead_leaves(
-        self, rel_root: str, live: set[str], anc: set[str], cutoff: float
+        self, rel_root: str, live: set[str], anc: set[str]
     ) -> list[str]:
         """Collect dead subtrees inside a partially-live staged root
-        (deletion happens in the caller's one bulk pass). A published
-        root never gains new leaves (every write stages a FRESH uuid
-        root), so any subdirectory that no retained manifest
-        references — and that is not an ancestor of one (multi-column
-        partitions, probed via the precomputed ``anc`` index) — is
-        garbage; the mtime cutoff is kept for symmetry with the
-        top-level rule. Loose files at intermediate levels (_SUCCESS
-        markers) are left alone."""
+        (the mtime safety check and the deletion both happen in the
+        caller's one bulk pass). A published root never gains new
+        leaves (every write stages a FRESH uuid root), so any
+        subdirectory that no retained manifest references — and that
+        is not an ancestor of one (multi-column partitions, probed
+        via the precomputed ``anc`` index) — is garbage. Loose files
+        at intermediate levels (_SUCCESS markers) are left alone."""
         doomed: list[str] = []
         stack = [rel_root]
         while stack:
@@ -6145,18 +6137,12 @@ class TxnTable:
                 continue
             for name in names:
                 sub = f"{cur}/{name}"
-                full = os.path.join(self.path, sub)
-                if not os.path.isdir(full):
+                if not os.path.isdir(os.path.join(self.path, sub)):
                     continue
                 if sub in live:
                     continue
                 if sub in anc:
                     stack.append(sub)
-                    continue
-                try:
-                    if os.stat(full).st_mtime > cutoff:
-                        continue
-                except FileNotFoundError:
                     continue
                 doomed.append(sub)
         return doomed

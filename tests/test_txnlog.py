@@ -1084,6 +1084,22 @@ def test_vacuum_parallel_delete_matches_serial(spark, tmp_path):
     )
     # idempotent: a second parallel vacuum finds nothing
     assert t.vacuum(retain_versions=1, retain_hours=0.0, spark=spark) == []
+    # the mtime safety window holds on the parallel path too: a fresh
+    # unreferenced directory (in-flight stager shape) survives, and is
+    # NOT reported removed (the executor-side stat gates the delete)
+    t.write(df.where("id < 10"), mode="overwrite")
+    dead_young = [d for d in os.listdir(t.data_dir)
+                  if f"data/{d}" not in set(t.snapshot()["files"])]
+    assert dead_young
+    TxnTable._VACUUM_PARALLEL_AT = 1
+    try:
+        assert t.vacuum(
+            retain_versions=1, retain_hours=168.0, spark=spark
+        ) == []
+    finally:
+        TxnTable._VACUUM_PARALLEL_AT = orig_floor
+    for d in dead_young:
+        assert os.path.isdir(os.path.join(t.data_dir, d))
 
 
 def test_optimize_bins_stage_concurrently(spark, tmp_path, monkeypatch):
