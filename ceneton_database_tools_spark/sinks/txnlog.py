@@ -5034,6 +5034,12 @@ class TxnTable:
         :meth:`version_as_of`."""
         return self.read(spark, self.version_as_of(ts))
 
+    def restore_as_of(self, ts: float, max_retries: int = 10) -> int | None:
+        """Rollback by TIMESTAMP — Delta's ``RESTORE ... TIMESTAMP AS
+        OF``: :meth:`restore` to :meth:`version_as_of` (conservative
+        under writer clock skew, like every AS-OF read)."""
+        return self.restore(self.version_as_of(ts), max_retries=max_retries)
+
     def restore(self, version: int, max_retries: int = 10) -> int | None:
         """Roll the table BACK to ``version`` — as a new commit, never
         by rewinding the log (Delta's RESTORE): the restored snapshot's

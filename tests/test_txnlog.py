@@ -1169,6 +1169,56 @@ def test_reorg_purge_stages_dirs_concurrently(spark, tmp_path, monkeypatch):
     ]
 
 
+def test_reorg_purge_race_with_delete_dv_rebases(spark, tmp_path):
+    """A delete_dv landing between the purge's pick and its commit
+    steals the version: the purge must REBASE and re-pick from the
+    new snapshot, so the late tombstones materialize too — never
+    resurrected, never left behind as a stale dvs list."""
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.range(0, 200).selectExpr("id", "CAST(id AS STRING) AS v")
+    t.write(df.where("id < 100"), mode="overwrite")
+    t.write(df.where("id >= 100"), mode="append")
+    t.delete_dv(spark, "id = 5")  # dir 0 tombstoned
+    real = t._try_commit
+    stolen = {"done": False}
+
+    def stealing(version, manifest):
+        if not stolen["done"]:
+            stolen["done"] = True
+            other = TxnTable(t.path)
+            got = other.delete_dv(spark, "id = 150")  # dir 1, steals it
+            assert got == version
+        return real(version, manifest)
+
+    t._try_commit = stealing
+    v = t.reorg_purge(spark)
+    assert v is not None and stolen["done"]
+    snap = t.snapshot()
+    assert "dvs" not in snap and "dv_rows" not in snap
+    assert t.count() == 198
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        i for i in range(200) if i not in (5, 150)
+    ]
+
+
+def test_restore_as_of_timestamp(spark, tmp_path):
+    """RESTORE ... TIMESTAMP AS OF: rollback to the newest version
+    committed at or before the wall-clock instant, as a commit."""
+    import time
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    time.sleep(0.05)
+    mark = time.time()
+    time.sleep(0.05)
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    v = t.restore_as_of(mark)
+    assert v == 2
+    assert sorted(r.id for r in t.read(spark).collect()) == [1]
+    # already at the as-of state: no empty commit
+    assert t.restore_as_of(time.time()) is None
+
+
 def test_describe_detail(spark, tmp_path):
     """``detail()`` — DESCRIBE DETAIL as one metadata dict: counts,
     sizes, layout and policy straight from the manifest, zero jobs,
