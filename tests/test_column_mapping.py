@@ -309,3 +309,42 @@ def test_stream_face_snapshot_and_appends_span_a_rename(spark, tmp_path):
     assert [(r["k"], r["balance"]) for r in rows] == [
         (i, 2 * i) for i in range(10)
     ]
+
+
+def test_reorg_purge_composes_with_mapping_and_evolution(spark, tmp_path):
+    """PURGE under column mapping + schema evolution: the rewrite of a
+    tombstoned pre-rename/pre-evolution directory materializes the
+    CURRENT logical names and NULL-fills the evolved column, while
+    untouched pre-rename directories keep serving through the name
+    history — and the purge stays metadata-only about which
+    directories to touch."""
+    t = TxnTable(str(tmp_path), checkpoint_at=2)
+    t.write(_kv(spark, 0, 10), mode="overwrite")
+    t.write(_kv(spark, 10, 20), mode="append")
+    t.rename_column("bal", "balance")
+    # evolve: post-rename append carries a NEW nullable column
+    ev = spark.range(20, 25).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("balance"),
+        F.lit("x").alias("tag"),
+    )
+    t.write(ev, mode="append", merge_schema=True)
+    assert "files_checkpoint" in t._stub(t.latest_version())
+    # tombstone rows in the FIRST (pre-rename, pre-evolution) dir only
+    assert t.delete_dv(spark, "k IN (3, 7)") is not None
+    dv_dirs = set(t._dv_rows_map(t._stub(t.latest_version())))
+    assert len(dv_dirs) == 1
+    files_before = set(t.snapshot()["files"])
+    v = t.reorg_purge(spark)
+    assert v is not None
+    snap = t.snapshot()
+    # only the tombstoned dir rewrote; both other epochs by reference
+    assert files_before & set(snap["files"]) == files_before - dv_dirs
+    assert "dvs" not in snap
+    # reads coalesce all three epochs under the CURRENT names
+    got = {r["k"]: (r["balance"], r["tag"]) for r in t.read(spark).collect()}
+    assert set(got) == set(range(25)) - {3, 7}
+    assert all(got[k] == (2 * k, None) for k in got if k < 20)
+    assert all(got[k] == (2 * k, "x") for k in got if k >= 20)
+    # (stats/bloom cell re-keying under renames is pinned by
+    # test_stats_and_bloom_rekey_so_pruning_follows_the_rename)
