@@ -93,6 +93,37 @@ def test_ignorechanges_reemits_rewritten_directory(spark, stream_table):
     assert sorted(got) == [(2, "b")]
 
 
+def test_plain_stream_over_reorg_purge(spark, stream_table):
+    """A ``reorg`` (PURGE) commit is a rewrite to the insert-only
+    stream, exactly like optimize: it fails loudly without
+    ignorechanges, and under ignorechanges the rewritten directory's
+    survivors re-emit (Delta's documented semantics) — never silently
+    skipped as if it were a policy commit."""
+    t, sdf, ck = stream_table
+    _drain(sdf, ck, lambda b, _: None)  # consume the snapshot
+    t.delete_dv(spark, "id = 1")
+    assert t.reorg_purge(spark) is not None
+    # ignoredeletes skips the dv-only commit; the REORG itself raises
+    sdf_id = (
+        spark.readStream.format("txntable")
+        .schema("id long, v string")
+        .option("ignoredeletes", "true")
+        .load(t.path)
+    )
+    with pytest.raises(Exception, match="'reorg'"):
+        _drain(sdf_id, ck, lambda b, _: None)
+    sdf_ic = (
+        spark.readStream.format("txntable")
+        .schema("id long, v string")
+        .option("ignorechanges", "true")
+        .load(t.path)
+    )
+    got: list = []
+    _drain(sdf_ic, ck, lambda b, _: got.extend((r.id, r.v) for r in b.collect()))
+    # the purged directory re-emits its SURVIVORS only (id=1 is gone)
+    assert sorted(got) == [(2, "b")]
+
+
 def test_streams_clustered_commit_entries(spark, tmp_path):
     """A write_clustered commit's nested range directories stream like
     any other commit — the per-file partitions walk into them."""
