@@ -285,3 +285,28 @@ def test_binpack_invariants(sizes, target, keep_singletons):
             for d in b[:-1]:
                 run += int(by_dir[d] or 0)
             assert run <= target or len(b) == 1
+
+
+@given(
+    live=st.sets(
+        st.lists(
+            st.sampled_from(["a", "b", "k=1", "k=2", "x"]),
+            min_size=0, max_size=3,
+        ).map(lambda parts: "/".join(["data", "root"] + parts)),
+        max_size=30,
+    ),
+    probe=st.lists(
+        st.sampled_from(["a", "b", "k=1", "k=2", "x", "z"]),
+        min_size=0, max_size=3,
+    ).map(lambda parts: "/".join(["data", "root"] + parts)),
+)
+def test_live_ancestor_index_equals_prefix_scan(live, probe):
+    """The vacuum ancestor index answers EXACTLY the question the old
+    per-candidate scan did: 'does any live entry live strictly below
+    this path?' — same truth value for every probe, just O(1) per
+    ask instead of O(live)."""
+    from ceneton_database_tools_spark.sinks.txnlog import TxnTable
+
+    anc = TxnTable._live_ancestor_index(live)
+    brute = any(e.startswith(probe + "/") for e in live)
+    assert (probe in anc) == brute
