@@ -2174,9 +2174,62 @@ def txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64(F.coalesce(F.col("c_mktsegment"), F.lit("~null~"))),
             F.lit(4),
         )
+        # ONE staging job for all four commits (optimization r14,
+        # guide §2.4: the previous shape scanned customer once per
+        # bucket — 4 sequential write jobs): tag each row with its
+        # bucket, repartition on the tag (each bucket lands whole in
+        # one task), write once with partitionBy, then publish each
+        # leaf as its own commit through the pure-filesystem
+        # commit_staged half (row counts from the parquet footers —
+        # zero extra jobs). Same four segment-hash commits, same rows.
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        staged_root = f"data/{_uuid.uuid4().hex}"
+        (
+            cust.withColumn("__seg", seg_bucket)
+            .repartition("__seg")
+            .write.partitionBy("__seg")
+            .parquet(_os.path.join(work, staged_root))
+        )
+        schema_json = TxnTable._schema_of(cust)
         for i in range(4):
-            part = cust.filter(seg_bucket == i)
-            table.write(part, mode="overwrite" if i == 0 else "append")
+            leaf = f"{staged_root}/__seg={i}"
+            leaf_abs = _os.path.join(work, leaf)
+            mode = "overwrite" if i == 0 else "append"
+            if not _os.path.isdir(leaf_abs):
+                # a bucket with no rows never materialized a leaf (the
+                # five TPC-H segments hash to buckets 1-3, so bucket 0
+                # is ALWAYS this case): stage a 0-row parquet file of
+                # the exact schema on the driver — the same empty
+                # commit the old per-bucket Spark write produced, at
+                # zero job cost
+                import pyarrow as _pa
+
+                _pa_types = {
+                    "bigint": _pa.int64(),
+                    "string": _pa.string(),
+                    "double": _pa.float64(),
+                }
+                empty = _pa.table(
+                    {
+                        name: _pa.array([], type=_pa_types[dt])
+                        for name, dt in cust.dtypes
+                    }
+                )
+                _os.makedirs(leaf_abs)
+                _pq.write_table(
+                    empty, _os.path.join(leaf_abs, "part-00000.parquet")
+                )
+                table.commit_staged(leaf, 0, mode=mode, schema_json=schema_json)
+                continue
+            n = sum(
+                _pq.ParquetFile(_os.path.join(leaf_abs, f)).metadata.num_rows
+                for f in _os.listdir(leaf_abs)
+                if f.endswith(".parquet")
+            )
+            table.commit_staged(leaf, n, mode=mode, schema_json=schema_json)
         files_before = table.snapshot()["files"]
         v = table.update(
             spark,
@@ -2193,10 +2246,15 @@ def txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             surv = set(files_before) & set(snap["files"])
             if not surv or snap.get("op") != "update":
                 raise AssertionError("update rewrote every directory")
-            # (e) the cdc sidecar is pre/post-symmetric
+            # (e) the cdc sidecar is pre/post-symmetric — ONE grouped
+            # count job instead of two filtered scans
             cdf = spark.read.parquet(_os.path.join(work, snap["cdc"]))
-            pre = cdf.where("_change_type = 'update_preimage'").count()
-            post = cdf.where("_change_type = 'update_postimage'").count()
+            by_type = {
+                r["_change_type"]: r["count"]
+                for r in cdf.groupBy("_change_type").count().collect()
+            }
+            pre = by_type.get("update_preimage", 0)
+            post = by_type.get("update_postimage", 0)
             if pre != post or pre == 0:
                 raise AssertionError(f"asymmetric cdc: {pre} pre, {post} post")
         # (b) retyping SET refuses, commits nothing
@@ -2724,7 +2782,14 @@ def txn_batch_source_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         table = TxnTable(work, stats_cols=("c_custkey",))
         table.write_clustered(base, "c_custkey", buckets=8, mode="overwrite")
-        probe = base.agg(F.max("c_custkey")).first()[0] - 24  # bounded: 1 scalar
+        # probe derived from the manifest's exact per-directory
+        # [min, max] stats (recorded by the clustered load) — the max
+        # key is METADATA, no second scan of customer (optimization
+        # r14; the oracle derives the identical value from the data)
+        probe = (
+            max(st["c_custkey"][1] for st in table.snapshot()["stats"].values())
+            - 24
+        )
         # (c) schema comes from the manifest — no .schema(...) call;
         # pushdown opted in: this load backs exactly one query
         scan = spark.read.format("txntable").option("pushdown", "true").load(work)

@@ -413,12 +413,19 @@ _SPARK_KH = (
     "ELSE array() END"
 ).format(h=_horner_unrolled(lambda p: f"element_at(cs, {p})", "i"))
 # Spark sequence(1, n) DESCENDS when n < 1 — both levels need guards.
-_SPARK_FPS = (
-    f"CASE WHEN size(kh) >= {WINNOW_WINDOW} THEN "
-    f"array_distinct(transform(sequence(1, size(kh) - {WINNOW_WINDOW - 1}), "
-    f"i -> array_min(slice(kh, i, {WINNOW_WINDOW})))) "
-    "WHEN size(kh) > 0 THEN array(array_min(kh)) ELSE array() END"
-)
+def _spark_fps(col: str) -> str:
+    """Window-min fingerprint selection over a k-gram hash array
+    column (parameterized so base and twin arrays share one
+    projection stage — optimization r14)."""
+    return (
+        f"CASE WHEN size({col}) >= {WINNOW_WINDOW} THEN "
+        f"array_distinct(transform(sequence(1, size({col}) - {WINNOW_WINDOW - 1}), "
+        f"i -> array_min(slice({col}, i, {WINNOW_WINDOW})))) "
+        f"WHEN size({col}) > 0 THEN array(array_min({col})) ELSE array() END"
+    )
+
+
+_SPARK_FPS = _spark_fps("kh")
 
 _DUCK_KH = (
     f"[{_horner_unrolled(lambda p: f'ord(substr(txt, {p}, 1))', 'i')} "
@@ -486,22 +493,19 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-robust fingerprint set. The eval pairs each document with
     its first-token-dropped twin: a PREFIX fingerprint breaks on any
     shift (text_fingerprint's failure mode), while ~all winnowed
-    fingerprints survive, so the twin join reports fingerprint Jaccard
-    ≥ 0.5 for essentially the whole corpus.
+    fingerprints survive, so the twin comparison reports fingerprint
+    Jaccard ≥ 0.5 for essentially the whole corpus.
 
     Everything is built-in expression work inside the scan stage
-    (transform/slice/array_min over codegen'd arrays — no explode, no
-    shuffle until the linear doc_id equi-join); at 100 TB the
-    fingerprint sets feed an inverted index (explode → bucket join),
-    exactly the LSH-bucket shape dedup_minhash_lsh already implements.
+    (transform/slice/array_min over codegen'd arrays — no explode; the
+    twin's hash array is a suffix slice of the base's, so base and
+    twin fingerprints come out of ONE hashing pass with no join at
+    all); at 100 TB the fingerprint sets feed an inverted index
+    (explode → bucket join), exactly the LSH-bucket shape
+    dedup_minhash_lsh already implements.
     """
     docs = _docs(spark, sf_dir)
-    off = T.derived_twin_offset(spark, sf_dir)
     base = docs.select("doc_id", F.expr(_SPARK_NORM).alias("txt"))
-    twins = docs.select(
-        (F.col("doc_id") + off).alias("doc_id"),
-        F.expr(T.SPARK_DROP_FIRST_TOKEN).alias("txt"),
-    )
     # Plan-shape discipline: the winnowing expression tree is LARGE (an
     # unrolled 8-step Horner inside two nested transforms), and fp/kh/cs
     # each appear several times in their consumers — any optimizer
@@ -509,46 +513,73 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `where(size(fp) > 0)` pushed through the projection made analysis
     # hang). Each stage below is one select whose downstream references
     # are plain attributes; no filter sits between the expensive
-    # projections, and the twin join compares attribute-typed arrays
-    # computed once per side.
+    # projections.
     # The hashing is by far the most expensive per-row projection in
     # this module; a small single-file input arrives as ONE partition,
     # which would serialize it on one core. Repartitioning costs a tiny
     # shuffle of raw texts and buys full-core parallelism; at real
     # scale the input already has enough partitions and this coalesces
     # into normal narrow execution.
+    #
+    # Optimization r14 (guide §1.2 "the distributed algorithm"): the
+    # twin's normalized text is EXACTLY the base's normalized text
+    # with the first token and its following space removed — a
+    # character SUFFIX. Rabin-Karp k-gram hashes are positional, so
+    # the twin's hash array is a suffix SLICE of the base's:
+    # kh_twin = kh[q+1:], q = locate(' ', txt) (astral scrubbing is
+    # per-character and never touches a space, so the cut survives
+    # it). One Horner pass per document therefore yields BOTH
+    # fingerprint sets, replacing the previous two full hashing
+    # passes plus a doc_id equi-join (2 repartitions + 1 shuffle
+    # join) with a single embarrassingly-parallel projection.
     n_parts = spark.sparkContext.defaultParallelism
-
-    def winnow(src: DataFrame) -> DataFrame:
-        return (
-            src.repartition(n_parts, "doc_id")
-            .select(
-                "doc_id",
-                F.regexp_replace("txt", _ASTRAL, "?").alias("txt"),
-            )
-            .select("doc_id", F.expr(_SPARK_CODES).alias("cs"), "txt")
-            .select("doc_id", F.expr(_SPARK_KH).alias("kh"))
-            .select("doc_id", F.expr(_SPARK_FPS).alias("fp"))
-        )
-
-    # originals and twins winnowed separately (not a union + self-join,
-    # which would run the expensive projection over every row TWICE —
-    # once per join side)
-    fps = winnow(base)
-    b = winnow(twins).select(
-        (F.col("doc_id") - off).alias("doc_id"), F.col("fp").alias("fp_b")
+    _KH_TWIN = (
+        "CASE WHEN q > 0 THEN slice(kh, q + 1, greatest(size(kh) - q, 0)) "
+        "ELSE array() END"
     )
     sized = (
-        fps.join(b, "doc_id")
+        base.repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            F.regexp_replace("txt", _ASTRAL, "?").alias("txt"),
+        )
+        .select("doc_id", F.expr(_SPARK_CODES).alias("cs"), "txt")
+        .select(
+            "doc_id",
+            F.expr(_SPARK_KH).alias("kh"),
+            F.expr("locate(' ', txt)").alias("q"),
+        )
+        .select("doc_id", "kh", F.expr(_KH_TWIN).alias("kh_b"))
+        .select(
+            "doc_id",
+            F.expr(_spark_fps("kh")).alias("fp"),
+            F.expr(_spark_fps("kh_b")).alias("fp_b"),
+        )
         .select(
             "doc_id",
             F.size(F.array_intersect("fp", "fp_b")).alias("ni"),
             F.size("fp").alias("na"),
             F.size("fp_b").alias("nb"),
         )
+        # Aggregate as the PUSHDOWN BARRIER: without the join of the
+        # pre-r14 shape, PushPredicateThroughNonJoin would sink the
+        # j >= 0.5 filter through every projection above, substituting
+        # aliases at each step — the winnowing tree multiplies
+        # exponentially and optimization never terminates (measured:
+        # any filter over this chain hangs >5 min at sf0.001).
+        # Predicates cannot push below an Aggregate except on grouping
+        # keys, and doc_id is unique, so min() over a single-row group
+        # is the identity; the agg reuses the doc_id hash partitioning
+        # already established for parallelism.
+        .groupBy("doc_id")
+        .agg(
+            F.min("ni").alias("ni"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
     # CASE-guarded division: a doc with ZERO fingerprints (empty or
-    # sub-k-gram text) joins its equally-empty twin with denominator 0
+    # sub-k-gram text) meets its equally-empty twin with denominator 0
     # — ANSI mode raises DIVIDE_BY_ZERO. The guard yields NULL there,
     # which the j >= 0.5 filter drops, matching the oracle's
     # len(fp) > 0 exclusion. (A size(fp) > 0 filter instead of a guard

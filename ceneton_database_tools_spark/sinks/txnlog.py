@@ -2644,9 +2644,31 @@ class TxnTable:
         spark = df.sparkSession
         new_schema = self._schema_of(df)
         staged = f"data/{uuid.uuid4().hex}"
+        # per-bucket row counts and [min, max] stats are OBSERVED on
+        # the staging job itself (task-metric accumulation over
+        # bucket-conditional aggregates — optimization r14, guide
+        # §1.2/§2.3): the previous shape re-read the ENTIRE staged
+        # output in a second grouped-agg job, which at a 100 TB
+        # clustered load means scanning the whole load twice.
+        from pyspark.sql import Observation
+
+        cols = [c for c in self.stats_cols if c in df.columns]
+        obs = Observation()
+        metrics = []
+        for b in range(buckets):
+            flag = F.col("_range_bucket") == b
+            metrics.append(F.count(F.when(flag, 1)).alias(f"n_{b}"))
+            for i, c in enumerate(cols):
+                metrics.append(
+                    F.min(F.when(flag, F.col(c))).alias(f"lo_{b}_{i}")
+                )
+                metrics.append(
+                    F.max(F.when(flag, F.col(c))).alias(f"hi_{b}_{i}")
+                )
         (
             df.repartitionByRange(buckets, cluster_by)
             .withColumn("_range_bucket", F.spark_partition_id())
+            .observe(obs, *metrics)
             .write.partitionBy("_range_bucket")
             .parquet(os.path.join(self.path, staged))
         )
@@ -2666,29 +2688,15 @@ class TxnTable:
         if staged_dirs == [staged]:
             staged_rows[staged] = 0
         else:
-            # ONE grouped agg over the staged root (partition inference
-            # resurrects _range_bucket there) — ≤ buckets rows back,
-            # instead of one scan job per range directory. Row counts
-            # always; min/max only when the table has stats columns.
-            sdf = spark.read.parquet(os.path.join(self.path, staged))
-            cols = [c for c in self.stats_cols if c in sdf.columns]
-            rows = (
-                sdf.groupBy("_range_bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(cols)],
-                    *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(cols)],
-                )
-                .collect()
-            )
-            for r in rows:
-                rel = f"{staged}/_range_bucket={r['_range_bucket']}"
-                staged_rows[rel] = int(r["__n"])
+            vals = obs.get
+            for rel in staged_dirs:
+                b = int(rel.rsplit("=", 1)[1])
+                staged_rows[rel] = int(vals[f"n_{b}"])
                 if cols:
                     staged_stats[rel] = {
                         c: [
-                            self._json_stat(r[f"__lo_{i}"]),
-                            self._json_stat(r[f"__hi_{i}"]),
+                            self._json_stat(vals[f"lo_{b}_{i}"]),
+                            self._json_stat(vals[f"hi_{b}_{i}"]),
                         ]
                         for i, c in enumerate(cols)
                     }

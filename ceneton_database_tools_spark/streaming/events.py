@@ -1575,9 +1575,12 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mechanics the shape demands:
 
     * The fixture is replayed as FOUR ts-ordered landing files with
-      increasing mtimes + ``maxFilesPerTrigger=1``, so the watermark
+      increasing mtimes + ``maxFilesPerTrigger=2``, so the watermark
       advances batch over batch (a single micro-batch would emit
-      nothing in append mode — the watermark starts at zero).
+      nothing in append mode — the watermark starts at zero). All
+      five files (4 chunks + sentinel) land from ONE Spark job
+      (chunk-tagged repartition + partitionBy write), not one
+      coalesce(1) job per file.
     * A SENTINEL event 10 hours past the real maximum lands last: its
       watermark update closes every real window, so the final no-data
       micro-batch flushes them all. The sentinel's own window can
@@ -1633,34 +1636,62 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()  # 1-row guard
         cuts = [int(c) for c in bounds_row["cuts"]]
         ts_us = F.unix_micros(F.col("ts"))
-        chunk_preds = [
-            ts_us <= F.lit(cuts[0]),
-            (ts_us > F.lit(cuts[0])) & (ts_us <= F.lit(cuts[1])),
-            (ts_us > F.lit(cuts[1])) & (ts_us <= F.lit(cuts[2])),
-            ts_us > F.lit(cuts[2]),
-        ]
+        # ONE landing job for all five files (optimization r14, guide
+        # §2.4/§2.6: the previous shape re-scanned events once per
+        # chunk — 5 sequential coalesce(1) write jobs): tag each row
+        # with its chunk index, hash-repartition on the tag (each tag
+        # lands in exactly one task, so partitionBy emits exactly one
+        # file per chunk), write once, then rename into the landing
+        # order. The sentinel rides the same job as chunk 4; its
+        # event_id is NULL-typed to the events schema (the old string
+        # id was never read — the agg prunes event_id — and never
+        # reaches the sink: its window can't close).
         sentinel = spark.createDataFrame(
             [("__sentinel__",)], "event_type string"
         ).select(
-            F.lit("sentinel-0").alias("event_id"),
+            F.lit(None).cast(dict(ev.dtypes)["event_id"]).alias("event_id"),
             (F.lit(bounds_row["m"]) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
             "event_type",
             F.lit(0.0).alias("value"),
         )
+        chunk = (
+            F.when(ts_us <= F.lit(cuts[0]), 0)
+            .when(ts_us <= F.lit(cuts[1]), 1)
+            .when(ts_us <= F.lit(cuts[2]), 2)
+            .otherwise(3)
+        )
+        tmp = os.path.join(work, "tmp_landing")
+        (
+            ev.withColumn("__chunk", chunk)
+            .unionByName(sentinel.withColumn("__chunk", F.lit(4)))
+            .repartition("__chunk")
+            .write.partitionBy("__chunk")
+            .parquet(tmp)
+        )
         base_mtime = 1_000_000_000
         for i in range(5):
-            piece = ev.where(chunk_preds[i]) if i < 4 else sentinel
-            tmp = os.path.join(work, f"tmp{i}")
-            piece.coalesce(1).write.parquet(tmp)
-            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            parts = _glob.glob(
+                os.path.join(tmp, f"__chunk={i}", "part-*.parquet")
+            )
+            if not parts:
+                # a degenerate percentile collapse (all-equal ts) can
+                # empty a middle chunk; skipping its file keeps the
+                # mtime order and the watermark monotone
+                continue
             dst = os.path.join(landing, f"{i:04d}.parquet")
-            shutil.move(part, dst)
+            shutil.move(parts[0], dst)
             os.utime(dst, (base_mtime + i, base_mtime + i))
         _t_prep = _time.perf_counter()
         schema = spark.read.parquet(landing).schema
+        # maxFilesPerTrigger=2 (optimization r14): the watermark still
+        # advances batch over batch (files are consumed oldest-mtime
+        # first, two at a time: real chunks 0+1, 2+3, then the sentinel
+        # alone), the rollup still trickles out across >= 2 append
+        # commits (asserted below), and the suite pays 3 micro-batch
+        # spin-ups + commits instead of 5 for the identical result.
         agg = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", "2")
             .parquet(landing)
             .withWatermark("ts", "1 hour")
             # NOTE: no stream-side filter on the sentinel — a filter
@@ -1704,9 +1735,12 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"got {len(appends)}"
             )
         result = table.read(spark)
-        if result.where("event_type = '__sentinel__'").count() != 0:
+        # ONE read-back job: the sentinel check inspects the collected
+        # rows instead of running a second filtered scan of the table
+        rows = result.collect()
+        if any(r["event_type"] == "__sentinel__" for r in rows):
             raise AssertionError("sentinel window leaked into the table")
-        out = spark.createDataFrame(result.collect(), schema=result.schema)
+        out = spark.createDataFrame(rows, schema=result.schema)
         _t_end = _time.perf_counter()
         LAST_BENCH_SUBPHASES.clear()
         LAST_BENCH_SUBPHASES.update(
