@@ -310,3 +310,81 @@ def test_live_ancestor_index_equals_prefix_scan(live, probe):
     anc = TxnTable._live_ancestor_index(live)
     brute = any(e.startswith(probe + "/") for e in live)
     assert (probe in anc) == brute
+
+
+# ---------------------------------------------------------------------------
+# Winnowing twin = suffix-slice equivalence (r14 rewrite invariant)
+# ---------------------------------------------------------------------------
+
+_WINNOW_TEXTS = st.lists(
+    st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            st.sampled_from("àßф中 \t\r\n&<>'\"😀𝄞"),
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_WINNOW_TEXTS)
+def test_winnow_twin_is_suffix_slice(spark, texts):
+    """The r14 text_winnow_fingerprint rewrite rests on one positional
+    identity: the first-token-dropped twin's normalized text is a
+    character SUFFIX of the base's normalized text, so the twin's
+    k-gram hash array equals slice(kh, q+1, ...) with q = locate(' ',
+    scrubbed base). Check the identity directly against the OLD
+    formulation (independent winnowing of the twin text) over texts
+    with empty strings, single tokens, sub-k-gram lengths, entities,
+    CRs, multi-byte and astral characters."""
+    from pyspark.sql import functions as F
+
+    from ceneton_database_tools_spark.operators import _textutil as T
+    from ceneton_database_tools_spark.operators import text as TX
+
+    rows = [(i, s) for i, s in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def winnow_fp(src, txt_expr):
+        return (
+            src.select("doc_id", F.expr(txt_expr).alias("txt"))
+            .select(
+                "doc_id", F.regexp_replace("txt", TX._ASTRAL, "?").alias("txt")
+            )
+            .select("doc_id", F.expr(TX._SPARK_CODES).alias("cs"), "txt")
+            .select("doc_id", F.expr(TX._SPARK_KH).alias("kh"))
+            .select("doc_id", F.expr(TX._spark_fps("kh")).alias("fp"))
+        )
+
+    # OLD formulation: twin text winnowed independently
+    old = {
+        r["doc_id"]: r["fp"]
+        for r in winnow_fp(docs, T.SPARK_DROP_FIRST_TOKEN).collect()
+    }
+    # NEW formulation: one hashing pass + suffix slice (as in text.py)
+    kh_twin = (
+        "CASE WHEN q > 0 THEN slice(kh, q + 1, greatest(size(kh) - q, 0)) "
+        "ELSE array() END"
+    )
+    new = {
+        r["doc_id"]: r["fp_b"]
+        for r in (
+            docs.select("doc_id", F.expr(TX._SPARK_NORM).alias("txt"))
+            .select(
+                "doc_id", F.regexp_replace("txt", TX._ASTRAL, "?").alias("txt")
+            )
+            .select("doc_id", F.expr(TX._SPARK_CODES).alias("cs"), "txt")
+            .select(
+                "doc_id",
+                F.expr(TX._SPARK_KH).alias("kh"),
+                F.expr("locate(' ', txt)").alias("q"),
+            )
+            .select("doc_id", F.expr(kh_twin).alias("kh_b"))
+            .select("doc_id", F.expr(TX._spark_fps("kh_b")).alias("fp_b"))
+            .collect()
+        )
+    }
+    assert old == new

@@ -2963,3 +2963,30 @@ def test_streamed_row_ops_respect_column_mapping(spark, tmp_path, monkeypatch):
     # pre-rename directories (ids 0-9 never rewritten) still serve
     # under the new logical name through the carried history
     assert (0, "x") in got
+
+
+def test_write_clustered_observed_stats_exact(spark, tmp_path):
+    """r14 internals change: per-bucket row counts and [min, max]
+    stats ride the staging job as Observation metrics instead of a
+    second full scan of the staged output. The observed values must be
+    EXACTLY what a read-back of each staged directory computes — rows,
+    min and max per stats column, for every bucket, including buckets
+    that received an uneven share of a skewed key range."""
+    t = TxnTable(str(tmp_path / "t"), stats_cols=("id",))
+    # skewed: half the keys cluster at the bottom of the range so the
+    # range partitioner produces unevenly sized buckets
+    rows = [(i, f"r{i}") for i in range(50)] + [
+        (1000 + 7 * i, f"s{i}") for i in range(50)
+    ]
+    t.write_clustered(_df(spark, rows), "id", buckets=4, mode="overwrite")
+    m = t.snapshot(0)
+    assert len(m["files"]) >= 2
+    total = 0
+    for rel in m["files"]:
+        back = spark.read.parquet(os.path.join(str(tmp_path / "t"), rel))
+        n = back.count()
+        lo, hi = back.agg(F.min("id"), F.max("id")).first()
+        assert m["rows"][rel] == n, rel
+        assert m["stats"][rel]["id"] == [lo, hi], rel
+        total += n
+    assert total == len(rows)
