@@ -63,12 +63,20 @@ def main() -> int:
     # reproducible engine cost the round-over-round comparison wants.
     timings: dict[str, float] = {}
     sub_phases: dict[str, dict[str, float]] = {}
+    from ceneton_database_tools_spark.operators.dedup import release_persisted
     from ceneton_database_tools_spark.streaming import events as _events
 
     for name, spec in sorted(bench_specs.items()):
         spec.fn(spark, sf_dir).count()  # untimed: codegen compile + JIT
         best, n = float("inf"), 0
         for _ in range(2):
+            # Honest-cost fix (VERDICT r14 #2): drop the dedup family's
+            # shared persisted signature tables BEFORE each timed run,
+            # so a timed dedup leg pays its own signature build instead
+            # of reusing an intermediate cached by the untimed warm-up
+            # (or by the previous timed run). The within-invocation
+            # persist stays — one query still builds its base once.
+            release_persisted()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             n = df.count()
@@ -100,8 +108,6 @@ def main() -> int:
     # Release the dedup family's shared persisted signature tables —
     # the bench session is long-lived enough for leaked cache blocks
     # to distort later queries' memory headroom.
-    from ceneton_database_tools_spark.operators.dedup import release_persisted
-
     release_persisted()
 
     fmp_rate, fmp_sec = _bench_fmp_parse(spark)
@@ -112,6 +118,27 @@ def main() -> int:
     timings["fmp_parse_big"] = fmp_big_sec
     fmp_bz2_rate, fmp_bz2_sec = _bench_fmp_parse_bz2(spark)
     timings["fmp_parse_bz2"] = fmp_bz2_sec
+
+    # Scale tier (VERDICT r14 #4): at sf0.1 every leg but fmp_parse_big
+    # is job-overhead-bound (the r14 scaling block measured 8 cores
+    # BEATING 32 on 20/21 legs), so the driver's low-core rerun cannot
+    # detect a parallelism regression. This sub-bench times the 4
+    # heaviest data-bound legs on a deterministic 10x replication of
+    # the sf0.1 inputs (generated once, cached in the temp dir — INPUT
+    # fixture generation, same policy as the fmp exports above; every
+    # timed run still computes from parquet). Reported under its own
+    # key so the driver's round-over-round suite total and per-query
+    # comparison stay untouched. Opt out with SPARK_GRAFT_SCALE_BENCH=0;
+    # auto-skipped when the main bench is not at sf0.1.
+    scale_bench = None
+    if (
+        os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0"
+        and abs(_parse_sf(sf_dir) - 0.1) < 1e-9
+    ):
+        try:
+            scale_bench = _bench_scale_tier(spark, sf_dir)
+        except Exception as exc:  # the scale tier must never kill the bench
+            scale_bench = {"error": f"{type(exc).__name__}: {exc}"}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -137,11 +164,147 @@ def main() -> int:
                     "shared host (r9: 27.7k vs 22.3k rec/s fmp_parse) "
                     "- the r7->r8 delta was host variance, not code"
                 ),
+                **({"scale_bench": scale_bench} if scale_bench else {}),
+                "dedup_note": (
+                    "since r15 the shared persisted dedup signature "
+                    "tables are released before every timed run "
+                    "(VERDICT r14 #2), so dedup legs now include their "
+                    "signature-build cost; a step change vs BENCH_r14 "
+                    "on those legs is the measurement fix, not a "
+                    "regression"
+                ),
             }
         )
     )
     spark.stop()
     return 0
+
+
+def _parse_sf(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return float("nan")
+
+
+_SCALE_COPIES = 10
+_SCALE_LEGS = (
+    "dedup_minhash_lsh",
+    "text_winnow_fingerprint",
+    "similarity_topk_exact",
+    "q5_local_supplier_volume",
+)
+# per-table id columns shifted so each copy's foreign keys stay consistent
+_SCALE_SHIFTS = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "lineitem": ("l_orderkey", "l_suppkey"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "nation": (),
+    "region": (),
+}
+
+
+def _scale_fixture(spark, sf_dir: str) -> str:
+    """Deterministic ~sf1 directory: each input table unioned as
+    _SCALE_COPIES shifted copies (key columns offset per copy by a
+    power-of-ten step above the source max, so intra-copy joins stay
+    consistent and copies never collide). Built once, cached in the
+    temp dir keyed by copy count; a marker file written last makes an
+    interrupted build rebuild from scratch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"ceneton_scale_x{_SCALE_COPIES}"
+    )
+    # cache key = source file identity (path, size, mtime): the driver
+    # regenerates /root/testdata every round, so a fixture built from
+    # last round's inputs must rebuild, never silently serve stale data
+    src_id = ",".join(
+        f"{t}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
+        for t in sorted(_SCALE_SHIFTS)
+        for p in [os.path.join(sf_dir, f"{t}.parquet")]
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker) and open(marker).read() == src_id:
+        return out
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    # ONE GLOBAL shift step across every key family: a key column and
+    # the foreign keys referencing it live in different tables
+    # (l_suppkey vs s_suppkey), so per-table steps would desync the
+    # copies' joins. Power of ten above the global max key.
+    global_max = 0
+    srcs = {}
+    for table, keys in _SCALE_SHIFTS.items():
+        src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        srcs[table] = src
+        if keys:
+            mx = src.agg(*[F.max(k) for k in keys]).first()
+            global_max = max(global_max, *[int(v or 0) for v in mx])
+    step = 10 ** len(str(global_max))
+    for table, keys in _SCALE_SHIFTS.items():
+        src = srcs[table]
+        if not keys:
+            src.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out, f"{table}.parquet")
+            )
+            continue
+        copies = [
+            src.select(
+                *[
+                    (F.col(c) + i * step).alias(c) if c in keys else F.col(c)
+                    for c in src.columns
+                ]
+            )
+            for i in range(_SCALE_COPIES)
+        ]
+        union = copies[0]
+        for c in copies[1:]:
+            union = union.unionByName(c)
+        n_files = max(spark.sparkContext.defaultParallelism // 4, 1)
+        union.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out, f"{table}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(src_id)
+    return out
+
+
+def _bench_scale_tier(spark, sf_dir: str) -> dict:
+    """ONE timed run per scale leg (no warm-up, no best-of-2): these
+    legs exist for the coarse low-vs-high-core ratio, their query
+    shapes' codegen is already warmed by the identical main-loop legs,
+    and a second multi-10-second execution would double the bench
+    process wall for a signal that only needs to distinguish ~1x from
+    >=2x. Honest-cost rule unchanged: shared dedup intermediates are
+    released before the timed run."""
+    from ceneton_database_tools_spark import operators as ops
+    from ceneton_database_tools_spark.operators.dedup import release_persisted
+
+    scale_dir = _scale_fixture(spark, sf_dir)
+    out: dict[str, float] = {}
+    for name in _SCALE_LEGS:
+        spec = ops.QUERIES[name]
+        spark.sparkContext.setJobDescription(f"scale-bench:{name}")
+        release_persisted()
+        t0 = time.perf_counter()
+        n = spec.fn(spark, scale_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# scale[{_SCALE_COPIES}x sf0.1] {name}: {out[name]:.3f}s "
+            f"({n} rows)",
+            file=sys.stderr,
+        )
+        spark.sparkContext.setJobDescription(None)
+    return {"copies_of_sf0.1": _SCALE_COPIES, "queries": out}
 
 
 def _fmp_fixture(name: str, nrows: int, ncols: int) -> str:

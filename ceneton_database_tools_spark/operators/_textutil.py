@@ -120,6 +120,13 @@ def duck_minhash(j: int, shingles: str = "sh") -> str:
 # -- integer semantics on both engines; all values positive).
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; (P-1)*(2j+1) stays < 2^36
 
+def spark_hash60(s: str) -> str:
+    """Spark SQL scalar: the 60-bit shingle hash (md5 → first 15 hex
+    digits → BIGINT mod P) applied to one string expression — the same
+    per-shingle hash SPARK_HASH_BASE maps over an array."""
+    return f"(CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT) % {MINHASH_PRIME})"
+
+
 SPARK_HASH_BASE = (
     f"transform(sh, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) "
     f"% {MINHASH_PRIME})"

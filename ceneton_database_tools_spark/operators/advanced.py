@@ -2187,9 +2187,18 @@ def txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.parquet as _pq
 
         staged_root = f"data/{_uuid.uuid4().hex}"
+        # (__seg, salt) repartition (ADVICE r14): partitionBy already
+        # separates the leaves and commit_staged sums row counts across
+        # every footer in a leaf, so a bucket does NOT need to land in
+        # one task — the deterministic 8-way salt keeps the staging
+        # write parallel at scale instead of funneling each bucket
+        # (and any buckets that hash-collide) through a single task.
+        salt = F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(8))
         (
             cust.withColumn("__seg", seg_bucket)
-            .repartition("__seg")
+            .withColumn("__salt", salt)
+            .repartition("__seg", "__salt")
+            .drop("__salt")
             .write.partitionBy("__seg")
             .parquet(_os.path.join(work, staged_root))
         )
@@ -2204,20 +2213,20 @@ def txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # is ALWAYS this case): stage a 0-row parquet file of
                 # the exact schema on the driver — the same empty
                 # commit the old per-bucket Spark write produced, at
-                # zero job cost
-                import pyarrow as _pa
-
-                _pa_types = {
-                    "bigint": _pa.int64(),
-                    "string": _pa.string(),
-                    "double": _pa.float64(),
-                }
-                empty = _pa.table(
-                    {
-                        name: _pa.array([], type=_pa_types[dt])
-                        for name, dt in cust.dtypes
-                    }
+                # zero job cost. The arrow schema comes from a staged
+                # non-empty leaf's footer (ADVICE r14: the former
+                # literal bigint/string/double map would KeyError on
+                # any future fixture dtype), so it is the exact schema
+                # Spark just wrote, whatever the projection becomes.
+                donor = next(
+                    _os.path.join(root, f)
+                    for root, _dirs, fs in _os.walk(
+                        _os.path.join(work, staged_root)
+                    )
+                    for f in sorted(fs)
+                    if f.endswith(".parquet")
                 )
+                empty = _pq.ParquetFile(donor).schema_arrow.empty_table()
                 _os.makedirs(leaf_abs)
                 _pq.write_table(
                     empty, _os.path.join(leaf_abs, "part-00000.parquet")

@@ -259,14 +259,79 @@ def _minhash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures AND Jaccard verification both read them, so verify
     joins ship small int arrays instead of string shingles. Shared
     (one persisted copy per app/sf) between the LSH pair query, the
-    cluster assignment, and the recall evaluation."""
+    cluster assignment, and the recall evaluation.
+
+    Optimization r15 (guide §1.2 "the distributed algorithm", same
+    suffix-slice identity as the r14 winnow rewrite): the twin corpus
+    drops the FIRST token, so the twin's word-bigram sequence is
+    exactly the base's bigram sequence with the first bigram removed —
+    its positional hash array is ``slice(hb, 2, n - 2)`` of the base's.
+    One tokenize pass and ONE md5-per-bigram-occurrence pass therefore
+    yield BOTH rows of the corpus; the previous build unioned two
+    branches that each re-scanned documents, re-tokenized, and
+    re-hashed their distinct bigrams (~2x the md5 work, 2x the scan).
+    Every consumer reads ``ba`` as a SET (array_intersect sizes,
+    array_min of transforms, explode+count), and
+    distinct(hash(bigrams)) == distinct(hash(distinct(bigrams))), so
+    the stored sets are bit-identical to the old build's.
+
+    Degenerate shapes follow SPARK_SHINGLES' fallbacks exactly:
+    a 1-token doc shingles to [its text]; a 2-token doc's twin is the
+    single second token; a <=1-token doc's twin is the empty string.
+
+    The repartition mirrors the winnow leg: a small single-file input
+    arrives as ONE scan partition, which would serialize the md5 pass
+    on one core; at real scale the input already has enough partitions
+    and this coalesces into normal narrow execution. Each select below
+    is one stage whose downstream references are plain attributes, so
+    CollapseProject never duplicates the expensive hash transform."""
 
     def build() -> DataFrame:
-        shingled = _near_corpus_tokens(spark, sf_dir).select(
-            "doc_id", F.expr(T.SPARK_SHINGLES).alias("sh")
+        off = T.derived_twin_offset(spark, sf_dir)
+        n_parts = spark.sparkContext.defaultParallelism
+        toks = (
+            _docs(spark, sf_dir)
+            .where(F.col("text").isNotNull())
+            .repartition(n_parts, "doc_id")
+            .select("doc_id", F.expr(T.SPARK_TOKENS).alias("w"))
         )
-        return shingled.select(
-            "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
+        h_bigram = T.spark_hash60("concat(w[i], ' ', w[i+1])")
+        h_joined = T.spark_hash60("array_join(w, ' ')")
+        h_second = T.spark_hash60("w[1]")
+        h_empty = T.spark_hash60("''")
+        hb = (
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), "
+            f"i -> {h_bigram}) "
+            f"ELSE array({h_joined}) END"
+        )
+        twin_fallback = (
+            f"CASE WHEN size(w) = 2 THEN array({h_second}) "
+            f"WHEN size(w) <= 1 THEN array({h_empty}) "
+            "ELSE CAST(NULL AS ARRAY<BIGINT>) END"
+        )
+        staged = toks.select(
+            "doc_id",
+            F.expr("size(w)").alias("n"),
+            F.expr(hb).alias("hb"),
+            F.expr(twin_fallback).alias("tf"),
+        )
+        pairs = staged.select(
+            "doc_id",
+            "hb",
+            F.expr("CASE WHEN n >= 3 THEN slice(hb, 2, n - 2) ELSE tf END").alias(
+                "hb_twin"
+            ),
+        )
+        return pairs.select(
+            F.explode(
+                F.expr(
+                    "array(named_struct('doc_id', doc_id, 'hs', hb), "
+                    f"named_struct('doc_id', doc_id + {off}, 'hs', hb_twin))"
+                )
+            ).alias("s")
+        ).select(
+            F.col("s.doc_id").alias("doc_id"),
+            F.expr("array_distinct(s.hs)").alias("ba"),
         )
 
     return _shared_persist(spark, "minhash_base", sf_dir, build)
@@ -837,9 +902,17 @@ def _lsh_recall_oracle() -> str:
       JOIN based sb ON sb.doc_id = c.doc_b
       WHERE {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
     ),
+    twin_side AS (
+      -- r15: shift the twin ids in a PROJECTION so the ground-truth
+      -- join is a plain equi-join; the former `sb.doc_id = sa.doc_id
+      -- + (scalar subquery)` condition planned as a blockwise NL join
+      -- that re-evaluated the whole shingle pipeline per PAIR
+      SELECT doc_id - {T.DUCK_TWIN_OFFSET_DOCS} AS doc_a, doc_id AS doc_b, ba
+      FROM based WHERE doc_id >= {T.DUCK_TWIN_OFFSET_DOCS}
+    ),
     expected AS (
-      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
-      FROM based sa JOIN based sb ON sb.doc_id = sa.doc_id + {T.DUCK_TWIN_OFFSET_DOCS}
+      SELECT sa.doc_id AS doc_a, sb.doc_b
+      FROM based sa JOIN twin_side sb ON sb.doc_a = sa.doc_id
       WHERE {_DUCK_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
     ),
     caught AS (

@@ -427,9 +427,18 @@ def _spark_fps(col: str) -> str:
 
 _SPARK_FPS = _spark_fps("kh")
 
+# DuckDB r15: the same O(1)-per-char fix the Spark side got in r7 —
+# per-position ord(substr(txt, p, 1)) walks the string from the start
+# (O(len²) per document; the sf0.01 winnow oracle alone cost 2×130 s
+# of the test suite, and sf0.1 parity was a documented >2 h abort).
+# Split the text into a codepoint list ONCE ('(?s).' matches every
+# codepoint incl. newlines; verified equal to substr/ord on empty/
+# NUL/newline/combining/CJK/long strings) and index it O(1). Same
+# hash values, same rows — only the oracle's complexity changes.
+_DUCK_CODES = "list_transform(regexp_extract_all(txt, '(?s).'), c -> ord(c))"
 _DUCK_KH = (
-    f"[{_horner_unrolled(lambda p: f'ord(substr(txt, {p}, 1))', 'i')} "
-    f"for i in range(1, length(txt) - {K_GRAM - 2})]"
+    f"[{_horner_unrolled(lambda p: f'cs[{p}]', 'i')} "
+    f"for i in range(1, len(cs) - {K_GRAM - 2})]"
 )
 _DUCK_FPS = (
     f"CASE WHEN len(kh) >= {WINNOW_WINDOW} THEN "
@@ -465,15 +474,25 @@ _ASTRAL = "[\\x{10000}-\\x{10FFFF}]"
     scrubbed AS (
       SELECT doc_id, regexp_replace(txt, '{_ASTRAL}', '?', 'g') AS txt FROM corpus
     ),
-    hashed AS (SELECT doc_id, {_DUCK_KH} AS kh FROM scrubbed),
+    coded AS (SELECT doc_id, {_DUCK_CODES} AS cs FROM scrubbed),
+    hashed AS (SELECT doc_id, {_DUCK_KH} AS kh FROM coded),
     fps AS (SELECT doc_id, {_DUCK_FPS} AS fp FROM hashed),
+    twin_fps AS (
+      -- r15: shift the twin ids in a PROJECTION so the pairing is a
+      -- plain equi-join; the former `b.doc_id = a.doc_id + (scalar
+      -- subquery)` condition planned as a blockwise NL join that
+      -- re-evaluated the whole winnowing chain per PAIR (71 s of the
+      -- oracle's 72 s at sf0.01)
+      SELECT doc_id - {T.DUCK_TWIN_OFFSET_DOCS} AS doc_id, fp
+      FROM fps WHERE doc_id >= {T.DUCK_TWIN_OFFSET_DOCS}
+    ),
     paired AS (
       SELECT a.doc_id,
              len(a.fp) AS n_fp,
              len(b.fp) AS n_fp_twin,
              len(list_intersect(a.fp, b.fp))::DOUBLE /
                (len(a.fp) + len(b.fp) - len(list_intersect(a.fp, b.fp))) AS j
-      FROM fps a JOIN fps b ON b.doc_id = a.doc_id + {T.DUCK_TWIN_OFFSET_DOCS}
+      FROM fps a JOIN twin_fps b USING (doc_id)
       WHERE len(a.fp) > 0 AND len(b.fp) > 0
     )
     SELECT doc_id,

@@ -4679,14 +4679,37 @@ class TxnTable:
                 ))
             )
             if use_cdc:
+                # ONE scan of the touched directories for BOTH change
+                # images (optimization r15, guide §2.4; VERDICT r14 #8
+                # measured-decision): each matched row explodes into
+                # its pre-image (old values) and post-image (SET
+                # expressions — match is already decided on the
+                # pre-image by the where), instead of a two-branch
+                # union whose pre- and post-image legs each re-read
+                # the touched data. The full dual-output fuse (cdc
+                # riding the rewrite job itself) is REFUSED: the data
+                # files and the cdc sidecar have divergent schemas
+                # (_change_type), and one Spark write cannot emit two
+                # schemas without polluting the table files.
+                pre = F.struct(
+                    *[F.col(c).alias(c) for c in live.columns],
+                    F.lit("update_preimage").alias("_change_type"),
+                )
+                post = F.struct(
+                    *[
+                        (
+                            F.expr(assignments[c])
+                            if c in assignments
+                            else F.col(c)
+                        ).alias(c)
+                        for c in live.columns
+                    ],
+                    F.lit("update_postimage").alias("_change_type"),
+                )
                 changes = (
                     live.where(match_expr)
-                    .withColumn("_change_type", F.lit("update_preimage"))
-                    .unionByName(
-                        post_image.withColumn(
-                            "_change_type", F.lit("update_postimage")
-                        )
-                    )
+                    .select(F.explode(F.array(pre, post)).alias("__chg"))
+                    .select("__chg.*")
                 )
                 cdc_rel = self._stage_cdc(changes)
             version = current + 1

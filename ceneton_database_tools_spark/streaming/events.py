@@ -1535,6 +1535,49 @@ def streaming_txn_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _events_ts_bounds_us(sf_dir: str) -> tuple[int, int] | None:
+    """Exact [min, max] of ``events.ts`` in epoch MICROSECONDS, read
+    from the parquet footer statistics — metadata instead of a
+    full-scan aggregate (guide §6). Mirrors catalog.normalize_events_ts
+    unit handling: micros pass through, nanos integer-divide (the same
+    truncation the normalized column applies). Returns None when any
+    row group lacks min/max stats or the unit is unrecognized — the
+    caller then falls back to one aggregate job."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from ceneton_database_tools_spark.catalog import table_path
+
+    try:
+        md = _pq.ParquetFile(table_path(sf_dir, "events")).metadata
+        ts_idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ts_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            unit = _json.loads(st.logical_type.to_json()).get("timeUnit")
+            if unit == "microseconds":
+                a, b = st.min_raw, st.max_raw
+            elif unit == "nanoseconds":
+                a, b = st.min_raw // 1000, st.max_raw // 1000
+            else:
+                return None
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
+        if lo is None:
+            return None
+        return int(lo), int(hi)
+    except Exception:
+        return None
+
+
+
 @register(
     "streaming_agg_to_txn_table",
     # The oracle is the plain hourly rollup of the events table; the
@@ -1574,13 +1617,14 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mechanics the shape demands:
 
-    * The fixture is replayed as FOUR ts-ordered landing files with
+    * The fixture is replayed as THREE ts-ordered landing files with
       increasing mtimes + ``maxFilesPerTrigger=2``, so the watermark
       advances batch over batch (a single micro-batch would emit
       nothing in append mode — the watermark starts at zero). All
-      five files (4 chunks + sentinel) land from ONE Spark job
+      four files (3 chunks + sentinel) land from ONE Spark job
       (chunk-tagged repartition + partitionBy write), not one
-      coalesce(1) job per file.
+      coalesce(1) job per file; the chunk cuts come from the parquet
+      footer's ts min/max (no scan job) when stats exist.
     * A SENTINEL event 10 hours past the real maximum lands last: its
       watermark update closes every real window, so the final no-data
       micro-batch flushes them all. The sentinel's own window can
@@ -1597,6 +1641,7 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     trickled out across batches, not one bulk dump); (b) no sentinel
     row reached the table; (c) the result read comes from the txn
     table, not any in-memory sink."""
+    import datetime as _dt
     import glob as _glob
     import os
     import shutil
@@ -1620,29 +1665,47 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
-        # Four ts-RANGE chunks (every row of chunk i precedes chunk
+        # Three ts-RANGE chunks (every row of chunk i precedes chunk
         # i+1): the file stream replays them oldest mtime first, so
-        # the watermark advances monotonically.  The cut points come
-        # from one 1-row percentile aggregate (map-side partials) —
-        # NOT an ntile window, whose global sort funnels the whole
-        # table through a single partition.  Chunk membership cannot
-        # change the result: ts stays monotone across files, so no
-        # row is ever late relative to the 1 h watermark.
-        bounds_row = ev.agg(
-            F.expr(
-                "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))"
-            ).alias("cuts"),
-            F.max("ts").alias("m"),
-        ).first()  # 1-row guard
-        cuts = [int(c) for c in bounds_row["cuts"]]
+        # the watermark advances monotonically. Chunk membership
+        # cannot change the RESULT: ts stays monotone across files, so
+        # no row is ever late relative to the 1 h watermark — only the
+        # file sizes shift. That freedom buys two optimizations (r15):
+        #
+        # * The cut points come from the parquet FOOTER's exact ts
+        #   min/max (metadata instead of a full-scan percentile job,
+        #   guide §6 — the same move as txn_batch_source_pruned's
+        #   manifest probe), split evenly in event-time. A stats-less
+        #   footer falls back to the old 1-row percentile aggregate.
+        # * THREE real chunks instead of four: with 2 files per
+        #   trigger the replay is (c0,c1), (c2,sentinel), flush — one
+        #   fewer micro-batch spin-up. The per-batch fixed cost is
+        #   state-store commit fsync + sink commit (profiled r15:
+        #   0.8-1.7s/batch at sf0.1, addBatch-dominated), so batch
+        #   count is the only real lever; the watermark still advances
+        #   across >= 2 file batches and the rollup still trickles
+        #   out across >= 2 append commits (asserted below).
+        bounds_us = _events_ts_bounds_us(sf_dir)
+        if bounds_us is None:  # footer without stats: one 1-row agg job
+            row = ev.agg(
+                F.min(F.unix_micros("ts")).alias("lo"),
+                F.max(F.unix_micros("ts")).alias("hi"),
+            ).first()
+            bounds_us = (int(row["lo"]), int(row["hi"]))
+        lo_us, hi_us = bounds_us
+        cuts = [
+            lo_us + (hi_us - lo_us) // 3,
+            lo_us + 2 * (hi_us - lo_us) // 3,
+        ]
+        max_ts = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=hi_us)
         ts_us = F.unix_micros(F.col("ts"))
-        # ONE landing job for all five files (optimization r14, guide
-        # §2.4/§2.6: the previous shape re-scanned events once per
-        # chunk — 5 sequential coalesce(1) write jobs): tag each row
+        # ONE landing job for all four files (optimization r14, guide
+        # §2.4/§2.6: the pre-r14 shape re-scanned events once per
+        # chunk — sequential coalesce(1) write jobs): tag each row
         # with its chunk index, hash-repartition on the tag (each tag
         # lands in exactly one task, so partitionBy emits exactly one
         # file per chunk), write once, then rename into the landing
-        # order. The sentinel rides the same job as chunk 4; its
+        # order. The sentinel rides the same job as chunk 3; its
         # event_id is NULL-typed to the events schema (the old string
         # id was never read — the agg prunes event_id — and never
         # reaches the sink: its window can't close).
@@ -1650,26 +1713,26 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("__sentinel__",)], "event_type string"
         ).select(
             F.lit(None).cast(dict(ev.dtypes)["event_id"]).alias("event_id"),
-            (F.lit(bounds_row["m"]) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
             "event_type",
             F.lit(0.0).alias("value"),
         )
         chunk = (
             F.when(ts_us <= F.lit(cuts[0]), 0)
             .when(ts_us <= F.lit(cuts[1]), 1)
-            .when(ts_us <= F.lit(cuts[2]), 2)
-            .otherwise(3)
+            .otherwise(2)
         )
         tmp = os.path.join(work, "tmp_landing")
         (
             ev.withColumn("__chunk", chunk)
-            .unionByName(sentinel.withColumn("__chunk", F.lit(4)))
+            .unionByName(sentinel.withColumn("__chunk", F.lit(3)))
             .repartition("__chunk")
             .write.partitionBy("__chunk")
             .parquet(tmp)
         )
         base_mtime = 1_000_000_000
-        for i in range(5):
+        n_real_files = 0
+        for i in range(4):
             parts = _glob.glob(
                 os.path.join(tmp, f"__chunk={i}", "part-*.parquet")
             )
@@ -1681,17 +1744,27 @@ def streaming_agg_to_txn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst = os.path.join(landing, f"{i:04d}.parquet")
             shutil.move(parts[0], dst)
             os.utime(dst, (base_mtime + i, base_mtime + i))
+            if i < 3:
+                n_real_files += 1
         _t_prep = _time.perf_counter()
         schema = spark.read.parquet(landing).schema
-        # maxFilesPerTrigger=2 (optimization r14): the watermark still
-        # advances batch over batch (files are consumed oldest-mtime
-        # first, two at a time: real chunks 0+1, 2+3, then the sentinel
-        # alone), the rollup still trickles out across >= 2 append
-        # commits (asserted below), and the suite pays 3 micro-batch
-        # spin-ups + commits instead of 5 for the identical result.
+        # maxFilesPerTrigger=2 (optimization r14/r15): the watermark
+        # still advances batch over batch (files are consumed
+        # oldest-mtime first, two at a time: real chunks 0+1, then
+        # 2+sentinel), the rollup still trickles out across >= 2
+        # append commits (asserted below), and the suite pays 2
+        # micro-batch spin-ups + the watermark flush instead of 5.
+        # Degenerate-chunk guard (ADVICE r14): if time-range collapse
+        # emptied middle chunks, 2-files-per-trigger could batch the
+        # sentinel together with ALL real data (e.g. files 0000+0003
+        # only) — every window would then flush in the single final
+        # no-data batch, one append commit, and the trickle self-check
+        # below would (correctly) refuse it. Fall back to one file per
+        # trigger so the watermark still advances batch over batch.
+        files_per_trigger = "2" if n_real_files >= 3 else "1"
         agg = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "2")
+            .option("maxFilesPerTrigger", files_per_trigger)
             .parquet(landing)
             .withWatermark("ts", "1 hour")
             # NOTE: no stream-side filter on the sentinel — a filter

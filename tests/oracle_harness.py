@@ -140,3 +140,58 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str) -> list[s
             f"  duck-only sample: {only_d}"
         )
     return problems
+
+
+def compare_both(
+    spark_df, con: duckdb.DuckDBPyConnection, oracle_sql: str
+) -> list[str]:
+    """:func:`compare` + :func:`compare_driver_canon` with each engine
+    executed ONCE (r15: the parity suites ran every Spark query and
+    every DuckDB oracle twice — once per comparison level — which was
+    ~half the two modules' wall time).
+
+    * Spark: one ``collect()``; the pandas frame the driver-canon check
+      needs comes from re-localizing the collected rows under the SAME
+      schema — ``toPandas`` dtype mapping is schema-driven, so the
+      frame is identical to one computed from the original plan.
+    * DuckDB: the oracle materializes once into a temp table (types
+      preserved exactly); both the row fetch and the ``.df()`` read
+      that table.
+    """
+    problems: list[str] = []
+    collected = spark_df.collect()
+    s_rows = [tuple(r) for r in collected]
+    s_cols = spark_df.columns
+    local_df = spark_df.sparkSession.createDataFrame(
+        collected, schema=spark_df.schema
+    )
+    tmp = "__oracle_once"
+    con.execute(f'DROP TABLE IF EXISTS "{tmp}"')
+    con.execute(f'CREATE TEMP TABLE "{tmp}" AS {oracle_sql}')
+    rel = con.table(tmp)
+    d_cols = list(rel.columns)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+
+    if sorted(s_cols) != sorted(d_cols):
+        return [
+            f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        ]
+    if len(s_rows) != len(d_rows):
+        problems.append(
+            f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+        )
+    s_ms = _rows_to_multiset(s_cols, s_rows)
+    d_ms = _rows_to_multiset(d_cols, d_rows)
+    if s_ms != d_ms:
+        only_s = list((s_ms - d_ms).items())[:5]
+        only_d = list((d_ms - s_ms).items())[:5]
+        problems.append(
+            f"value mismatch ({sum((s_ms - d_ms).values())} spark-only, "
+            f"{sum((d_ms - s_ms).values())} duck-only rows)\n"
+            f"  cols (sorted): {sorted(s_cols)}\n"
+            f"  spark-only sample: {only_s}\n"
+            f"  duck-only sample: {only_d}"
+        )
+    problems += compare_driver_canon(local_df, con, f'SELECT * FROM "{tmp}"')
+    con.execute(f'DROP TABLE IF EXISTS "{tmp}"')
+    return problems

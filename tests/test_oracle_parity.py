@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 
 from ceneton_database_tools_spark import operators as ops
-from tests.oracle_harness import compare, compare_driver_canon, duck_con
+from tests.oracle_harness import compare_both, duck_con
 
 _NAMES = sorted(ops.QUERIES)
 
@@ -53,6 +53,5 @@ def test_query_matches_oracle(spark, sf_correct, con, name):
         assert rows >= 0
         return
     oracle = ops.render_oracle(spec.oracle, sf_correct)
-    problems = compare(df, con, oracle)
-    problems += compare_driver_canon(df, con, oracle)
+    problems = compare_both(df, con, oracle)
     assert not problems, f"{name}:\n" + "\n".join(problems)

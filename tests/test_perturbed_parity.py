@@ -61,7 +61,7 @@ import pytest
 
 from ceneton_database_tools_spark import operators as ops
 from ceneton_database_tools_spark.catalog import TABLES, table_path
-from tests.oracle_harness import compare, compare_driver_canon, duck_con
+from tests.oracle_harness import compare_both, duck_con
 
 SRC_SF = "/root/testdata/sf0.01"
 
@@ -360,6 +360,5 @@ def test_query_matches_oracle_on_perturbed_data(
     spec = ops.QUERIES[name]
     df = spec.fn(spark, sf_perturbed)
     oracle = ops.render_oracle(spec.oracle, sf_perturbed)
-    problems = compare(df, con_perturbed, oracle)
-    problems += compare_driver_canon(df, con_perturbed, oracle)
+    problems = compare_both(df, con_perturbed, oracle)
     assert not problems, f"{name} (perturbed):\n" + "\n".join(problems)

@@ -388,3 +388,69 @@ def test_winnow_twin_is_suffix_slice(spark, texts):
         )
     }
     assert old == new
+
+# ---------------------------------------------------------------------------
+# MinHash base twin = suffix-slice equivalence (r15 rewrite invariant)
+# ---------------------------------------------------------------------------
+
+_MINHASH_TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.one_of(
+                st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                st.sampled_from("àßф中 \t\r\n&<>'\"😀𝄞"),
+            ),
+            max_size=40,
+        ),
+        st.sampled_from(["", " ", "a", "a b", "a b a b a", "x  y\tz"]),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_MINHASH_TEXTS)
+def test_minhash_base_twin_is_suffix_slice(spark, texts, tmp_path_factory):
+    """The r15 _minhash_base rewrite rests on one positional identity:
+    the drop-first-token twin's word-bigram sequence is the base's
+    bigram sequence minus its first element, so ONE md5 pass over the
+    base's positional bigram hashes yields both documents' hashed
+    shingle SETS. Check the real builder against the OLD formulation
+    (union corpus shingled and hashed independently per branch) over
+    corpora with NULL/empty/single-token/two-token/repeated-bigram/
+    whitespace-variant/astral texts."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ceneton_database_tools_spark.operators import _textutil as T
+    from ceneton_database_tools_spark.operators import dedup as D
+
+    sf_dir = str(tmp_path_factory.mktemp("minhash_prop") / _uuid.uuid4().hex)
+    # every degenerate shape rides EVERY example (3 examples suffice;
+    # hypothesis supplies the adversarial remainder)
+    texts = list(texts) + [None, "", " ", "a", "a b", "a b a b a", "x  y\tz"]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.coalesce(1).write.parquet(sf_dir + "/documents.parquet")
+
+    # OLD formulation (pre-r15): union corpus -> distinct bigram
+    # shingles per branch -> md5 per distinct shingle -> distinct set
+    old_based = (
+        D._near_corpus_tokens(spark, sf_dir)
+        .select("doc_id", F.expr(T.SPARK_SHINGLES).alias("sh"))
+        .select(
+            "doc_id", F.expr(f"array_distinct({T.SPARK_HASH_BASE})").alias("ba")
+        )
+    )
+    old = {r["doc_id"]: sorted(r["ba"]) for r in old_based.collect()}
+    # NEW formulation: the real builder
+    D.release_persisted()
+    new = {
+        r["doc_id"]: sorted(r["ba"])
+        for r in D._minhash_base(spark, sf_dir).collect()
+    }
+    D.release_persisted()
+    assert old == new

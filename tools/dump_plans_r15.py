@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Dump `.explain("formatted")` for bench queries into plans/r14/.
+"""Dump `.explain("formatted")` for bench queries into plans/r15/.
 
-Usage: python tools/dump_plans_r14.py <suffix> [query ...]
+Usage: python tools/dump_plans_r15.py <suffix> [query ...]
 
-Writes plans/r14/<query>_<suffix>.txt for each bench query (or the
+Writes plans/r15/<query>_<suffix>.txt for each bench query (or the
 explicit list given). For queries whose registry function returns a
 localized `createDataFrame(collect())` result (txn_*/streaming_* legs
 that must tear down their workdir), the formatted plan of the INNER
@@ -28,13 +28,13 @@ def main() -> int:
     suffix = sys.argv[1]
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
 
     from ceneton_database_tools_spark import operators as ops
     from ceneton_database_tools_spark.session import get_spark
 
-    spark = get_spark(app_name=f"plans-r14-{suffix}")
+    spark = get_spark(app_name=f"plans-r15-{suffix}")
     for name, spec in sorted(ops.QUERIES.items()):
         if only and name not in only:
             continue
