@@ -115,7 +115,13 @@ def leg_bench() -> str | None:
 
 
 def leg_pytest() -> str | None:
-    proc = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q", "-x"])
+    # The builder's gate runs the FULL suite including the slow tier;
+    # a plain `pytest tests/` (the driver's verify) skips `slow`-marked
+    # tests so the run fits the verify window (VERDICT r14 #1).
+    env = {**__import__("os").environ, "SPARK_GRAFT_SLOW_TESTS": "1"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "-x"], env=env
+    )
     return None if proc.returncode == 0 else f"pytest exit {proc.returncode}"
 
 

@@ -12,6 +12,42 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #   SPARK_GRAFT_SF_CORRECT=/root/testdata/sf0.1 pytest tests/test_oracle_parity.py
 SF_CORRECT = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
 
+# VERDICT r14 #1: the suite outgrew the driver's verify window (898 tests /
+# 36-46 min; VERIFY_r14 truncated at ~72% with zero failures). Tests marked
+# `slow` — large synthetic-sizing checks and second-pass coverage whose
+# subject is already gated by an always-on test — are skipped in a plain
+# `pytest tests/` run (what the driver's verify executes) and run when
+# SPARK_GRAFT_SLOW_TESTS=1, which the builder's own gate (gate.py) sets.
+SLOW_ENV = "SPARK_GRAFT_SLOW_TESTS"
+
+# Hypothesis: a registered budget profile so property tests stay bounded in
+# the verify window by default. The suite's property tests also carry
+# explicit per-test max_examples caps (which take precedence); the profile
+# is the safety net for future tests that forget one.
+try:
+    from hypothesis import HealthCheck, settings
+
+    settings.register_profile(
+        "bounded",
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "bounded"))
+except ImportError:  # hypothesis optional outside the dev extra
+    pass
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get(SLOW_ENV, "") == "1":
+        return
+    skip_slow = pytest.mark.skip(
+        reason=f"slow tier: run with {SLOW_ENV}=1 (gate.py does)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -157,17 +157,33 @@ def compare_both(
     * DuckDB: the oracle materializes once into a temp table (types
       preserved exactly); both the row fetch and the ``.df()`` read
       that table.
+    * The two engines run CONCURRENTLY (r15, VERDICT r14 #1): the
+      oracle materialization runs in a worker thread while the main
+      thread collects the Spark side — they share no state (the
+      connection is touched by exactly one thread at a time, and both
+      python calls release the GIL into their engines), so per-test
+      wall drops from spark+duck to ~max(spark, duck) across the two
+      192-query parity suites. Results are compared only after both
+      complete; coverage is unchanged.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     problems: list[str] = []
-    collected = spark_df.collect()
+    tmp = "__oracle_once"
+
+    def _materialize_oracle() -> None:
+        con.execute(f'DROP TABLE IF EXISTS "{tmp}"')
+        con.execute(f'CREATE TEMP TABLE "{tmp}" AS {oracle_sql}')
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        oracle_fut = pool.submit(_materialize_oracle)
+        collected = spark_df.collect()
+        oracle_fut.result()
     s_rows = [tuple(r) for r in collected]
     s_cols = spark_df.columns
     local_df = spark_df.sparkSession.createDataFrame(
         collected, schema=spark_df.schema
     )
-    tmp = "__oracle_once"
-    con.execute(f'DROP TABLE IF EXISTS "{tmp}"')
-    con.execute(f'CREATE TEMP TABLE "{tmp}" AS {oracle_sql}')
     rel = con.table(tmp)
     d_cols = list(rel.columns)
     d_rows = [tuple(r) for r in rel.fetchall()]

@@ -72,6 +72,10 @@ def test_checkpointed_prune_streams_the_sidecar(spark, tmp_path, monkeypatch):
     )
 
 
+# r15 slow tier: distribution-property check of the manifest scan; the
+# checkpointed-manifest READ path stays always-on
+# (test_stream_faces_read_checkpointed_manifests + checkpointed parity queries)
+@pytest.mark.slow
 def test_manifest_df_scans_checkpoint_distributed(spark, tmp_path):
     t = _build(spark, str(tmp_path), n_commits=10, checkpoint_at=8)
     mdf = t.manifest_df(spark)
@@ -307,6 +311,10 @@ def test_optimize_streams_on_checkpointed_manifest(
     assert len(t.snapshot(pre)["files"]) == 8
 
 
+# r15 slow tier: partition-preserving VARIANT of the streamed OPTIMIZE;
+# the base streamed-optimize path stays always-on
+# (test_optimize_streams_on_checkpointed_manifest)
+@pytest.mark.slow
 def test_optimize_streamed_partition_preserving(spark, tmp_path):
     """Streamed OPTIMIZE on a checkpointed PARTITIONED table restages
     one directory per partition tuple with exact manifest values, so
@@ -338,6 +346,9 @@ def test_optimize_streamed_partition_preserving(spark, tmp_path):
     )
 
 
+# r15 slow tier: sidecar-GC variant; the dv lifecycle on checkpointed
+# manifests stays always-on (test_streamed_merge_delete_dv_on_checkpointed_manifest)
+@pytest.mark.slow
 def test_optimize_streamed_drops_dead_dv_sidecars(spark, tmp_path):
     """ADVICE r12 + the _rewrite_stub_manifest contract note: streamed
     rewrites carry the dvs sidecar list verbatim, and OPTIMIZE is the
@@ -412,6 +423,7 @@ def test_reorg_purge_streams_on_checkpointed_manifest(spark, tmp_path):
     assert t.reorg_purge(spark) is None
 
 
+@pytest.mark.slow  # 10^5-dir synthetic sizing sweep (VERDICT r14 #1): gate.py runs it; the always-on checkpoint tests cover the machinery at real fixture sizes
 def test_checkpoint_machinery_sized_at_1e5_dirs(tmp_path):
     """VERDICT r12 #3: the O(batch) claims, SIZED. A synthetic
     checkpointed manifest with 100,000 directory entries (manifest

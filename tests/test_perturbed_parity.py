@@ -96,6 +96,49 @@ def _perturbed_names() -> list[str]:
 
 _NAMES = _perturbed_names()
 
+# r15 slow tier (VERDICT r14 #1): the hostile sweep stays ALWAYS-ON for
+# every bench query, every historically-divergent query, and every cheap
+# query; the entries below are its most expensive members whose
+# perturbation AXES are each still exercised always-on by another family
+# member over the SAME corpus/prep helpers, and whose own end-to-end
+# correctness stays always-on via oracle parity. They run in the
+# builder's gate (SPARK_GRAFT_SLOW_TESTS=1).
+_SLOW_PERTURBED = {
+    # trained-index family (shared _base/_ivf_centroids preps): the
+    # degenerate-embedding axes (zero vector, exact duplicate, constant
+    # vector) stay always-on via similarity_topk_exact + similarity_ann_lsh
+    "similarity_ann_ivf",
+    "similarity_ivf_recall_eval",
+    "similarity_ivf_recall_curve",
+    # same axes over the twin-embedding corpus: dedup_embedding_cosine
+    # stays always-on with the identical corpus builder
+    "dedup_semantic_kmeans",
+    # documents axes (NULL/empty/astral/repetitive text) stay always-on
+    # via dedup_exact / dedup_minhash_lsh / the text_* sweep over the
+    # same _near_corpus_tokens / shingle helpers
+    "dedup_ngram_jaccard",
+    "dedup_clusters",  # graph over dedup_minhash_lsh's always-on pair set
+    # txn-over-perturbed-customer: the checkpoint/constraint machinery is
+    # fixture-value-insensitive beyond what the always-on
+    # txn_merge_upsert/txn_table_changes/txn_constraints_enforced +
+    # txn integration suites already pin on the same perturbed axes
+    "txn_checkpointed_admin_ops",
+    "txn_checkpointed_row_ops",
+    "txn_checkpointed_manifest_pruning",
+    "txn_constraint_functions",
+    # CDF composites over perturbed events: the cdc/cdf read path stays
+    # always-on via txn_table_changes + streaming_agg_to_txn_table (bench)
+    "streaming_txn_cdf",
+    "streaming_txn_cdf_mv",
+    "streaming_dedup_index_cdf",
+    # layout variant: the scale_* family's other members stay always-on
+    "scale_zorder_layout",
+}
+_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PERTURBED else n
+    for n in _NAMES
+]
+
 
 def _perturb_events(src: str, dst: str) -> None:
     ev = pd.read_parquet(src)
@@ -353,7 +396,7 @@ def con_perturbed(sf_perturbed):
     con.close()
 
 
-@pytest.mark.parametrize("name", _NAMES)
+@pytest.mark.parametrize("name", _PARAMS)
 def test_query_matches_oracle_on_perturbed_data(
     spark, sf_perturbed, con_perturbed, name
 ):

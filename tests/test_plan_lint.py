@@ -108,6 +108,16 @@ def _unexempt_single_partition_exchanges(plan: str) -> list[str]:
     return bad
 
 
+# r15 slow tier (VERDICT r14 #1): the three plan-drift lints below are
+# CODE-SHAPE guards — they exist to catch a builder change that loses a
+# broadcast, gains an Exchange, or grows stateful operators, and the
+# builder's gate (gate.py, SPARK_GRAFT_SLOW_TESTS=1) runs them against
+# every commit. Re-executing every registry fixture a second time inside
+# the driver's time-boxed verify added ~2 min of wall for drift that
+# cannot exist there (the driver runs the exact commit the gate passed);
+# the cheap env-independent lints (money-sum idiom, README counts) stay
+# always-on.
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _BATCH_NAMES)
 def test_plan_has_no_scale_killers(spark, name):
     df = ops.QUERIES[name].fn(spark, SF_PLAN)
@@ -138,6 +148,7 @@ def test_plan_has_no_scale_killers(spark, name):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _STREAM_NAMES)
 def test_streaming_plan_pinned(spark, name):
     """Streaming drift guard: run the query to completion at sf0.001
@@ -169,6 +180,7 @@ def test_streaming_plan_pinned(spark, name):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(SELF_CHECKING_PLANS))
 def test_self_checking_plan_exchange_baseline(spark, name):
     """The plan-self-checking operators return LocalRelation snapshots,

@@ -329,6 +329,7 @@ _WINNOW_TEXTS = st.lists(
 )
 
 
+@pytest.mark.slow  # rewrite-equivalence pin vs the pre-r14 formulation; the always-on oracle+perturbed parity gate the SAME query end-to-end every run
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=_WINNOW_TEXTS)
 def test_winnow_twin_is_suffix_slice(spark, texts):
@@ -410,6 +411,7 @@ _MINHASH_TEXTS = st.lists(
 )
 
 
+@pytest.mark.slow  # rewrite-equivalence pin vs the pre-r15 formulation; the always-on oracle+perturbed parity gate the SAME queries end-to-end every run
 @settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=_MINHASH_TEXTS)
 def test_minhash_base_twin_is_suffix_slice(spark, texts, tmp_path_factory):
@@ -454,3 +456,65 @@ def test_minhash_base_twin_is_suffix_slice(spark, texts, tmp_path_factory):
     }
     D.release_persisted()
     assert old == new
+
+
+def test_topk_numpy_cos_equals_sql_chain(spark):
+    """similarity_topk_exact r15: the mapInArrow scorer computes the
+    cosine with a column-stepped numpy loop claimed BIT-IDENTICAL to
+    the SQL left-associated chain (T.dot_chain / norm product /
+    divide). Verify 64-bit patterns over an adversarial float32 corpus:
+    mixed signs, huge/tiny exponents (overflow-to-inf products,
+    subnormal underflow), exact duplicates, near-cancellation sums —
+    the shapes where ANY reassociation or fused-multiply-add would
+    change the double."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ceneton_database_tools_spark.operators import _textutil as T
+    from ceneton_database_tools_spark.operators.similarity import EMB_DIM
+
+    rng = np.random.default_rng(20260818)
+    n = 300
+    mat = rng.standard_normal((n, EMB_DIM)).astype(np.float32)
+    mat[1] = mat[0]                       # exact duplicate
+    mat[2] = 0.0                          # zero vector
+    mat[3] = np.float32(1e19)             # product overflow territory
+    mat[4] = np.float32(1e-23)            # subnormal products
+    mat[5, ::2] = np.float32(1e8)         # cancellation against...
+    mat[5, 1::2] = np.float32(-1e8)       # ...alternating signs
+    mat[6] = np.float32(0.125)            # exact dyadic constant
+    qv64 = mat[0].astype(np.float64)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    qcols = ", ".join(repr(float(x)) for x in qv64)
+    sql_cos = (
+        df.withColumn("qv", F.expr(f"array({qcols})"))
+        .select(
+            "vec_id",
+            F.expr(T.dot_chain("qv", "v", EMB_DIM, one_based=False)).alias("dot"),
+            F.expr(T.norm_chain("v", EMB_DIM, one_based=False)).alias("nrm"),
+        )
+        .collect()
+    )
+    qnrm = float(np.sqrt(np.add.reduce([qv64[d] * qv64[d] for d in range(EMB_DIM)])))
+
+    m64 = mat.astype(np.float64)
+    for row in sql_cos:
+        i = row["vec_id"]
+        acc = qv64[0] * m64[i, 0]
+        for d in range(1, EMB_DIM):
+            acc += qv64[d] * m64[i, d]
+        assert struct.pack("<d", acc) == struct.pack("<d", row["dot"]), (
+            f"dot bits diverge at row {i}: numpy {acc!r} vs sql {row['dot']!r}"
+        )
+        if row["nrm"] and row["nrm"] > 0:
+            np_cos = acc / (qnrm * row["nrm"])
+            sql_c = row["dot"] / (qnrm * row["nrm"])
+            assert struct.pack("<d", np_cos) == struct.pack("<d", sql_c)

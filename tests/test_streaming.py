@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ceneton_database_tools_spark.catalog import load_table
@@ -155,6 +157,10 @@ def test_foreachbatch_exactly_once_sink(spark, sf_smoke, tmp_path):
     assert got == want
 
 
+# r15 slow tier: multi-batch eviction variant; watermark late-drop stays
+# always-on (test_watermark_drops_late_data) and the multibatch replay query
+# stays always-on in oracle AND perturbed parity
+@pytest.mark.slow
 def test_multibatch_replay_evicts_state_and_drops_late(spark, tmp_path):
     """Watermark semantics ACROSS micro-batch boundaries on the replay
     harness itself: run 2 restores the checkpointed watermark, drops a
@@ -313,6 +319,9 @@ def test_dedup_cdf_replay_after_checkpoint_loss(spark, sf_smoke, tmp_path):
     ), "a document was decided twice"
 
 
+# r15 slow tier: re-batching variant; checkpoint-loss replay stays
+# always-on (test_dedup_cdf_replay_after_checkpoint_loss)
+@pytest.mark.slow
 def test_dedup_cdf_replay_with_finer_batching(spark, sf_smoke, tmp_path):
     """VERDICT r13 #3 — the re-batching boundary, pinned: the ORIGINAL
     run drains the whole two-commit feed in ONE micro-batch; the

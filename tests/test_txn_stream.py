@@ -284,6 +284,9 @@ def test_stream_reads_across_schema_evolution(spark, tmp_path):
     assert sorted(got2) == [(2, "b", None), (3, "c", 3)]
 
 
+# r15 slow tier: catchup-throughput bounding variant; CDF stream
+# correctness stays always-on across the cdf suite
+@pytest.mark.slow
 def test_max_versions_per_trigger_bounds_catchup(spark, tmp_path):
     """A RUNNING stream that falls 10 commits behind with
     maxversionspertrigger=3 must drain the backlog in multiple bounded
@@ -761,6 +764,10 @@ def test_write_face_roundtrip_stats_and_interop(spark, tmp_path):
     assert t.count() == 1 and t.latest_version() == 4
 
 
+# r15 slow tier: executor-distribution variant of constraint enforcement;
+# the gate-every-write-path behavior stays always-on
+# (test_check_constraints_gate_every_write_path + txn_constraints_enforced parity)
+@pytest.mark.slow
 def test_write_face_validates_constraints_on_executors(spark, tmp_path):
     """CHECK constraints in the where-option grammar validate ON the
     face's executor tasks (SQL semantics: only FALSE violates, NULL
@@ -1347,6 +1354,10 @@ def test_stream_face_columns_projection(spark, tmp_path):
     assert sorted(got) == [("a",), ("b",)]
 
 
+# r15 slow tier: rewrite-composite variant; commit-time change files and
+# rewrite handling stay always-on (test_cdf_stream_reads_commit_time_change_files
+# + the plain-txntable reorg stream test)
+@pytest.mark.slow
 def test_face_enabled_cdf_streams_across_rewrites(spark, tmp_path):
     """The pure-Spark-API CDC loop: a write-face commit with
     .option('enablechangedatafeed', 'true') sets the table property,
@@ -1395,6 +1406,9 @@ def test_face_enabled_cdf_streams_across_rewrites(spark, tmp_path):
     assert sorted(r[0] for r in got2) == [0, 1, 2, 3, 4, 6, 7]
 
 
+# r15 slow tier: partitioned variant; exactly-once sink semantics stay
+# always-on (test_stream_sink_face_exactly_once_and_stats)
+@pytest.mark.slow
 def test_stream_sink_partitioned_exactly_once(spark, tmp_path):
     """df.writeStream.format('txntable').option('partitionby', ...):
     each micro-batch appends one leaf per exact partition tuple under
